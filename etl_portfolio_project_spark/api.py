@@ -1,0 +1,232 @@
+"""Query registry — the engine's public query surface.
+
+Every operator from SURVEY.md §2 (plus the §7.4 extensions) registers
+here as a named QuerySpec: a Spark builder `(spark, sf_dir) ->
+DataFrame` and, where ANSI-SQL-expressible, a DuckDB oracle SQL string
+computing the identical result (same column names, same types, and —
+by mirroring operation order — bit-identical doubles).
+
+`__spark_entry__.py` re-exports this registry to the driver.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import fuzzy, metrics, schedule
+from .pipelines import loan_pipeline
+from .session import pin_session_for_determinism
+from .sources import views
+from .sources.registry import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None → rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_session_for_determinism(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(wrapped, oracle, doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Reference surface (SURVEY.md §2) — loan-domain mapping over the star
+# schema (sources/views.py holds the shared Spark/SQL definitions).
+# ---------------------------------------------------------------------------
+
+_JOINED_SQL = """
+  SELECT l.loan_id, l.customer_id, l.disbursement_amount,
+         l.disbursement_date, l.due_date, l.region, l.interest_rate,
+         l.pos, c.customer_name, e.product_type, e.emi_collected
+  FROM loans l
+  JOIN customers c USING (customer_id)
+  LEFT JOIN extensions e USING (loan_id)
+"""
+
+_JOINED_CLEANED_SQL = (
+    "SELECT *, "
+    + fuzzy.clean_region_sql("region")
+    + " AS region_cleaned FROM ("
+    + _JOINED_SQL
+    + ")"
+)
+
+_LOAN_FINAL_PASSTHROUGH = [
+    "loan_id",
+    "customer_id",
+    "disbursement_amount",
+    "disbursement_date",
+    "due_date",
+    "region",
+    "interest_rate",
+    "pos",
+    "customer_name",
+    "product_type",
+    "emi_collected",
+    "region_cleaned",
+]
+
+
+@register(
+    "src_join_projection",
+    views.with_loan_ctes(
+        """
+        SELECT c.customer_id, c.customer_name, l.loan_id,
+               l.disbursement_amount, l.disbursement_date, l.due_date,
+               l.region, l.interest_rate, l.pos
+        FROM customers c JOIN loans l USING (customer_id)
+        """
+    ),
+    doc="S1/P1/J1: pushed-down customers ⋈ loans 9-column projection "
+    "(/root/reference/main.py:25-41).",
+)
+def q_src_join_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    loans = views.loans(spark, sf_dir)
+    customers = views.customers(spark, sf_dir)
+    return customers.join(F.broadcast(loans), "customer_id", "inner").select(
+        "customer_id",
+        "customer_name",
+        "loan_id",
+        "disbursement_amount",
+        "disbursement_date",
+        "due_date",
+        "region",
+        "interest_rate",
+        "pos",
+    )
+
+
+@register(
+    "join_left_extension",
+    views.with_loan_ctes(_JOINED_SQL),
+    doc="J2: left outer equi-join with NULL propagation for unmatched "
+    "loans (/root/reference/main.py:62, SURVEY.md §2.11).",
+)
+def q_join_left_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return loan_pipeline.joined_loans(spark, sf_dir).select(
+        "loan_id",
+        "customer_id",
+        "disbursement_amount",
+        "disbursement_date",
+        "due_date",
+        "region",
+        "interest_rate",
+        "pos",
+        "customer_name",
+        "product_type",
+        "emi_collected",
+    )
+
+
+@register(
+    "region_clean",
+    views.with_loan_ctes(
+        "SELECT loan_id, region, "
+        + fuzzy.clean_region_sql("region")
+        + " AS region_cleaned FROM loans"
+    ),
+    doc="F1: fuzzy region normalization, Levenshtein-argmin engine "
+    "default (/root/reference/main.py:67-75).",
+)
+def q_region_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fuzzy.with_region_cleaned(views.loans(spark, sf_dir)).select(
+        "loan_id", "region", "region_cleaned"
+    )
+
+
+@register(
+    "loan_final",
+    views.with_loan_ctes(
+        metrics.metrics_sql(
+            views.AS_OF_SQL,
+            "FROM (" + _JOINED_CLEANED_SQL + ")",
+            _LOAN_FINAL_PASSTHROUGH,
+        )
+    ),
+    doc="Flagship: full loan_final pipeline — J1+J2+F1+M1–M12 "
+    "(/root/reference/main.py:62-141,204-210).",
+)
+def q_loan_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return loan_pipeline.loan_final(spark, sf_dir)
+
+
+@register(
+    "loan_monthly_schedule",
+    views.with_loan_ctes(
+        schedule.schedule_sql(
+            views.AS_OF_SQL,
+            "FROM (" + _JOINED_SQL + ")",
+        )
+    ),
+    doc="T1–T6: explode(sequence) month expansion + NaN-faithful "
+    "window running total + bround (/root/reference/main.py:146-193).",
+)
+def q_loan_monthly_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return loan_pipeline.loan_monthly_schedule(spark, sf_dir)
+
+
+@register(
+    "union_all_schedules",
+    views.with_loan_ctes(
+        """
+        SELECT loan_id, disbursement_amount AS amount, 'first_half' AS half
+        FROM loans WHERE loan_id % 2 = 0
+        UNION ALL
+        SELECT loan_id, disbursement_amount AS amount, 'second_half' AS half
+        FROM loans WHERE loan_id % 2 = 1
+        """
+    ),
+    doc="T6: UNION ALL shape (pd.concat, /root/reference/main.py:193) "
+    "as distributed unionByName.",
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    loans = views.loans(spark, sf_dir)
+    even = (
+        loans.where(F.col("loan_id") % 2 == 0)
+        .select("loan_id", F.col("disbursement_amount").alias("amount"))
+        .withColumn("half", F.lit("first_half"))
+    )
+    odd = (
+        loans.where(F.col("loan_id") % 2 == 1)
+        .select("loan_id", F.col("disbursement_amount").alias("amount"))
+        .withColumn("half", F.lit("second_half"))
+    )
+    return even.unionByName(odd)
+
+
+# ---------------------------------------------------------------------------
+# Entry points consumed by __spark_entry__.py
+# ---------------------------------------------------------------------------
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query at sf0.001 (driver smoke check)."""
+    return q_loan_final(spark, "/root/testdata/sf0.001")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.builder for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

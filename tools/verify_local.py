@@ -1,0 +1,136 @@
+"""Local differential verifier: Spark queries vs DuckDB oracles.
+
+Mirrors the driver's t2 check (row-count + schema + order-insensitive
+value comparison) but stricter: exact value equality (bitwise for
+doubles after normalization), with a readable diff on mismatch.
+
+Usage:  python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, stringify non-numeric, sort rows."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith(("datetime", "object")) or str(
+            df[c].dtype
+        ) in ("date",):
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith(("int", "Int", "uint")):
+            df[c] = df[c].astype("int64")
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if len(spark_df) != len(oracle_df):
+        problems.append(f"rowcount: spark={len(spark_df)} oracle={len(oracle_df)}")
+    sc, oc = sorted(spark_df.columns), sorted(oracle_df.columns)
+    if sc != oc:
+        problems.append(f"columns: spark={sc} oracle={oc}")
+        return problems
+    s, o = normalize(spark_df), normalize(oracle_df)
+    if len(s) != len(o):
+        return problems
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if str(sv.dtype).startswith("float") or str(ov.dtype).startswith("float"):
+            sv = sv.astype("float64")
+            ov = ov.astype("float64")
+            both_nan = sv.isna() & ov.isna()
+            eq = (sv == ov) | both_nan
+            if not eq.all():
+                bad = (~eq).to_numpy().nonzero()[0][:5]
+                diffs = [
+                    f"row{int(i)}: {sv.iloc[int(i)]!r} vs {ov.iloc[int(i)]!r}"
+                    for i in bad
+                ]
+                maxd = float((sv - ov).abs().max())
+                problems.append(
+                    f"col {c}: {int((~eq).sum())} diffs (maxabs={maxd:.3e}) "
+                    + "; ".join(diffs)
+                )
+        else:
+            eq = (sv == ov) | (sv.isna() & ov.isna())
+            if not eq.all():
+                bad = (~eq).to_numpy().nonzero()[0][:5]
+                diffs = [
+                    f"row{int(i)}: {sv.iloc[int(i)]!r} vs {ov.iloc[int(i)]!r}"
+                    for i in bad
+                ]
+                problems.append(f"col {c}: {int((~eq).sum())} diffs " + "; ".join(diffs))
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from etl_portfolio_project_spark import api
+    from etl_portfolio_project_spark.session import get_spark
+
+    spark = get_spark(cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    con = duck_con(sf_dir)
+    qs, oracles = api.queries(), api.oracle_sql()
+    failed = []
+    for name, builder in qs.items():
+        if only and name not in only:
+            continue
+        sdf = builder(spark, sf_dir).toPandas()
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(sdf)} rows")
+            continue
+        odf = con.execute(oracles[name]).df()
+        problems = compare(name, sdf, odf)
+        if problems:
+            failed.append(name)
+            print(f"[FAIL] {name} ({len(sdf)} rows)")
+            for p in problems:
+                print("   ", p)
+        else:
+            print(f"[ok]   {name}: {len(sdf)} rows match oracle exactly")
+    print()
+    if failed:
+        print("FAILED:", failed)
+        return 1
+    print("all queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
