@@ -213,6 +213,86 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# General relational operator library (SURVEY.md §7.3)
+# ---------------------------------------------------------------------------
+
+from .operators import relational as R  # noqa: E402
+
+_RELATIONAL = [
+    ("filter_pushdown", R.filter_pushdown, R.FILTER_PUSHDOWN_SQL,
+     "Selective filter + projection pushed into the parquet scan."),
+    ("agg_pricing_summary", R.agg_pricing_summary, R.AGG_PRICING_SUMMARY_SQL,
+     "TPC-H Q1-shaped groupBy aggregation; decimal-exact money sums."),
+    ("topk_orders", R.topk_orders, R.TOPK_ORDERS_SQL,
+     "ORDER BY + LIMIT via TakeOrderedAndProject."),
+    ("customers_with_urgent_orders", R.customers_with_urgent_orders,
+     R.CUSTOMERS_WITH_URGENT_ORDERS_SQL, "LEFT SEMI join (EXISTS)."),
+    ("customers_without_orders", R.customers_without_orders,
+     R.CUSTOMERS_WITHOUT_ORDERS_SQL, "LEFT ANTI join (NOT EXISTS)."),
+    ("distinct_segments", R.distinct_segments, R.DISTINCT_SEGMENTS_SQL,
+     "DISTINCT as hash aggregate."),
+    ("repeat_customers_1995_1996", R.repeat_customers_1995_1996,
+     R.REPEAT_CUSTOMERS_SQL, "INTERSECT of filtered key sets."),
+    ("churned_customers_1995", R.churned_customers_1995,
+     R.CHURNED_CUSTOMERS_SQL, "EXCEPT of filtered key sets."),
+    ("top3_orders_per_customer", R.top3_orders_per_customer,
+     R.TOP3_ORDERS_PER_CUSTOMER_SQL, "Top-k per group via row_number window."),
+    ("rollup_revenue_by_geo", R.rollup_revenue_by_geo,
+     R.ROLLUP_REVENUE_BY_GEO_SQL, "ROLLUP over the star join, dims broadcast."),
+    ("pivot_status_by_priority", R.pivot_status_by_priority,
+     R.PIVOT_STATUS_BY_PRIORITY_SQL, "Pivot with explicit value list."),
+    ("scalar_function_suite", R.scalar_function_suite,
+     R.SCALAR_FUNCTION_SUITE_SQL, "Date/string/math built-in scalar library."),
+    ("sessionize_events", R.sessionize_events, R.SESSIONIZE_EVENTS_SQL,
+     "30-min-gap sessionization via lag + integer cumsum."),
+    ("asof_latest_signup", R.asof_latest_signup, R.ASOF_LATEST_SIGNUP_SQL,
+     "As-of join via ignore-nulls last_value window."),
+    ("events_tumbling_5min", R.events_tumbling_5min,
+     R.EVENTS_TUMBLING_5MIN_SQL, "Tumbling event-time window aggregation."),
+]
+
+for _name, _fn, _sql, _doc in _RELATIONAL:
+    register(_name, _sql, _doc)(_fn)
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions (SURVEY.md §7.4): text analysis, dedup,
+# similarity search. All differentially tested — including MinHash-LSH
+# banding and random-hyperplane LSH, via portable md5 hashing /
+# deterministic hyperplane literals.
+# ---------------------------------------------------------------------------
+
+from .operators import dedup as D  # noqa: E402
+from .operators import similarity as S  # noqa: E402
+from .operators import text as X  # noqa: E402
+
+_EXTENSIONS = [
+    ("text_profile", X.text_profile, X.TEXT_PROFILE_SQL,
+     "Per-doc quality stats, language ID, md5 + rolling fingerprints."),
+    ("dedup_exact", D.dedup_exact, D.DEDUP_EXACT_SQL,
+     "Exact dedup via canonical-text fingerprint groupBy."),
+    ("dedup_exact_prefix", D.dedup_exact_prefix, D.DEDUP_EXACT_PREFIX_SQL,
+     "Duplicate groups by 8-token-prefix fingerprint."),
+    ("neardup_jaccard", D.neardup_jaccard, D.NEARDUP_JACCARD_SQL,
+     "Word-set Jaccard near-dup pairs via inverted-index self-join."),
+    ("minhash_lsh_neardup", D.minhash_lsh_neardup, D.MINHASH_LSH_NEARDUP_SQL,
+     "MinHash-LSH banding candidates + exact-Jaccard verification."),
+    ("simhash_pairs", D.simhash_pairs, D.SIMHASH_PAIRS_SQL,
+     "48-bit SimHash signatures + Hamming-distance pairs."),
+    ("ann_brute_force_topk", S.ann_brute_force_topk, S.ANN_BRUTE_FORCE_TOPK_SQL,
+     "Exact cosine top-k neighbors (broadcast query set)."),
+    ("ann_lsh_topk", S.ann_lsh_topk, S.ANN_LSH_TOPK_SQL,
+     "Random-hyperplane LSH bucketed approximate top-k."),
+    ("embedding_neardup_pairs", S.embedding_neardup_pairs,
+     S.EMBEDDING_NEARDUP_PAIRS_SQL,
+     "Cosine-threshold near-dup pairs, label-blocked."),
+]
+
+for _name, _fn, _sql, _doc in _EXTENSIONS:
+    register(_name, _sql, _doc)(_fn)
+
+
+# ---------------------------------------------------------------------------
 # Entry points consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,374 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §7.4).
+
+Five strategies over `documents`, each a `queries()` entry with a
+DuckDB oracle (including the MinHash-LSH candidate generation — the
+whole pipeline uses engine-portable md5-based hashing, so even the LSH
+banding is differentially tested):
+
+- exact: hash-groupBy on a canonical fingerprint.
+- prefix-exact: fingerprint of the first 8 tokens (the harness corpus
+  has no full-text dups; prefix collisions exercise the group path).
+- n-gram Jaccard: inverted-index self-join (explode shingles → join on
+  shingle → count) — the exact-verification half of near-dup dedup.
+- MinHash LSH: k=16 signature / 4 bands × 4 rows, band-bucket join for
+  candidates, then exact Jaccard verification of candidates only.
+- SimHash: 48-bit signature via per-bit majority vote of token hashes,
+  Hamming-distance pairs.
+
+Scale design (the reason these shapes were chosen):
+- Exact dedup is a single hash aggregation: partial-agg per partition,
+  one shuffle of (fingerprint, partial) rows.
+- The Jaccard inverted index joins on the SHINGLE key, so work is
+  proportional to shared-shingle pairs, not n² — standard all-pairs
+  similarity at scale; blocking (here: per `source` partition) bounds
+  the candidate space.
+- MinHash LSH replaces the shingle join with a band-bucket join:
+  candidates ∝ colliding bands only. At 100 TB: banding is a narrow
+  map + one shuffle on band_key; verification joins only candidates.
+- All token hashing is md5-based (portable_hash60), deterministic
+  across engines and runs — no seed state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .text import portable_hash60, portable_hash60_sql, tokens_expr
+
+#: MinHash parameters — k hash functions in b bands of r rows (k=b*r).
+MH_P = 2_147_483_647  # modulus (2^31-1): keeps a*h+b < 2^62 under ANSI
+MH_K = 16
+MH_BANDS = 4
+MH_ROWS = 4
+#: deterministic affine coefficients (i-th hash: (a_i*h + b_i) % p)
+MH_AB = [(2 * i + 1, 7919 * (i + 1)) for i in range(MH_K)]
+
+SIMHASH_BITS = 48  # < 63 so bit-packing never overflows a signed long
+JACCARD_TAU = 0.9
+SIMHASH_MAX_HAMMING = 8
+DEDUP_SOURCE_BLOCK = "src0"  # blocking partition for pairwise queries
+
+
+def _distinct_words(text: Column) -> Column:
+    return F.array_distinct(tokens_expr(text))
+
+
+_DISTINCT_WORDS_SQL = "list_distinct(regexp_split_to_array(trim(text), '\\s+'))"
+
+
+# --- exact dedup ----------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor (min doc_id) per canonical text
+    fingerprint. Output = the deduplicated id set."""
+    d = load_table(spark, sf_dir, "documents")
+    canonical = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (
+        d.select(canonical.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUPS by 8-token-prefix fingerprint (≥2 members)."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix_fp = F.md5(F.concat_ws(" ", F.slice(tokens_expr(F.col("text")), 1, 8)))
+    return (
+        d.select(prefix_fp.alias("prefix_fp"), "doc_id")
+        .groupBy("prefix_fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc_id"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+DEDUP_EXACT_PREFIX_SQL = """
+SELECT prefix_fp, count(*) AS n_docs, min(doc_id) AS first_doc_id
+FROM (
+  SELECT doc_id,
+         md5(array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:8], ' '))
+           AS prefix_fp
+  FROM documents
+)
+GROUP BY prefix_fp HAVING count(*) >= 2
+"""
+
+
+# --- exact n-gram / word-set Jaccard --------------------------------------
+
+
+def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard near-dup pairs within one source block,
+    τ=0.9, via inverted-index self-join (no n² cross join)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source") == DEDUP_SOURCE_BLOCK)
+        .select("doc_id", _distinct_words(F.col("text")).alias("words"))
+    )
+    sizes = d.select("doc_id", F.size("words").cast("long").alias("n_words"))
+    tok = d.select("doc_id", F.explode("words").alias("word"))
+    a, b = tok.alias("a"), tok.alias("b")
+    shared = (
+        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_words").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n_words").alias("n2"))
+    j = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
+    return (
+        shared.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard", j)
+        .where(F.col("jaccard") >= JACCARD_TAU)
+        .select("id1", "id2", "shared", "n1", "n2", "jaccard")
+    )
+
+
+NEARDUP_JACCARD_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_DISTINCT_WORDS_SQL} AS words
+  FROM documents WHERE source = '{DEDUP_SOURCE_BLOCK}'
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(len(list_intersect(a.words, b.words)) AS BIGINT) AS shared,
+       CAST(len(a.words) AS BIGINT) AS n1,
+       CAST(len(b.words) AS BIGINT) AS n2,
+       CAST(len(list_intersect(a.words, b.words)) AS BIGINT)
+         / (CAST(len(a.words) AS BIGINT) + CAST(len(b.words) AS BIGINT)
+            - CAST(len(list_intersect(a.words, b.words)) AS BIGINT)) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.words, b.words)) > 0
+  AND CAST(len(list_intersect(a.words, b.words)) AS BIGINT)
+      / (CAST(len(a.words) AS BIGINT) + CAST(len(b.words) AS BIGINT)
+         - CAST(len(list_intersect(a.words, b.words)) AS BIGINT)) >= {JACCARD_TAU}
+"""
+
+
+# --- MinHash LSH ----------------------------------------------------------
+
+
+def _token_hashes(text: Column) -> Column:
+    return F.transform(
+        _distinct_words(text), lambda t: portable_hash60(t) % F.lit(MH_P)
+    )
+
+
+def _minhash_signature(text: Column) -> Column:
+    """Array of MH_K min-hash values (portable affine hashes)."""
+    hashes = _token_hashes(text)
+    sigs = [
+        F.array_min(
+            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_P))
+        )
+        for a, b in MH_AB
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification
+    within one source block: docs sharing ANY full band of the
+    signature become candidates; candidates are verified against the
+    true word-set Jaccard. Output: verified pairs with band-collision
+    count and exact jaccard."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source") == DEDUP_SOURCE_BLOCK)
+        .select(
+            "doc_id",
+            _distinct_words(F.col("text")).alias("words"),
+            _minhash_signature(F.col("text")).alias("sig"),
+        )
+    )
+    bands = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col("sig")[i * MH_ROWS + r].cast("string")
+                                for r in range(MH_ROWS)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for i in range(MH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_band_hits"))
+    )
+    w1 = d.select(F.col("doc_id").alias("id1"), F.col("words").alias("w1"))
+    w2 = d.select(F.col("doc_id").alias("id2"), F.col("words").alias("w2"))
+    shared = F.size(F.array_intersect("w1", "w2")).cast("long")
+    n1 = F.size("w1").cast("long")
+    n2 = F.size("w2").cast("long")
+    verified = (
+        candidates.join(w1, "id1")
+        .join(w2, "id2")
+        .withColumn("jaccard", shared / (n1 + n2 - shared))
+        .where(F.col("jaccard") >= JACCARD_TAU)
+        .select("id1", "id2", "n_band_hits", "jaccard")
+    )
+    return verified
+
+
+def _minhash_sig_sql() -> list[str]:
+    hashes = (
+        f"list_transform({_DISTINCT_WORDS_SQL}, "
+        f"t -> {portable_hash60_sql('t')} % {MH_P})"
+    )
+    return [
+        f"list_aggregate(list_transform({hashes}, h -> ({a} * h + {b}) % {MH_P}), 'min')"
+        for a, b in MH_AB
+    ]
+
+
+def _build_minhash_sql() -> str:
+    sigs = _minhash_sig_sql()
+    band_structs = []
+    for i in range(MH_BANDS):
+        parts = " || '-' || ".join(
+            f"CAST(sig[{i * MH_ROWS + r + 1}] AS VARCHAR)" for r in range(MH_ROWS)
+        )
+        band_structs.append(f"{{'band': {i}, 'band_key': {parts}}}")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {_DISTINCT_WORDS_SQL} AS words,
+             [{', '.join(sigs)}] AS sig
+      FROM documents WHERE source = '{DEDUP_SOURCE_BLOCK}'
+    ),
+    bands AS (
+      SELECT doc_id, bk.band AS band, bk.band_key AS band_key
+      FROM d, UNNEST([{', '.join(band_structs)}]) AS t(bk)
+    ),
+    candidates AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_band_hits
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2, n_band_hits,
+           CAST(len(list_intersect(w1.words, w2.words)) AS BIGINT)
+             / (CAST(len(w1.words) AS BIGINT) + CAST(len(w2.words) AS BIGINT)
+                - CAST(len(list_intersect(w1.words, w2.words)) AS BIGINT))
+             AS jaccard
+    FROM candidates
+    JOIN d w1 ON w1.doc_id = id1
+    JOIN d w2 ON w2.doc_id = id2
+    WHERE CAST(len(list_intersect(w1.words, w2.words)) AS BIGINT)
+          / (CAST(len(w1.words) AS BIGINT) + CAST(len(w2.words) AS BIGINT)
+             - CAST(len(list_intersect(w1.words, w2.words)) AS BIGINT))
+          >= {JACCARD_TAU}
+    """
+
+
+MINHASH_LSH_NEARDUP_SQL = _build_minhash_sql()
+
+
+# --- SimHash --------------------------------------------------------------
+
+
+def _simhash(text: Column) -> Column:
+    """48-bit SimHash: bit b set iff the majority of token hashes have
+    bit b set. Pure expression fold — no UDF."""
+    hashes = _token_hashes(text)
+    n = F.size(hashes)
+
+    def bit_set(mask: int):
+        # NB: must be a ONE-parameter lambda — PySpark binds a second
+        # lambda parameter to the array index, so a `m=mask` default
+        # arg would silently receive the index instead of the mask.
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
+    bit_cols = []
+    for bit in range(SIMHASH_BITS):
+        ones = F.size(F.filter(hashes, bit_set(2**bit)))
+        bit_cols.append(
+            F.when(ones * 2 > n, F.lit(2**bit).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    packed = bit_cols[0]
+    for c in bit_cols[1:]:
+        packed = packed + c
+    return packed
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + near-dup pairs at Hamming distance ≤ 8
+    within one source block."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source") == DEDUP_SOURCE_BLOCK)
+        .select("doc_id", _simhash(F.col("text")).alias("simhash"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.col("a.simhash").alias("simhash1"),
+            F.col("b.simhash").alias("simhash2"),
+            "hamming",
+        )
+    )
+
+
+def _build_simhash_sql() -> str:
+    hashes = (
+        f"list_transform({_DISTINCT_WORDS_SQL}, "
+        f"t -> {portable_hash60_sql('t')} % {MH_P})"
+    )
+    bit_terms = []
+    for bit in range(SIMHASH_BITS):
+        ones = f"len(list_filter(hashes, h -> (h & {2**bit}) <> 0))"
+        bit_terms.append(
+            f"CASE WHEN {ones} * 2 > len(hashes) "
+            f"THEN CAST({2**bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    packed = " + ".join(bit_terms)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, ({packed}) AS simhash
+      FROM (SELECT doc_id, {hashes} AS hashes
+            FROM documents WHERE source = '{DEDUP_SOURCE_BLOCK}')
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           a.simhash AS simhash1, b.simhash AS simhash2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+SIMHASH_PAIRS_SQL = _build_simhash_sql()

@@ -1,0 +1,490 @@
+"""General relational operator library (SURVEY.md §7.3).
+
+The reference surface proves out scans, equi-joins, scalar exprs,
+explode, window cumsum, and union-all; this module rounds out the
+standard categories a user of the engine expects — filters,
+aggregations, sort/limit, semi/anti joins, distinct, ranking windows,
+rollup, pivot, set ops, sessionization, as-of joins, and time-bucket
+aggregation — each as a (Spark builder, DuckDB oracle) pair.
+
+Cross-engine determinism for aggregates: double SUMs are
+order-dependent, so every money SUM goes through DECIMAL(18,4)
+(exact, associative) and the final value is cast back to DOUBLE —
+identical bits in Spark and DuckDB. The harness numerics are 2-dp
+generated, so the decimal cast is lossless. Averages are expressed as
+CAST(sum AS DOUBLE)/count. At 100 TB the decimal sum is still a
+single-pass partial aggregation (map-side combine) — no perf cliff.
+
+Scale notes per operator are in each builder's docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+DEC = "decimal(18,4)"
+
+
+def dec(c: str | Column) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(DEC)
+
+
+def dsum(c: str | Column) -> Column:
+    """Order-exact SUM of a money column → DOUBLE."""
+    return F.sum(dec(c)).cast("double")
+
+
+def dec_sql(expr: str) -> str:
+    return f"CAST({expr} AS DECIMAL(18,4))"
+
+
+def dsum_sql(expr: str) -> str:
+    return f"CAST(sum({dec_sql(expr)}) AS DOUBLE)"
+
+
+# --- filters / projections ------------------------------------------------
+
+
+def filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective filter + narrow projection. Catalyst pushes both into
+    the parquet scan (PushedFilters/ReadSchema) — at 100 TB this is the
+    difference between scanning 4 columns of matching row-groups and
+    scanning everything."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_quantity") < 25)
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )
+
+
+FILTER_PUSHDOWN_SQL = """
+SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, l_discount,
+       l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount >= 0.05 AND l_quantity < 25
+"""
+
+
+# --- aggregation (TPC-H Q1 shape) ----------------------------------------
+
+
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy two low-cardinality keys + 6 aggregates. Partial
+    aggregation (map-side combine) means the shuffle carries only
+    |groups| × |partitions| rows at 100 TB; AQE coalesces the 6-group
+    output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            F.max("l_shipdate").alias("max_shipdate"),
+        )
+    )
+
+
+AGG_PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       {dsum_sql('l_extendedprice')} AS sum_base_price,
+       CAST(sum({dec_sql('l_extendedprice')}
+                * (CAST(1 AS DECIMAL(18,4)) - {dec_sql('l_discount')}))
+            AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order,
+       {dsum_sql('l_quantity')} / count(*) AS avg_qty,
+       max(l_shipdate) AS max_shipdate
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- sort / limit ---------------------------------------------------------
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT k → Spark TakeOrderedAndProject: each
+    partition keeps its local top-k, driver merges k×partitions rows —
+    no global sort at any scale. Tie-broken on key for determinism."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .limit(25)
+    )
+
+
+TOPK_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+"""
+
+
+# --- semi / anti / distinct / set ops ------------------------------------
+
+
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join = EXISTS. The build side is the filtered orders
+    key set; Catalyst broadcasts it when small, else shuffles both
+    sides on the key — never duplicates rows (no post-join dedup)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+CUSTOMERS_WITH_URGENT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join = NOT EXISTS (customers inactive since 2001)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2001-01-01"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+"""
+
+
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT = hash aggregate on all columns; partial-agg shrinks
+    the shuffle to unique combinations per partition."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+    )
+
+
+DISTINCT_SEGMENTS_SQL = "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
+
+
+def repeat_customers_1995_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of two filtered key sets."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+REPEAT_CUSTOMERS_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
+def churned_customers_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): ordered in 1995, never in 1996."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.subtract(y96)  # EXCEPT (distinct) semantics
+
+
+CHURNED_CUSTOMERS_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
+# --- ranking window -------------------------------------------------------
+
+
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number — the canonical Spark pattern.
+    One shuffle on the partition key; rank ties broken on o_orderkey
+    so results are deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank_in_customer", F.row_number().over(w))
+        .where(F.col("rank_in_customer") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_customer")
+    )
+
+
+TOP3_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank_in_customer FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey)
+           AS rank_in_customer
+  FROM orders
+) WHERE rank_in_customer <= 3
+"""
+
+
+# --- rollup / pivot -------------------------------------------------------
+
+
+def rollup_revenue_by_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) over the orders→customer→nation→region
+    star join. Dims are broadcast (region 5, nation 25 rows — even at
+    100 TB these stay broadcast); the fact shuffles once for the
+    aggregation; rollup levels are computed in the same pass via
+    Expand."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        dsum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ROLLUP_REVENUE_BY_GEO_SQL = f"""
+SELECT r_name, n_name,
+       {dsum_sql('o_totalprice')} AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on order status with an explicit value list (never
+    implicit at scale — that needs a pre-pass to discover values).
+    Counts null-fill to 0 to match SQL conditional aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+PIVOT_STATUS_BY_PRIORITY_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --- scalar function library showcase ------------------------------------
+
+
+def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/string/math scalar expressions — all JVM built-ins inside
+    one whole-stage-codegen'd projection (the reference computes its
+    scalars in row-wise Python, /root/reference/main.py:82-141)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.lower("o_orderstatus").alias("status_lower"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias(
+            "prio_snake"
+        ),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_padded"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.quarter(d).alias("order_quarter"),
+        F.date_add(d, 30).alias("due_30d"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(F.lit("1999-01-01").cast("date"), d).alias("age_days"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        F.abs(F.col("o_totalprice") * F.lit(-1.0)).alias("price_abs"),
+        F.floor(F.col("o_totalprice") / F.lit(1000)).cast("long").alias("price_k"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("NOT_P")).alias(
+            "status_or_default"
+        ),
+    )
+
+
+SCALAR_FUNCTION_SUITE_SQL = """
+SELECT o_orderkey,
+       upper(o_orderpriority) AS prio_upper,
+       lower(o_orderstatus) AS status_lower,
+       CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+       substring(o_orderpriority, 1, 1) AS prio_code,
+       replace(o_orderpriority, '-', '_') AS prio_snake,
+       lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+       concat_ws('|', o_orderstatus, o_orderpriority) AS status_prio,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       CAST(day(o_orderdate) AS INTEGER) AS order_day,
+       CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+       CAST(o_orderdate AS DATE) + 30 AS due_30d,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')
+            AS INTEGER) AS age_days,
+       sqrt(o_totalprice) AS price_sqrt,
+       abs(o_totalprice * CAST(-1.0 AS DOUBLE)) AS price_abs,
+       CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+       o_orderkey % 7 AS key_mod7,
+       coalesce(nullif(o_orderstatus, 'P'), 'NOT_P') AS status_or_default
+FROM orders
+"""
+
+
+# --- event-time operators (batch shapes; streaming twins in streaming/) ---
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap via lag + integer cumsum.
+    One shuffle on user_id; both window passes share the partitioning
+    (Catalyst reuses the exchange). Integer session arithmetic keeps
+    it engine-exact."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = e.withColumn("session_seq", F.sum(is_new).over(wsum))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum("value").alias("session_value"),
+    )
+
+
+SESSIONIZE_EVENTS_SQL = f"""
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       {dsum_sql('value')} AS session_value
+FROM (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS session_seq
+  FROM (
+    SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+                   THEN 1 ELSE 0 END AS is_new
+    FROM (
+      SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                      ORDER BY ts, event_id))
+                AS gap_us
+      FROM events
+    )
+  )
+) GROUP BY user_id, session_seq
+"""
+
+
+def asof_latest_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (point-in-time lookup), expressed as an ignore-nulls
+    last_value window instead of a range join — one shuffle on the
+    entity key, no O(n·m) candidate explosion. The same pattern at
+    100 TB: partition by key, order by time, carry-forward."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_signup = F.last(
+        F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        last_signup.alias("asof_signup_ts"),
+    )
+
+
+ASOF_LATEST_SIGNUP_SQL = """
+SELECT event_id, user_id, ts, event_type,
+       last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS asof_signup_ts
+FROM events
+"""
+
+
+def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (batch twin of the
+    Structured Streaming query in streaming/). `window()` is a plain
+    projection + groupBy — partial-agg shuffles only group rows."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+
+
+EVENTS_TUMBLING_5MIN_SQL = f"""
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       {dsum_sql('value')} AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY time_bucket(INTERVAL '5 minutes', ts), event_type
+"""

@@ -29,7 +29,22 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one harness table as a lazy DataFrame."""
+    """Scan one harness table as a lazy DataFrame.
+
+    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects. We read it via the legacy nanos-as-long
+    path and rebuild a microsecond timestamp with exact integer
+    division (`div 1000` — a double division would round: 1e18-scale
+    nanos exceed 2^53). The harness data is µs-exact, so this is
+    lossless and matches DuckDB's TIMESTAMP read of the same file.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)

@@ -1,0 +1,86 @@
+"""Property tests for the LLM-pipeline extension operators.
+
+Oracle parity is covered by test_oracle_parity; these assert the
+SEMANTIC properties the oracles can't express: LSH recall vs the exact
+baselines, score ranges, and signature locality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_portfolio_project_spark.operators import dedup as D
+from etl_portfolio_project_spark.operators import similarity as S
+from etl_portfolio_project_spark.operators import text as X
+
+from .conftest import SF_SMALL
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    exact = {
+        (r.id1, r.id2)
+        for r in D.neardup_jaccard(spark, SF_SMALL).collect()
+    }
+    lsh = {
+        (r.id1, r.id2)
+        for r in D.minhash_lsh_neardup(spark, SF_SMALL).collect()
+    }
+    assert exact, "degenerate: no exact near-dup pairs at sf0.001"
+    assert lsh <= exact  # verification step guarantees precision 1.0
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.7, f"minhash recall {recall:.2f} < 0.7"
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    exact = D.__dict__  # noqa: F841 (readability only)
+    bf = S.ann_brute_force_topk(spark, SF_SMALL).collect()
+    lsh = S.ann_lsh_topk(spark, SF_SMALL).collect()
+    bf_top = {(r.query_id, r.vec_id) for r in bf}
+    lsh_top = {(r.query_id, r.vec_id) for r in lsh}
+    assert bf_top, "degenerate brute-force result"
+    # every LSH hit must be a true neighbor pair that brute force also
+    # scored (same bucket → same cosine); and each query's LSH rank-1
+    # must be a bucket-mate, so just require nonzero overlap per query
+    overlap = len(bf_top & lsh_top) / len(bf_top)
+    assert overlap > 0.05, f"LSH/BF overlap {overlap:.2f} suspiciously low"
+
+
+def test_simhash_locality(spark):
+    """Near-identical texts get near-identical simhashes: take a doc,
+    its hamming distance to itself is 0 and the pairs output respects
+    the threshold."""
+    pairs = D.simhash_pairs(spark, SF_SMALL).collect()
+    for r in pairs:
+        assert r.hamming <= D.SIMHASH_MAX_HAMMING
+        assert 0 <= r.simhash1 < 2**D.SIMHASH_BITS
+        assert 0 <= r.simhash2 < 2**D.SIMHASH_BITS
+
+
+def test_text_profile_ranges(spark):
+    df = X.text_profile(spark, SF_SMALL).collect()
+    langs = {lang for lang, _ in X.LANG_MARKERS} | {"und"}
+    for r in df:
+        assert 0.0 <= r.quality_score <= 1.0
+        assert r.lang_pred in langs
+        assert 0 <= r.fingerprint_rolling < X.FP_P
+        assert len(r.fingerprint_md5) == 32
+        assert r.n_tokens > 0
+        assert abs(r.n_chars_calc) >= r.n_tokens  # tokens can't exceed chars
+
+
+def test_dedup_exact_is_partition(spark):
+    """Survivor set = one doc per fingerprint, covering all docs."""
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    total = load_table(spark, SF_SMALL, "documents").count()
+    groups = D.dedup_exact(spark, SF_SMALL).collect()
+    assert sum(r.n_copies for r in groups) == total
+    assert len({r.doc_id for r in groups}) == len(groups)
+
+
+def test_embedding_neardup_threshold(spark):
+    rows = S.embedding_neardup_pairs(spark, SF_SMALL).collect()
+    assert rows, "degenerate: no near-dup embedding pairs"
+    for r in rows:
+        assert r.cosine >= S.NEARDUP_TAU
+        assert r.id1 < r.id2
