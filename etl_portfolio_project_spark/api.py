@@ -293,6 +293,32 @@ for _name, _fn, _sql, _doc in _EXTENSIONS:
 
 
 # ---------------------------------------------------------------------------
+# Structured Streaming + multimodal (SURVEY.md §7.4). The streaming
+# builders run a real readStream→writeStream job to completion on the
+# bounded harness input, so even these are oracle-checked.
+# ---------------------------------------------------------------------------
+
+from .operators import multimodal as M  # noqa: E402
+from .streaming import events as E  # noqa: E402
+
+_STREAMING_MM = [
+    ("stream_tumbling_5min", E.stream_tumbling_5min, E.STREAM_TUMBLING_5MIN_SQL,
+     "Streaming tumbling-window agg (watermark, memory sink, complete)."),
+    ("stream_sliding_windows", E.stream_sliding_windows,
+     E.STREAM_SLIDING_WINDOWS_SQL, "Streaming sliding windows (10m/5m)."),
+    ("stream_session_windows", E.stream_session_windows,
+     E.STREAM_SESSION_WINDOWS_SQL, "Native session_window streaming agg."),
+    ("stream_dedup_events", E.stream_dedup_events, E.STREAM_DEDUP_EVENTS_SQL,
+     "Stateful streaming dropDuplicates within watermark."),
+    ("multimodal_features", M.multimodal_features, M.MULTIMODAL_FEATURES_SQL,
+     "Binary media column → Arrow mapInPandas featurization (stub codec)."),
+]
+
+for _name, _fn, _sql, _doc in _STREAMING_MM:
+    register(_name, _sql, _doc)(_fn)
+
+
+# ---------------------------------------------------------------------------
 # Entry points consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
 

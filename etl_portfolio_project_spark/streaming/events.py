@@ -1,0 +1,235 @@
+"""Structured Streaming surface over the `events` table.
+
+The reference has NO streaming (SURVEY.md §2.10) — this is the §7.4
+extension: event-time tumbling/sliding windows with watermarks,
+session windows, and stateful exactly-once-style dedup, expressed as
+`readStream → transform → writeStream`.
+
+Batch/stream parity: every streaming query here has a batch twin
+(operators/relational.py) and the driver-facing registered queries run
+the STREAM to completion (file source over the harness parquet, memory
+sink, `processAllAvailable`) and return the result table — so even the
+streaming path is differentially tested against a DuckDB oracle.
+
+Scale notes:
+- File-source streaming is the harness stand-in for Kafka; the plan
+  shape (watermark → window agg → sink) is identical.
+- Watermarks bound state: at 100 TB/day the window state per key is
+  |active windows| × |keys|, evicted as the watermark passes.
+- `complete` output mode is used for the finite-input parity queries;
+  production incremental sinks would use `append` + watermark
+  eviction (shown in `stream_tumbling_append`).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.relational import dsum
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (nanos → µs ts)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("path", f"{sf_dir}")
+        .option("pathGlobFilter", "events.parquet")
+        .load()
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_table(result: DataFrame, name: str, mode: str) -> None:
+    q = (
+        result.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def stream_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `events_tumbling_5min`: watermark + tumbling
+    window aggregation, run to completion on the bounded input.
+    `complete` mode emits every window, so the result set equals the
+    batch query (and its oracle) exactly."""
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+    )
+    _run_to_table(agg, "stream_tumbling_5min", "complete")
+    return spark.table("stream_tumbling_5min").select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+STREAM_TUMBLING_5MIN_SQL = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min length, 5 min slide): each event lands
+    in 2 windows. Oracle: explicit 2-bucket UNNEST per event."""
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+    )
+    _run_to_table(agg, "stream_sliding_windows", "complete")
+    return spark.table("stream_sliding_windows").select(
+        F.col("w.start").alias("window_start"),
+        "n_events",
+        "total_value",
+    )
+
+
+STREAM_SLIDING_WINDOWS_SQL = """
+SELECT window_start, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM (
+  SELECT value, u.window_start
+  FROM events, UNNEST([
+    time_bucket(INTERVAL '5 minutes', ts),
+    time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+  ]) AS u(window_start)
+)
+GROUP BY window_start
+"""
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap) per user — the built-in
+    streaming counterpart of the batch lag+cumsum sessionization.
+    Session = [first event, last event + gap)."""
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("session_value"))
+    )
+    _run_to_table(agg, "stream_session_windows", "complete")
+    return spark.table("stream_session_windows").select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "session_value",
+    )
+
+
+STREAM_SESSION_WINDOWS_SQL = """
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+FROM (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS session_seq
+  FROM (
+    SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+                   THEN 1 ELSE 0 END AS is_new
+    FROM (
+      SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                      ORDER BY ts, event_id))
+                AS gap_us
+      FROM events
+    )
+  )
+)
+GROUP BY user_id, session_seq
+"""
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on event_id within the watermark —
+    the exactly-once ingestion guard. On the harness input (unique
+    ids) output = input row count; duplicate replays are dropped."""
+    e = read_events_stream(spark, sf_dir)
+    deduped = e.withWatermark("ts", "30 minutes").dropDuplicates(["event_id"])
+    counted = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    _run_to_table(counted, "stream_dedup_events", "complete")
+    return spark.table("stream_dedup_events")
+
+
+STREAM_DEDUP_EVENTS_SQL = """
+SELECT event_type, count(*) AS n_events
+FROM (SELECT DISTINCT ON (event_id) * FROM events)
+GROUP BY event_type
+"""
+
+
+def stream_tumbling_append_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode + watermark demo (the production incremental sink
+    shape): finalized windows only. Not registered as an oracle query
+    because append emission depends on watermark progression; used by
+    tests to show the mechanism."""
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    _run_to_table(agg, "stream_tumbling_append_demo", "append")
+    return spark.table("stream_tumbling_append_demo")
+
+
+def stream_to_parquet_sink(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> str:
+    """foreachBatch → parquet: the exactly-once file-sink pattern
+    (idempotent per-epoch writes). Returns the output path."""
+    out = out_dir or tempfile.mkdtemp(prefix="stream_sink_")
+    e = read_events_stream(spark, sf_dir)
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        e.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", f"{out}/_checkpoint")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return out

@@ -1,0 +1,121 @@
+"""Streaming + multimodal + plan-shape + pipeline-sink tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_portfolio_project_spark.operators import multimodal as M
+from etl_portfolio_project_spark.operators import relational as R
+from etl_portfolio_project_spark.pipelines import loan_pipeline
+from etl_portfolio_project_spark.plans import explain
+from etl_portfolio_project_spark.streaming import events as E
+
+from .conftest import SF_SMALL
+
+
+def test_stream_tumbling_equals_batch(spark):
+    """Streaming (complete mode) over bounded input ≡ batch window agg."""
+    stream = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in E.stream_tumbling_5min(spark, SF_SMALL).collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in R.events_tumbling_5min(spark, SF_SMALL)
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect()
+    }
+    assert stream == batch
+
+
+def test_stream_append_mode_emits_subset(spark):
+    """Append mode only emits watermark-finalized windows — a strict
+    subset of complete mode on bounded input."""
+    appended = E.stream_tumbling_append_demo(spark, SF_SMALL).collect()
+    total = {
+        r.window_start
+        for r in E.stream_tumbling_5min(spark, SF_SMALL).collect()
+    }
+    assert {r.w.start for r in appended} <= total
+
+
+def test_stream_dedup_drops_replays(spark):
+    """Feeding the same file twice (two glob matches) still counts
+    each event_id once — covered here by count equality on unique
+    input; replay behavior is the dropDuplicates contract."""
+    out = E.stream_dedup_events(spark, SF_SMALL).collect()
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    n = load_table(spark, SF_SMALL, "events").count()
+    assert sum(r.n_events for r in out) == n
+
+
+def test_foreachbatch_parquet_sink(spark, tmp_path):
+    out = E.stream_to_parquet_sink(spark, SF_SMALL, str(tmp_path / "sink"))
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    n_in = load_table(spark, SF_SMALL, "events").count()
+    n_out = spark.read.parquet(out).count()
+    assert n_in == n_out
+
+
+def test_multimodal_decode_stub_is_marked(spark):
+    with pytest.raises(NotImplementedError):
+        M.decode_payload(b"bytes", "png")
+
+
+def test_multimodal_arrow_plumbing(spark):
+    feats = M.multimodal_features(spark, SF_SMALL)
+    rows = feats.collect()
+    assert feats.schema == M.FEATURE_SCHEMA
+    assert len(rows) == 500
+    for r in rows[:20]:
+        assert r.media_format in M.FORMATS
+        assert len(r.payload_md5) == 32
+        assert r.n_bytes > 0
+
+
+def test_pipeline_sinks_roundtrip(spark, tmp_path):
+    paths = loan_pipeline.run_pipeline(spark, SF_SMALL, str(tmp_path))
+    final = spark.read.parquet(paths["loan_final"])
+    sched = spark.read.parquet(paths["loan_monthly_schedule"])
+    assert final.count() == 1500
+    assert sched.count() > 0
+    # overwrite semantics: second run replaces, not appends (S5/S6)
+    paths2 = loan_pipeline.run_pipeline(spark, SF_SMALL, str(tmp_path))
+    assert spark.read.parquet(paths2["loan_final"]).count() == 1500
+
+
+# --- plan-shape assertions (SURVEY.md §4 discipline) ----------------------
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = R.filter_pushdown(spark, SF_SMALL)
+    explain.assert_pushed_filters(df, "l_quantity", "l_discount", "l_shipdate")
+
+
+def test_loan_final_projection_pruned(spark):
+    """The orders scan under loan_final must not read all columns."""
+    df = loan_pipeline.loan_final(spark, SF_SMALL).select("loan_id", "arrear")
+    # only o_orderkey/o_orderdate/o_totalprice + o_custkey are needed
+    explain.assert_read_schema_only(df, "orders", 4)
+
+
+def test_dim_join_broadcasts(spark):
+    df = loan_pipeline.joined_loans(spark, SF_SMALL)
+    explain.assert_broadcast_join(df)
+
+
+def test_schedule_single_shuffle(spark):
+    """The schedule pipeline needs exactly one exchange (the window's
+    partition-by-loan_id) beyond the join's broadcast — no shuffle for
+    the explode."""
+    from etl_portfolio_project_spark.sources import views
+    from etl_portfolio_project_spark.operators.schedule import monthly_schedule
+
+    loans = views.loans(spark, SF_SMALL).withColumn(
+        "emi_collected", F.lit(None).cast("double")
+    )
+    df = monthly_schedule(loans, views.AS_OF)
+    assert explain.count_shuffles(df) <= 1, explain.physical_plan(df)
