@@ -293,6 +293,31 @@ for _name, _fn, _sql, _doc in _EXTENSIONS:
 
 
 # ---------------------------------------------------------------------------
+# Analytical query shapes + the corpus-preparation pipeline
+# ---------------------------------------------------------------------------
+
+from .operators import analytics as A  # noqa: E402
+
+_ANALYTICS = [
+    ("tpch_q3_shipping_priority", A.tpch_q3_shipping_priority, A.TPCH_Q3_SQL,
+     "TPC-H Q3 shape: filtered 3-way join + grouped revenue + top-10."),
+    ("tpch_q5_local_volume", A.tpch_q5_local_volume, A.TPCH_Q5_SQL,
+     "TPC-H Q5 shape: 5-way star join, dims broadcast."),
+    ("monthly_revenue", A.monthly_revenue, A.MONTHLY_REVENUE_SQL,
+     "Calendar rollup via date_trunc."),
+    ("order_gaps_lag_lead", A.order_gaps_lag_lead, A.ORDER_GAPS_LAG_LEAD_SQL,
+     "Analytic lag/lead/row_number over per-customer order sequence."),
+    ("cube_order_stats", A.cube_order_stats, A.CUBE_ORDER_STATS_SQL,
+     "CUBE grouping sets in one Expand pass."),
+    ("corpus_preparation", A.corpus_preparation, A.CORPUS_PREPARATION_SQL,
+     "LLM corpus gate: quality filter + exact dedup + langid + tokens."),
+]
+
+for _name, _fn, _sql, _doc in _ANALYTICS:
+    register(_name, _sql, _doc)(_fn)
+
+
+# ---------------------------------------------------------------------------
 # Structured Streaming + multimodal (SURVEY.md §7.4). The streaming
 # builders run a real readStream→writeStream job to completion on the
 # bounded harness input, so even these are oracle-checked.

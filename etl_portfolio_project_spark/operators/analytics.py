@@ -1,0 +1,215 @@
+"""Analytical query shapes: TPC-H-style multi-join aggregations,
+calendar rollups, analytic (lag/lead) windows, CUBE, and the
+end-to-end corpus-preparation pipeline for LLM training data.
+
+Everything follows the engine's determinism rules (DECIMAL sums,
+mirrored op order — see operators/relational.py) so each query is
+oracle-checked exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .relational import dec, dsum, dsum_sql
+from .text import langid_expr, langid_sql, tokens_expr
+
+
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join with selective filters on both fact
+    sides + grouped revenue + top-10. Filters push to scans; customer
+    dim is broadcast after its filter (AQE would pick this even
+    without the hint at harness sizes)."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1996-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1996-03-15"
+    )
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+TPCH_Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join (fact + 4 dims, all dims
+    broadcast) + grouped revenue per nation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+TPCH_Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: date_trunc month + decimal-exact revenue."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month_start"))
+        .agg(
+            dsum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+MONTHLY_REVENUE_SQL = f"""
+SELECT date_trunc('month', o_orderdate) AS month_start,
+       {dsum_sql('o_totalprice')} AS revenue,
+       count(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+def order_gaps_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic functions: per-customer order sequencing with lag/lead
+    and day gaps — one shuffle on the partition key, both window
+    expressions share the sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_date = F.lag("o_orderdate").over(w)
+    next_date = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("order_seq"),
+        F.datediff(F.col("o_orderdate"), prev_date).cast("long").alias(
+            "days_since_prev"
+        ),
+        F.datediff(next_date, F.col("o_orderdate")).cast("long").alias(
+            "days_until_next"
+        ),
+    )
+
+
+ORDER_GAPS_LAG_LEAD_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(row_number() OVER w AS INTEGER) AS order_seq,
+       CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT)
+         AS days_since_prev,
+       CAST(date_diff('day', o_orderdate, lead(o_orderdate) OVER w) AS BIGINT)
+         AS days_until_next
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping-set levels in one
+    Expand pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+
+
+CUBE_ORDER_STATS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS revenue
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def corpus_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM training-corpus gate: quality-filter documents,
+    drop exact duplicates (keep min doc_id per canonical fingerprint),
+    attach language ID and token counts — the composition a data
+    pipeline runs before tokenization. Narrow ops + one dedup
+    aggregation; at 100 TB the groupBy is the only shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    n_tokens = F.size(toks)
+    profiled = d.select(
+        "doc_id",
+        "source",
+        "text",
+        n_tokens.cast("long").alias("n_tokens"),
+        langid_expr(F.col("text")).alias("lang_pred"),
+        F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))).alias("fp"),
+    ).where((n_tokens >= 20) & (n_tokens <= 500))
+    survivors = profiled.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        profiled.join(survivors, ["fp", "doc_id"])
+        .select("doc_id", "source", "n_tokens", "lang_pred", "fp")
+    )
+
+
+CORPUS_PREPARATION_SQL = f"""
+WITH profiled AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         {langid_sql('text')} AS lang_pred,
+         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 20
+    AND len(regexp_split_to_array(trim(text), '\\s+')) <= 500
+)
+SELECT p.doc_id, p.source, p.n_tokens, p.lang_pred, p.fp
+FROM profiled p
+JOIN (SELECT fp, min(doc_id) AS doc_id FROM profiled GROUP BY fp) s
+  ON p.fp = s.fp AND p.doc_id = s.doc_id
+"""

@@ -6,16 +6,17 @@ building one mini-DataFrame each, concatenated at the end
 distributed pass:
 
     explode(sequence(1, duration))            -- T1, no UDTF
-    + window cumulative sum per loan          -- T2
+    + closed-form running total per loan      -- T2, no window needed
     + pure column expressions for T3–T5
 
-Scale design: the explode is a narrow Generate (no shuffle); the only
-shuffle is the hash partition by `loan_id` for the window. At 100 TB
-the window state per key is tiny (≤ duration rows, ≤ ~60), so there is
-no skew risk; `spark.sql.adaptive` handles partition sizing. The
-closed form `emi_collected * least(month, months_elapsed)` could
-eliminate even that shuffle, but the window form is kept as the
-general primitive (documented trade-off).
+Scale design: the whole pipeline is NARROW — the explode is a Generate
+and the running total is computed in closed form (see the T2 comment
+below), so the schedule needs ZERO shuffles: at 100 TB it streams
+straight from scan to sink, embarrassingly parallel. (A window
+`sum() over (partition by loan_id order by month)` would be the
+generic fallback for a non-constant per-month payment stream; the
+reference's semantics add the same value each elapsed month, which is
+what admits the closed form.)
 
 Fidelity traps handled (golden-output critical):
 - `sequence(1, n)` DESCENDS for n < 1 in Spark, while Python
@@ -51,7 +52,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: monthly-schedule bucket labels (/root/reference/main.py:167-176) —
@@ -116,29 +117,37 @@ def monthly_schedule(df: DataFrame, as_of: dt.date) -> DataFrame:
     demand = F.col("emi_amount") * F.col("month")  # main.py:161
     collected = F.when(due_m <= as_of_lit, F.col("__ec")).otherwise(F.lit(0.0))
 
-    w = (
-        Window.partitionBy("loan_id")
-        .orderBy("month")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     stepped = base.withColumns(
         {
             "emi_due_date": due_m,
             "total_demand_till_month": demand,
             "collected": collected,
-            "elapsed_flag": F.when(due_m <= as_of_lit, F.lit(1)).otherwise(F.lit(0)),
         }
     )
-    # Running total (T2). The reference adds the full cumulative
-    # `emi_collected` once per elapsed month (main.py:158-163), so the
-    # cumulative sum equals emi_collected × (# elapsed months ≤ m).
-    # Using an INTEGER window sum for the count keeps the result
-    # order-exact across engines (a double window SUM is not: DuckDB's
-    # segment-tree accumulation order ≠ Spark's running order in the
-    # last ulp). NaN-poisoning: pandas' float accumulator goes NaN
-    # forever once a NaN (≡ NULL, left-join miss) is added — i.e.
-    # whenever emi_collected IS NULL and at least one month elapsed.
-    elapsed = F.sum("elapsed_flag").over(w)
+    # Running total (T2) in CLOSED FORM — no window, no shuffle. The
+    # reference adds the full cumulative `emi_collected` once per
+    # elapsed month (main.py:158-163), so after month m the total is
+    # emi_collected × elapsed(m) with elapsed(m) = #{j ≤ m :
+    # add_months(disb,j) ≤ as_of}. Due dates are strictly increasing
+    # in j, so elapsed(m) = least(m, E) where E is the last elapsed
+    # month index: E = md if add_months(disb, md) ≤ as_of else md-1
+    # (md = calendar month diff to as_of; E clamped ≥ 0). Integer
+    # arithmetic → engine-exact (a double window SUM would not be:
+    # accumulation order differs between engines in the last ulp).
+    # NaN-poisoning: pandas' float accumulator goes NaN forever once a
+    # NaN (≡ NULL, left-join miss) is added — i.e. whenever
+    # emi_collected IS NULL and at least one month elapsed.
+    md_asof = (
+        (F.lit(as_of.year) - F.year(F.col("__disb"))) * F.lit(12)
+        + (F.lit(as_of.month) - F.month(F.col("__disb")))
+    ).cast("int")
+    last_elapsed = F.greatest(
+        F.lit(0),
+        F.when(
+            F.add_months(F.col("__disb"), md_asof) <= as_of_lit, md_asof
+        ).otherwise(md_asof - F.lit(1)),
+    )
+    elapsed = F.least(F.col("month"), last_elapsed).cast("long")
     total_collected = (
         F.when(elapsed == 0, F.lit(0.0))
         .when(F.col("__ec").isNull(), F.lit(None).cast("double"))
@@ -210,22 +219,28 @@ def schedule_sql(as_of_sql: str, from_clause: str) -> str:
                 ELSE '90+' END AS dpd_bucket
     FROM (
       SELECT *,
-        CASE WHEN sum(elapsed_flag) OVER w = 0 THEN CAST(0.0 AS DOUBLE)
+        CASE WHEN least(CAST(month AS BIGINT), last_elapsed) = 0
+               THEN CAST(0.0 AS DOUBLE)
              WHEN __ec IS NULL THEN NULL
-             ELSE __ec * (sum(elapsed_flag) OVER w) END AS total_collected
+             ELSE __ec * least(CAST(month AS BIGINT), last_elapsed)
+        END AS total_collected
       FROM (
         SELECT *,
           CAST(__disb + to_months(month) AS DATE) AS emi_due_date,
           emi_amount * month AS total_demand_till_month,
           CASE WHEN CAST(__disb + to_months(month) AS DATE) <= {as_of_sql}
                THEN __ec ELSE CAST(0.0 AS DOUBLE) END AS collected,
-          CASE WHEN CAST(__disb + to_months(month) AS DATE) <= {as_of_sql}
-               THEN 1 ELSE 0 END AS elapsed_flag
+          CAST(greatest(0, CASE
+            WHEN CAST(__disb + to_months(md_asof) AS DATE) <= {as_of_sql}
+              THEN md_asof ELSE md_asof - 1 END) AS BIGINT) AS last_elapsed
         FROM (
           SELECT loan_id, disbursement_date AS __disb, emi_collected AS __ec,
                  CASE WHEN dur > 0 THEN total_payable / dur
                       ELSE CAST(0.0 AS DOUBLE) END AS emi_amount,
-                 CAST(m.month AS INTEGER) AS month
+                 CAST(m.month AS INTEGER) AS month,
+                 CAST((year({as_of_sql}) - year(disbursement_date)) * 12
+                      + (month({as_of_sql}) - month(disbursement_date))
+                      AS INTEGER) AS md_asof
           FROM (
             SELECT *,
               disbursement_amount * (1 + (interest_rate / 100) * (dur / 12))
@@ -240,7 +255,5 @@ def schedule_sql(as_of_sql: str, from_clause: str) -> str:
           ), UNNEST(generate_series(1, CAST(dur AS BIGINT))) AS m(month)
         )
       )
-      WINDOW w AS (PARTITION BY loan_id ORDER BY month
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     """

@@ -100,9 +100,16 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id % 101 == 0), excluding self. Deterministic tie-break on
     candidate vec_id."""
     e = load_table(spark, sf_dir, "embeddings")
-    base = e.select(
-        "vec_id", _dvec("embedding").alias("vec"), "label"
-    ).withColumn("norm", norm_expr(F.col("vec")))
+    # The harness table is a single small parquet file → 1 input
+    # partition; without a repartition every pairwise cosine lands on
+    # one core. At 100 TB the scan has thousands of splits and this is
+    # a no-op cost-wise, so spread eagerly by default.
+    par = spark.sparkContext.defaultParallelism
+    base = (
+        e.repartition(par)
+        .select("vec_id", _dvec("embedding").alias("vec"), "label")
+        .withColumn("norm", norm_expr(F.col("vec")))
+    )
     q = (
         base.where(F.col("vec_id") % QUERY_MOD == 0)
         .select(
@@ -150,9 +157,12 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embedding-cosine dedup). Blocking bounds the pair space the same
     way a cluster/bucket assignment would at scale."""
     e = load_table(spark, sf_dir, "embeddings")
-    base = e.select(
-        "vec_id", "label", _dvec("embedding").alias("vec")
-    ).withColumn("norm", norm_expr(F.col("vec")))
+    par = spark.sparkContext.defaultParallelism
+    base = (
+        e.repartition(par)
+        .select("vec_id", "label", _dvec("embedding").alias("vec"))
+        .withColumn("norm", norm_expr(F.col("vec")))
+    )
     a = base.select(
         F.col("vec_id").alias("id1"),
         F.col("label").alias("label"),
@@ -166,8 +176,14 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("n2"),
     )
     cos = cosine_expr(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2"))
+    # Broadcast the build side: a plain label equi-join would hash
+    # both sides into |labels| (=10) shuffle partitions and cap
+    # parallelism there; broadcasting keeps the probe side's full
+    # partitioning. (At 100 TB the pair space must be bounded by a
+    # cluster/bucket assignment instead — same blocking idea, smaller
+    # blocks — and the join shuffles on the block key.)
     return (
-        a.join(b, "label")
+        a.join(F.broadcast(b), "label")
         .where(F.col("id1") < F.col("id2"))
         .withColumn("cosine", cos)
         .where(F.col("cosine") >= NEARDUP_TAU)
@@ -233,8 +249,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. This is the 100 TB-safe form of ANN in pure DataFrame ops.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    base = e.select("vec_id", _dvec("embedding").alias("vec")).withColumn(
-        "norm", norm_expr(F.col("vec"))
+    par = spark.sparkContext.defaultParallelism
+    base = (
+        e.repartition(par)
+        .select("vec_id", _dvec("embedding").alias("vec"))
+        .withColumn("norm", norm_expr(F.col("vec")))
     )
     qbase = base.where(F.col("vec_id") % QUERY_MOD == 0)
     bb = _with_buckets(base, "vec", "vec_id")
