@@ -283,6 +283,8 @@ _EXTENSIONS = [
      "Exact cosine top-k neighbors (broadcast query set)."),
     ("ann_lsh_topk", S.ann_lsh_topk, S.ANN_LSH_TOPK_SQL,
      "Random-hyperplane LSH bucketed approximate top-k."),
+    ("ann_ivf_topk", S.ann_ivf_topk, S.ANN_IVF_TOPK_SQL,
+     "IVF coarse-quantizer ANN: broadcast centroids, nprobe re-rank."),
     ("embedding_neardup_pairs", S.embedding_neardup_pairs,
      S.EMBEDDING_NEARDUP_PAIRS_SQL,
      "Cosine-threshold near-dup pairs, label-blocked."),
@@ -311,6 +313,9 @@ _ANALYTICS = [
      "CUBE grouping sets in one Expand pass."),
     ("corpus_preparation", A.corpus_preparation, A.CORPUS_PREPARATION_SQL,
      "LLM corpus gate: quality filter + exact dedup + langid + tokens."),
+    ("click_purchase_attribution", A.click_purchase_attribution,
+     A.CLICK_PURCHASE_ATTRIBUTION_SQL,
+     "Range join via time-bin bucketing (bounded fan-out, equi-key)."),
 ]
 
 for _name, _fn, _sql, _doc in _ANALYTICS:
@@ -325,10 +330,13 @@ for _name, _fn, _sql, _doc in _ANALYTICS:
 
 from .operators import multimodal as M  # noqa: E402
 from .streaming import events as E  # noqa: E402
+from .streaming import stateful as ST  # noqa: E402
 
 _STREAMING_MM = [
     ("stream_tumbling_5min", E.stream_tumbling_5min, E.STREAM_TUMBLING_5MIN_SQL,
      "Streaming tumbling-window agg (watermark, memory sink, complete)."),
+    ("stream_user_stats", ST.stream_user_stats, ST.STREAM_USER_STATS_SQL,
+     "Custom stateful operator via applyInPandasWithState."),
     ("stream_sliding_windows", E.stream_sliding_windows,
      E.STREAM_SLIDING_WINDOWS_SQL, "Streaming sliding windows (10m/5m)."),
     ("stream_session_windows", E.stream_session_windows,

@@ -173,26 +173,106 @@ FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
 
+#: attribution window for the click→purchase range join
+ATTRIBUTION_WINDOW_MIN = 10
+
+
+def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN: attribute each purchase to the clicks by the same
+    user in the preceding 10 minutes (click.ts < purchase.ts ≤
+    click.ts + 10 min).
+
+    Scale shape — the naive form `JOIN ON user AND p.ts BETWEEN ...`
+    gives Spark an equi-key (user) plus an inequality, degrading to a
+    per-user cross product (a power user with 10^6 events → 10^12
+    pairs on one task). Instead both sides are BUCKETIZED into
+    window-sized time bins and the join is EQUI on
+    (user_id, bin): a purchase in bin b can only match clicks in bins
+    {b-1, b}, so the click side is exploded to 2 candidate bins and
+    the exact inequality is applied as a post-filter. Fan-out is
+    bounded (≤ 2×) and the join shuffles on a short compound key —
+    the standard scalable range-join rewrite."""
+    bin_us = ATTRIBUTION_WINDOW_MIN * 60 * 1_000_000
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        (F.unix_micros(F.col("ts")) / F.lit(bin_us)).cast("long").alias("bin"),
+    )
+    cbin = (F.unix_micros(F.col("click_ts")) / F.lit(bin_us)).cast("long")
+    clicks_binned = clicks.withColumn(
+        "bin", F.explode(F.array(cbin, cbin + F.lit(1)))
+    )
+    return (
+        purchases.join(clicks_binned, ["user_id", "bin"])
+        .where(
+            (F.col("click_ts") < F.col("purchase_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts")
+                + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES")
+            )
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "purchase_ts",
+            "purchase_value",
+            "click_id",
+            "click_ts",
+            (
+                F.unix_micros(F.col("purchase_ts"))
+                - F.unix_micros(F.col("click_ts"))
+            ).alias("lag_us"),
+        )
+    )
+
+
+CLICK_PURCHASE_ATTRIBUTION_SQL = f"""
+SELECT p.user_id AS user_id,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value,
+       c.event_id AS click_id,
+       c.ts AS click_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts < p.ts AND p.ts <= c.ts + INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES
+"""
+
+
 def corpus_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LLM training-corpus gate: quality-filter documents,
     drop exact duplicates (keep min doc_id per canonical fingerprint),
     attach language ID and token counts — the composition a data
-    pipeline runs before tokenization. Narrow ops + one dedup
-    aggregation; at 100 TB the groupBy is the only shuffle."""
+    pipeline runs before tokenization. Keep-first dedup is a
+    row_number window over the fingerprint, NOT groupBy+self-join:
+    the expensive profiled projection (regex tokenization + langid)
+    is evaluated once, and the whole pipeline has exactly one shuffle
+    (hash partition by fp); fp groups are tiny so no skew risk."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens_expr(F.col("text"))
     n_tokens = F.size(toks)
     profiled = d.select(
         "doc_id",
         "source",
-        "text",
         n_tokens.cast("long").alias("n_tokens"),
         langid_expr(F.col("text")).alias("lang_pred"),
         F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))).alias("fp"),
     ).where((n_tokens >= 20) & (n_tokens <= 500))
-    survivors = profiled.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
     return (
-        profiled.join(survivors, ["fp", "doc_id"])
+        profiled.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
         .select("doc_id", "source", "n_tokens", "lang_pred", "fp")
     )
 
@@ -208,8 +288,8 @@ WITH profiled AS (
   WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 20
     AND len(regexp_split_to_array(trim(text), '\\s+')) <= 500
 )
-SELECT p.doc_id, p.source, p.n_tokens, p.lang_pred, p.fp
-FROM profiled p
-JOIN (SELECT fp, min(doc_id) AS doc_id FROM profiled GROUP BY fp) s
-  ON p.fp = s.fp AND p.doc_id = s.doc_id
+SELECT doc_id, source, n_tokens, lang_pred, fp FROM (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM profiled
+) WHERE rn = 1
 """

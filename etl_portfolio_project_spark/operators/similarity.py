@@ -55,27 +55,41 @@ def _dvec(col: str | Column) -> Column:
     return c.cast("array<double>")
 
 
-def dot_expr(a: Column, b: Column) -> Column:
-    """Unrolled left-associative dot product. Unrolling (vs a
-    higher-order `aggregate` fold) keeps the expression inside
-    whole-stage codegen — array lambda functions fall back to
-    interpreted eval, a ~10× hit on 25M-pair joins — and makes the
-    accumulation order explicit for the SQL oracle mirror."""
-    out = F.lit(0.0)
-    for i in range(1, DIM + 1):
-        out = out + F.element_at(a, i) * F.element_at(b, i)
-    return out
+def _dot_spark_sql(a: str, b: str) -> str:
+    """Unrolled left-associative dot product as ONE Spark SQL string.
+
+    Unrolling (vs a higher-order `aggregate` fold) keeps the
+    expression inside whole-stage codegen — array lambda functions
+    fall back to interpreted eval, a ~10× hit on big pair joins — and
+    makes the accumulation order explicit for the DuckDB oracle
+    mirror. Building it as a single `F.expr(...)` string instead of a
+    chain of Column `+`/`*` calls matters for latency: the chain form
+    costs ~4 py4j round-trips per term (~2000 for DIM=64), several
+    SECONDS of driver time per query before any data moves; one
+    parsed string is one round-trip."""
+    terms = " + ".join(
+        f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, DIM + 1)
+    )
+    return f"(0.0D + {terms})"
 
 
-def norm_expr(a: Column) -> Column:
-    out = F.lit(0.0)
-    for i in range(1, DIM + 1):
-        out = out + F.element_at(a, i) * F.element_at(a, i)
-    return F.sqrt(out)
+def _norm_spark_sql(a: str) -> str:
+    terms = " + ".join(
+        f"element_at({a}, {i}) * element_at({a}, {i})" for i in range(1, DIM + 1)
+    )
+    return f"sqrt(0.0D + {terms})"
 
 
-def cosine_expr(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
-    return dot_expr(a, b) / (norm_a * norm_b)
+def dot_expr(a: str, b: str) -> Column:
+    return F.expr(_dot_spark_sql(a, b))
+
+
+def norm_expr(a: str) -> Column:
+    return F.expr(_norm_spark_sql(a))
+
+
+def cosine_expr(a: str, b: str, norm_a: str, norm_b: str) -> Column:
+    return F.expr(f"{_dot_spark_sql(a, b)} / ({norm_a} * {norm_b})")
 
 
 def dot_sql(a: str, b: str) -> str:
@@ -108,7 +122,7 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         e.repartition(par)
         .select("vec_id", _dvec("embedding").alias("vec"), "label")
-        .withColumn("norm", norm_expr(F.col("vec")))
+        .withColumn("norm", norm_expr("vec"))
     )
     q = (
         base.where(F.col("vec_id") % QUERY_MOD == 0)
@@ -119,7 +133,7 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     joined = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    cos = cosine_expr(F.col("qvec"), F.col("vec"), F.col("qnorm"), F.col("norm"))
+    cos = cosine_expr("qvec", "vec", "qnorm", "norm")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
@@ -161,7 +175,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         e.repartition(par)
         .select("vec_id", "label", _dvec("embedding").alias("vec"))
-        .withColumn("norm", norm_expr(F.col("vec")))
+        .withColumn("norm", norm_expr("vec"))
     )
     a = base.select(
         F.col("vec_id").alias("id1"),
@@ -175,7 +189,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec").alias("v2"),
         F.col("norm").alias("n2"),
     )
-    cos = cosine_expr(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2"))
+    cos = cosine_expr("v1", "v2", "n1", "n2")
     # Broadcast the build side: a plain label equi-join would hash
     # both sides into |labels| (=10) shuffle partitions and cap
     # parallelism there; broadcasting keeps the probe side's full
@@ -203,37 +217,32 @@ WHERE {dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {NEARDUP_TAU}
 """
 
 
-def _table_bucket_expr(vec: Column, table: int) -> Column:
-    """Sign-bit bucket id of `vec` in LSH table `table`."""
+def _table_bucket_spark_sql(vec: str, table: int) -> str:
+    """Sign-bit bucket id of `vec` in LSH table `table`, as one Spark
+    SQL string (same single-round-trip rationale as _dot_spark_sql;
+    the hyperplane coefficients are embedded as double literals, the
+    Spark-SQL analogue of a broadcast of the tiny plane matrix)."""
     bits = []
     for i, plane in enumerate(LSH_PLANES[table]):
-        proj = F.lit(0.0)
-        for j, p in enumerate(plane):
-            proj = proj + F.element_at(vec, j + 1) * F.lit(p)
-        bits.append(
-            F.when(proj >= 0, F.lit(2**i).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+        proj = " + ".join(
+            f"element_at({vec}, {j + 1}) * {p!r}D" for j, p in enumerate(plane)
         )
-    out = bits[0]
-    for c in bits[1:]:
-        out = out + c
-    return out
+        bits.append(
+            f"CASE WHEN (0.0D + {proj}) >= 0 THEN CAST({2**i} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END"
+        )
+    return "(" + " + ".join(bits) + ")"
 
 
 def _with_buckets(df: DataFrame, vec_col: str, id_alias: str) -> DataFrame:
     """Explode a vector frame into one row per (LSH table, bucket)."""
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                _table_bucket_expr(F.col(vec_col), t).alias("bucket"),
-            )
-            for t in range(LSH_TABLES)
-        ]
+    entries = ", ".join(
+        f"named_struct('tbl', {t}, 'bucket', {_table_bucket_spark_sql(vec_col, t)})"
+        for t in range(LSH_TABLES)
     )
     return df.select(
-        F.col("vec_id").alias(id_alias), F.explode(entries).alias("tb")
+        F.col("vec_id").alias(id_alias),
+        F.expr(f"explode(array({entries}))").alias("tb"),
     ).select(id_alias, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
 
@@ -253,11 +262,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         e.repartition(par)
         .select("vec_id", _dvec("embedding").alias("vec"))
-        .withColumn("norm", norm_expr(F.col("vec")))
+        .withColumn("norm", norm_expr("vec"))
     )
     qbase = base.where(F.col("vec_id") % QUERY_MOD == 0)
     bb = _with_buckets(base, "vec", "vec_id")
-    qb = _with_buckets(qbase, "vec", "query_id")
+    # query buckets = filter of the base buckets (mirrors the oracle's
+    # `qb AS (SELECT ... FROM bb WHERE ...)`) — avoids instantiating
+    # and codegen-compiling the big bucket expression a second time
+    qb = bb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    )
     candidates = (
         bb.join(
             F.broadcast(qb),
@@ -274,7 +288,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("qnorm"),
     )
     joined = candidates.join(base, "vec_id").join(F.broadcast(qv), "query_id")
-    cos = cosine_expr(F.col("qvec"), F.col("vec"), F.col("qnorm"), F.col("norm"))
+    cos = cosine_expr("qvec", "vec", "qnorm", "norm")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
@@ -284,6 +298,131 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+# --- IVF (inverted-file) ANN ---------------------------------------------
+
+#: coarse quantizer: centroids are the vectors with vec_id ≡ IVF_OFF
+#: (mod IVF_MOD) — a deterministic data-derived sample, so the oracle
+#: can reconstruct the identical centroid set from the table itself.
+IVF_MOD = 250
+IVF_OFF = 7
+IVF_NPROBE = 2
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse quantizer
+    assigns every vector to its nearest centroid's list (argmax
+    cosine, ties → smaller centroid id); each query probes the
+    IVF_NPROBE nearest lists and exact-cosine re-ranks only the
+    vectors in those lists.
+
+    Scale shape: the centroid set is tiny and COLLECTED to the driver,
+    then embedded as literals in the assignment expression — the
+    Spark-SQL form of a broadcast — so list assignment is a pure NARROW
+    map stage (no shuffle, whole-stage codegen'd, exactly how a
+    1000-executor scan would quantize 100 TB in one pass). The only
+    shuffles are the candidate equi-join on the short list id and the
+    final per-query top-k window. Recall vs brute force is a tested
+    trade-off, tuned by IVF_MOD (list count) and IVF_NPROBE."""
+    e = load_table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    base = (
+        e.repartition(par)
+        .select("vec_id", _dvec("embedding").alias("vec"))
+        .withColumn("norm", norm_expr("vec"))
+    )
+    cents = (
+        base.where(F.col("vec_id") % IVF_MOD == IVF_OFF)
+        .select("vec_id", "vec", "norm")
+        .collect()
+    )
+    # argmax cosine over centroid literals via array_min of
+    # (-cos, cid) structs — same pattern as langid's argmax
+    def _cos_to_lit(row) -> str:
+        terms = " + ".join(
+            f"element_at(vec, {i + 1}) * {v!r}D" for i, v in enumerate(row.vec)
+        )
+        return f"((0.0D + {terms}) / (norm * {row.norm!r}D))"
+
+    entries = ", ".join(
+        f"named_struct('neg_cos', -{_cos_to_lit(r)}, 'cid', CAST({r.vec_id} AS BIGINT))"
+        for r in cents
+    )
+    assigned = base.withColumn(
+        "list_id", F.expr(f"array_min(array({entries})).cid")
+    )
+    probes = (
+        base.where(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("norm").alias("qnorm"),
+            F.expr(
+                f"slice(array_sort(array({entries})), 1, {IVF_NPROBE})"
+            ).alias("probe_structs"),
+        )
+        .withColumn(
+            "list_id", F.explode(F.expr("transform(probe_structs, s -> s.cid)"))
+        )
+        .drop("probe_structs")
+    )
+    joined = assigned.join(
+        F.broadcast(probes),
+        (assigned["list_id"] == probes["list_id"])
+        & (assigned["vec_id"] != probes["query_id"]),
+    ).drop(probes["list_id"])
+    cos = cosine_expr("qvec", "vec", "qnorm", "norm")
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        joined.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+ANN_IVF_TOPK_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
+  FROM base WHERE vec_id % {IVF_MOD} = {IVF_OFF}
+),
+scored_cents AS (
+  SELECT b.vec_id, c.cid,
+         -({dot_sql('b.embedding', 'c.cvec')} / (b.nrm * c.cnrm)) AS neg_cos
+  FROM base b CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY neg_cos, cid) AS rn
+    FROM scored_cents
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY neg_cos, cid) AS rn
+    FROM scored_cents WHERE vec_id % {QUERY_MOD} = 0
+  ) WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         {dot_sql('q.embedding', 'b.embedding')} / (q.nrm * b.nrm) AS cosine
+  FROM probes p
+  JOIN assigned a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+  JOIN base b ON b.vec_id = a.vec_id
+  JOIN base q ON q.vec_id = p.query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
 
 
 def _table_bucket_sql(vec: str, table: int) -> str:

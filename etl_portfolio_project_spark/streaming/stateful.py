@@ -1,0 +1,107 @@
+"""Custom stateful streaming operator via `applyInPandasWithState`.
+
+The built-in streaming surface (streaming/events.py) covers windowed
+aggregation, session windows, and dedup; this module is the escape
+hatch the reference-class pipelines need when state logic isn't
+expressible as a built-in agg: arbitrary per-key state carried across
+micro-batches, updated by an Arrow-batched pandas function.
+
+The demo operator keeps per-user ingestion stats. The state is a
+COMMUTATIVE MONOID (counts, extrema) on purpose: the output is
+invariant to how the input is split into micro-batches, which is what
+makes the query deterministically oracle-checkable (a plain GROUP BY
+in SQL) and is the property production stateful operators should have
+anyway (replays/reordering within the watermark can't change results).
+
+Scale notes:
+- State lives in the state store partitioned by the grouping key —
+  the shuffle is on user_id only; per-key state here is 4 longs.
+- Arrow batches flow Python-side once per (micro-batch × key group):
+  this is the Pandas-UDF "slow path" reserved for logic built-ins
+  can't express, per the engine's UDF policy.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .events import _run_to_table, read_events_stream
+
+#: per-event value threshold counted as a "large" event
+LARGE_VALUE = 3.0
+
+_OUT_SCHEMA = (
+    "user_id long, n_events long, n_large long, first_ts_us long, last_ts_us long"
+)
+_STATE_SCHEMA = "n long, nl long, f long, l long"
+
+
+def _ts_us(series: pd.Series) -> pd.Series:
+    # normalize whatever datetime64 unit Arrow handed over to µs
+    return series.astype("datetime64[us]").astype("int64")
+
+
+def _update_user_stats(key, pdf_iter, state: GroupState):
+    (user_id,) = key
+    n, nl, f, l = state.get if state.exists else (0, 0, None, None)
+    for pdf in pdf_iter:
+        if pdf.empty:
+            continue
+        n += int(len(pdf))
+        nl += int((pdf["value"] > LARGE_VALUE).sum())
+        ts = _ts_us(pdf["ts"])
+        lo, hi = int(ts.min()), int(ts.max())
+        f = lo if f is None else min(f, lo)
+        l = hi if l is None else max(l, hi)
+    state.update((n, nl, f, l))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "n_events": n,
+                "n_large": nl,
+                "first_ts_us": f,
+                "last_ts_us": l,
+            }
+        ]
+    )
+
+
+def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful per-user stats over the event stream, run to
+    completion on the bounded harness input. Update-mode emissions are
+    superseded by later ones for the same key; the monotone n_events
+    picks the final state per user."""
+    e = read_events_stream(spark, sf_dir)
+    res = (
+        e.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_stats,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    _run_to_table(res, "stream_user_stats", "update")
+    emitted = spark.table("stream_user_stats")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "n_large", "first_ts_us", "last_ts_us")
+    )
+
+
+STREAM_USER_STATS_SQL = f"""
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(count(*) FILTER (WHERE value > {LARGE_VALUE}) AS BIGINT) AS n_large,
+       epoch_us(min(ts)) AS first_ts_us,
+       epoch_us(max(ts)) AS last_ts_us
+FROM events
+GROUP BY user_id
+"""
