@@ -249,6 +249,12 @@ _RELATIONAL = [
      "As-of join via ignore-nulls last_value window."),
     ("events_tumbling_5min", R.events_tumbling_5min,
      R.EVENTS_TUMBLING_5MIN_SQL, "Tumbling event-time window aggregation."),
+    ("yoy_customer_reconciliation", R.yoy_customer_reconciliation,
+     R.YOY_CUSTOMER_RECONCILIATION_SQL,
+     "FULL OUTER join of two per-customer yearly aggregates."),
+    ("price_quartiles_by_priority", R.price_quartiles_by_priority,
+     R.PRICE_QUARTILES_BY_PRIORITY_SQL,
+     "Exact rank-based quartiles (engine-portable, no interpolation)."),
 ]
 
 for _name, _fn, _sql, _doc in _RELATIONAL:

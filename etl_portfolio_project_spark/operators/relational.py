@@ -226,6 +226,99 @@ SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 """
 
 
+def yoy_customer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi-join of two yearly per-customer aggregates —
+    customers active in only one year surface with NULLs on the other
+    side. Both inputs are pre-aggregated (partial agg + one shuffle
+    each on o_custkey); the join reuses the same key so AQE can plan a
+    single co-partitioned sort-merge without an extra exchange."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_side(year: int, n_alias: str, rev_alias: str) -> DataFrame:
+        return (
+            o.where(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias(n_alias),
+                dsum("o_totalprice").alias(rev_alias),
+            )
+        )
+
+    y95 = year_side(1995, "n_1995", "rev_1995")
+    y96 = year_side(1996, "n_1996", "rev_1996")
+    return y95.join(y96, "o_custkey", "full_outer").select(
+        "o_custkey", "n_1995", "rev_1995", "n_1996", "rev_1996"
+    )
+
+
+YOY_CUSTOMER_RECONCILIATION_SQL = f"""
+WITH y95 AS (
+  SELECT o_custkey, count(*) AS n_1995, {dsum_sql('o_totalprice')} AS rev_1995
+  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey
+),
+y96 AS (
+  SELECT o_custkey, count(*) AS n_1996, {dsum_sql('o_totalprice')} AS rev_1996
+  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+)
+SELECT COALESCE(y95.o_custkey, y96.o_custkey) AS o_custkey,
+       n_1995, rev_1995, n_1996, rev_1996
+FROM y95 FULL OUTER JOIN y96 ON y95.o_custkey = y96.o_custkey
+"""
+
+
+def price_quartiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (p25/p50/p75 of order price per priority)
+    without interpolation ambiguity: the quantile is DEFINED as the
+    value at rank ceil(q*n) (type-1/lower quantile), selected by a
+    row_number window — deterministic and bit-identical across
+    engines, unlike interpolating percentile functions whose
+    arithmetic is implementation-defined. One shuffle on the group
+    key; the per-group sort rides the same exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+
+    def pick(q_num: int, q_den: int, alias: str) -> Column:
+        target = F.ceil(F.col("n") * q_num / q_den)
+        return F.max(
+            F.when(F.col("rn") == target, F.col("o_totalprice"))
+        ).alias(alias)
+
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_orders"),
+        pick(1, 4, "p25"),
+        pick(2, 4, "p50"),
+        pick(3, 4, "p75"),
+    )
+
+
+PRICE_QUARTILES_BY_PRIORITY_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       max(n) AS n_orders,
+       max(CASE WHEN rn = ceil(n * 1 / 4) THEN o_totalprice END) AS p25,
+       max(CASE WHEN rn = ceil(n * 2 / 4) THEN o_totalprice END) AS p50,
+       max(CASE WHEN rn = ceil(n * 3 / 4) THEN o_totalprice END) AS p75
+FROM ranked
+GROUP BY o_orderpriority
+"""
+
+
 # --- ranking window -------------------------------------------------------
 
 

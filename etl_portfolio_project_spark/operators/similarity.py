@@ -332,9 +332,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", _dvec("embedding").alias("vec"))
         .withColumn("norm", norm_expr("vec"))
     )
+    # collect the centroid sample straight off the scan (filter pushes
+    # down; going through `base` would pay the repartition shuffle)
     cents = (
-        base.where(F.col("vec_id") % IVF_MOD == IVF_OFF)
-        .select("vec_id", "vec", "norm")
+        e.where(F.col("vec_id") % IVF_MOD == IVF_OFF)
+        .select("vec_id", _dvec("embedding").alias("vec"))
+        .withColumn("norm", norm_expr("vec"))
         .collect()
     )
     # argmax cosine over centroid literals via array_min of
@@ -349,23 +352,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"named_struct('neg_cos', -{_cos_to_lit(r)}, 'cid', CAST({r.vec_id} AS BIGINT))"
         for r in cents
     )
-    assigned = base.withColumn(
-        "list_id", F.expr(f"array_min(array({entries})).cid")
+    # The quantized index — (vector, nearest-NPROBE centroid ids) — is
+    # computed ONCE and persisted, exactly as a production IVF index is
+    # materialized once and then probed by queries. This also means the
+    # big centroid-distance expression is codegen-compiled and
+    # evaluated in a single stage instead of once per consumer branch.
+    quantized = base.withColumn(
+        "near", F.expr(f"slice(array_sort(array({entries})), 1, {IVF_NPROBE})")
+    ).persist()
+    assigned = quantized.select(
+        "vec_id", "vec", "norm", F.col("near")[0]["cid"].alias("list_id")
     )
     probes = (
-        base.where(F.col("vec_id") % QUERY_MOD == 0)
+        quantized.where(F.col("vec_id") % QUERY_MOD == 0)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("vec").alias("qvec"),
             F.col("norm").alias("qnorm"),
-            F.expr(
-                f"slice(array_sort(array({entries})), 1, {IVF_NPROBE})"
-            ).alias("probe_structs"),
+            F.explode(F.expr("transform(near, s -> s.cid)")).alias("list_id"),
         )
-        .withColumn(
-            "list_id", F.explode(F.expr("transform(probe_structs, s -> s.cid)"))
-        )
-        .drop("probe_structs")
     )
     joined = assigned.join(
         F.broadcast(probes),

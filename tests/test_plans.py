@@ -1,0 +1,110 @@
+"""Physical-plan property tests — the scale contract, asserted.
+
+Correctness is covered by the oracle differential tests; these tests
+pin the PLAN SHAPES that make the engine viable at 100 TB (SURVEY.md
+§4): shuffle budgets per query, broadcast of small dims, filter/
+projection pushdown into the parquet scan, and whole-stage codegen on
+the hot paths. A regression that keeps values right but, say, turns
+the zero-shuffle schedule expansion into a shuffling window again
+fails HERE.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_portfolio_project_spark import api
+from etl_portfolio_project_spark.plans import explain
+
+from .conftest import SF_SMALL
+
+#: name → max shuffle exchanges allowed in the physical plan.
+#: These are the designed budgets, not observations: the loan pipeline
+#: and schedule expansion are built to be fully narrow (broadcast
+#: joins + closed-form running total), single-agg queries get exactly
+#: one exchange, and the full-outer reconciliation gets one per
+#: pre-aggregated side.
+SHUFFLE_BUDGET = {
+    "loan_final": 0,
+    "loan_monthly_schedule": 0,
+    "src_join_projection": 0,
+    "join_left_extension": 0,
+    "region_clean": 0,
+    "filter_pushdown": 0,
+    "text_profile": 0,
+    "union_all_schedules": 0,
+    "scalar_function_suite": 0,
+    "agg_pricing_summary": 1,
+    "monthly_revenue": 1,
+    "dedup_exact": 1,
+    "dedup_exact_prefix": 1,
+    "corpus_preparation": 1,
+    "cube_order_stats": 1,
+    "tpch_q3_shipping_priority": 1,
+    "tpch_q5_local_volume": 1,
+    "order_gaps_lag_lead": 1,
+    "top3_orders_per_customer": 1,
+    "sessionize_events": 1,
+    "price_quartiles_by_priority": 1,
+    "yoy_customer_reconciliation": 2,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_shuffle_budget(spark, name):
+    df = api.REGISTRY[name].builder(spark, SF_SMALL)
+    n = explain.count_shuffles(df)
+    budget = SHUFFLE_BUDGET[name]
+    assert n <= budget, (
+        f"{name}: {n} shuffle exchanges, budget {budget}\n"
+        + explain.physical_plan(df)
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "loan_final",  # customers/extensions dims broadcast into the loan scan
+        "src_join_projection",
+        "tpch_q3_shipping_priority",  # filtered customer dim broadcast
+        "tpch_q5_local_volume",  # all four dims broadcast
+        "ann_brute_force_topk",  # query subset broadcast, big side narrow
+    ],
+)
+def test_small_side_broadcasts(spark, name):
+    df = api.REGISTRY[name].builder(spark, SF_SMALL)
+    explain.assert_broadcast_join(df)
+
+
+def test_tpch_q3_filters_reach_scans(spark):
+    df = api.REGISTRY["tpch_q3_shipping_priority"].builder(spark, SF_SMALL)
+    plan = explain.physical_plan(df)
+    for col in ("c_mktsegment", "o_orderdate", "l_shipdate"):
+        assert any(
+            "PushedFilters" in line and col in line
+            for line in plan.splitlines()
+        ), f"filter on {col} not pushed to its scan:\n{plan}"
+
+
+def test_projection_pruned_to_read_schema(spark):
+    # monthly_revenue touches 2 of orders' 9 columns — the scan must
+    # read only those two
+    df = api.REGISTRY["monthly_revenue"].builder(spark, SF_SMALL)
+    explain.assert_read_schema_only(df, "orders", 2)
+
+
+def test_hot_paths_stay_in_codegen(spark):
+    # the flagship metric block must compile to whole-stage codegen
+    # (no interpreted projection, no Python workers in the plan).
+    # AQE defers codegen annotation until execution, so inspect the
+    # non-adaptive plan for this assertion.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = api.REGISTRY["loan_final"].builder(spark, SF_SMALL)
+        plan = explain.physical_plan(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "codegen id" in plan, f"no whole-stage codegen spans:\n{plan}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        f"Python workers on the hot path:\n{plan}"
+    )
