@@ -57,16 +57,32 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_table(result: DataFrame, name: str, mode: str) -> None:
-    q = (
-        result.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
+    """Run a bounded stream to completion into a memory sink.
+
+    State-store partitions are fixed at query start from
+    `spark.sql.shuffle.partitions`; every partition pays per-microbatch
+    store overhead (snapshot, maintenance) regardless of data volume,
+    so for these bounded parity runs we size them small. Production
+    streams size this to sustained throughput instead — the setting is
+    scoped to the stream and restored afterwards."""
+    spark = result.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(8, int(prev)))
     )
     try:
-        q.processAllAvailable()
+        q = (
+            result.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
