@@ -255,6 +255,8 @@ _RELATIONAL = [
     ("price_quartiles_by_priority", R.price_quartiles_by_priority,
      R.PRICE_QUARTILES_BY_PRIORITY_SQL,
      "Exact rank-based quartiles (engine-portable, no interpolation)."),
+    ("json_props_rollup", R.json_props_rollup, R.JSON_PROPS_ROLLUP_SQL,
+     "Semi-structured: from_json with declared schema + aggregation."),
 ]
 
 for _name, _fn, _sql, _doc in _RELATIONAL:

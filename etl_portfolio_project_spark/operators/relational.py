@@ -319,6 +319,44 @@ GROUP BY o_orderpriority
 """
 
 
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON `props` column with
+    an explicit schema (`from_json` — schema-on-read, vectorized,
+    null-safe on malformed input) and aggregate the extracted field.
+    At 100 TB, parsing with a declared schema beats schema inference
+    by a full extra pass over the data; integer aggregation keeps the
+    oracle comparison exact."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT")["k"].cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_PROPS_ROLLUP_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(k) AS n_with_k,
+       sum(k) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
 # --- ranking window -------------------------------------------------------
 
 
