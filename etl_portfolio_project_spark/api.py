@@ -257,6 +257,9 @@ _RELATIONAL = [
      "Exact rank-based quartiles (engine-portable, no interpolation)."),
     ("json_props_rollup", R.json_props_rollup, R.JSON_PROPS_ROLLUP_SQL,
      "Semi-structured: from_json with declared schema + aggregation."),
+    ("events_multi_granularity_rollup", R.events_multi_granularity_rollup,
+     R.EVENTS_MULTI_GRANULARITY_ROLLUP_SQL,
+     "Hypertable rollup: hourly+daily aggregates in one GROUPING SETS pass."),
 ]
 
 for _name, _fn, _sql, _doc in _RELATIONAL:

@@ -357,6 +357,49 @@ GROUP BY event_type
 """
 
 
+def events_multi_granularity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hourly AND daily
+    event aggregates in ONE pass via GROUPING SETS — a single Expand +
+    aggregation instead of two scans (at 100 TB, one read of the fact
+    table instead of one per granularity). `grain` disambiguates the
+    grouping-set a row came from (the grouping-id in plan terms)."""
+    e = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    day = F.date_trunc("day", "ts")
+    binned = e.select(
+        hour.alias("bucket_hour"), day.alias("bucket_day"), "value"
+    )
+    return (
+        binned.groupingSets(
+            [["bucket_hour"], ["bucket_day"]], "bucket_hour", "bucket_day"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.when(F.col("bucket_hour").isNotNull(), F.lit("hour"))
+            .otherwise(F.lit("day"))
+            .alias("grain"),
+            F.coalesce("bucket_hour", "bucket_day").alias("bucket"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+EVENTS_MULTI_GRANULARITY_ROLLUP_SQL = f"""
+SELECT CASE WHEN bucket_hour IS NOT NULL THEN 'hour' ELSE 'day' END AS grain,
+       COALESCE(bucket_hour, bucket_day) AS bucket,
+       count(*) AS n_events,
+       {dsum_sql('value')} AS total_value
+FROM (
+  SELECT date_trunc('hour', ts) AS bucket_hour,
+         date_trunc('day', ts) AS bucket_day,
+         value
+  FROM events
+)
+GROUP BY GROUPING SETS ((bucket_hour), (bucket_day))
+"""
+
+
 # --- ranking window -------------------------------------------------------
 
 

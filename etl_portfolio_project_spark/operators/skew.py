@@ -1,0 +1,70 @@
+"""Skew- and shuffle-management utilities.
+
+Two of the classic 100 TB join levers, as reusable operators:
+
+- `salted_join`: for a HOT-KEY join where one key holds a huge share
+  of the big side's rows, AQE's skew-join splitting handles the
+  sort-merge case, but when the small side must be shuffled too (or
+  AQE is unavailable — e.g. inside some streaming joins), explicit
+  salting is the tool: the big side's rows are spread across
+  `salt_buckets` sub-keys derived deterministically from a unique
+  column, and the small side is replicated once per bucket. The join
+  becomes (key, salt)-equi, so one hot key now occupies
+  `salt_buckets` shuffle partitions instead of one.
+
+- `write_bucketed` / bucketed tables: pre-shuffling at WRITE time.
+  Two tables bucketed (and sort-bucketed) on the same key with the
+  same bucket count join with ZERO runtime exchanges — at 100 TB this
+  converts an every-query shuffle of the fact table into a one-time
+  layout cost. Verified by plan assertion in tests/test_skew.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int,
+    unique_col: str,
+) -> DataFrame:
+    """Inner equi-join on `key`, salted against hot keys.
+
+    `unique_col` must be a (near-)unique column of `big` — the salt is
+    `pmod(xxhash64(unique_col), salt_buckets)`, deterministic across
+    runs (no rand(): retries/speculative tasks must salt identically
+    or the join drops/duplicates rows). Result is column-identical to
+    `big.join(small, key)`.
+    """
+    salt = F.pmod(F.xxhash64(F.col(unique_col)), F.lit(salt_buckets))
+    big_salted = big.withColumn("__salt", salt)
+    small_salted = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return big_salted.join(small_salted, [key, "__salt"]).drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    path: str,
+) -> None:
+    """Persist `df` hash-bucketed (and per-bucket sorted) on `key`.
+
+    Equal bucket counts on both sides of a later join ⇒ Catalyst
+    plans a sort-merge join with no Exchange on either side; the sort
+    order also vanishes (SortMergeJoin reads the bucket-sorted files
+    directly)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(table)
+    )
