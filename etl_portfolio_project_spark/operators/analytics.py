@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
-from .relational import dec, dsum, dsum_sql
+from .relational import dec_disc_price, dec_disc_price_sql, dsum, dsum_sql
 from .text import langid_expr, langid_sql, tokens_expr
 
 
@@ -31,7 +31,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > "1996-03-15"
     )
-    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    revenue = dec_disc_price("l_extendedprice", "l_discount")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -44,8 +44,9 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q3_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(18,4)))
             AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -68,7 +69,7 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    revenue = dec_disc_price("l_extendedprice", "l_discount")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -85,8 +86,9 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q5_SQL = """
 SELECT n_name,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(18,4)))
             AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem

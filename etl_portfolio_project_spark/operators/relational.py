@@ -46,6 +46,25 @@ def dsum_sql(expr: str) -> str:
     return f"CAST(sum({dec_sql(expr)}) AS DOUBLE)"
 
 
+def dec_disc_price(price: str, disc: str) -> Column:
+    """`price * (1 - disc)` as DECIMAL(18,4). The inputs are 2-dp
+    money values, so the scale-8 product carries only zeros past 4 dp —
+    casting back to scale 4 is LOSSLESS. Keeping revenue sums at scale
+    4 is what makes the final DOUBLE conversion engine-exact: a
+    scale-8 sum's scaled integer passes 2^53 around 9e7 (engines then
+    disagree in the last ulp — Spark converts the full decimal
+    correctly rounded, DuckDB divides a rounded int128), while scale 4
+    stays exact up to ~9e11."""
+    return (dec(price) * (F.lit(1).cast(DEC) - dec(disc))).cast(DEC)
+
+
+def dec_disc_price_sql(price: str, disc: str) -> str:
+    return (
+        f"CAST({dec_sql(price)} * (CAST(1 AS DECIMAL(18,4)) - {dec_sql(disc)})"
+        f" AS DECIMAL(18,4))"
+    )
+
+
 # --- filters / projections ------------------------------------------------
 
 
@@ -89,7 +108,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     |groups| × |partitions| rows at 100 TB; AQE coalesces the 6-group
     output."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
+    disc_price = dec_disc_price("l_extendedprice", "l_discount")
     return (
         li.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
@@ -108,8 +127,7 @@ AGG_PRICING_SUMMARY_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        {dsum_sql('l_quantity')} AS sum_qty,
        {dsum_sql('l_extendedprice')} AS sum_base_price,
-       CAST(sum({dec_sql('l_extendedprice')}
-                * (CAST(1 AS DECIMAL(18,4)) - {dec_sql('l_discount')}))
+       CAST(sum({dec_disc_price_sql('l_extendedprice', 'l_discount')})
             AS DOUBLE) AS sum_disc_price,
        count(*) AS count_order,
        {dsum_sql('l_quantity')} / count(*) AS avg_qty,
