@@ -327,7 +327,17 @@ _ANALYTICS = [
     ("click_purchase_attribution", A.click_purchase_attribution,
      A.CLICK_PURCHASE_ATTRIBUTION_SQL,
      "Range join via time-bin bucketing (bounded fan-out, equi-key)."),
+    ("promo_revenue_share", A.promo_revenue_share, A.PROMO_REVENUE_SHARE_SQL,
+     "TPC-H Q14 shape: broadcast part dim + conditional decimal agg."),
 ]
+
+from .operators import sketch as SK  # noqa: E402
+
+register(
+    "hll_distinct_users",
+    SK.HLL_DISTINCT_USERS_SQL,
+    "Deterministic portable HyperLogLog distinct sketch (md5 registers).",
+)(SK.hll_distinct_users)
 
 for _name, _fn, _sql, _doc in _ANALYTICS:
     register(_name, _sql, _doc)(_fn)

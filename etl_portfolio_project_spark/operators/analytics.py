@@ -103,6 +103,50 @@ GROUP BY n_name
 """
 
 
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: lineitem ⋈ part with a conditional aggregate —
+    the share of revenue from promo parts per month. The part dim
+    broadcasts; revenue stays decimal until the final ratio so the
+    division is one double op over two exact sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    revenue = dec_disc_price("l_extendedprice", "l_discount")
+    promo = F.when(
+        F.col("p_type").startswith("PROMO"), revenue
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(revenue).cast("double").alias("total_revenue"),
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(revenue).cast("double")
+            ).alias("promo_share_pct"),
+        )
+    )
+
+
+PROMO_REVENUE_SHARE_SQL = f"""
+SELECT date_trunc('month', l_shipdate) AS ship_month,
+       CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                THEN {dec_disc_price_sql('l_extendedprice', 'l_discount')}
+                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+       CAST(sum({dec_disc_price_sql('l_extendedprice', 'l_discount')})
+            AS DOUBLE) AS total_revenue,
+       CAST(100.0 AS DOUBLE)
+         * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN {dec_disc_price_sql('l_extendedprice', 'l_discount')}
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(sum({dec_disc_price_sql('l_extendedprice', 'l_discount')})
+                AS DOUBLE) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
 def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar rollup: date_trunc month + decimal-exact revenue."""
     o = load_table(spark, sf_dir, "orders")

@@ -1,0 +1,152 @@
+"""Deterministic distinct-count sketch (HyperLogLog shape).
+
+Spark's `approx_count_distinct` is a black-box HLL++ whose registers
+aren't reproducible outside the JVM — useless for differential
+testing and for any pipeline that must produce identical estimates
+across engines/runs. This operator builds the same sketch from first
+principles with portable hashing, so the ESTIMATE ITSELF is
+bit-reproducible anywhere (and oracle-checked exactly):
+
+1. h = portable 60-bit md5 hash of the key (text.portable_hash60)
+2. bucket = h & (m-1)   — register index, m = 2^B registers
+3. rest   = h >> B      — the remaining 54 bits (bit ops, not
+   division: a double divide of a 60-bit int is inexact)
+4. register state: min(rest) per bucket — max(rho) is a function of
+   min(rest), so the shuffled state is ONE BIGINT per bucket and the
+   float-free rho ladder runs once per register, not per row
+5. rho = 55 - bit_length(min_rest), via an integer comparison ladder
+   (floor(log2(x)) is NOT portable: engines' log2 may round the top
+   few integers below 2^k up to k, flipping the floor)
+6. estimate = alpha * m^2 / sum(2^-M_j), with the harmonic-mean
+   denominator computed exactly: sum of 2^(55 - rho) as
+   DECIMAL(38,0) (integer powers of two, order-independent), one
+   correctly-rounded decimal→double conversion, one double division.
+
+Scale notes: the only shuffle is a partial-aggregatable groupBy on
+(group, bucket) — at 100 TB the map-side combine reduces every
+partition to ≤ m rows before the exchange, and registers merge by
+min(): this is a textbook mergeable sketch in pure DataFrame ops.
+
+The query returns the RAW harmonic estimate plus n_filled. The
+standard HLL small-range correction (linear counting,
+m·ln(m/empty) when est ≤ 2.5m) involves ln(), whose last ulp is
+engine-specific — consumers apply it downstream from the returned
+n_filled (see tests/test_extensions.py::test_hll_estimate_accuracy),
+keeping the differential-tested surface bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .text import portable_hash60, portable_hash60_sql
+
+HLL_B = 6  # register-index bits
+HLL_M = 2**HLL_B  # 64 registers
+HLL_REST_BITS = 54  # 60-bit hash minus 6 index bits
+#: alpha_64 bias constant (Flajolet et al. 2007, m = 64)
+HLL_ALPHA = 0.709
+#: exponent headroom: 2^(HLL_SCALE - rho) is a non-negative integer
+HLL_SCALE = HLL_REST_BITS + 1
+
+
+def _rho_ladder_sql(rest: str) -> str:
+    """rho = leading zeros of `rest` within HLL_REST_BITS bits, + 1 —
+    as a pure-integer CASE ladder (same text runs in Spark SQL and
+    DuckDB). bit_length b ⇒ 2^(b-1) ≤ rest < 2^b ⇒ rho = 55 - b."""
+    whens = "\n    ".join(
+        f"WHEN {rest} >= {2 ** (b - 1)} THEN {HLL_REST_BITS + 1 - b}"
+        for b in range(HLL_REST_BITS, 0, -1)
+    )
+    return f"(CASE {whens}\n    ELSE {HLL_REST_BITS + 1} END)"
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-HLL distinct user estimate per event_type, with the
+    exact distinct count alongside (the harness-scale accuracy check;
+    at 100 TB you'd keep only the sketch)."""
+    e = load_table(spark, sf_dir, "events")
+    h = portable_hash60(F.col("user_id").cast("string"))
+    hashed = e.select(
+        "event_type",
+        h.bitwiseAND(F.lit(HLL_M - 1)).alias("bucket"),
+        F.shiftright(h, HLL_B).alias("rest"),
+    )
+    registers = (
+        hashed.groupBy("event_type", "bucket")
+        .agg(F.min("rest").alias("min_rest"))
+        .withColumn("m_j", F.expr(_rho_ladder_sql("min_rest")))
+    )
+    # exact integer harmonic denominator: 2^(SCALE - m_j) summed as
+    # DECIMAL(38,0); empty registers contribute 2^-0 → 2^SCALE each
+    pow_term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_SCALE} - m_j)")
+    sketch = (
+        registers.groupBy("event_type")
+        .agg(
+            F.sum(pow_term.cast("decimal(38,0)")).alias("denom_filled"),
+            F.count(F.lit(1)).alias("n_filled"),
+        )
+        .withColumn(
+            "denom",
+            F.col("denom_filled")
+            + (F.lit(HLL_M) - F.col("n_filled")).cast("decimal(38,0)")
+            * F.lit(2**HLL_SCALE).cast("decimal(38,0)"),
+        )
+    )
+    est = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(2**HLL_SCALE))
+        / F.col("denom").cast("double")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return (
+        sketch.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            est.alias("hll_estimate"),
+            "n_filled",
+        )
+    )
+
+
+HLL_DISTINCT_USERS_SQL = f"""
+WITH hashed AS (
+  SELECT event_type,
+         h % {HLL_M} AS bucket,
+         CAST(h // {HLL_M} AS BIGINT) AS rest
+  FROM (SELECT event_type, user_id,
+               {portable_hash60_sql("CAST(user_id AS VARCHAR)")} AS h
+        FROM events)
+),
+registers AS (
+  SELECT event_type, bucket, {_rho_ladder_sql("min_rest")} AS m_j
+  FROM (SELECT event_type, bucket, min(rest) AS min_rest
+        FROM hashed GROUP BY event_type, bucket)
+),
+sketch AS (
+  SELECT event_type,
+         sum(CAST((CAST(1 AS BIGINT) << ({HLL_SCALE} - m_j))
+                  AS DECIMAL(38,0))) AS denom_filled,
+         count(*) AS n_filled
+  FROM registers GROUP BY event_type
+)
+SELECT s.event_type,
+       x.exact_distinct,
+       CAST({HLL_ALPHA} AS DOUBLE) * CAST({float(HLL_M * HLL_M)} AS DOUBLE)
+         * CAST({float(2**HLL_SCALE)} AS DOUBLE)
+         / CAST(s.denom_filled + ({HLL_M} - s.n_filled)
+                * CAST({2**HLL_SCALE} AS DECIMAL(38,0)) AS DOUBLE)
+         AS hll_estimate,
+       s.n_filled
+FROM sketch s
+JOIN (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+             AS exact_distinct
+      FROM events GROUP BY event_type) x
+  ON s.event_type = x.event_type
+"""

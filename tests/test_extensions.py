@@ -84,3 +84,30 @@ def test_embedding_neardup_threshold(spark):
     for r in rows:
         assert r.cosine >= S.NEARDUP_TAU
         assert r.id1 < r.id2
+
+
+def test_hll_estimate_accuracy(spark):
+    """The portable HLL's relative error must sit in the expected
+    1.04/sqrt(m) band (with slack): the estimate is useless if the
+    deterministic re-derivation broke the math."""
+    from etl_portfolio_project_spark.operators import sketch as SK
+
+    import math
+
+    rows = SK.hll_distinct_users(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        # the registered query returns the RAW harmonic estimate (the
+        # bit-exact, oracle-checkable part); the standard small-range
+        # linear-counting correction involves ln(), whose last ulp is
+        # engine-specific, so it is applied downstream — here
+        est = r.hll_estimate
+        empty = SK.HLL_M - r.n_filled
+        if est <= 2.5 * SK.HLL_M and empty > 0:
+            est = SK.HLL_M * math.log(SK.HLL_M / empty)
+        rel_err = abs(est - r.exact_distinct) / r.exact_distinct
+        assert rel_err < 3 * 1.04 / (SK.HLL_M ** 0.5), (
+            f"{r.event_type}: corrected {est:.1f} vs exact "
+            f"{r.exact_distinct} (rel err {rel_err:.3f})"
+        )
+        assert 0 < r.n_filled <= SK.HLL_M

@@ -47,6 +47,9 @@ SHUFFLE_BUDGET = {
     "sessionize_events": 1,
     "price_quartiles_by_priority": 1,
     "yoy_customer_reconciliation": 2,
+    "json_props_rollup": 1,
+    "events_multi_granularity_rollup": 1,
+    "click_purchase_attribution": 2,
 }
 
 
