@@ -364,6 +364,9 @@ _STREAMING_MM = [
      E.STREAM_SESSION_WINDOWS_SQL, "Native session_window streaming agg."),
     ("stream_dedup_events", E.stream_dedup_events, E.STREAM_DEDUP_EVENTS_SQL,
      "Stateful streaming dropDuplicates within watermark."),
+    ("stream_click_purchase_join", E.stream_click_purchase_join,
+     E.STREAM_CLICK_PURCHASE_JOIN_SQL,
+     "Stream-stream interval join with watermark-bounded state."),
     ("multimodal_features", M.multimodal_features, M.MULTIMODAL_FEATURES_SQL,
      "Binary media column → Arrow mapInPandas featurization (stub codec)."),
 ]

@@ -265,10 +265,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("norm", norm_expr("vec"))
     )
     qbase = base.where(F.col("vec_id") % QUERY_MOD == 0)
-    bb = _with_buckets(base, "vec", "vec_id")
+    # The bucket table IS the LSH index — materialize it once
+    # (persist), exactly as a production LSH index is built once and
+    # probed; also means the big hyperplane expression codegen-compiles
+    # and evaluates in one stage instead of once per join branch.
+    bb = _with_buckets(base, "vec", "vec_id").persist()
     # query buckets = filter of the base buckets (mirrors the oracle's
-    # `qb AS (SELECT ... FROM bb WHERE ...)`) — avoids instantiating
-    # and codegen-compiling the big bucket expression a second time
+    # `qb AS (SELECT ... FROM bb WHERE ...)`)
     qb = bb.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )

@@ -213,6 +213,79 @@ GROUP BY event_type
 """
 
 
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join: the streaming twin of the batch
+    `click_purchase_attribution` range join — purchases joined to the
+    same user's clicks within the preceding 10 minutes, both sides
+    unbounded streams.
+
+    Mechanics: both inputs carry watermarks and the join condition
+    includes the event-time range, which is what lets Spark bound the
+    join STATE — each side buffers only rows newer than (watermark −
+    range); older state is evicted. Inner-join results emit as matches
+    arrive, so on the bounded harness input the result set equals the
+    batch query and its oracle exactly."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+        (
+            F.unix_micros(F.col("purchase_ts"))
+            - F.unix_micros(F.col("click_ts"))
+        ).alias("lag_us"),
+    )
+    _run_to_table(joined, "stream_click_purchase_join", "append")
+    return spark.table("stream_click_purchase_join")
+
+
+STREAM_CLICK_PURCHASE_JOIN_SQL = """
+SELECT p.user_id AS user_id,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value,
+       c.event_id AS click_id,
+       c.ts AS click_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts < p.ts AND p.ts <= c.ts + INTERVAL 10 MINUTES
+"""
+
+
 def stream_tumbling_append_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-mode + watermark demo (the production incremental sink
     shape): finalized windows only. Not registered as an oracle query
