@@ -177,7 +177,7 @@ def q_loan_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ),
     doc="T1–T6: explode(sequence) month expansion + NaN-faithful "
-    "window running total + bround (/root/reference/main.py:146-193).",
+    "closed-form running total + bround (/root/reference/main.py:146-193).",
 )
 def q_loan_monthly_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loan_pipeline.loan_monthly_schedule(spark, sf_dir)

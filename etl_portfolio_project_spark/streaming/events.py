@@ -43,16 +43,27 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos → µs ts)."""
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over the events parquet (nanos → µs ts).
+
+    `max_files_per_trigger` throttles ingestion to N files per
+    micro-batch — tests use it (with a pre-split copy of the input) to
+    genuinely exercise multi-batch state transitions."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
+    reader = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .format("parquet")
         .option("path", f"{sf_dir}")
-        .option("pathGlobFilter", "events.parquet")
-        .load()
+        .option("pathGlobFilter", glob)
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load()
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

@@ -119,3 +119,60 @@ def test_schedule_single_shuffle(spark):
     )
     df = monthly_schedule(loans, views.AS_OF)
     assert explain.count_shuffles(df) <= 1, explain.physical_plan(df)
+
+
+def test_stateful_operator_across_multiple_microbatches(spark, tmp_path):
+    """The stream_user_stats state is claimed batch-boundary-invariant
+    (commutative monoid). Prove it: split the input into 3 files,
+    throttle to 1 file per micro-batch (3 genuine state transitions),
+    and require the final per-user stats to equal the batch GROUP BY."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_portfolio_project_spark.sources.registry import load_table
+    from etl_portfolio_project_spark.streaming import events as E
+    from etl_portfolio_project_spark.streaming import stateful as ST
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # pre-split copy: 3 parquet files of raw (nanos) events
+    src = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    split_dir = str(tmp_path / "events_split")
+    src.repartition(3).write.mode("overwrite").parquet(split_dir)
+
+    e = E.read_events_stream(
+        spark, split_dir, glob="part-*.parquet", max_files_per_trigger=1
+    )
+    res = e.groupBy("user_id").applyInPandasWithState(
+        ST._make_update_fn(),
+        outputStructType=ST._OUT_SCHEMA,
+        stateStructType=ST._STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    E._run_to_table(res, "multi_batch_user_stats", "update")
+    emitted = spark.table("multi_batch_user_stats")
+    assert emitted.count() > emitted.select("user_id").distinct().count(), (
+        "only one emission per user — the stream did not actually run "
+        "multiple micro-batches"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "n_large", "first_ts_us", "last_ts_us")
+    )
+    batch = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("value") > ST.LARGE_VALUE, 1).otherwise(0)
+            ).cast("long").alias("n_large"),
+            F.unix_micros(F.min("ts")).alias("first_ts_us"),
+            F.unix_micros(F.max("ts")).alias("last_ts_us"),
+        )
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
