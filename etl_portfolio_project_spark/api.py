@@ -280,6 +280,8 @@ from .operators import text as X  # noqa: E402
 _EXTENSIONS = [
     ("text_profile", X.text_profile, X.TEXT_PROFILE_SQL,
      "Per-doc quality stats, language ID, md5 + rolling fingerprints."),
+    ("top_words", X.top_words, X.TOP_WORDS_SQL,
+     "Distributed word count: explode tokens + partial-agg + top-20."),
     ("dedup_exact", D.dedup_exact, D.DEDUP_EXACT_SQL,
      "Exact dedup via canonical-text fingerprint groupBy."),
     ("dedup_exact_prefix", D.dedup_exact_prefix, D.DEDUP_EXACT_PREFIX_SQL,

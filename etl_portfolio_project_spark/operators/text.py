@@ -156,6 +156,36 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical distributed text op: explode tokens → count →
+    top-20 (deterministic tie-break on the word). Narrow Generate,
+    one partial-aggregated shuffle on the word key, TakeOrdered for
+    the limit — word skew ('the') is absorbed by map-side combine, so
+    no salting needed for counting."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens_expr(F.lower(F.col("text")))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+TOP_WORDS_SQL = """
+SELECT word, count(*) AS n
+FROM (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+)
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 20
+"""
+
+
 def _sql_counts(text: str) -> dict[str, str]:
     toks = f"regexp_split_to_array(trim({text}), '\\s+')"
     en = ", ".join(f"'{m}'" for m in LANG_MARKERS[0][1])
