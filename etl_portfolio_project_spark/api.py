@@ -260,6 +260,9 @@ _RELATIONAL = [
     ("events_multi_granularity_rollup", R.events_multi_granularity_rollup,
      R.EVENTS_MULTI_GRANULARITY_ROLLUP_SQL,
      "Hypertable rollup: hourly+daily aggregates in one GROUPING SETS pass."),
+    ("unpivot_part_metrics", R.unpivot_part_metrics,
+     R.UNPIVOT_PART_METRICS_SQL,
+     "UNPIVOT/melt: wide numeric columns to long (metric, value) rows."),
 ]
 
 for _name, _fn, _sql, _doc in _RELATIONAL:

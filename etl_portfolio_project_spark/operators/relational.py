@@ -418,6 +418,36 @@ GROUP BY GROUPING SETS ((bucket_hour), (bucket_day))
 """
 
 
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-part numeric columns → long
+    (metric, value) rows — the inverse reshape of pivot. Pure narrow
+    Expand (each input row emits one row per unpivoted column), no
+    shuffle; the long form is what metric stores and ML feature
+    pipelines ingest."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+UNPIVOT_PART_METRICS_SQL = """
+SELECT p_partkey, metric, value
+FROM (
+  SELECT p_partkey,
+         CAST(p_size AS DOUBLE) AS p_size,
+         CAST(p_retailprice AS DOUBLE) AS p_retailprice
+  FROM part
+) UNPIVOT (value FOR metric IN (p_size, p_retailprice))
+"""
+
+
 # --- ranking window -------------------------------------------------------
 
 
