@@ -50,6 +50,12 @@ SHUFFLE_BUDGET = {
     "json_props_rollup": 1,
     "events_multi_granularity_rollup": 1,
     "click_purchase_attribution": 2,
+    "promo_revenue_share": 1,
+    "unpivot_part_metrics": 0,
+    "top_words": 1,
+    # 2 for the sketch (register agg + sketch agg) + 2 for the exact
+    # distinct-count companion column (harness verification only)
+    "hll_distinct_users": 4,
 }
 
 
