@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.registry import load_table
+from ..sources.registry import balanced, load_table
 from .relational import dec_disc_price, dec_disc_price_sql, dsum, dsum_sql
 from .text import langid_expr, langid_sql, tokens_expr
 

@@ -30,7 +30,7 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.registry import load_table
+from ..sources.registry import balanced, load_table
 
 DIM = 64
 TOP_K = 10
@@ -114,13 +114,10 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id % 101 == 0), excluding self. Deterministic tie-break on
     candidate vec_id."""
     e = load_table(spark, sf_dir, "embeddings")
-    # The harness table is a single small parquet file → 1 input
-    # partition; without a repartition every pairwise cosine lands on
-    # one core. At 100 TB the scan has thousands of splits and this is
-    # a no-op cost-wise, so spread eagerly by default.
-    par = spark.sparkContext.defaultParallelism
+    # single-file harness table → under-split scan; `balanced` spreads
+    # the pairwise cosine work (structural no-op at scale)
     base = (
-        e.repartition(par)
+        balanced(e)
         .select("vec_id", _dvec("embedding").alias("vec"), "label")
         .withColumn("norm", norm_expr("vec"))
     )
@@ -171,9 +168,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embedding-cosine dedup). Blocking bounds the pair space the same
     way a cluster/bucket assignment would at scale."""
     e = load_table(spark, sf_dir, "embeddings")
-    par = spark.sparkContext.defaultParallelism
     base = (
-        e.repartition(par)
+        balanced(e)
         .select("vec_id", "label", _dvec("embedding").alias("vec"))
         .withColumn("norm", norm_expr("vec"))
     )
@@ -258,9 +254,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. This is the 100 TB-safe form of ANN in pure DataFrame ops.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    par = spark.sparkContext.defaultParallelism
     base = (
-        e.repartition(par)
+        balanced(e)
         .select("vec_id", _dvec("embedding").alias("vec"))
         .withColumn("norm", norm_expr("vec"))
     )
@@ -329,9 +324,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     final per-query top-k window. Recall vs brute force is a tested
     trade-off, tuned by IVF_MOD (list count) and IVF_NPROBE."""
     e = load_table(spark, sf_dir, "embeddings")
-    par = spark.sparkContext.defaultParallelism
     base = (
-        e.repartition(par)
+        balanced(e)
         .select("vec_id", _dvec("embedding").alias("vec"))
         .withColumn("norm", norm_expr("vec"))
     )

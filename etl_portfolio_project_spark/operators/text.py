@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.registry import load_table
+from ..sources.registry import balanced, load_table
 
 #: polynomial rolling-hash parameters (shared with oracle SQL)
 FP_P = 2_147_483_647  # 2^31 - 1
@@ -106,8 +106,9 @@ def langid_sql(text: str) -> str:
 
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality/statistics profile + language ID +
-    fingerprints — one pass, one projection."""
-    d = load_table(spark, sf_dir, "documents")
+    fingerprints — one pass, one projection (`balanced` adds a
+    spreading exchange only on under-split single-file sources)."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
     text = F.col("text")
     toks = tokens_expr(text)
     n_tokens = F.size(toks)

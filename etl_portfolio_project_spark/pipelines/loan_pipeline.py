@@ -35,6 +35,7 @@ from ..operators.fuzzy import with_region_cleaned
 from ..operators.metrics import with_loan_metrics
 from ..operators.schedule import monthly_schedule
 from ..sources import views
+from ..sources.registry import balanced
 
 
 def joined_loans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,8 +65,15 @@ def loan_final(
 def loan_monthly_schedule(
     spark: SparkSession, sf_dir: str, as_of: dt.date = views.AS_OF
 ) -> DataFrame:
-    """The `test.loan_monthly_schedule` analog (/root/reference/main.py:213-219)."""
-    return monthly_schedule(joined_loans(spark, sf_dir), as_of)
+    """The `test.loan_monthly_schedule` analog (/root/reference/main.py:213-219).
+
+    The expansion itself is fully narrow (explode + closed-form running
+    total, schedule.py); `balanced` inserts one round-robin exchange of
+    the slim pre-explosion rows ONLY when the source scan under-splits
+    (single-file harness tables), so the ~30x fan-out and per-month
+    expressions run at full cluster width. At scale the scan already
+    has thousands of splits and the pipeline stays zero-shuffle."""
+    return monthly_schedule(balanced(joined_loans(spark, sf_dir)), as_of)
 
 
 def run_pipeline(

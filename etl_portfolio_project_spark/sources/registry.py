@@ -28,6 +28,23 @@ TABLES = [
 ]
 
 
+def balanced(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism —
+    ONLY if the plan currently has fewer partitions (parquet scans
+    can't split below row-group granularity, so a single-file table
+    caps a narrow pipeline at 1-3 tasks no matter how wide the
+    machine). At 100 TB sources have thousands of splits and this is
+    a structural no-op; on under-split sources it trades one exchange
+    of the slim pre-expansion rows for full-cluster parallelism in
+    everything downstream. Use on narrow pipelines whose per-row work
+    (explode fan-out, regex profiling) dwarfs a slim-row shuffle."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one harness table as a lazy DataFrame.
 

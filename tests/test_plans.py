@@ -26,19 +26,21 @@ from .conftest import SF_SMALL
 #: pre-aggregated side.
 SHUFFLE_BUDGET = {
     "loan_final": 0,
-    "loan_monthly_schedule": 0,
+    # 1 = the conditional `balanced` exchange on the under-split
+    # single-file harness scan; the expansion itself is narrow
+    "loan_monthly_schedule": 1,
     "src_join_projection": 0,
     "join_left_extension": 0,
     "region_clean": 0,
     "filter_pushdown": 0,
-    "text_profile": 0,
+    "text_profile": 1,  # balanced exchange only
     "union_all_schedules": 0,
     "scalar_function_suite": 0,
     "agg_pricing_summary": 1,
     "monthly_revenue": 1,
     "dedup_exact": 1,
     "dedup_exact_prefix": 1,
-    "corpus_preparation": 1,
+    "corpus_preparation": 2,  # balanced exchange + fp window
     "cube_order_stats": 1,
     "tpch_q3_shipping_priority": 1,
     "tpch_q5_local_volume": 1,
