@@ -295,6 +295,9 @@ _EXTENSIONS = [
      "MinHash-LSH banding candidates + exact-Jaccard verification."),
     ("simhash_pairs", D.simhash_pairs, D.SIMHASH_PAIRS_SQL,
      "48-bit SimHash signatures + Hamming-distance pairs."),
+    ("neardup_clusters", D.neardup_clusters, D.NEARDUP_CLUSTERS_SQL,
+     "Connected components of near-dup pairs via iterative min-label "
+     "propagation (oracle: recursive-CTE transitive closure)."),
     ("ann_brute_force_topk", S.ann_brute_force_topk, S.ANN_BRUTE_FORCE_TOPK_SQL,
      "Exact cosine top-k neighbors (broadcast query set)."),
     ("ann_lsh_topk", S.ann_lsh_topk, S.ANN_LSH_TOPK_SQL,

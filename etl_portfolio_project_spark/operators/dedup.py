@@ -291,6 +291,105 @@ def _build_minhash_sql() -> str:
 MINHASH_LSH_NEARDUP_SQL = _build_minhash_sql()
 
 
+# --- near-dup clustering (connected components) ---------------------------
+
+
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the near-duplicate pairs into CONNECTED COMPONENTS —
+    the step that turns pairwise similarity into dedup groups (keep
+    one representative per cluster). Implemented as ITERATIVE min-
+    label propagation: every doc starts labeled with its own id; each
+    round every doc takes the min label among itself and its
+    neighbors; fixpoint = components. The driver loop runs until no
+    label changes (diameter-bounded, ≤ log-ish rounds with the
+    min-propagation shortcut of also joining through the current
+    label).
+
+    Scale notes: each round is one join on the edge list + one
+    groupBy-min — both partial-aggregatable; the edge list for
+    near-dup graphs is tiny relative to the corpus (similarity is
+    sparse), so rounds are cheap. For billion-edge graphs you'd
+    switch to the large-star/small-star algorithm, same primitive
+    ops. Oracle: transitive closure via a recursive CTE computing
+    min-reachable-id — identical fixpoint, so even this iterative
+    algorithm is differentially tested."""
+    pairs = neardup_jaccard(spark, sf_dir).select("id1", "id2")
+    # symmetric edge list + self-loops (via the vertex set)
+    edges = pairs.union(
+        pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    )
+    labels = (
+        pairs.select(F.col("id1").alias("doc_id"))
+        .union(pairs.select(F.col("id2").alias("doc_id")))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.id2 == labels.doc_id)
+            .groupBy(F.col("id1").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (
+                    F.coalesce("nmin", F.col("cluster_id"))
+                    < F.col("cluster_id")
+                ).alias("changed"),
+            )
+        )
+        updated = updated.persist()
+        n_changed = updated.where(F.col("changed")).count()
+        labels = updated.select("doc_id", "cluster_id")
+        if n_changed == 0:
+            break
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
+def _build_neardup_clusters_sql() -> str:
+    jaccard_pairs = NEARDUP_JACCARD_SQL.strip()
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id1, id2 FROM ({jaccard_pairs})
+    ),
+    edges AS (
+      SELECT id1, id2 FROM pairs
+      UNION ALL
+      SELECT id2 AS id1, id1 AS id2 FROM pairs
+    ),
+    verts AS (
+      SELECT DISTINCT id1 AS doc_id FROM edges
+    ),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM verts
+      UNION
+      SELECT e.id1, reach.r
+      FROM edges e JOIN reach ON e.id2 = reach.doc_id
+    ),
+    labels AS (
+      SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+    )
+    SELECT l.doc_id, l.cluster_id, s.cluster_size
+    FROM labels l
+    JOIN (SELECT cluster_id, count(*) AS cluster_size
+          FROM labels GROUP BY cluster_id) s
+      ON l.cluster_id = s.cluster_id
+    """
+
+
+NEARDUP_CLUSTERS_SQL = _build_neardup_clusters_sql()
+
+
 # --- SimHash --------------------------------------------------------------
 
 
