@@ -263,6 +263,8 @@ _RELATIONAL = [
     ("unpivot_part_metrics", R.unpivot_part_metrics,
      R.UNPIVOT_PART_METRICS_SQL,
      "UNPIVOT/melt: wide numeric columns to long (metric, value) rows."),
+    ("props_map_explode", R.props_map_explode, R.PROPS_MAP_EXPLODE_SQL,
+     "MapType: JSON to map<string,bigint>, explode, per-key aggregate."),
 ]
 
 for _name, _fn, _sql, _doc in _RELATIONAL:

@@ -448,6 +448,42 @@ FROM (
 """
 
 
+def props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType pipeline: parse JSON props to map<string,bigint>,
+    explode to (key, value) rows, aggregate per key — the generic
+    schema-free path for ragged properties (vs json_props_rollup's
+    declared-schema extraction of one known field). Narrow parse +
+    generate; one shuffle for the aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    kv = e.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,bigint>")).alias(
+            "prop_key", "prop_value"
+        ),
+    )
+    return kv.groupBy("event_type", "prop_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("prop_value").alias("sum_value"),
+        F.min("prop_value").alias("min_value"),
+        F.max("prop_value").alias("max_value"),
+    )
+
+
+PROPS_MAP_EXPLODE_SQL = """
+SELECT event_type, prop_key,
+       count(*) AS n,
+       sum(prop_value) AS sum_value,
+       min(prop_value) AS min_value,
+       max(prop_value) AS max_value
+FROM (
+  SELECT event_type, k AS prop_key,
+         CAST(json_extract(props, '$.' || k) AS BIGINT) AS prop_value
+  FROM (SELECT event_type, props, unnest(json_keys(props)) AS k FROM events)
+)
+GROUP BY event_type, prop_key
+"""
+
+
 # --- ranking window -------------------------------------------------------
 
 
