@@ -377,6 +377,9 @@ _STREAMING_MM = [
     ("stream_click_purchase_join", E.stream_click_purchase_join,
      E.STREAM_CLICK_PURCHASE_JOIN_SQL,
      "Stream-stream interval join with watermark-bounded state."),
+    ("stream_enriched_by_segment", E.stream_enriched_by_segment,
+     E.STREAM_ENRICHED_BY_SEGMENT_SQL,
+     "Stream-static broadcast enrichment + windowed aggregation."),
     ("multimodal_features", M.multimodal_features, M.MULTIMODAL_FEATURES_SQL,
      "Binary media column → Arrow mapInPandas featurization (stub codec)."),
 ]

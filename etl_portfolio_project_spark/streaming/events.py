@@ -297,6 +297,53 @@ FROM events p JOIN events c
 """
 
 
+def stream_enriched_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join + windowed aggregation: the standard
+    enrichment pattern — an unbounded event stream joined to a static
+    dimension (customer, keyed by user_id↔c_custkey), then aggregated
+    per (window, segment).
+
+    Scale shape: the static side is planned as a regular batch scan
+    each micro-batch and broadcast below the join (no stream state for
+    the join at all — only the windowed agg keeps state, bounded by
+    the watermark). This is how 100 TB/day event enrichment against a
+    dimension table actually runs."""
+    from ..sources.registry import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.join(F.broadcast(dim), "user_id")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "15 minutes").alias("w"), "c_mktsegment"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+    _run_to_table(agg, "stream_enriched_by_segment", "complete")
+    return spark.table("stream_enriched_by_segment").select(
+        F.col("w.start").alias("window_start"),
+        "c_mktsegment",
+        "n_events",
+        "total_value",
+    )
+
+
+STREAM_ENRICHED_BY_SEGMENT_SQL = """
+SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+       c_mktsegment,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 def stream_tumbling_append_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-mode + watermark demo (the production incremental sink
     shape): finalized windows only. Not registered as an oracle query
