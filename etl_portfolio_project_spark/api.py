@@ -339,6 +339,11 @@ _ANALYTICS = [
      "Range join via time-bin bucketing (bounded fan-out, equi-key)."),
     ("promo_revenue_share", A.promo_revenue_share, A.PROMO_REVENUE_SHARE_SQL,
      "TPC-H Q14 shape: broadcast part dim + conditional decimal agg."),
+    ("corpus_mixture_sample", A.corpus_mixture_sample,
+     A.CORPUS_MIXTURE_SAMPLE_SQL,
+     "Deterministic stratified hash-sampling (corpus data mixing)."),
+    ("events_gapfill_5min", A.events_gapfill_5min, A.EVENTS_GAPFILL_5MIN_SQL,
+     "Time-series gap fill: dense bucket spine + left join + coalesce."),
 ]
 
 from .operators import sketch as SK  # noqa: E402

@@ -296,6 +296,113 @@ FROM events p JOIN events c
 """
 
 
+#: per-source sampling rates (percent) for the corpus mixture
+MIXTURE_RATES = {"src0": 60, "src1": 25, "src2": 10}
+MIXTURE_DEFAULT_RATE = 5
+
+
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED sampling — the data-mixing primitive
+    for training-corpus assembly: each source is down-sampled at its
+    own rate. Membership is decided by a portable hash of the doc id
+    (`md5 % 100 < rate`), NOT `df.sample()`: hash-sampling is
+    reproducible across engines/runs/retries, stable under
+    repartitioning, and trivially auditable — all properties
+    `sample()`'s per-partition RNG lacks. Pure narrow filter; at
+    100 TB it runs inside the scan's codegen stage."""
+    from .text import portable_hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.lit(MIXTURE_DEFAULT_RATE)
+    for src, r in MIXTURE_RATES.items():
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    bucket = portable_hash60(F.col("doc_id").cast("string")) % 100
+    return (
+        d.withColumn("rate_pct", rate)
+        .where(bucket < F.col("rate_pct"))
+        .select("doc_id", "source", "lang", "rate_pct")
+    )
+
+
+def _mixture_rate_sql() -> str:
+    out = str(MIXTURE_DEFAULT_RATE)
+    for src, r in MIXTURE_RATES.items():
+        out = f"CASE WHEN source = '{src}' THEN {r} ELSE {out} END"
+    return out
+
+
+CORPUS_MIXTURE_SAMPLE_SQL = f"""
+SELECT doc_id, source, lang, CAST(rate_pct AS INTEGER) AS rate_pct
+FROM (
+  SELECT doc_id, source, lang, {_mixture_rate_sql()} AS rate_pct,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+WHERE bucket < rate_pct
+"""
+
+
+def events_gapfill_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a DENSE 5-minute bucket spine per
+    event_type (sequence over the observed min..max), left-joined to
+    the actual bucket counts, empty buckets coalesced to zero — the
+    prerequisite for correct moving averages / anomaly baselines over
+    sparse event data. The spine generation is a tiny per-type
+    explode; the join broadcasts the aggregated counts when small and
+    shuffles on (type, bucket) otherwise."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / F.lit(300)).cast("long") * F.lit(300)
+    )
+    counts = (
+        e.select("event_type", bucket.alias("bucket"), "value")
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 5 MINUTES"))
+        ).alias("bucket"),
+    )
+    return (
+        spine.join(counts, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            (F.coalesce("n_events", F.lit(0)) == 0).alias("is_gap"),
+        )
+    )
+
+
+EVENTS_GAPFILL_5MIN_SQL = """
+WITH counts AS (
+  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+  FROM counts GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '5 minutes'))
+           AS bucket
+  FROM bounds
+)
+SELECT s.event_type, s.bucket,
+       COALESCE(c.n_events, 0) AS n_events,
+       COALESCE(c.n_events, 0) = 0 AS is_gap
+FROM spine s LEFT JOIN counts c
+  ON s.event_type = c.event_type AND s.bucket = c.bucket
+"""
+
+
 def corpus_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LLM training-corpus gate: quality-filter documents,
     drop exact duplicates (keep min doc_id per canonical fingerprint),
