@@ -344,6 +344,12 @@ _ANALYTICS = [
      "Deterministic stratified hash-sampling (corpus data mixing)."),
     ("events_gapfill_5min", A.events_gapfill_5min, A.EVENTS_GAPFILL_5MIN_SQL,
      "Time-series gap fill: dense bucket spine + left join + coalesce."),
+    ("events_moving_average", A.events_moving_average,
+     A.EVENTS_MOVING_AVERAGE_SQL,
+     "ROWS-frame window: trailing 12-bucket moving average."),
+    ("customer_value_tiles", A.customer_value_tiles,
+     A.CUSTOMER_VALUE_TILES_SQL,
+     "ntile/percent_rank/cume_dist over deterministic total order."),
 ]
 
 from .operators import sketch as SK  # noqa: E402

@@ -403,6 +403,86 @@ FROM spine s LEFT JOIN counts c
 """
 
 
+def events_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based window: trailing 1-hour (12-bucket) moving average
+    of per-type 5-minute event counts — ROWS BETWEEN 11 PRECEDING AND
+    CURRENT ROW over the bucket sequence. The frame sum is an INTEGER
+    (engine-exact); the average divides it by the actual window row
+    count, one double division at the end. One shuffle on event_type;
+    the frame scan rides the same sort."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / F.lit(300)).cast("long") * F.lit(300)
+    )
+    counts = (
+        e.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-11, Window.currentRow)
+    )
+    frame_sum = F.sum("n_events").over(w)
+    frame_n = F.count(F.lit(1)).over(w)
+    return counts.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        frame_sum.alias("trailing_sum"),
+        (frame_sum.cast("double") / frame_n.cast("double")).alias(
+            "trailing_avg"
+        ),
+    )
+
+
+EVENTS_MOVING_AVERAGE_SQL = """
+SELECT event_type, bucket, n_events,
+       sum(n_events) OVER w AS trailing_sum,
+       CAST(sum(n_events) OVER w AS DOUBLE)
+         / CAST(count(*) OVER w AS DOUBLE) AS trailing_avg
+FROM (
+  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+"""
+
+
+def customer_value_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-distribution windows: decile (ntile), percent_rank and
+    cume_dist of customers by lifetime revenue. The order is made
+    TOTAL (revenue desc, custkey) so ntile's positional assignment of
+    ties is deterministic and engine-identical; revenue itself is a
+    decimal-exact sum."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.orderBy(F.col("revenue").desc(), "o_custkey")
+    return rev.select(
+        "o_custkey",
+        "revenue",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+CUSTOMER_VALUE_TILES_SQL = f"""
+SELECT o_custkey, revenue,
+       CAST(ntile(10) OVER w AS INTEGER) AS decile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM (
+  SELECT o_custkey, {dsum_sql('o_totalprice')} AS revenue
+  FROM orders GROUP BY o_custkey
+)
+WINDOW w AS (ORDER BY revenue DESC, o_custkey)
+"""
+
+
 def corpus_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LLM training-corpus gate: quality-filter documents,
     drop exact duplicates (keep min doc_id per canonical fingerprint),
