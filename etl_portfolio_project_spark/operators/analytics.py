@@ -457,7 +457,12 @@ def customer_value_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cume_dist of customers by lifetime revenue. The order is made
     TOTAL (revenue desc, custkey) so ntile's positional assignment of
     ties is deterministic and engine-identical; revenue itself is a
-    decimal-exact sum."""
+    decimal-exact sum.
+
+    Scale note: an unpartitioned window is a single-reducer sort —
+    fine here because the input is already one row per customer
+    (aggregated first). For billion-key global ranking you'd switch
+    to rangepartition + per-partition rank + offset correction."""
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("revenue"))
     w = Window.orderBy(F.col("revenue").desc(), "o_custkey")

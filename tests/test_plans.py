@@ -58,6 +58,13 @@ SHUFFLE_BUDGET = {
     # 2 for the sketch (register agg + sketch agg) + 2 for the exact
     # distinct-count companion column (harness verification only)
     "hll_distinct_users": 4,
+    "corpus_mixture_sample": 0,
+    "events_gapfill_5min": 2,
+    "events_moving_average": 2,
+    "customer_value_tiles": 2,
+    "props_map_explode": 1,
+    # neardup_clusters is intentionally absent: the iterative
+    # fixpoint loop's plan depth is data-dependent (graph diameter)
 }
 
 
