@@ -350,6 +350,9 @@ _ANALYTICS = [
     ("customer_value_tiles", A.customer_value_tiles,
      A.CUSTOMER_VALUE_TILES_SQL,
      "ntile/percent_rank/cume_dist over deterministic total order."),
+    ("small_quantity_order_revenue", A.small_quantity_order_revenue,
+     A.SMALL_QUANTITY_ORDER_REVENUE_SQL,
+     "TPC-H Q17 shape: decorrelated scalar subquery, co-partitioned."),
 ]
 
 from .operators import sketch as SK  # noqa: E402

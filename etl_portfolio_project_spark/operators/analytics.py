@@ -147,6 +147,52 @@ GROUP BY 1
 """
 
 
+def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from line items whose quantity is
+    below 20% of their part's average quantity — the correlated
+    scalar subquery decorrelated into a per-part aggregate joined
+    back to the fact (exactly what Catalyst's subquery rewrite does;
+    written explicitly so the shuffle structure is visible: one agg
+    on l_partkey, one join back on the same key — co-partitioned, so
+    AQE plans a single exchange for both).
+
+    Numeric determinism: the 0.2×avg threshold is only COMPARED
+    against (never output), so its last-ulp is irrelevant as long as
+    both engines compute it identically — both evaluate
+    0.2 * (CAST(decimal_sum AS DOUBLE) / count) in the same order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = (
+        li.groupBy("l_partkey")
+        .agg(
+            (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+        )
+    )
+    threshold = F.lit(0.2) * F.col("avg_qty")
+    return (
+        li.join(avg_qty, "l_partkey")
+        .where(F.col("l_quantity") < threshold)
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            dsum("l_extendedprice").alias("small_revenue"),
+        )
+    )
+
+
+SMALL_QUANTITY_ORDER_REVENUE_SQL = f"""
+WITH avg_qty AS (
+  SELECT l_partkey, {dsum_sql('l_quantity')} / count(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l.l_partkey,
+       count(*) AS n_small,
+       {dsum_sql('l_extendedprice')} AS small_revenue
+FROM lineitem l JOIN avg_qty a ON l.l_partkey = a.l_partkey
+WHERE l.l_quantity < CAST(0.2 AS DOUBLE) * a.avg_qty
+GROUP BY l.l_partkey
+"""
+
+
 def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar rollup: date_trunc month + decimal-exact revenue."""
     o = load_table(spark, sf_dir, "orders")
