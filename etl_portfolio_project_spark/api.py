@@ -265,6 +265,11 @@ _RELATIONAL = [
      "UNPIVOT/melt: wide numeric columns to long (metric, value) rows."),
     ("props_map_explode", R.props_map_explode, R.PROPS_MAP_EXPLODE_SQL,
      "MapType: JSON to map<string,bigint>, explode, per-key aggregate."),
+    ("salted_customer_orders", R.salted_customer_orders,
+     R.SALTED_CUSTOMER_ORDERS_SQL,
+     "Skew-salted join; oracle is the plain join (value contract)."),
+    ("region_null_audit", R.region_null_audit, R.REGION_NULL_AUDIT_SQL,
+     "SQL NULL semantics: null groups, count(col), nullif, <=>."),
 ]
 
 for _name, _fn, _sql, _doc in _RELATIONAL:

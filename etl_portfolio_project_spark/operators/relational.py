@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..sources import views
 from ..sources.registry import load_table
 
 DEC = "decimal(18,4)"
@@ -482,6 +483,76 @@ FROM (
 )
 GROUP BY event_type, prop_key
 """
+
+
+def salted_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-management join surfaced as a query: orders ⋈ customer
+    executed through `skew.salted_join` (hot keys spread across 7
+    deterministic salt sub-keys, small side replicated per salt). The
+    oracle is the PLAIN join — identical values is precisely the
+    salted join's contract."""
+    from .skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
+    )
+    return salted_join(
+        orders, customer, "o_custkey", salt_buckets=7, unique_col="o_orderkey"
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+SALTED_CUSTOMER_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def region_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics suite over the nullable `region` column:
+    grouping keeps the NULL group, count(*) vs count(col) differ by
+    the nulls, and the null-sensitive scalar family (coalesce, nullif,
+    null-safe equality) is exercised — SQL NULL rules are where
+    engines silently diverge, so they get their own differential
+    query."""
+    loans = views.loans(spark, sf_dir)
+    return (
+        loans.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("region").alias("n_region_nonnull"),
+            F.count(F.when(F.col("region").isNull(), 1)).alias("n_region_null"),
+            F.count(
+                F.nullif(F.col("region"), F.lit("Mumbai"))
+            ).alias("n_not_mumbai"),
+            F.sum(
+                F.col("region").eqNullSafe(F.lit("Delhi")).cast("long")
+            ).alias("n_delhi_nullsafe"),
+        )
+        .select(
+            F.coalesce("region", F.lit("<NULL>")).alias("region_display"),
+            "n_rows",
+            "n_region_nonnull",
+            "n_region_null",
+            "n_not_mumbai",
+            "n_delhi_nullsafe",
+        )
+    )
+
+
+REGION_NULL_AUDIT_SQL = views.with_loan_ctes(
+    """
+    SELECT COALESCE(region, '<NULL>') AS region_display,
+           count(*) AS n_rows,
+           count(region) AS n_region_nonnull,
+           count(CASE WHEN region IS NULL THEN 1 END) AS n_region_null,
+           count(nullif(region, 'Mumbai')) AS n_not_mumbai,
+           sum(CAST(region IS NOT DISTINCT FROM 'Delhi' AS BIGINT))
+             AS n_delhi_nullsafe
+    FROM loans
+    GROUP BY region
+    """
+)
 
 
 # --- ranking window -------------------------------------------------------
