@@ -63,6 +63,9 @@ SHUFFLE_BUDGET = {
     "events_moving_average": 2,
     "customer_value_tiles": 2,
     "props_map_explode": 1,
+    "salted_customer_orders": 2,  # broadcast at harness size; ≤2 if SMJ
+    "region_null_audit": 1,
+    "small_quantity_order_revenue": 2,  # agg + co-partitioned join-back
     # neardup_clusters is intentionally absent: the iterative
     # fixpoint loop's plan depth is data-dependent (graph diameter)
 }
