@@ -360,6 +360,49 @@ _ANALYTICS = [
      "TPC-H Q17 shape: decorrelated scalar subquery, co-partitioned."),
 ]
 
+from .operators import tpch as T  # noqa: E402
+
+_TPCH = [
+    ("tpch_q2_min_price_supplier", T.tpch_q2_min_price_supplier, T.TPCH_Q2_SQL,
+     "TPC-H Q2 shape: per-part argmin supplier, decorrelated two-agg."),
+    ("tpch_q4_priority_check", T.tpch_q4_priority_check, T.TPCH_Q4_SQL,
+     "TPC-H Q4 shape: EXISTS late-line semi join + priority counts."),
+    ("tpch_q6_forecast_revenue", T.tpch_q6_forecast_revenue, T.TPCH_Q6_SQL,
+     "TPC-H Q6: triple pushdown filter + scalar decimal aggregate."),
+    ("tpch_q7_volume_shipping", T.tpch_q7_volume_shipping, T.TPCH_Q7_SQL,
+     "TPC-H Q7: nation-pair revenue flows, nation dim in two roles."),
+    ("tpch_q8_market_share", T.tpch_q8_market_share, T.TPCH_Q8_SQL,
+     "TPC-H Q8: market share via conditional agg over a 7-way star."),
+    ("tpch_q9_product_profit", T.tpch_q9_product_profit, T.TPCH_Q9_SQL,
+     "TPC-H Q9 shape: profit rollup by nation × year, LIKE part filter."),
+    ("tpch_q10_returned_items", T.tpch_q10_returned_items, T.TPCH_Q10_SQL,
+     "TPC-H Q10: returned-revenue top-20 customers."),
+    ("tpch_q11_important_parts", T.tpch_q11_important_parts, T.TPCH_Q11_SQL,
+     "TPC-H Q11 shape: per-part value vs global-total scalar subquery."),
+    ("tpch_q12_late_line_priority", T.tpch_q12_late_line_priority,
+     T.TPCH_Q12_SQL, "TPC-H Q12 shape: conditional priority counts."),
+    ("tpch_q13_customer_distribution", T.tpch_q13_customer_distribution,
+     T.TPCH_Q13_SQL, "TPC-H Q13: order-count histogram incl. zero-order "
+     "customers (left join + two-level agg)."),
+    ("tpch_q15_top_supplier", T.tpch_q15_top_supplier, T.TPCH_Q15_SQL,
+     "TPC-H Q15: max-revenue supplier via scalar-subquery equality."),
+    ("tpch_q16_part_supplier_variety", T.tpch_q16_part_supplier_variety,
+     T.TPCH_Q16_SQL, "TPC-H Q16 shape: count-distinct suppliers per "
+     "part attributes."),
+    ("tpch_q18_large_orders", T.tpch_q18_large_orders, T.TPCH_Q18_SQL,
+     "TPC-H Q18: HAVING-filtered per-order quantity + context joins."),
+    ("tpch_q19_disjunctive_revenue", T.tpch_q19_disjunctive_revenue,
+     T.TPCH_Q19_SQL, "TPC-H Q19: OR-of-ANDs predicates over an equi-join."),
+    ("tpch_q21_last_shipper", T.tpch_q21_last_shipper, T.TPCH_Q21_SQL,
+     "TPC-H Q21 shape: EXISTS + NOT-EXISTS self-join chain."),
+    ("tpch_q22_inactive_rich_customers", T.tpch_q22_inactive_rich_customers,
+     T.TPCH_Q22_SQL, "TPC-H Q22: scalar AVG threshold + anti join."),
+]
+
+for _name, _fn, _sql, _doc in _TPCH:
+    register(_name, _sql, _doc)(_fn)
+
+
 from .operators import sketch as SK  # noqa: E402
 
 register(

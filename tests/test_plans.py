@@ -66,6 +66,25 @@ SHUFFLE_BUDGET = {
     "salted_customer_orders": 2,  # broadcast at harness size; ≤2 if SMJ
     "region_null_audit": 1,
     "small_quantity_order_revenue": 2,  # agg + co-partitioned join-back
+    "tpch_q2_min_price_supplier": 2,  # partkey agg + join-back (co-part.)
+    "tpch_q4_priority_check": 1,
+    "tpch_q6_forecast_revenue": 1,
+    "tpch_q7_volume_shipping": 1,
+    "tpch_q8_market_share": 1,
+    "tpch_q9_product_profit": 1,
+    "tpch_q10_returned_items": 1,
+    # 3 static (scalar-subquery branch recomputes the shared agg in the
+    # initial plan) but AQE's ReusedExchange collapses it at runtime —
+    # verified: executedPlan contains ReusedExchange
+    "tpch_q11_important_parts": 3,
+    "tpch_q12_late_line_priority": 1,
+    "tpch_q13_customer_distribution": 2,  # custkey agg + count-of-counts
+    "tpch_q15_top_supplier": 3,  # same AQE ReusedExchange note as q11
+    "tpch_q16_part_supplier_variety": 2,  # distinct-agg two-phase
+    "tpch_q18_large_orders": 1,
+    "tpch_q19_disjunctive_revenue": 1,
+    "tpch_q21_last_shipper": 2,  # semi + anti self-joins on orderkey
+    "tpch_q22_inactive_rich_customers": 2,  # anti join + nation agg
     # neardup_clusters is intentionally absent: the iterative
     # fixpoint loop's plan depth is data-dependent (graph diameter)
 }
@@ -90,6 +109,8 @@ def test_shuffle_budget(spark, name):
         "tpch_q3_shipping_priority",  # filtered customer dim broadcast
         "tpch_q5_local_volume",  # all four dims broadcast
         "ann_brute_force_topk",  # query subset broadcast, big side narrow
+        "tpch_q8_market_share",  # 7-way star: every dim broadcast
+        "tpch_q19_disjunctive_revenue",  # part dim broadcast
     ],
 )
 def test_small_side_broadcasts(spark, name):
@@ -101,6 +122,18 @@ def test_tpch_q3_filters_reach_scans(spark):
     df = api.REGISTRY["tpch_q3_shipping_priority"].builder(spark, SF_SMALL)
     plan = explain.physical_plan(df)
     for col in ("c_mktsegment", "o_orderdate", "l_shipdate"):
+        assert any(
+            "PushedFilters" in line and col in line
+            for line in plan.splitlines()
+        ), f"filter on {col} not pushed to its scan:\n{plan}"
+
+
+def test_tpch_q6_filters_reach_scan(spark):
+    # Q6 is the canonical pushdown query: all three predicates must
+    # reach the lineitem parquet scan
+    df = api.REGISTRY["tpch_q6_forecast_revenue"].builder(spark, SF_SMALL)
+    plan = explain.physical_plan(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert any(
             "PushedFilters" in line and col in line
             for line in plan.splitlines()
