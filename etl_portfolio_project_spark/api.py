@@ -439,6 +439,10 @@ _STREAMING_MM = [
     ("stream_click_purchase_join", E.stream_click_purchase_join,
      E.STREAM_CLICK_PURCHASE_JOIN_SQL,
      "Stream-stream interval join with watermark-bounded state."),
+    ("stream_click_purchase_left_join", E.stream_click_purchase_left_join,
+     E.STREAM_CLICK_PURCHASE_LEFT_JOIN_SQL,
+     "Stream-stream LEFT OUTER interval join; watermark-delayed NULL "
+     "emission flushed via sentinel micro-batches."),
     ("stream_enriched_by_segment", E.stream_enriched_by_segment,
      E.STREAM_ENRICHED_BY_SEGMENT_SQL,
      "Stream-static broadcast enrichment + windowed aggregation."),

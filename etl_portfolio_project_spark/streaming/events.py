@@ -344,6 +344,153 @@ GROUP BY 1, 2
 """
 
 
+#: sentinel event times used to flush outer-join state on bounded
+#: inputs — far past any harness event (data ends 2001)
+_SENTINEL_NANOS = (4_102_444_800_000_000_000, 4_102_531_200_000_000_000)
+
+
+def _events_with_watermark_sentinels(spark: SparkSession, sf_dir: str) -> str:
+    """Copy the events parquet into a temp dir followed by two 1-row
+    far-future sentinel files (strictly increasing mtimes, so the file
+    source ingests them LAST with maxFilesPerTrigger=1).
+
+    Why: Structured Streaming emits stream-stream OUTER join results
+    only when the watermark passes a buffered row, and the watermark
+    for batch N is computed from event times seen through batch N-1.
+    A bounded input that ends with the real data therefore never
+    flushes the tail — the standard fix (same as Kafka in production:
+    the stream simply keeps running) is two trailing batches: the
+    first advances the watermark past all real data, the second
+    triggers eviction + NULL emission. The sentinel rows carry
+    event_type='sentinel' and are filtered out AFTER the watermark
+    operator, so they advance time without joining."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="stream_louter_")
+    shutil.copyfile(f"{sf_dir}/events.parquet", f"{d}/00_events.parquet")
+    for i, nanos in enumerate(_SENTINEL_NANOS):
+        # one row per side-filter: the event_type predicates are pushed
+        # BELOW the EventTimeWatermark operator by Catalyst, so a
+        # sentinel only advances a side's watermark if it SURVIVES that
+        # side's filter — emit a 'click' and a 'purchase' sentinel so
+        # both watermark operators see the far-future time. user_id=-1
+        # keys them off every real join key; the builder drops them
+        # from the final table.
+        tbl = pa.table(
+            {
+                "event_id": pa.array([-1 - i, -11 - i], pa.int64()),
+                "ts": pa.array([nanos, nanos], pa.int64()),
+                "user_id": pa.array([-1, -1], pa.int64()),
+                "event_type": pa.array(["click", "purchase"], pa.string()),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
+        )
+        path = f"{d}/0{i + 1}_sentinel.parquet"
+        pq.write_table(tbl, path)
+        # file-source ordering is by modification time; force a
+        # strictly later mtime than the previous file
+        prev = os.stat(
+            f"{d}/00_events.parquet" if i == 0 else f"{d}/01_sentinel.parquet"
+        ).st_mtime
+        os.utime(path, (prev + 2, prev + 2))
+    return d
+
+
+def stream_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER interval join: every purchase, with
+    its preceding-10-minute clicks where they exist and NULL click
+    columns where none do.
+
+    Outer joins add a semantic wrinkle inner joins don't have: a
+    purchase can only be declared match-less once the watermark proves
+    no older click can still arrive, so NULL rows emit with watermark
+    delay. On the bounded harness input the tail would never flush
+    (no further batches advance the watermark) — the sentinel-file
+    mechanism (`_events_with_watermark_sentinels`) appends two
+    far-future rows as separate micro-batches, which is exactly the
+    "stream keeps running" condition production relies on. Result:
+    the completed stream equals the batch LEFT JOIN bit-for-bit,
+    including the NULL rows, so even the outer join is oracle-checked.
+
+    State bound: both sides buffer only (watermark − 10 min) of rows,
+    same as the inner-join variant."""
+    split_dir = _events_with_watermark_sentinels(spark, sf_dir)
+    src = read_events_stream(
+        spark, split_dir, glob="*.parquet", max_files_per_trigger=1
+    )
+    clicks = (
+        src.select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_type").alias("c_type"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+        .where(F.col("c_type") == "click")
+        .drop("c_type")
+    )
+    purchases = (
+        src.select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+            F.col("event_type").alias("p_type"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+        .where(F.col("p_type") == "purchase")
+        .drop("p_type")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")
+        ),
+        "left_outer",
+    ).select(
+        "user_id",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+        (
+            F.unix_micros(F.col("purchase_ts"))
+            - F.unix_micros(F.col("click_ts"))
+        ).alias("lag_us"),
+    )
+    _run_to_table(joined, "stream_click_purchase_left_join", "append")
+    # drop the sentinel rows batch-side (filtering inside the stream
+    # would be pushed below the watermark operator and defeat them)
+    return spark.table("stream_click_purchase_left_join").where(
+        F.col("user_id") >= 0
+    )
+
+
+STREAM_CLICK_PURCHASE_LEFT_JOIN_SQL = """
+SELECT p.user_id AS user_id,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value,
+       c.event_id AS click_id,
+       c.ts AS click_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM events p LEFT JOIN events c
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND c.ts < p.ts AND p.ts <= c.ts + INTERVAL 10 MINUTES
+WHERE p.event_type = 'purchase'
+"""
+
+
 def stream_tumbling_append_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-mode + watermark demo (the production incremental sink
     shape): finalized windows only. Not registered as an oracle query
