@@ -352,6 +352,9 @@ _ANALYTICS = [
     ("events_moving_average", A.events_moving_average,
      A.EVENTS_MOVING_AVERAGE_SQL,
      "ROWS-frame window: trailing 12-bucket moving average."),
+    ("events_range_frame_1h", A.events_range_frame_1h,
+     A.EVENTS_RANGE_FRAME_1H_SQL,
+     "RANGE-frame window: gap-aware trailing 1-hour sum."),
     ("customer_value_tiles", A.customer_value_tiles,
      A.CUSTOMER_VALUE_TILES_SQL,
      "ntile/percent_rank/cume_dist over deterministic total order."),
@@ -448,6 +451,13 @@ _STREAMING_MM = [
      "Stream-static broadcast enrichment + windowed aggregation."),
     ("multimodal_features", M.multimodal_features, M.MULTIMODAL_FEATURES_SQL,
      "Binary media column → Arrow mapInPandas featurization (stub codec)."),
+]
+
+from .operators import arrow_ops as AR  # noqa: E402
+
+_STREAMING_MM += [
+    ("arrow_group_median", AR.arrow_group_median, AR.ARROW_GROUP_MEDIAN_SQL,
+     "applyInArrow grouped exact median (Arrow kernels, no pandas)."),
 ]
 
 for _name, _fn, _sql, _doc in _STREAMING_MM:

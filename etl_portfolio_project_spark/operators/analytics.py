@@ -498,6 +498,52 @@ WINDOW w AS (PARTITION BY event_type ORDER BY bucket
 """
 
 
+def events_range_frame_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RANGE window frame: per-type trailing 1-HOUR event count —
+    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW over epoch seconds.
+    Unlike the ROWS frame (`events_moving_average`), the RANGE frame is
+    gap-aware: a bucket preceded by sparse history sums only the
+    buckets actually inside the hour, not the last 12 rows. The frame
+    sum is an INTEGER count — engine-exact. One shuffle on event_type;
+    the frame scan shares the sort."""
+    e = load_table(spark, sf_dir, "events")
+    bucket_s = (F.unix_timestamp("ts") / F.lit(300)).cast("long") * F.lit(300)
+    counts = (
+        e.select("event_type", bucket_s.alias("bucket_s"))
+        .groupBy("event_type", "bucket_s")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return counts.select(
+        "event_type",
+        F.timestamp_seconds("bucket_s").alias("bucket"),
+        "n_events",
+        F.sum("n_events").over(w).alias("hour_sum"),
+        F.count(F.lit(1)).over(w).alias("hour_buckets"),
+    )
+
+
+EVENTS_RANGE_FRAME_1H_SQL = """
+SELECT event_type,
+       make_timestamp(bucket_s * 1000000) AS bucket,
+       n_events,
+       sum(n_events) OVER w AS hour_sum,
+       count(*) OVER w AS hour_buckets
+FROM (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS bucket_s,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def customer_value_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-distribution windows: decile (ntile), percent_rank and
     cume_dist of customers by lifetime revenue. The order is made

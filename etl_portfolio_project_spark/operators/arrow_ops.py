@@ -1,0 +1,83 @@
+"""Arrow-native grouped operators (`applyInArrow`).
+
+`applyInPandas` pays a per-batch Arrow→pandas→Arrow conversion on the
+worker; `applyInArrow` hands the group to Python as a `pyarrow.Table`
+directly — for operators that only need columnar kernels (sorts,
+take, arithmetic) this skips the pandas materialization entirely.
+This module demonstrates the pattern with an operator the built-in
+surface can't express cheaply: EXACT per-group median (Spark's
+built-in `median`/`percentile` is exact too, but the point here is
+the Arrow worker path — same plumbing as the multimodal featurizers,
+without the stub codec).
+
+Determinism: inputs are int64 counts; the median rule (odd → middle
+as double; even → mean of the two middles) matches DuckDB's
+`median(BIGINT)` exactly (int64 ≤ 2^53 so the double conversions are
+lossless).
+
+Worker-shipping rule (CLAUDE.md): the UDF is a self-contained closure
+with inner imports — the grading driver imports `__spark_entry__.py`
+by file path, so module-level references would not unpickle on
+workers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.registry import load_table
+
+ARROW_GROUP_MEDIAN_SCHEMA = (
+    "source string, n_docs long, median_chars double, max_chars long"
+)
+
+
+def arrow_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact median of document length via
+    `groupBy(...).applyInArrow` — the group arrives as a pyarrow.Table
+    and is reduced with Arrow compute kernels only (sort + take), no
+    pandas.
+
+    Scale shape: one shuffle on the group key; each group must fit in
+    one worker's memory (fine for per-source stats; for billion-row
+    groups you'd switch to the two-pass distributed quantile in
+    `price_quartiles_by_priority`)."""
+
+    def median_fn(tbl):  # pyarrow.Table -> pyarrow.Table
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n = tbl.num_rows
+        chars = pc.array_sort_indices(tbl.column("n_chars"))
+        sorted_chars = pc.take(tbl.column("n_chars"), chars)
+        if n % 2 == 1:
+            med = float(sorted_chars[n // 2].as_py())
+        else:
+            lo = sorted_chars[n // 2 - 1].as_py()
+            hi = sorted_chars[n // 2].as_py()
+            med = (lo + hi) / 2.0
+        return pa.table(
+            {
+                "source": pa.array([tbl.column("source")[0].as_py()]),
+                "n_docs": pa.array([n], pa.int64()),
+                "median_chars": pa.array([med], pa.float64()),
+                "max_chars": pa.array(
+                    [pc.max(tbl.column("n_chars")).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    return d.groupBy("source").applyInArrow(
+        median_fn, schema=ARROW_GROUP_MEDIAN_SCHEMA
+    )
+
+
+ARROW_GROUP_MEDIAN_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       median(n_chars) AS median_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY source
+"""

@@ -61,6 +61,8 @@ SHUFFLE_BUDGET = {
     "corpus_mixture_sample": 0,
     "events_gapfill_5min": 2,
     "events_moving_average": 2,
+    "events_range_frame_1h": 2,  # bucket agg + event_type window
+    "arrow_group_median": 1,  # one shuffle into the Arrow workers
     "customer_value_tiles": 2,
     "props_map_explode": 1,
     "salted_customer_orders": 2,  # broadcast at harness size; ≤2 if SMJ
