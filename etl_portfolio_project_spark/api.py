@@ -396,6 +396,8 @@ _TPCH = [
      "TPC-H Q18: HAVING-filtered per-order quantity + context joins."),
     ("tpch_q19_disjunctive_revenue", T.tpch_q19_disjunctive_revenue,
      T.TPCH_Q19_SQL, "TPC-H Q19: OR-of-ANDs predicates over an equi-join."),
+    ("tpch_q20_excess_shippers", T.tpch_q20_excess_shippers, T.TPCH_Q20_SQL,
+     "TPC-H Q20 shape: nested semi joins over a correlated aggregate."),
     ("tpch_q21_last_shipper", T.tpch_q21_last_shipper, T.TPCH_Q21_SQL,
      "TPC-H Q21 shape: EXISTS + NOT-EXISTS self-join chain."),
     ("tpch_q22_inactive_rich_customers", T.tpch_q22_inactive_rich_customers,
@@ -413,6 +415,12 @@ register(
     SK.HLL_DISTINCT_USERS_SQL,
     "Deterministic portable HyperLogLog distinct sketch (md5 registers).",
 )(SK.hll_distinct_users)
+
+register(
+    "cms_heavy_hitters",
+    SK.CMS_HEAVY_HITTERS_SQL,
+    "Deterministic portable Count-Min-Sketch heavy hitters (md5 rows).",
+)(SK.cms_heavy_hitters)
 
 for _name, _fn, _sql, _doc in _ANALYTICS:
     register(_name, _sql, _doc)(_fn)

@@ -150,3 +150,110 @@ JOIN (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
       FROM events GROUP BY event_type) x
   ON s.event_type = x.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters — the frequency-estimation companion
+# to the HLL distinct sketch, built with the same portable hashing so
+# the ESTIMATES are bit-reproducible across engines.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 256  # buckets per row
+
+
+def _cms_hash_sql_spark(i: int) -> str:
+    return (
+        f"CAST(conv(substring(md5(concat(CAST(user_id AS STRING), '#{i}')),"
+        f" 1, 15), 16, 10) AS BIGINT) % {CMS_WIDTH}"
+    )
+
+
+def _cms_hash_sql_duckdb(i: int) -> str:
+    return (
+        f"CAST('0x' || substring(md5(CAST(user_id AS VARCHAR) || '#{i}'),"
+        f" 1, 15) AS BIGINT) % {CMS_WIDTH}"
+    )
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest users by Count-Min-Sketch ESTIMATED event count
+    (exact count alongside, as with the HLL query).
+
+    Sketch: DEPTH×WIDTH integer counters; counter (i, b) = number of
+    events whose i-th hash lands in bucket b — a single partial-
+    aggregatable groupBy producing ≤ DEPTH·WIDTH rows, broadcast back.
+    Estimate(u) = min_i counter(i, h_i(u)) — the classic CMS
+    overestimate-only bound. Everything is integers + md5, so Spark
+    and DuckDB agree bit-for-bit, and the mergeability story at
+    100 TB is the same as HLL: counters add across partitions
+    (map-side combine), the sketch is tiny, and the per-user probe
+    is DEPTH broadcast lookups.
+
+    Plan: exact per-user counts reuse the user_id partitioning for
+    the probe's min-aggregate (no extra exchange); the sketch build
+    is one compound-key aggregate; top-10 is TakeOrdered (no global
+    sort). The per-row DEPTH-way hash expansion is ONE generated
+    F.expr string (CLAUDE.md: no Column-chain loops)."""
+    e = load_table(spark, sf_dir, "events")
+    # sketch counters
+    pairs = ", ".join(
+        f"struct({i} AS i, {_cms_hash_sql_spark(i)} AS bucket)"
+        for i in range(CMS_DEPTH)
+    )
+    hashed = e.select(
+        "user_id", F.expr(f"explode(array({pairs}))").alias("hb")
+    ).select("user_id", "hb.i", "hb.bucket")
+    cms = hashed.groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+    # per-user probes: exact count first (one shuffle on user_id),
+    # then the DEPTH hash probes against the broadcast sketch; the
+    # min-aggregate reuses the user_id partitioning
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = exact.select(
+        "user_id",
+        "exact_count",
+        F.expr(f"explode(array({pairs}))").alias("hb"),
+    ).select("user_id", "exact_count", "hb.i", "hb.bucket")
+    return (
+        probes.join(F.broadcast(cms), ["i", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("counter").alias("cms_estimate"))
+        .orderBy(F.col("cms_estimate").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+_CMS_PAIRS_DUCKDB = ", ".join(
+    f"({i}, {_cms_hash_sql_duckdb(i)})" for i in range(CMS_DEPTH)
+)
+
+CMS_HEAVY_HITTERS_SQL = f"""
+WITH hashed AS (
+  SELECT user_id, hb.i AS i, hb.bucket AS bucket
+  FROM events,
+       LATERAL (SELECT unnest([{", ".join(
+           f"{{'i': {i}, 'bucket': {_cms_hash_sql_duckdb(i)}}}"
+           for i in range(CMS_DEPTH)
+       )}], recursive := true)) hb(i, bucket)
+),
+cms AS (
+  SELECT i, bucket, count(*) AS counter FROM hashed GROUP BY i, bucket
+),
+exact AS (
+  SELECT user_id, count(*) AS exact_count FROM events GROUP BY user_id
+),
+probes AS (
+  SELECT e.user_id, e.exact_count, hb.i AS i, hb.bucket AS bucket
+  FROM exact e,
+       LATERAL (SELECT unnest([{", ".join(
+           f"{{'i': {i}, 'bucket': {_cms_hash_sql_duckdb(i)}}}"
+           for i in range(CMS_DEPTH)
+       )}], recursive := true)) hb(i, bucket)
+)
+SELECT p.user_id, p.exact_count, min(c.counter) AS cms_estimate
+FROM probes p JOIN cms c ON p.i = c.i AND p.bucket = c.bucket
+GROUP BY p.user_id, p.exact_count
+ORDER BY cms_estimate DESC, p.user_id LIMIT 10
+"""

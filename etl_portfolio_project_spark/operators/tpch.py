@@ -731,6 +731,58 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 
 
 # ---------------------------------------------------------------------------
+# Q20 — excess shippers (nested semi joins over a correlated
+# aggregate). No partsupp.availqty: "excess" is a supplier shipping
+# more than a threshold quantity of any widget part in 1996.
+# ---------------------------------------------------------------------------
+
+#: per-(supplier, part) 1996 shipped quantity that counts as "excess"
+Q20_MIN_QTY = 40
+
+
+def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers selected through a NESTED semi-join
+    chain — supplier ⋉ (per-(supp,part) aggregate over the
+    name-filtered part set, HAVING a correlated quantity threshold).
+    The aggregate shuffles on the compound key once; the outer semi
+    join broadcasts the small distinct-supplier set."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    excess = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum("l_quantity").alias("qty"))
+        .where(F.col("qty") > Q20_MIN_QTY)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return s.join(
+        F.broadcast(excess), s.s_suppkey == excess.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+TPCH_Q20_SQL = f"""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%widget%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING {dsum_sql('l_quantity')} > {Q20_MIN_QTY})
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q21 — suppliers who were the last to ship on multi-supplier orders
 # (EXISTS + NOT EXISTS chain). Adapted from commit/receipt lateness
 # to ship-order position: supplier's line is the strictly-latest ship

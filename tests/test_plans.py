@@ -85,7 +85,9 @@ SHUFFLE_BUDGET = {
     "tpch_q16_part_supplier_variety": 2,  # distinct-agg two-phase
     "tpch_q18_large_orders": 1,
     "tpch_q19_disjunctive_revenue": 1,
+    "tpch_q20_excess_shippers": 1,  # compound-key agg; semi join broadcast
     "tpch_q21_last_shipper": 2,  # semi + anti self-joins on orderkey
+    "cms_heavy_hitters": 2,  # sketch-build agg + per-user exact agg
     "tpch_q22_inactive_rich_customers": 2,  # anti join + nation agg
     # neardup_clusters is intentionally absent: the iterative
     # fixpoint loop's plan depth is data-dependent (graph diameter)
