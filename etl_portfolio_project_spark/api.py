@@ -459,6 +459,9 @@ _STREAMING_MM = [
      "Stream-static broadcast enrichment + windowed aggregation."),
     ("multimodal_features", M.multimodal_features, M.MULTIMODAL_FEATURES_SQL,
      "Binary media column → Arrow mapInPandas featurization (stub codec)."),
+    ("multimodal_frame_sample", M.multimodal_frame_sample,
+     M.MULTIMODAL_FRAME_SAMPLE_SQL,
+     "Video-shaped frame sampling: row → N frames via mapInPandas."),
 ]
 
 from .operators import arrow_ops as AR  # noqa: E402

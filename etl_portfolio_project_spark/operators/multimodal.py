@@ -144,3 +144,81 @@ SELECT doc_id,
          % 1000000007 AS feature_0
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: the video-shaped operator — one input row fans out
+# to N sampled-frame rows through the same Arrow batch path.
+# ---------------------------------------------------------------------------
+
+FRAME_CHARS = 64  # "frame" size in decoded units
+FRAME_STRIDE = 4  # keep every 4th frame
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_chars", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row → N-rows frame sampling via mapInPandas: each media payload
+    is "decoded" (deterministic fake: utf-8 text stands in for the
+    frame stream — a real build decodes via the stubbed codec in
+    `decode_payload`) and split into FRAME_CHARS-unit frames, keeping
+    every FRAME_STRIDE-th. This is the standard video pre-processing
+    shape for multimodal training data: bounded fan-out per row,
+    constant-memory Arrow batch iteration, and the frame content
+    hash for downstream dedup.
+
+    Scale: fan-out ≤ len/FRAME_CHARS/FRAME_STRIDE rows per input; the
+    UDF emits one output DataFrame per Arrow batch, so memory stays
+    batch-bounded regardless of document size skew."""
+    media = media_table(spark, sf_dir)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        F_CHARS, F_STRIDE = 64, 4
+
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_chars": [],
+                "frame_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")
+                n_frames = (len(text) + F_CHARS - 1) // F_CHARS
+                for i in range(0, n_frames, F_STRIDE):
+                    frame = text[i * F_CHARS : (i + 1) * F_CHARS]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_chars"].append(len(frame))
+                    out["frame_md5"].append(
+                        _hashlib.md5(frame.encode("utf-8")).hexdigest()
+                    )
+            yield _pd.DataFrame(out)
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+MULTIMODAL_FRAME_SAMPLE_SQL = f"""
+SELECT doc_id,
+       f.frame_idx AS frame_idx,
+       CAST(length(substring(text, CAST(f.frame_idx * {FRAME_CHARS} + 1
+                                        AS BIGINT), {FRAME_CHARS}))
+            AS BIGINT) AS frame_chars,
+       md5(substring(text, CAST(f.frame_idx * {FRAME_CHARS} + 1 AS BIGINT),
+                     {FRAME_CHARS})) AS frame_md5
+FROM documents,
+     LATERAL (SELECT unnest(range(0,
+                (length(text) + {FRAME_CHARS - 1}) // {FRAME_CHARS},
+                {FRAME_STRIDE}))) f(frame_idx)
+"""
