@@ -302,6 +302,9 @@ _EXTENSIONS = [
      "MinHash-LSH banding candidates + exact-Jaccard verification."),
     ("simhash_pairs", D.simhash_pairs, D.SIMHASH_PAIRS_SQL,
      "48-bit SimHash signatures + Hamming-distance pairs."),
+    ("winnow_neardup", D.winnow_neardup, D.WINNOW_NEARDUP_SQL,
+     "MOSS winnowing: 3-gram minimizer fingerprints, shared-minimizer "
+     "pairs via inverted-index join."),
     ("neardup_clusters", D.neardup_clusters, D.NEARDUP_CLUSTERS_SQL,
      "Connected components of near-dup pairs via iterative min-label "
      "propagation (oracle: recursive-CTE transitive closure)."),

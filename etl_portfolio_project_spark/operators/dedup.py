@@ -14,6 +14,9 @@ banding is differentially tested):
   candidates, then exact Jaccard verification of candidates only.
 - SimHash: 48-bit signature via per-bit majority vote of token hashes,
   Hamming-distance pairs.
+- Winnowing (MOSS): 3-gram rolling hashes → per-window minimizers →
+  shared-minimizer candidate pairs (order-SENSITIVE, unlike the
+  word-set families above).
 
 Scale design (the reason these shapes were chosen):
 - Exact dedup is a single hash aggregation: partial-agg per partition,
@@ -289,6 +292,88 @@ def _build_minhash_sql() -> str:
 
 
 MINHASH_LSH_NEARDUP_SQL = _build_minhash_sql()
+
+
+# --- winnowing (MOSS-style minimizer fingerprints) ------------------------
+
+WINNOW_K = 3  # token k-gram width
+WINNOW_W = 4  # winnowing window (grams per window)
+WINNOW_MIN_SHARED = 1  # shared minimizers to emit a candidate pair
+
+#: shared Spark-SQL / DuckDB building blocks (kept as ONE generated
+#: SQL string each — see CLAUDE.md: no per-element Column chaining)
+_WINNOW_TOKS_SPARK = "split(trim(lower(text)), '\\\\s+')"
+_WINNOW_GRAMS_SPARK = (
+    f"transform(sequence(1, size(toks) - {WINNOW_K - 1}), i -> "
+    "cast(conv(substring(md5(concat_ws(' ', slice(toks, i, "
+    f"{WINNOW_K}))), 1, 15), 16, 10) as bigint) % {MH_P})"
+)
+_WINNOW_MINS_SPARK = (
+    f"array_distinct(transform(sequence(1, size(grams) - {WINNOW_W - 1}), "
+    f"j -> array_min(slice(grams, j, {WINNOW_W}))))"
+)
+
+
+def winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint near-dup pairs (Schleimer/Wilkerson/Aiken
+    "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    MOSS scheme): hash every token 3-gram, keep the MINIMUM hash of
+    each sliding window of 4 grams (the minimizers), and pair up docs
+    sharing ≥ 1 distinct minimizer within one source block.
+
+    Scale design: winnowing guarantees ~2/(w+1) sampling density, so
+    the exploded fingerprint index is ~2/5 the size of the full gram
+    index while still guaranteeing detection of any match longer than
+    w + k - 1 tokens. The pair generation is an inverted-index join on
+    the minimizer key (work ∝ colliding fingerprints, never n²), and
+    the groupBy is partial-aggregated map-side. All hashing is
+    md5-based (portable_hash60 pattern) → bit-identical in DuckDB."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source") == DEDUP_SOURCE_BLOCK)
+        .select("doc_id", F.expr(_WINNOW_TOKS_SPARK).alias("toks"))
+        .where(F.size("toks") >= WINNOW_K + WINNOW_W - 1)
+        .select("doc_id", F.expr(_WINNOW_GRAMS_SPARK).alias("grams"))
+        .select("doc_id", F.explode(F.expr(_WINNOW_MINS_SPARK)).alias("fp"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+WINNOW_NEARDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE source = '{DEDUP_SOURCE_BLOCK}'
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - {WINNOW_K - 2}), i ->
+           CAST('0x' || substring(md5(array_to_string(
+             list_slice(toks, i, i + {WINNOW_K - 1}), ' ')), 1, 15) AS BIGINT)
+           % {MH_P}) AS grams
+  FROM d WHERE len(toks) >= {WINNOW_K + WINNOW_W - 1}
+),
+fp AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(grams) - {WINNOW_W - 2}), j ->
+             list_aggregate(list_slice(grams, j, j + {WINNOW_W - 1}), 'min'))))
+         AS fp
+  FROM g
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
 
 
 # --- near-dup clustering (connected components) ---------------------------

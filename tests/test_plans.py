@@ -88,6 +88,9 @@ SHUFFLE_BUDGET = {
     "tpch_q20_excess_shippers": 1,  # compound-key agg; semi join broadcast
     "tpch_q21_last_shipper": 2,  # semi + anti self-joins on orderkey
     "cms_heavy_hitters": 2,  # sketch-build agg + per-user exact agg
+    # broadcast self-join at harness size (1 = pair groupBy); ≤3 if
+    # the fingerprint join falls back to SMJ at scale
+    "winnow_neardup": 3,
     "tpch_q22_inactive_rich_customers": 2,  # anti join + nation agg
     # neardup_clusters is intentionally absent: the iterative
     # fixpoint loop's plan depth is data-dependent (graph diameter)
