@@ -56,28 +56,32 @@ def _dvec(col: str | Column) -> Column:
 
 
 def _dot_spark_sql(a: str, b: str) -> str:
-    """Unrolled left-associative dot product as ONE Spark SQL string.
+    """Left-to-right dot-product fold as ONE Spark SQL string:
+    `aggregate(zip_with(a, b, *), 0.0, +)`.
 
-    Unrolling (vs a higher-order `aggregate` fold) keeps the
-    expression inside whole-stage codegen — array lambda functions
-    fall back to interpreted eval, a ~10× hit on big pair joins — and
-    makes the accumulation order explicit for the DuckDB oracle
-    mirror. Building it as a single `F.expr(...)` string instead of a
-    chain of Column `+`/`*` calls matters for latency: the chain form
-    costs ~4 py4j round-trips per term (~2000 for DIM=64), several
-    SECONDS of driver time per query before any data moves; one
-    parsed string is one round-trip."""
-    terms = " + ".join(
-        f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, DIM + 1)
+    The fold starts at 0.0 and adds element products left-to-right —
+    the SAME accumulation order as the DuckDB oracle's unrolled
+    left-associative `0.0 + a[1]*b[1] + ... + a[64]*b[64]` chain, so
+    doubles stay bit-identical.
+
+    MEASURED tradeoff (sf0.1, 400k label-blocked pairs, local[32]):
+    the fully-unrolled 64-term expression — chosen first on the
+    "HOFs fall back to interpreted eval" rule of thumb — ran the whole
+    pair query in ~3.0s steady-state; this HOF form runs it in ~0.7s.
+    The unrolled form's generated Java (the cosine appears in the
+    join condition, the projection, AND an inferred isnotnull guard)
+    dominates via codegen-compile time and JIT/icache pressure, so
+    "stay in codegen" loses to a compact interpreted fold here. One
+    parsed SQL string also avoids per-term py4j round-trips at plan
+    build (~2000 for a 64-dim Column chain, seconds of driver time)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+        " (acc, v) -> acc + v)"
     )
-    return f"(0.0D + {terms})"
 
 
 def _norm_spark_sql(a: str) -> str:
-    terms = " + ".join(
-        f"element_at({a}, {i}) * element_at({a}, {i})" for i in range(1, DIM + 1)
-    )
-    return f"sqrt(0.0D + {terms})"
+    return f"sqrt({_dot_spark_sql(a, a)})"
 
 
 def dot_expr(a: str, b: str) -> Column:
@@ -220,11 +224,10 @@ def _table_bucket_spark_sql(vec: str, table: int) -> str:
     Spark-SQL analogue of a broadcast of the tiny plane matrix)."""
     bits = []
     for i, plane in enumerate(LSH_PLANES[table]):
-        proj = " + ".join(
-            f"element_at({vec}, {j + 1}) * {p!r}D" for j, p in enumerate(plane)
-        )
+        lits = ", ".join(f"{p!r}D" for p in plane)
+        proj = _dot_spark_sql(vec, f"array({lits})")
         bits.append(
-            f"CASE WHEN (0.0D + {proj}) >= 0 THEN CAST({2**i} AS BIGINT)"
+            f"CASE WHEN {proj} >= 0 THEN CAST({2**i} AS BIGINT)"
             f" ELSE CAST(0 AS BIGINT) END"
         )
     return "(" + " + ".join(bits) + ")"
@@ -340,10 +343,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # argmax cosine over centroid literals via array_min of
     # (-cos, cid) structs — same pattern as langid's argmax
     def _cos_to_lit(row) -> str:
-        terms = " + ".join(
-            f"element_at(vec, {i + 1}) * {v!r}D" for i, v in enumerate(row.vec)
-        )
-        return f"((0.0D + {terms}) / (norm * {row.norm!r}D))"
+        lits = ", ".join(f"{v!r}D" for v in row.vec)
+        dot = _dot_spark_sql("vec", f"array({lits})")
+        return f"({dot} / (norm * {row.norm!r}D))"
 
     entries = ", ".join(
         f"named_struct('neg_cos', -{_cos_to_lit(r)}, 'cid', CAST({r.vec_id} AS BIGINT))"
