@@ -292,6 +292,14 @@ _EXTENSIONS = [
      "Per-doc quality stats, language ID, md5 + rolling fingerprints."),
     ("top_words", X.top_words, X.TOP_WORDS_SQL,
      "Distributed word count: explode tokens + partial-agg + top-20."),
+    ("doc_repetition_profile", X.doc_repetition_profile,
+     X.DOC_REPETITION_PROFILE_SQL,
+     "Gopher-style repetition quality: duplicate word/2-gram/3-gram "
+     "fractions + reject flag (narrow, zero-shuffle)."),
+    ("decontaminate_ngrams", D.decontaminate_ngrams,
+     D.DECONTAMINATE_NGRAMS_SQL,
+     "Benchmark decontamination: 4-gram overlap vs held-out eval "
+     "slice (broadcast eval n-gram set)."),
     ("dedup_exact", D.dedup_exact, D.DEDUP_EXACT_SQL,
      "Exact dedup via canonical-text fingerprint groupBy."),
     ("dedup_exact_prefix", D.dedup_exact_prefix, D.DEDUP_EXACT_PREFIX_SQL,

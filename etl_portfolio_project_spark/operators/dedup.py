@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.registry import load_table
+from ..sources.registry import balanced, load_table
 from .text import portable_hash60, portable_hash60_sql, tokens_expr
 
 #: MinHash parameters — k hash functions in b bands of r rows (k=b*r).
@@ -556,3 +556,108 @@ def _build_simhash_sql() -> str:
 
 
 SIMHASH_PAIRS_SQL = _build_simhash_sql()
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap against a held-out eval
+# set (the GPT-3 appendix-C / Dolma decontamination recipe: hash the
+# eval set's n-grams, flag any training doc containing one). The
+# harness has no separate eval corpus, so the eval side is the
+# deterministic doc_id % DECON_EVAL_MOD == 0 slice of `documents`.
+# ---------------------------------------------------------------------------
+
+DECON_N = 4  # 4-gram overlap: flags ~4% of the harness corpus
+DECON_EVAL_MOD = 50
+
+
+def _decon_ngrams_spark(toks_sql: str) -> str:
+    n = DECON_N
+    return (
+        f"CASE WHEN size({toks_sql}) < {n} THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(sequence(1, size({toks_sql}) - {n - 1}), "
+        f"i -> array_join(slice({toks_sql}, i, {n}), ' ')) END"
+    )
+
+
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination: which train docs share a 4-gram
+    with the held-out eval slice, and how much.
+
+    Scale shape: the eval n-gram set is tiny relative to the corpus
+    (eval suites are fixed-size; the corpus is 100 TB), so it is
+    DISTINCT-ed and **broadcast** — the 100 TB side is a narrow
+    explode + broadcast-hash semi-ish join with NO shuffle of the
+    corpus; the only wide step is the final per-doc hit count, keyed
+    by doc_id (co-partitioned with the explode, partial-agg absorbs
+    the fan-out). Flagging is exact n-gram membership, the standard
+    contamination definition (GPT-3 paper appendix C; Dolma toolkit).
+    """
+    from pyspark.sql.functions import broadcast
+
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    toks = "split(trim(text), '\\\\s+')"
+    base = d.select(
+        "doc_id", F.expr(_decon_ngrams_spark(toks)).alias("ngrams")
+    )
+    eval_grams = (
+        base.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select(F.explode("ngrams").alias("ngram"))
+        .distinct()
+    )
+    # explode the per-doc DISTINCT grams: the final per-doc hit count
+    # is then a plain count (map-side combinable), not a
+    # count-distinct expand — one narrower shuffle at 100 TB.
+    train = base.where(F.col("doc_id") % DECON_EVAL_MOD != 0).select(
+        "doc_id",
+        F.size("ngrams").cast("long").alias("total_ngrams"),
+        F.explode(F.array_distinct("ngrams")).alias("ngram"),
+    )
+    hits = (
+        train.join(broadcast(eval_grams), "ngram")
+        .groupBy("doc_id")
+        .agg(
+            F.max("total_ngrams").alias("total_ngrams"),
+            F.count(F.lit(1)).alias("hit_ngrams"),
+        )
+    )
+    return hits.select(
+        "doc_id",
+        "total_ngrams",
+        "hit_ngrams",
+        (F.col("hit_ngrams") / F.col("total_ngrams")).alias(
+            "contamination_frac"
+        ),
+    )
+
+
+def _build_decontaminate_sql() -> str:
+    n = DECON_N
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    ngrams = (
+        f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {ngrams} AS ngrams FROM documents
+    ),
+    eval_grams AS (
+      SELECT DISTINCT unnest(ngrams) AS ngram
+      FROM base WHERE doc_id % {DECON_EVAL_MOD} = 0
+    ),
+    train AS (
+      SELECT doc_id, CAST(len(ngrams) AS BIGINT) AS total_ngrams,
+             unnest(ngrams) AS ngram
+      FROM base WHERE doc_id % {DECON_EVAL_MOD} <> 0
+    )
+    SELECT t.doc_id,
+           max(t.total_ngrams) AS total_ngrams,
+           count(DISTINCT t.ngram) AS hit_ngrams,
+           count(DISTINCT t.ngram) / max(t.total_ngrams)
+             AS contamination_frac
+    FROM train t JOIN eval_grams e USING (ngram)
+    GROUP BY t.doc_id
+    """
+
+
+DECONTAMINATE_NGRAMS_SQL = _build_decontaminate_sql()

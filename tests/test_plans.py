@@ -34,6 +34,10 @@ SHUFFLE_BUDGET = {
     "region_clean": 0,
     "filter_pushdown": 0,
     "text_profile": 1,  # balanced exchange only
+    "doc_repetition_profile": 1,  # balanced exchange only (pure narrow)
+    # 2 balanced scan spreads (eval + train branch) + eval distinct +
+    # per-doc hit count; corpus side never shuffles before the agg
+    "decontaminate_ngrams": 4,
     "union_all_schedules": 0,
     "scalar_function_suite": 0,
     "agg_pricing_summary": 1,
