@@ -570,12 +570,14 @@ DECON_N = 4  # 4-gram overlap: flags ~4% of the harness corpus
 DECON_EVAL_MOD = 50
 
 
-def _decon_ngrams_spark(toks_sql: str) -> str:
-    n = DECON_N
-    return (
-        f"CASE WHEN size({toks_sql}) < {n} THEN CAST(array() AS ARRAY<STRING>) "
-        f"ELSE transform(sequence(1, size({toks_sql}) - {n - 1}), "
-        f"i -> array_join(slice({toks_sql}, i, {n}), ' ')) END"
+def _decon_ngrams_spark() -> str:
+    """4-gram array with the token split LET-bound (evaluated once per
+    row — see text.bind_once_sql; an inlined split re-runs per
+    element under interpreted HOF eval)."""
+    from .text import _ngrams_spark_sql, bind_once_sql
+
+    return bind_once_sql(
+        "split(trim(text), '\\\\s+')", "t", _ngrams_spark_sql("t", DECON_N)
     )
 
 
@@ -595,9 +597,8 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
 
     d = balanced(load_table(spark, sf_dir, "documents"))
-    toks = "split(trim(text), '\\\\s+')"
     base = d.select(
-        "doc_id", F.expr(_decon_ngrams_spark(toks)).alias("ngrams")
+        "doc_id", F.expr(_decon_ngrams_spark()).alias("ngrams")
     )
     eval_grams = (
         base.where(F.col("doc_id") % DECON_EVAL_MOD == 0)

@@ -264,12 +264,27 @@ REP_3GRAM_TAU = 0.02
 
 def _ngrams_spark_sql(toks_sql: str, n: int) -> str:
     """Spark-SQL word n-gram array. Guarded: Spark's sequence(1, k)
-    auto-descends for k < 1, so short docs need an explicit empty."""
+    auto-descends for k < 1, so short docs need an explicit empty.
+
+    IMPORTANT: pass a LAMBDA-BOUND variable (e.g. `t`), never an
+    inline split(...) expression — higher-order functions evaluate
+    interpreted (no codegen/CSE), so an inlined token expression
+    would re-run the regex split once per n-gram element (measured:
+    29 s → <1 s at sf0.1 for the repetition profile)."""
     return (
         f"CASE WHEN size({toks_sql}) < {n} THEN CAST(array() AS ARRAY<STRING>) "
         f"ELSE transform(sequence(1, size({toks_sql}) - {n - 1}), "
         f"i -> array_join(slice({toks_sql}, i, {n}), ' ')) END"
     )
+
+
+def bind_once_sql(value_sql: str, var: str, body_sql: str) -> str:
+    """Evaluate `value_sql` exactly ONCE per row and bind it to lambda
+    variable `var` inside `body_sql` — the Spark-SQL equivalent of a
+    LET binding, via transform over a one-element array. Defeats both
+    CollapseProject re-inlining and per-element re-evaluation inside
+    interpreted higher-order functions."""
+    return f"transform(array({value_sql}), {var} -> {body_sql})[0]"
 
 
 def _ngrams_duck_sql(toks_sql: str, n: int) -> str:
@@ -313,22 +328,28 @@ def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas cleaning (`/root/reference/main.py:141` apply loops); this
     is the declarative, distributed generalization."""
     d = balanced(load_table(spark, sf_dir, "documents"))
-    toks = "split(trim(text), '\\\\s+')"
-    g2 = _ngrams_spark_sql(toks, 2)
-    g3 = _ngrams_spark_sql(toks, 3)
-    dup_w = _dup_frac_spark(toks)
-    dup_2 = _dup_frac_spark(g2)
-    dup_3 = _dup_frac_spark(g3)
-    return d.select(
-        "doc_id",
-        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
-        F.expr(dup_w).alias("dup_word_frac"),
-        F.expr(dup_2).alias("dup_2gram_frac"),
-        F.expr(dup_3).alias("dup_3gram_frac"),
-        F.expr(
-            f"({dup_2}) > {REP_2GRAM_TAU} OR ({dup_3}) > {REP_3GRAM_TAU}"
-        ).alias("repetition_flag"),
+    # LET-bind: tokens split once per row (t), both n-gram arrays
+    # built once (g), then every metric reads the bound arrays; a
+    # single inline() generator materializes the struct exactly once.
+    dup_2 = _dup_frac_spark("g.g2")
+    dup_3 = _dup_frac_spark("g.g3")
+    metrics = (
+        "struct("
+        "CAST(size(t) AS BIGINT) AS n_tokens, "
+        f"{_dup_frac_spark('t')} AS dup_word_frac, "
+        f"{dup_2} AS dup_2gram_frac, "
+        f"{dup_3} AS dup_3gram_frac, "
+        f"(({dup_2}) > {REP_2GRAM_TAU} OR ({dup_3}) > {REP_3GRAM_TAU})"
+        " AS repetition_flag)"
     )
+    body = bind_once_sql(
+        f"struct({_ngrams_spark_sql('t', 2)} AS g2, "
+        f"{_ngrams_spark_sql('t', 3)} AS g3)",
+        "g",
+        metrics,
+    )
+    one_struct = bind_once_sql("split(trim(text), '\\\\s+')", "t", body)
+    return d.select("doc_id", F.expr(f"inline(array({one_struct}))"))
 
 
 def _build_doc_repetition_sql() -> str:
