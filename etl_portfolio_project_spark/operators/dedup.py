@@ -168,16 +168,27 @@ def _token_hashes(text: Column) -> Column:
     )
 
 
-def _minhash_signature(text: Column) -> Column:
-    """Array of MH_K min-hash values (portable affine hashes)."""
-    hashes = _token_hashes(text)
-    sigs = [
-        F.array_min(
-            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_P))
-        )
+#: Spark-SQL token-hash array over the `text` column — the string
+#: mirror of `_token_hashes`, for LET-bound signature expressions
+#: (an unbound Column reused k times re-tokenizes + re-md5s k times
+#: per row under interpreted HOF eval — see text.bind_once_sql).
+_TOKEN_HASHES_SPARK_SQL = (
+    "transform(array_distinct(split(trim(text), '\\\\s+')), "
+    f"t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % {MH_P})"
+)
+
+
+def _minhash_signature() -> Column:
+    """Array of MH_K min-hash values (portable affine hashes); the
+    token-hash array is LET-bound so it is computed once per row, not
+    once per hash function."""
+    from .text import bind_once_sql
+
+    sigs = ", ".join(
+        f"array_min(transform(hs, h -> ({a} * h + {b}) % {MH_P}))"
         for a, b in MH_AB
-    ]
-    return F.array(*sigs)
+    )
+    return F.expr(bind_once_sql(_TOKEN_HASHES_SPARK_SQL, "hs", f"array({sigs})"))
 
 
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,7 +203,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             _distinct_words(F.col("text")).alias("words"),
-            _minhash_signature(F.col("text")).alias("sig"),
+            _minhash_signature().alias("sig"),
         )
     )
     bands = d.select(
@@ -478,30 +489,19 @@ NEARDUP_CLUSTERS_SQL = _build_neardup_clusters_sql()
 # --- SimHash --------------------------------------------------------------
 
 
-def _simhash(text: Column) -> Column:
+def _simhash() -> Column:
     """48-bit SimHash: bit b set iff the majority of token hashes have
-    bit b set. Pure expression fold — no UDF."""
-    hashes = _token_hashes(text)
-    n = F.size(hashes)
+    bit b set. Pure expression fold — no UDF; the token-hash array is
+    LET-bound so tokenize+md5 runs once per row, not once per bit."""
+    from .text import bind_once_sql
 
-    def bit_set(mask: int):
-        # NB: must be a ONE-parameter lambda — PySpark binds a second
-        # lambda parameter to the array index, so a `m=mask` default
-        # arg would silently receive the index instead of the mask.
-        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
-
-    bit_cols = []
-    for bit in range(SIMHASH_BITS):
-        ones = F.size(F.filter(hashes, bit_set(2**bit)))
-        bit_cols.append(
-            F.when(ones * 2 > n, F.lit(2**bit).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    packed = bit_cols[0]
-    for c in bit_cols[1:]:
-        packed = packed + c
-    return packed
+    terms = " + ".join(
+        f"CASE WHEN size(filter(hs, h -> (h & {2 ** bit}) != 0)) * 2 "
+        f"> size(hs) THEN CAST({2 ** bit} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+        for bit in range(SIMHASH_BITS)
+    )
+    return F.expr(bind_once_sql(_TOKEN_HASHES_SPARK_SQL, "hs", f"({terms})"))
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -510,7 +510,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("source") == DEDUP_SOURCE_BLOCK)
-        .select("doc_id", _simhash(F.col("text")).alias("simhash"))
+        .select("doc_id", _simhash().alias("simhash"))
     )
     a, b = d.alias("a"), d.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
