@@ -314,14 +314,20 @@ WINNOW_MIN_SHARED = 1  # shared minimizers to emit a candidate pair
 #: shared Spark-SQL / DuckDB building blocks (kept as ONE generated
 #: SQL string each — see CLAUDE.md: no per-element Column chaining)
 _WINNOW_TOKS_SPARK = "split(trim(lower(text)), '\\\\s+')"
+#: `toks`/`grams` are LET-bound (transform-over-one-element-array):
+#: CollapseProject would otherwise inline the upstream split/hash
+#: expression into every lambda reference and re-evaluate it per
+#: element under interpreted HOF eval (see text.bind_once_sql).
 _WINNOW_GRAMS_SPARK = (
-    f"transform(sequence(1, size(toks) - {WINNOW_K - 1}), i -> "
-    "cast(conv(substring(md5(concat_ws(' ', slice(toks, i, "
-    f"{WINNOW_K}))), 1, 15), 16, 10) as bigint) % {MH_P})"
+    "transform(array(toks), tk -> "
+    f"transform(sequence(1, size(tk) - {WINNOW_K - 1}), i -> "
+    "cast(conv(substring(md5(concat_ws(' ', slice(tk, i, "
+    f"{WINNOW_K}))), 1, 15), 16, 10) as bigint) % {MH_P}))[0]"
 )
 _WINNOW_MINS_SPARK = (
-    f"array_distinct(transform(sequence(1, size(grams) - {WINNOW_W - 1}), "
-    f"j -> array_min(slice(grams, j, {WINNOW_W}))))"
+    "transform(array(grams), gs -> "
+    f"array_distinct(transform(sequence(1, size(gs) - {WINNOW_W - 1}), "
+    f"j -> array_min(slice(gs, j, {WINNOW_W})))))[0]"
 )
 
 
