@@ -372,6 +372,13 @@ _ANALYTICS = [
     ("small_quantity_order_revenue", A.small_quantity_order_revenue,
      A.SMALL_QUANTITY_ORDER_REVENUE_SQL,
      "TPC-H Q17 shape: decorrelated scalar subquery, co-partitioned."),
+    ("funnel_conversion", A.funnel_conversion, A.FUNNEL_CONVERSION_SQL,
+     "Ordered view→click→purchase funnel: staged conditional mins, "
+     "all keyed on user_id."),
+    ("scd2_order_status_history", A.scd2_order_status_history,
+     A.SCD2_ORDER_STATUS_HISTORY_SQL,
+     "SCD Type-2 validity intervals from the order-status sequence "
+     "(lag change-detect + integer run cumsum + lead close-off)."),
 ]
 
 from .operators import tpch as T  # noqa: E402

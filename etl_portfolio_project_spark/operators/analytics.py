@@ -623,3 +623,159 @@ SELECT doc_id, source, n_tokens, lang_pred, fp FROM (
   FROM profiled
 ) WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis + SCD Type-2 history — the two classic warehouse-ETL
+# shapes the reference's batch-load domain implies but never builds
+# (its loads are truncate-overwrite only: /root/reference/main.py:212).
+# ---------------------------------------------------------------------------
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel per user: each stage's
+    timestamp must strictly follow the previous stage's.
+
+    Scale shape: three conditional min-aggregations, every agg and
+    join keyed on user_id — one partitioning reused end-to-end (the
+    exchanges are co-partitioned, AQE broadcasts the small per-stage
+    aggregates at harness size). No window over the full event log,
+    no cross-stage fan-out: state per user is O(1), so at 100 TB the
+    cost is three partial-agg shuffles of (user, ts) pairs."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .where(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    reached = (
+        F.lit(1)
+        + F.when(F.col("first_click").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0)
+    )
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            reached.cast("int").alias("reached_stage"),
+        )
+    )
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH views AS (
+  SELECT user_id, min(ts) AS first_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+clicks AS (
+  SELECT e.user_id, min(e.ts) AS first_click
+  FROM events e JOIN views v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.first_view
+  GROUP BY e.user_id
+),
+purchases AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase
+  FROM events e JOIN clicks c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+       CAST(1 + CASE WHEN c.first_click IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN p.first_purchase IS NOT NULL THEN 1 ELSE 0 END
+            AS INTEGER) AS reached_stage
+FROM views v
+LEFT JOIN clicks c USING (user_id)
+LEFT JOIN purchases p USING (user_id)
+"""
+
+
+def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history: collapse each customer's order
+    status sequence (ordered by o_orderdate, tie-broken by o_orderkey)
+    into validity intervals [valid_from, valid_to) with an is_current
+    flag — the incremental-load shape the reference's truncate-and-
+    overwrite pipeline cannot express.
+
+    Scale shape: one shuffle on o_custkey; both window passes and the
+    run-collapse groupBy reuse that partitioning (integer run-id
+    cumsum, no double window sums). At 100 TB the state per key is
+    the status run count, not the order count."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changed = F.when(
+        F.lag("o_orderstatus").over(w).isNull()
+        | (F.col("o_orderstatus") != F.lag("o_orderstatus").over(w)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = o.withColumn(
+        "run_id",
+        F.sum(changed).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    periods = runs.groupBy("o_custkey", "run_id", "o_orderstatus").agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_orders_in_period"),
+    )
+    wr = Window.partitionBy("o_custkey").orderBy("run_id")
+    return periods.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        "valid_from",
+        F.lead("valid_from").over(wr).alias("valid_to"),
+        "n_orders_in_period",
+        F.lead("valid_from").over(wr).isNull().alias("is_current"),
+    )
+
+
+SCD2_ORDER_STATUS_HISTORY_SQL = """
+WITH runs AS (
+  SELECT *, sum(changed) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS run_id
+  FROM (
+    SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+           CASE WHEN lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) IS NULL
+                  OR o_orderstatus <> lag(o_orderstatus)
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)
+                THEN 1 ELSE 0 END AS changed
+    FROM orders
+  )
+),
+periods AS (
+  SELECT o_custkey, run_id, o_orderstatus,
+         min(o_orderdate) AS valid_from,
+         count(*) AS n_orders_in_period
+  FROM runs GROUP BY o_custkey, run_id, o_orderstatus
+)
+SELECT o_custkey, o_orderstatus AS status, valid_from,
+       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id)
+         AS valid_to,
+       n_orders_in_period,
+       (lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id)
+          IS NULL) AS is_current
+FROM periods
+"""

@@ -72,6 +72,11 @@ SHUFFLE_BUDGET = {
     "salted_customer_orders": 2,  # broadcast at harness size; ≤2 if SMJ
     "region_null_audit": 1,
     "small_quantity_order_revenue": 2,  # agg + co-partitioned join-back
+    # 3 stage aggs + 2 stage joins, all hash-partitioned on user_id —
+    # AQE broadcasts the small per-stage aggregates at harness size
+    "funnel_conversion": 5,
+    # one custkey exchange; both windows + run groupBy reuse it
+    "scd2_order_status_history": 1,
     "tpch_q2_min_price_supplier": 2,  # partkey agg + join-back (co-part.)
     "tpch_q4_priority_check": 1,
     "tpch_q6_forecast_revenue": 1,
