@@ -379,6 +379,10 @@ _ANALYTICS = [
      A.SCD2_ORDER_STATUS_HISTORY_SQL,
      "SCD Type-2 validity intervals from the order-status sequence "
      "(lag change-detect + integer run cumsum + lead close-off)."),
+    ("rolling_distinct_users_24h", A.rolling_distinct_users_24h,
+     A.ROLLING_DISTINCT_USERS_24H_SQL,
+     "Sliding-window COUNT DISTINCT via pair pre-agg + bounded "
+     "24x fan-out + re-agg (Spark lacks distinct window frames)."),
 ]
 
 from .operators import tpch as T  # noqa: E402

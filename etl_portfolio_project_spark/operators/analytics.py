@@ -779,3 +779,57 @@ SELECT o_custkey, o_orderstatus AS status, valid_from,
           IS NULL) AS is_current
 FROM periods
 """
+
+
+def rolling_distinct_users_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct users + event volume per active hour.
+    Spark has no COUNT(DISTINCT) over a sliding window frame; the
+    scalable formulation is pre-aggregate → bounded fan-out → re-agg:
+    collapse events to (hour, user) pairs first (the only pass over
+    the raw log), fan each pair out to the ≤24 window-end hours it
+    serves (narrow explode), then count distinct per window end.
+
+    Scale shape: the fan-out multiplies PAIRS (already deduped, ≪ raw
+    events), not the event log, and the multiplier is the fixed
+    window/bucket ratio (24) — state never depends on event volume
+    per user. The active-hour spine is bounded (≤ 8.8k hours/year),
+    so the final semi join broadcasts at any data scale."""
+    e = load_table(spark, sf_dir, "events")
+    pairs = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    fan = pairs.select(
+        F.expr("explode(sequence(0, 23))").alias("i"), "h", "user_id", "n"
+    ).select(
+        F.expr("timestampadd(HOUR, i, h)").alias("window_end_hour"),
+        "user_id",
+        "n",
+    )
+    spine = pairs.select(F.col("h").alias("window_end_hour")).distinct()
+    return (
+        fan.join(F.broadcast(spine), "window_end_hour", "leftsemi")
+        .groupBy("window_end_hour")
+        .agg(
+            F.countDistinct("user_id").alias("n_users_24h"),
+            F.sum("n").cast("long").alias("n_events_24h"),
+        )
+    )
+
+
+ROLLING_DISTINCT_USERS_24H_SQL = """
+WITH pairs AS (
+  SELECT date_trunc('hour', ts) AS h, user_id, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+fan AS (
+  SELECT h + (i * INTERVAL 1 HOUR) AS window_end_hour, user_id, n
+  FROM pairs
+  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS i) g
+)
+SELECT window_end_hour,
+       count(DISTINCT user_id) AS n_users_24h,
+       CAST(sum(n) AS BIGINT) AS n_events_24h
+FROM fan
+WHERE window_end_hour IN (SELECT h FROM pairs)
+GROUP BY window_end_hour
+"""

@@ -75,6 +75,9 @@ SHUFFLE_BUDGET = {
     # 3 stage aggs + 2 stage joins, all hash-partitioned on user_id —
     # AQE broadcasts the small per-stage aggregates at harness size
     "funnel_conversion": 5,
+    # pair pre-agg + fan-out re-agg (countDistinct two-phase);
+    # spine side broadcast
+    "rolling_distinct_users_24h": 4,
     # one custkey exchange; both windows + run groupBy reuse it
     "scd2_order_status_history": 1,
     "tpch_q2_min_price_supplier": 2,  # partkey agg + join-back (co-part.)
