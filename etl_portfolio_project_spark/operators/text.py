@@ -107,54 +107,80 @@ def langid_sql(text: str) -> str:
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality/statistics profile + language ID +
     fingerprints — one pass, one projection (`balanced` adds a
-    spreading exchange only on under-split single-file sources)."""
+    spreading exchange only on under-split single-file sources).
+
+    The token array (`tk`) and every count derived from it (`m`) are
+    LET-bound (see bind_once_sql) so the regex split and the marker/
+    length scans run once per row — an unbound column form evaluated
+    the split ~10× per row (once per metric). The ratio/score
+    arithmetic order mirrors TEXT_PROFILE_SQL exactly."""
     d = balanced(load_table(spark, sf_dir, "documents"))
-    text = F.col("text")
-    toks = tokens_expr(text)
-    n_tokens = F.size(toks)
-    n_chars = F.length(text)
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_PATTERN), F.lit(0)))
-    n_digits = F.size(F.regexp_extract_all(text, F.lit("[0-9]"), F.lit(0)))
-    n_bpe = F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
-    sum_tok_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+
+    def mc(markers: list[str]) -> str:
+        lst = ", ".join(f"'{w}'" for w in markers)
+        return f"size(filter(tk, t -> lower(t) IN ({lst})))"
+
+    rolling = (
+        "aggregate(transform(tk, x -> "
+        f"CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) % {FP_P}), "
+        f"CAST(0 AS BIGINT), (acc, h) -> (acc * {FP_B} + h) % {FP_P})"
     )
-    stop_hits = _marker_count(toks, LANG_MARKERS[0][1])
-    # ratio arithmetic order is mirrored in TEXT_PROFILE_SQL
-    avg_token_len = sum_tok_len / n_tokens
-    stopword_ratio = stop_hits / n_tokens
-    punct_ratio = n_punct / n_chars
-    digit_ratio = n_digits / n_chars
+    counts = ", ".join(
+        f"{mc(m)} AS c{i}" for i, (_, m) in enumerate(LANG_MARKERS)
+    )
+    m_struct = (
+        "struct(size(tk) AS nt, "
+        "aggregate(tk, CAST(0 AS BIGINT), (acc, t) -> acc + length(t)) "
+        f"AS sumlen, {counts}, {rolling} AS rolling, "
+        "length(text) AS nchars, "
+        f"size(regexp_extract_all(text, '{PUNCT_PATTERN}', 0)) AS npunct, "
+        "size(regexp_extract_all(text, '[0-9]', 0)) AS ndigits, "
+        "size(regexp_extract_all(text, "
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)) AS nbpe)"
+    )
+    avg = "(m.sumlen / m.nt)"
+    stopr = "(m.c0 / m.nt)"
+    punctr = "(m.npunct / m.nchars)"
+    digitr = "(m.ndigits / m.nchars)"
     quality = (
-        F.when((n_tokens >= 10) & (n_tokens <= 1000), F.lit(0.4)).otherwise(
-            F.lit(0.0)
-        )
-        + F.when((avg_token_len >= 2.0) & (avg_token_len <= 12.0), F.lit(0.3))
-        .otherwise(F.lit(0.0))
-        + F.when(stopword_ratio >= 0.05, F.lit(0.2)).otherwise(F.lit(0.0))
-        + F.when(digit_ratio <= 0.2, F.lit(0.1)).otherwise(F.lit(0.0))
+        "(CASE WHEN m.nt >= 10 AND m.nt <= 1000 THEN CAST(0.4 AS DOUBLE) "
+        "ELSE CAST(0.0 AS DOUBLE) END "
+        f"+ CASE WHEN {avg} >= CAST(2.0 AS DOUBLE) "
+        f"AND {avg} <= CAST(12.0 AS DOUBLE) THEN CAST(0.3 AS DOUBLE) "
+        "ELSE CAST(0.0 AS DOUBLE) END) "
+        f"+ CASE WHEN {stopr} >= CAST(0.05 AS DOUBLE) "
+        "THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END "
+        f"+ CASE WHEN {digitr} <= CAST(0.2 AS DOUBLE) "
+        "THEN CAST(0.1 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
     )
-    canonical = F.lower(F.regexp_replace(text, r"\s+", " "))
-    rolling = F.aggregate(
-        F.transform(toks, lambda t: portable_hash60(t) % FP_P),
-        F.lit(0).cast("long"),
-        lambda acc, h: (acc * F.lit(FP_B) + h) % F.lit(FP_P),
+    langs = [lang for lang, _ in LANG_MARKERS]
+    lang_case = (
+        "CASE WHEN m.c0 + m.c1 + m.c2 + m.c3 = 0 THEN 'und' "
+        "WHEN m.c0 >= m.c1 AND m.c0 >= m.c2 AND m.c0 >= m.c3 "
+        f"THEN '{langs[0]}' "
+        f"WHEN m.c1 >= m.c2 AND m.c1 >= m.c3 THEN '{langs[1]}' "
+        f"WHEN m.c2 >= m.c3 THEN '{langs[2]}' ELSE '{langs[3]}' END"
     )
-    return d.select(
-        "doc_id",
-        "source",
-        n_chars.cast("long").alias("n_chars_calc"),
-        n_tokens.cast("long").alias("n_tokens"),
-        n_bpe.cast("long").alias("n_bpe_tokens"),
-        avg_token_len.alias("avg_token_len"),
-        stopword_ratio.alias("stopword_ratio"),
-        punct_ratio.alias("punct_ratio"),
-        digit_ratio.alias("digit_ratio"),
-        quality.alias("quality_score"),
-        langid_expr(text).alias("lang_pred"),
-        F.md5(canonical).alias("fingerprint_md5"),
-        rolling.alias("fingerprint_rolling"),
+    final_struct = (
+        "struct("
+        "CAST(m.nchars AS BIGINT) AS n_chars_calc, "
+        "CAST(m.nt AS BIGINT) AS n_tokens, "
+        "CAST(m.nbpe AS BIGINT) AS n_bpe_tokens, "
+        f"{avg} AS avg_token_len, "
+        f"{stopr} AS stopword_ratio, "
+        f"{punctr} AS punct_ratio, "
+        f"{digitr} AS digit_ratio, "
+        f"({quality}) AS quality_score, "
+        f"({lang_case}) AS lang_pred, "
+        "md5(lower(regexp_replace(text, '\\\\s+', ' '))) AS fingerprint_md5, "
+        "m.rolling AS fingerprint_rolling)"
     )
+    one = bind_once_sql(
+        "split(trim(text), '\\\\s+')",
+        "tk",
+        bind_once_sql(m_struct, "m", final_struct),
+    )
+    return d.select("doc_id", "source", F.expr(f"inline(array({one}))"))
 
 
 def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
