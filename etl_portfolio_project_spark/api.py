@@ -493,6 +493,14 @@ _STREAMING_MM += [
      "applyInArrow grouped exact median (Arrow kernels, no pandas)."),
 ]
 
+if ST.tws_available():
+    _STREAMING_MM.append(
+        ("stream_user_extrema_tws", ST.stream_user_extrema_tws,
+         ST.STREAM_USER_EXTREMA_TWS_SQL,
+         "Typed-state streaming op via transformWithStateInPandas "
+         "(Spark 4 StatefulProcessor; needs google.protobuf).")
+    )
+
 for _name, _fn, _sql, _doc in _STREAMING_MM:
     register(_name, _sql, _doc)(_fn)
 

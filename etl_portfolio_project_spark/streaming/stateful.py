@@ -112,3 +112,117 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — Spark 4's arbitrary-stateful API
+# (SPARK-46815): typed state handles (ValueState here; List/Map state
+# and timers available), the successor to applyInPandasWithState.
+# Same monoid-state discipline as above so the bounded parity run is
+# oracle-checkable.
+#
+# IMPORT-GATED: the operator's driver-side state server needs
+# `google.protobuf`, which this container lacks (no pip allowed), so
+# api.py registers the query only when `tws_available()` — the code
+# itself is complete and runs wherever protobuf is installed.
+# ---------------------------------------------------------------------------
+
+
+def tws_available() -> bool:
+    """True iff transformWithStateInPandas can run here (its state
+    server imports google.protobuf at query start)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+_TWS_OUT_SCHEMA = (
+    "user_id long, n_events long, min_value double, max_value double"
+)
+
+
+def _make_extrema_processor():
+    """Build the StatefulProcessor as a self-contained closure (inner
+    imports, shipped by value — same worker-pickling constraint as
+    `_make_update_fn`)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserExtremaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "extrema", "n long, mn double, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            n, mn, mx = (
+                self._state.get() if self._state.exists() else (0, None, None)
+            )
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                n += int(len(pdf))
+                lo = float(pdf["value"].min())
+                hi = float(pdf["value"].max())
+                mn = lo if mn is None else min(mn, lo)
+                mx = hi if mx is None else max(mx, hi)
+            self._state.update((n, mn, mx))
+            yield _pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n_events": n,
+                        "min_value": mn,
+                        "max_value": mx,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserExtremaProcessor()
+
+
+def stream_user_extrema_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user count + value extrema via transformWithStateInPandas,
+    run to completion on the bounded harness input. Update-mode
+    emissions are superseded by later ones per key; the monotone
+    n_events picks the final state.
+
+    Scale notes: state is partitioned by user_id in the state store
+    (RocksDB-backed on a real cluster — required for this operator's
+    store provider); per-key state is 1 row of 3 scalars regardless
+    of event volume, and emissions are one row per touched key per
+    micro-batch."""
+    e = read_events_stream(spark, sf_dir).select("user_id", "value")
+    res = e.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_extrema_processor(),
+        outputStructType=_TWS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    _run_to_table(res, "stream_user_extrema_tws", "update")
+    emitted = spark.table("stream_user_extrema_tws")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "min_value", "max_value")
+    )
+
+
+STREAM_USER_EXTREMA_TWS_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY user_id
+"""
