@@ -268,6 +268,10 @@ _RELATIONAL = [
     ("salted_customer_orders", R.salted_customer_orders,
      R.SALTED_CUSTOMER_ORDERS_SQL,
      "Skew-salted join; oracle is the plain join (value contract)."),
+    ("bloom_pruned_customer_orders", R.bloom_pruned_customer_orders,
+     R.BLOOM_PRUNED_CUSTOMER_ORDERS_SQL,
+     "Runtime-filter join: broadcast membership prefilter on the "
+     "fact side; oracle is the plain join (transparency contract)."),
     ("region_null_audit", R.region_null_audit, R.REGION_NULL_AUDIT_SQL,
      "SQL NULL semantics: null groups, count(col), nullif, <=>."),
 ]

@@ -508,6 +508,35 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+def bloom_pruned_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The runtime-filter join lever surfaced as a query: orders ⋈
+    (customers of one nation, ~4% selectivity) through
+    `skew.bloom_prefilter_join` — the fact side is pruned by a
+    broadcast membership set BEFORE the join, the join removes the
+    false positives, and the oracle is the PLAIN join (the prefilter's
+    transparency contract). At 100 TB this is the difference between
+    shuffling the full fact table and shuffling the ~4% that can
+    join."""
+    from .skew import bloom_prefilter_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") == 3)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    return bloom_prefilter_join(
+        orders, dim, fact_key="o_custkey", dim_key="c_custkey"
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "c_name")
+
+
+BLOOM_PRUNED_CUSTOMER_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_nationkey = 3
+"""
+
+
 def region_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL-semantics suite over the nullable `region` column:
     grouping keeps the NULL group, count(*) vs count(col) differ by

@@ -68,3 +68,44 @@ def write_bucketed(
         .option("path", path)
         .saveAsTable(table)
     )
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    buckets: int = 4096,
+) -> DataFrame:
+    """Inner equi-join with a broadcast membership PREFILTER on the
+    fact side — the runtime-filter / semi-join-reduction pattern that
+    matters at 100 TB: drop fact rows that cannot join BEFORE any
+    exchange or expensive downstream work, then let the real join
+    remove the false positives, so the result is column-identical to
+    the plain join (the differential contract, like `salted_join`).
+
+    The filter is a deterministic bucket set (md5-derived hash mod
+    `buckets`, collected sorted from the dim side) rather than real
+    bloom bits, so the whole pipeline stays engine-portable and
+    oracle-checkable; FP rate ≈ n_dim/buckets. Spark's native
+    equivalent (injected `bloom_filter_agg`/`might_contain`) is
+    pinned by plan test — this operator is the explicit, portable
+    form usable where the optimizer can't see the opportunity (e.g.
+    pre-aggregated or UDF-obscured keys).
+    """
+
+    def bucket(col: Column) -> Column:
+        h = F.conv(
+            F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        return F.pmod(h, F.lit(buckets))
+
+    bucket_set = dim.select(
+        F.array_sort(F.collect_set(bucket(F.col(dim_key)))).alias("__bset")
+    )
+    pre = (
+        fact.join(F.broadcast(bucket_set))
+        .where(F.array_contains(F.col("__bset"), bucket(F.col(fact_key))))
+        .drop("__bset")
+    )
+    return pre.join(F.broadcast(dim), pre[fact_key] == dim[dim_key])

@@ -70,6 +70,8 @@ SHUFFLE_BUDGET = {
     "customer_value_tiles": 2,
     "props_map_explode": 1,
     "salted_customer_orders": 2,  # broadcast at harness size; ≤2 if SMJ
+    # 1 = the bucket-set collect agg; fact side stays narrow
+    "bloom_pruned_customer_orders": 1,
     "region_null_audit": 1,
     "small_quantity_order_revenue": 2,  # agg + co-partitioned join-back
     # 3 stage aggs + 2 stage joins, all hash-partitioned on user_id —
@@ -181,3 +183,38 @@ def test_hot_paths_stay_in_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
         f"Python workers on the hot path:\n{plan}"
     )
+
+def test_runtime_bloom_filter_injects(spark):
+    """Spark's native runtime-filter path: with the size thresholds
+    met, the optimizer injects bloom_filter_agg on the creation side
+    and might_contain on the fact scan of a shuffle join — the
+    automatic form of operators/skew.bloom_prefilter_join. Thresholds
+    are forced low because harness tables are tiny; at 100 TB the
+    defaults (10 GB application side) trigger on their own."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        plan = j._jdf.queryExecution().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
