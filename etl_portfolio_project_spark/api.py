@@ -387,6 +387,10 @@ _ANALYTICS = [
      A.ROLLING_DISTINCT_USERS_24H_SQL,
      "Sliding-window COUNT DISTINCT via pair pre-agg + bounded "
      "24x fan-out + re-agg (Spark lacks distinct window frames)."),
+    ("zorder_events_tiles", A.zorder_events_tiles,
+     A.ZORDER_EVENTS_TILES_SQL,
+     "Z-order layout audit: Morton-interleaved (user, hour) key, "
+     "per-tile bounding boxes = the data-skipping statistics."),
 ]
 
 from .operators import tpch as T  # noqa: E402

@@ -833,3 +833,71 @@ FROM fan
 WHERE window_end_hour IN (SELECT h FROM pairs)
 GROUP BY window_end_hour
 """
+
+
+def zorder_events_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit over events: interleave the
+    (user bucket, hour bucket) dimensions into one sort key and report
+    per-tile bounding boxes.
+
+    Why this is a first-class 100 TB operator: writing the fact table
+    sorted by this key makes every parquet row group a small rectangle
+    in (user, time) space — the min/max column statistics then let
+    scans skip files for predicates on EITHER dimension, where a
+    single-column sort only serves one. The per-tile u/h spans this
+    query returns are exactly the row-group statistics a writer would
+    get; bounded spans per tile = the skipping guarantee. Pure integer
+    bit arithmetic (no floats), mirrored operator-for-operator in the
+    oracle."""
+    from .skew import (
+        Z_ANCHOR_US,
+        Z_HOUR_US,
+        Z_TILE_SHIFT,
+        zorder_key_spark_sql,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    ux = "(user_id % 1024)"
+    hx = f"(((unix_micros(ts) - {Z_ANCHOR_US}) div {Z_HOUR_US}) % 1024)"
+    z = zorder_key_spark_sql(ux, hx)
+    return (
+        e.select(
+            F.expr(f"shiftright({z}, {Z_TILE_SHIFT})").alias("tile"),
+            F.expr(f"CAST({ux} AS BIGINT)").alias("ub"),
+            F.expr(f"CAST({hx} AS BIGINT)").alias("hb"),
+        )
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ub").alias("u_min"),
+            F.max("ub").alias("u_max"),
+            F.min("hb").alias("h_min"),
+            F.max("hb").alias("h_max"),
+        )
+    )
+
+
+def _build_zorder_sql() -> str:
+    from .skew import (
+        Z_ANCHOR_US,
+        Z_HOUR_US,
+        Z_TILE_SHIFT,
+        zorder_key_duck_sql,
+    )
+
+    ux = "(user_id % 1024)"
+    hx = f"(((epoch_us(ts) - {Z_ANCHOR_US}) // {Z_HOUR_US}) % 1024)"
+    z = zorder_key_duck_sql(ux, hx)
+    return f"""
+    SELECT ({z} >> {Z_TILE_SHIFT}) AS tile,
+           count(*) AS n_events,
+           min(CAST({ux} AS BIGINT)) AS u_min,
+           max(CAST({ux} AS BIGINT)) AS u_max,
+           min(CAST({hx} AS BIGINT)) AS h_min,
+           max(CAST({hx} AS BIGINT)) AS h_max
+    FROM events
+    GROUP BY 1
+    """
+
+
+ZORDER_EVENTS_TILES_SQL = _build_zorder_sql()

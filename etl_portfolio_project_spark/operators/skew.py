@@ -109,3 +109,33 @@ def bloom_prefilter_join(
         .drop("__bset")
     )
     return pre.join(F.broadcast(dim), pre[fact_key] == dim[dim_key])
+
+
+#: Z-order parameters: 10 bits per dimension, 20-bit Morton key,
+#: 256 z-cells per reporting tile. Anchor = 2024-01-01 00:00:00 UTC.
+Z_BITS = 10
+Z_TILE_SHIFT = 8
+Z_ANCHOR_US = 1_704_067_200_000_000
+Z_HOUR_US = 3_600_000_000
+
+
+def zorder_key_spark_sql(ux: str, hx: str) -> str:
+    """Spark-SQL Morton interleave of two Z_BITS-bit ints — one
+    generated codegen expression (CLAUDE.md: never chain Column ops
+    in a loop)."""
+    terms = [
+        f"(shiftleft(shiftright({ux}, {i}) & 1, {2 * i}) + "
+        f"shiftleft(shiftright({hx}, {i}) & 1, {2 * i + 1}))"
+        for i in range(Z_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_key_duck_sql(ux: str, hx: str) -> str:
+    """DuckDB mirror (operator syntax instead of shift functions)."""
+    terms = [
+        f"(((({ux} >> {i}) & 1) << {2 * i}) + "
+        f"((({hx} >> {i}) & 1) << {2 * i + 1}))"
+        for i in range(Z_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"

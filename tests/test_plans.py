@@ -80,6 +80,7 @@ SHUFFLE_BUDGET = {
     # pair pre-agg + fan-out re-agg (countDistinct two-phase);
     # spine side broadcast
     "rolling_distinct_users_24h": 4,
+    "zorder_events_tiles": 1,  # narrow bit-interleave + one group agg
     # one custkey exchange; both windows + run groupBy reuse it
     "scd2_order_status_history": 1,
     "tpch_q2_min_price_supplier": 2,  # partkey agg + join-back (co-part.)
