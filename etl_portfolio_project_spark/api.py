@@ -329,6 +329,10 @@ _EXTENSIONS = [
     ("embedding_neardup_pairs", S.embedding_neardup_pairs,
      S.EMBEDDING_NEARDUP_PAIRS_SQL,
      "Cosine-threshold near-dup pairs, label-blocked."),
+    ("label_centroid_components", S.label_centroid_components,
+     S.LABEL_CENTROID_COMPONENTS_SQL,
+     "Per-label embedding centroids (mean pooling / K-means update), "
+     "deterministic ordered float fold per (label, dim)."),
 ]
 
 for _name, _fn, _sql, _doc in _EXTENSIONS:

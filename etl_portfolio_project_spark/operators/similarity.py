@@ -482,3 +482,67 @@ SELECT query_id, vec_id, cosine, rank FROM (
   FROM scored
 ) WHERE rank <= {TOP_K}
 """
+
+
+def label_centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors, one row per
+    (label, dimension) — the mean-pooling / K-means-update building
+    block, computed DETERMINISTICALLY: float addition is not
+    associative and Spark's partial aggregation order is not stable,
+    so each (label, dim) group folds its components in vec_id order
+    (collect → sort → left fold), bit-identical to the oracle's
+    ORDER BY fold.
+
+    Scale note: the ordered fold holds per-group state ∝ group size —
+    the price of bit-exactness. Production centroid jobs at 100 TB
+    relax to plain sum(value) (order-free, last-ulp nondeterminism)
+    or sum via DECIMAL when inputs are fixed-point; this operator is
+    the exactness-first variant, and the grouping/fan-out shape
+    (posexplode → (label, dim)-keyed agg) is identical either way."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pe = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(_dvec("embedding")).alias("dim", "v"),
+    )
+    ordered_sum = F.expr(
+        "aggregate(transform(array_sort(collect_list(struct(vec_id, v))), "
+        "s -> s.v), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    return (
+        pe.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            ordered_sum.alias("component_sum"),
+        )
+        .select(
+            "label",
+            F.col("dim").cast("int").alias("dim"),
+            "n_vectors",
+            "component_sum",
+            (F.col("component_sum") / F.col("n_vectors")).alias(
+                "mean_component"
+            ),
+        )
+    )
+
+
+LABEL_CENTROID_COMPONENTS_SQL = """
+WITH pe AS (
+  SELECT vec_id, label,
+         CAST(g.i - 1 AS INTEGER) AS dim,
+         CAST(embedding[g.i] AS DOUBLE) AS v
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+)
+SELECT label, dim,
+       count(*) AS n_vectors,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list(v ORDER BY vec_id)),
+                   (a, b) -> a + b) AS component_sum,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list(v ORDER BY vec_id)),
+                   (a, b) -> a + b) / count(*) AS mean_component
+FROM pe
+GROUP BY label, dim
+"""
