@@ -589,16 +589,43 @@ def corpus_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the expensive profiled projection (regex tokenization + langid)
     is evaluated once, and the whole pipeline has exactly one shuffle
     (hash partition by fp); fp groups are tiny so no skew risk."""
+    from .text import LANG_MARKERS, bind_once_sql
+
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens_expr(F.col("text"))
-    n_tokens = F.size(toks)
+    # LET-bind the token array: the filter + langid marker counts
+    # would otherwise re-inline the regex split ~8× per row (see
+    # text.bind_once_sql). The inline() generator materializes the
+    # struct, so the post-Generate filter reads columns, not exprs.
+    counts = ", ".join(
+        "size(filter(tk, t -> lower(t) IN ({}))) AS c{}".format(
+            ", ".join(f"'{w}'" for w in m), i
+        )
+        for i, (_, m) in enumerate(LANG_MARKERS)
+    )
+    langs = [lang for lang, _ in LANG_MARKERS]
+    lang_case = (
+        "CASE WHEN m.c0 + m.c1 + m.c2 + m.c3 = 0 THEN 'und' "
+        "WHEN m.c0 >= m.c1 AND m.c0 >= m.c2 AND m.c0 >= m.c3 "
+        f"THEN '{langs[0]}' "
+        f"WHEN m.c1 >= m.c2 AND m.c1 >= m.c3 THEN '{langs[1]}' "
+        f"WHEN m.c2 >= m.c3 THEN '{langs[2]}' ELSE '{langs[3]}' END"
+    )
+    one = bind_once_sql(
+        "split(trim(text), '\\\\s+')",
+        "tk",
+        bind_once_sql(
+            f"struct(size(tk) AS nt, {counts})",
+            "m",
+            "struct(CAST(m.nt AS BIGINT) AS n_tokens, "
+            f"({lang_case}) AS lang_pred)",
+        ),
+    )
     profiled = d.select(
         "doc_id",
         "source",
-        n_tokens.cast("long").alias("n_tokens"),
-        langid_expr(F.col("text")).alias("lang_pred"),
+        F.expr(f"inline(array({one}))"),
         F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))).alias("fp"),
-    ).where((n_tokens >= 20) & (n_tokens <= 500))
+    ).where((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 500))
     w = Window.partitionBy("fp").orderBy("doc_id")
     return (
         profiled.withColumn("rn", F.row_number().over(w))
