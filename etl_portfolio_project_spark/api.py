@@ -296,6 +296,14 @@ _EXTENSIONS = [
      "Per-doc quality stats, language ID, md5 + rolling fingerprints."),
     ("top_words", X.top_words, X.TOP_WORDS_SQL,
      "Distributed word count: explode tokens + partial-agg + top-20."),
+    ("sequence_packing_bins", X.sequence_packing_bins,
+     X.SEQUENCE_PACKING_BINS_SQL,
+     "Pretraining sequence packing: per-shard integer running sum "
+     "assigns each doc its 2048-token bin + offset."),
+    ("bigram_conditional_topk", X.bigram_conditional_topk,
+     X.BIGRAM_CONDITIONAL_TOPK_SQL,
+     "Bigram LM counts: top-20 bigrams with exact integer-ratio "
+     "P(w2|w1)."),
     ("doc_repetition_profile", X.doc_repetition_profile,
      X.DOC_REPETITION_PROFILE_SQL,
      "Gopher-style repetition quality: duplicate word/2-gram/3-gram "

@@ -25,7 +25,7 @@ Cross-engine portability decisions:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import balanced, load_table
@@ -398,3 +398,130 @@ def _build_doc_repetition_sql() -> str:
 
 
 DOC_REPETITION_PROFILE_SQL = _build_doc_repetition_sql()
+
+
+# ---------------------------------------------------------------------------
+# Pretraining-corpus mechanics: sequence packing + bigram LM counts.
+# ---------------------------------------------------------------------------
+
+PACK_BIN_TOKENS = 2048  # target tokens per packed training sequence
+
+
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy concat-packing assignment: within each `source` shard,
+    documents (in doc_id order) are concatenated into fixed
+    PACK_BIN_TOKENS-token training sequences; each doc gets the bin it
+    STARTS in and its offset there — the bookkeeping a packed-
+    pretraining dataloader needs.
+
+    Scale shape: one shuffle on the shard key, one integer running sum
+    (ROWS frame — the engine's no-double-window-sums rule). Packing is
+    embarrassingly parallel across shards; a 100 TB corpus packs one
+    shard per task with O(1) state."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    nt = "size(split(trim(text), '\\\\s+'))"
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = d.select(
+        "doc_id", "source", F.expr(f"CAST({nt} AS BIGINT)").alias("n_tokens")
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        cum_before.alias("tokens_before"),
+        (cum_before / PACK_BIN_TOKENS).cast("long").alias("bin_id"),
+        (cum_before % PACK_BIN_TOKENS).alias("offset_in_bin"),
+    )
+
+
+SEQUENCE_PACKING_BINS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING),
+                0) AS tokens_before,
+       COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING),
+                0) // {PACK_BIN_TOKENS} AS bin_id,
+       COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING),
+                0) % {PACK_BIN_TOKENS} AS offset_in_bin
+FROM base
+"""
+
+
+def bigram_conditional_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics: the 20 most frequent bigrams with
+    their conditional probability P(w2 | w1) = n(w1,w2) / n(w1·) —
+    integer-ratio exact. The n-gram counting shape behind LM data
+    statistics and vocab induction.
+
+    Scale shape: LET-bound bigram explode (narrow) → one partial-agg
+    shuffle on the bigram key → a w1-keyed window for the denominator
+    → TakeOrdered top-20. Word skew is absorbed by map-side combine
+    on the (w1, w2) composite key."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    g2 = bind_once_sql(
+        "split(trim(lower(text)), '\\\\s+')",
+        "t",
+        _ngrams_spark_sql("t", 2),
+    )
+    pairs = (
+        d.select(F.explode(F.expr(g2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_bigram"))
+    )
+    w1 = F.substring_index(F.col("bigram"), " ", 1)
+    wtot = Window.partitionBy("w1")
+    return (
+        pairs.withColumn("w1", w1)
+        .withColumn("n_w1_starts", F.sum("n_bigram").over(wtot))
+        .select(
+            "bigram",
+            "w1",
+            "n_bigram",
+            "n_w1_starts",
+            (F.col("n_bigram") / F.col("n_w1_starts")).alias("p_cond"),
+        )
+        .orderBy(F.col("n_bigram").desc(), "bigram")
+        .limit(20)
+    )
+
+
+BIGRAM_CONDITIONAL_TOPK_SQL = """
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> array_to_string(t[i:i+1], ' '))) AS bigram
+  FROM toks
+),
+counted AS (
+  SELECT bigram, count(*) AS n_bigram FROM pairs GROUP BY bigram
+)
+SELECT bigram,
+       split_part(bigram, ' ', 1) AS w1,
+       n_bigram,
+       sum(n_bigram) OVER (PARTITION BY split_part(bigram, ' ', 1))
+         AS n_w1_starts,
+       n_bigram / (sum(n_bigram) OVER (PARTITION BY split_part(bigram, ' ', 1)))
+         AS p_cond
+FROM counted
+ORDER BY n_bigram DESC, bigram
+LIMIT 20
+"""

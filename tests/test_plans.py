@@ -59,6 +59,10 @@ SHUFFLE_BUDGET = {
     "promo_revenue_share": 1,
     "unpivot_part_metrics": 0,
     "top_words": 1,
+    # balanced spread + source-keyed window cumsum
+    "sequence_packing_bins": 2,
+    # balanced spread + bigram agg + w1-keyed window
+    "bigram_conditional_topk": 3,
     # 2 for the sketch (register agg + sketch agg) + 2 for the exact
     # distinct-count companion column (harness verification only)
     "hll_distinct_users": 4,
