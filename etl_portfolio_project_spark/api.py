@@ -399,6 +399,10 @@ _ANALYTICS = [
      A.ROLLING_DISTINCT_USERS_24H_SQL,
      "Sliding-window COUNT DISTINCT via pair pre-agg + bounded "
      "24x fan-out + re-agg (Spark lacks distinct window frames)."),
+    ("events_value_outliers", A.events_value_outliers,
+     A.EVENTS_VALUE_OUTLIERS_SQL,
+     "Z-score outliers: decimal-exact per-type moments broadcast back "
+     "onto the narrow event scan."),
     ("zorder_events_tiles", A.zorder_events_tiles,
      A.ZORDER_EVENTS_TILES_SQL,
      "Z-order layout audit: Morton-interleaved (user, hour) key, "

@@ -928,3 +928,59 @@ def _build_zorder_sql() -> str:
 
 
 ZORDER_EVENTS_TILES_SQL = _build_zorder_sql()
+
+
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection, engine-exact: per event_type moments
+    via DECIMAL sums (order-independent, bit-exact), then |v − μ| >
+    2σ. sqrt is IEEE-correctly-rounded in both engines, so even σ is
+    bit-identical; the 2-dp inputs make the squared terms 4-dp —
+    lossless in DECIMAL(18,4) (relational.dec_disc_price's scale
+    analysis).
+
+    Scale shape: one grouped moment pass (map-side combinable), tiny
+    stats dim broadcast back onto the narrow event scan — the
+    standard two-pass outlier filter; no window, no sort."""
+    from .relational import DEC, dec, dsum
+
+    e = load_table(spark, sf_dir, "events")
+    sq = (dec("value") * dec("value")).cast(DEC)
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("sum_v"),
+        F.sum(sq).cast("double").alias("sum_sq"),
+    )
+    j = e.join(F.broadcast(stats), "event_type")
+    mean = F.col("sum_v") / F.col("n")
+    var = (F.col("sum_sq") / F.col("n")) - mean * mean
+    std = F.sqrt(var)
+    return (
+        j.withColumn("mean_value", mean)
+        .withColumn("std_value", std)
+        .where(F.abs(F.col("value") - F.col("mean_value"))
+               > F.lit(2.0) * F.col("std_value"))
+        .select(
+            "event_id", "event_type", "value", "mean_value", "std_value"
+        )
+    )
+
+
+EVENTS_VALUE_OUTLIERS_SQL = """
+WITH stats AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,4))
+                       * CAST(value AS DECIMAL(18,4))
+                       AS DECIMAL(18,4))) AS DOUBLE) AS sum_sq
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       (s.sum_v / s.n) AS mean_value,
+       sqrt((s.sum_sq / s.n) - (s.sum_v / s.n) * (s.sum_v / s.n))
+         AS std_value
+FROM events e JOIN stats s USING (event_type)
+WHERE abs(e.value - (s.sum_v / s.n))
+      > CAST(2.0 AS DOUBLE)
+        * sqrt((s.sum_sq / s.n) - (s.sum_v / s.n) * (s.sum_v / s.n))
+"""

@@ -85,6 +85,7 @@ SHUFFLE_BUDGET = {
     # spine side broadcast
     "rolling_distinct_users_24h": 4,
     "zorder_events_tiles": 1,  # narrow bit-interleave + one group agg
+    "events_value_outliers": 1,  # moment agg; stats broadcast back
     "label_centroid_components": 1,  # one (label, dim)-keyed agg
     # one custkey exchange; both windows + run groupBy reuse it
     "scd2_order_status_history": 1,
