@@ -500,6 +500,10 @@ _STREAMING_MM = [
      E.STREAM_CLICK_PURCHASE_LEFT_JOIN_SQL,
      "Stream-stream LEFT OUTER interval join; watermark-delayed NULL "
      "emission flushed via sentinel micro-batches."),
+    ("stream_latest_user_event", E.stream_latest_user_event,
+     E.STREAM_LATEST_USER_EVENT_SQL,
+     "Streaming SCD1 upsert: foreachBatch argmax-merge into a "
+     "latest-state relation (batch-split-invariant)."),
     ("stream_enriched_by_segment", E.stream_enriched_by_segment,
      E.STREAM_ENRICHED_BY_SEGMENT_SQL,
      "Stream-static broadcast enrichment + windowed aggregation."),

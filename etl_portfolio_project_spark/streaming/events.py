@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -531,3 +531,85 @@ def stream_to_parquet_sink(
     finally:
         q.stop()
     return out
+
+
+def stream_latest_user_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD1 upsert: foreachBatch merges each micro-batch
+    into a latest-event-per-user state relation — the MERGE INTO /
+    upsert pattern the truncate-overwrite reference pipeline lacks
+    (at scale the merge target is a Delta/Iceberg MERGE; here it is a
+    re-materialized view, same per-batch logic).
+
+    Deterministic by construction: "latest" is the argmax over the
+    TOTAL order (ts, event_id), so the final state is invariant to
+    how the stream is split into micro-batches (proven with pre-split
+    inputs in tests, like stream_user_stats)."""
+    e = read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    return run_latest_user_event_merge(spark, e)
+
+
+def run_latest_user_event_merge(
+    spark: SparkSession, e: DataFrame
+) -> DataFrame:
+    """foreachBatch upsert harness over an events stream `e` (split
+    out so tests can feed a pre-split multi-micro-batch source)."""
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    # Driver-side merge target for the bounded parity run: one row per
+    # user (the SCD1 dimension), upserted per epoch. The per-batch
+    # argmax runs distributed; only the already-reduced per-user rows
+    # reach the driver. On a real cluster the target is a Delta/
+    # Iceberg table and this function body is a MERGE INTO — note
+    # foreachBatch hands a batch-scoped session, so temp views made
+    # here are invisible to the outer session anyway.
+    state: dict[int, tuple] = {}
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        for r in latest(batch_df).collect():
+            key = (r["ts"], r["event_id"])
+            cur = state.get(r["user_id"])
+            if cur is None or key > (cur["ts"], cur["event_id"]):
+                state[r["user_id"]] = r
+
+    q = e.writeStream.foreachBatch(merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = spark.createDataFrame(
+        list(state.values()),
+        "user_id long, ts timestamp, event_id long, "
+        "event_type string, value double",
+    )
+    return final.select(
+        "user_id",
+        F.unix_micros("ts").alias("last_ts_us"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+STREAM_LATEST_USER_EVENT_SQL = """
+SELECT user_id,
+       epoch_us(ts) AS last_ts_us,
+       event_id AS last_event_id,
+       event_type AS last_event_type,
+       value AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""

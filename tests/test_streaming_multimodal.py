@@ -199,3 +199,40 @@ def test_stream_user_extrema_tws_matches_batch(spark):
         )
     )
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_scd1_upsert_across_multiple_microbatches(spark, tmp_path):
+    """stream_latest_user_event claims batch-split invariance (argmax
+    over a total order). Prove it: 3 files, 1 per micro-batch → the
+    merged latest-state must equal the batch argmax."""
+    from pyspark.sql import Window
+
+    from etl_portfolio_project_spark.sources.registry import load_table
+    from etl_portfolio_project_spark.streaming import events as E
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    split_dir = str(tmp_path / "events_split_scd1")
+    src.repartition(3).write.mode("overwrite").parquet(split_dir)
+
+    e = E.read_events_stream(
+        spark, split_dir, glob="part-*.parquet", max_files_per_trigger=1
+    ).select("user_id", "ts", "event_id", "event_type", "value")
+    got = E.run_latest_user_event_merge(spark, e)
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    exp = (
+        load_table(spark, SF_SMALL, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("last_ts_us"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
