@@ -360,6 +360,12 @@ _ANALYTICS = [
      "TPC-H Q5 shape: 5-way star join, dims broadcast."),
     ("monthly_revenue", A.monthly_revenue, A.MONTHLY_REVENUE_SQL,
      "Calendar rollup via date_trunc."),
+    ("monthly_revenue_growth", A.monthly_revenue_growth,
+     A.MONTHLY_REVENUE_GROWTH_SQL,
+     "MoM growth: lag window over the aggregated month series."),
+    ("keyword_search_topk", A.keyword_search_topk,
+     A.KEYWORD_SEARCH_TOPK_SQL,
+     "Inverted-index keyword search: integer tf scoring, top-20."),
     ("order_gaps_lag_lead", A.order_gaps_lag_lead, A.ORDER_GAPS_LAG_LEAD_SQL,
      "Analytic lag/lead/row_number over per-customer order sequence."),
     ("cube_order_stats", A.cube_order_stats, A.CUBE_ORDER_STATS_SQL,

@@ -984,3 +984,88 @@ WHERE abs(e.value - (s.sum_v / s.n))
       > CAST(2.0 AS DOUBLE)
         * sqrt((s.sum_sq / s.n) - (s.sum_v / s.n) * (s.sum_v / s.n))
 """
+
+
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth: the calendar rollup composed with a
+    lag window over the (tiny) aggregated series. The growth ratio is
+    one double subtraction + division over two decimal-exact sums,
+    identically ordered in the oracle.
+
+    Scale shape: the window runs over |months| rows (already
+    aggregated), so the single-partition window is trivially safe —
+    the global-window scale concern only applies pre-aggregation."""
+    base = monthly_revenue(spark, sf_dir)
+    w = Window.orderBy("month_start")
+    prev = F.lag("revenue").over(w)
+    return base.select(
+        "month_start",
+        "revenue",
+        "n_orders",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("mom_growth"),
+    )
+
+
+MONTHLY_REVENUE_GROWTH_SQL = f"""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month_start,
+         {dsum_sql('o_totalprice')} AS revenue,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT month_start, revenue, n_orders,
+       lag(revenue) OVER (ORDER BY month_start) AS prev_revenue,
+       (revenue - lag(revenue) OVER (ORDER BY month_start))
+         / lag(revenue) OVER (ORDER BY month_start) AS mom_growth
+FROM m
+"""
+
+
+#: keyword query set for the search operator (deterministic constant)
+SEARCH_TERMS = ["spark", "stream", "query", "fast"]
+SEARCH_TOP_K = 20
+
+
+def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index keyword search: score = total term frequency of
+    the query terms per document, top-20 docs (ties → doc_id). The
+    IR retrieval shape: explode tokens → filter to the (broadcast,
+    here literal) term set → per-doc integer score → TakeOrdered.
+
+    Scale shape: the term filter drops ~all tokens before the only
+    shuffle (partial-agg on doc_id); scoring is integer-exact, so no
+    float ranking divergence."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    terms = [t.lower() for t in SEARCH_TERMS]
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("split(trim(lower(text)), '\\\\s+')")
+        ).alias("word"),
+    ).where(F.col("word").isin(terms))
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("score"),
+            F.countDistinct("word").alias("n_terms_matched"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(SEARCH_TOP_K)
+    )
+
+
+KEYWORD_SEARCH_TOPK_SQL = f"""
+SELECT doc_id,
+       count(*) AS score,
+       count(DISTINCT word) AS n_terms_matched
+FROM (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+)
+WHERE word IN ({", ".join(f"'{t.lower()}'" for t in SEARCH_TERMS)})
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {SEARCH_TOP_K}
+"""

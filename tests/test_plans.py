@@ -42,6 +42,9 @@ SHUFFLE_BUDGET = {
     "scalar_function_suite": 0,
     "agg_pricing_summary": 1,
     "monthly_revenue": 1,
+    "monthly_revenue_growth": 2,  # month agg + tiny post-agg window
+    # term-filtered explode + doc agg (countDistinct two-phase) + top-k
+    "keyword_search_topk": 3,
     "dedup_exact": 1,
     "dedup_exact_prefix": 1,
     "corpus_preparation": 2,  # balanced exchange + fp window
