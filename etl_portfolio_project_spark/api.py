@@ -341,6 +341,12 @@ _EXTENSIONS = [
      S.LABEL_CENTROID_COMPONENTS_SQL,
      "Per-label embedding centroids (mean pooling / K-means update), "
      "deterministic ordered float fold per (label, dim)."),
+    ("doc_chunking", X.doc_chunking, X.DOC_CHUNKING_SQL,
+     "RAG/pretraining chunking: overlapping fixed-size token windows "
+     "per doc, LET-bound tokenize + narrow explode, zero shuffle."),
+    ("tfidf_top_terms", X.tfidf_top_terms, X.TFIDF_TOP_TERMS_SQL,
+     "Per-doc TF-IDF keywords: tf x (N/df) raw-ratio idf (IEEE-exact), "
+     "broadcast vocabulary df, top-k window."),
 ]
 
 for _name, _fn, _sql, _doc in _EXTENSIONS:
@@ -413,6 +419,18 @@ _ANALYTICS = [
      A.ZORDER_EVENTS_TILES_SQL,
      "Z-order layout audit: Morton-interleaved (user, hour) key, "
      "per-tile bounding boxes = the data-skipping statistics."),
+    ("source_capped_docs", A.source_capped_docs,
+     A.SOURCE_CAPPED_DOCS_SQL,
+     "Crawl curation: per-source document cap, deterministic "
+     "hash-ordered row_number cutoff."),
+    ("events_value_histogram", A.events_value_histogram,
+     A.EVENTS_VALUE_HISTOGRAM_SQL,
+     "Fixed-width value histogram: clamped floor-binning, counts + "
+     "per-bin min/max envelope (no double sums)."),
+    ("cohort_retention", A.cohort_retention,
+     A.COHORT_RETENTION_SQL,
+     "Weekly cohort-retention triangle: first-active-week cohorts x "
+     "week offset, single pass + user window, no join."),
 ]
 
 from .operators import tpch as T  # noqa: E402

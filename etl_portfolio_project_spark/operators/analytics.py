@@ -1069,3 +1069,143 @@ GROUP BY doc_id
 ORDER BY score DESC, doc_id
 LIMIT {SEARCH_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: per-source caps; events value histogram.
+# ---------------------------------------------------------------------------
+
+SOURCE_CAP = 10  # max documents kept per source shard
+
+
+def source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the crawl-curation primitive that
+    bounds any single domain's contribution to the corpus (Common
+    Crawl pipelines cap per-domain page counts the same way). Keeps
+    the SOURCE_CAP lowest-hash documents per source: hash order is a
+    deterministic uniform shuffle, so the cap is an unbiased sample
+    that is reproducible across runs and engines (unlike rand()).
+
+    Scale shape: one shuffle on `source` + a row_number window with
+    early cutoff. A skewed mega-domain concentrates on one task;
+    at 100 TB pre-aggregate with a per-partition partial top-K
+    (sort-limit within partitions) before the global window."""
+    from .text import portable_hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        portable_hash60(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", "lang", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= SOURCE_CAP)
+    )
+
+
+SOURCE_CAPPED_DOCS_SQL = f"""
+SELECT doc_id, source, lang, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT),
+                    doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= {SOURCE_CAP}
+"""
+
+
+HIST_BIN_WIDTH = "25.0"  # literal shared verbatim by both engines
+HIST_N_BINS = 20
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram over the events stream — the
+    profiling/data-quality primitive (bin counts + per-bin min/max
+    envelope). Binning is floor(value / width) clamped to the last
+    bin, all IEEE-exact single ops; no double summation anywhere
+    (counts and min/max only), so the result is engine-portable.
+
+    Scale shape: one map-side-combining hash aggregate on ≤ HIST_N_BINS
+    keys — the partial aggregates are histogram-sized regardless of
+    input rows, so 100 TB reduces to 32 tiny partials + one exchange."""
+    e = load_table(spark, sf_dir, "events")
+    bin_id = F.expr(
+        f"least(greatest(CAST(floor(value / CAST({HIST_BIN_WIDTH} AS DOUBLE))"
+        f" AS BIGINT), 0L), CAST({HIST_N_BINS - 1} AS BIGINT))"
+    )
+    return (
+        e.select(bin_id.alias("bin_id"), "value")
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .withColumn(
+            "bin_floor",
+            F.expr(f"CAST(bin_id AS DOUBLE) * CAST({HIST_BIN_WIDTH} AS DOUBLE)"),
+        )
+    )
+
+
+EVENTS_VALUE_HISTOGRAM_SQL = f"""
+SELECT bin_id, count(*) AS n, min(value) AS lo, max(value) AS hi,
+       CAST(bin_id AS DOUBLE) * CAST({HIST_BIN_WIDTH} AS DOUBLE) AS bin_floor
+FROM (
+  SELECT least(greatest(CAST(floor(value / CAST({HIST_BIN_WIDTH} AS DOUBLE))
+                             AS BIGINT), CAST(0 AS BIGINT)),
+               CAST({HIST_N_BINS - 1} AS BIGINT)) AS bin_id,
+         value
+  FROM events
+)
+GROUP BY bin_id
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix — the classic product-analytics
+    triangle: users are cohorted by their first active week, and each
+    (cohort_week, week_offset) cell counts how many came back that
+    many weeks later. Pure integer/date math — no doubles anywhere.
+
+    Scale shape: one distinct on (user, week) — the only pass over the
+    raw events — then a user-keyed window for the cohort week and a
+    tiny (weeks × offsets)-keyed aggregate. No join: the cohort week
+    rides along as min() OVER the already-deduplicated activity set,
+    so the 100 TB input is touched exactly once."""
+    e = load_table(spark, sf_dir, "events")
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    cohorted = active.withColumn(
+        "cohort_wk", F.min("wk").over(Window.partitionBy("user_id"))
+    )
+    offset = F.expr(
+        "CAST(datediff(CAST(wk AS DATE), CAST(cohort_wk AS DATE)) div 7"
+        " AS INT)"
+    )
+    return (
+        cohorted.select("cohort_wk", offset.alias("week_offset"))
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+),
+cohorted AS (
+  SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort_wk
+  FROM active
+)
+SELECT cohort_wk,
+       CAST(date_diff('day', CAST(cohort_wk AS DATE), CAST(wk AS DATE)) // 7
+            AS INTEGER) AS week_offset,
+       count(*) AS n_users
+FROM cohorted
+GROUP BY cohort_wk, week_offset
+"""

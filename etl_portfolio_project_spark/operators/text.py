@@ -525,3 +525,138 @@ FROM counted
 ORDER BY n_bigram DESC, bigram
 LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# Document chunking + TF-IDF keyword extraction.
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32  # tokens per chunk window
+CHUNK_STRIDE = 24  # window stride (CHUNK_TOKENS - 8 overlap)
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunking — the RAG-ingest /
+    long-document pretraining primitive: every document becomes
+    ceil(n_tokens / stride) windows of CHUNK_TOKENS tokens starting at
+    multiples of CHUNK_STRIDE, each identified by (doc_id, chunk_id,
+    start_tok) plus a portable content fingerprint.
+
+    Scale shape: pure narrow — tokenize once per row (LET-bound
+    against CollapseProject re-inlining), explode a per-row index
+    sequence, slice + hash inside the same codegen-free HOF stage.
+    No shuffle at any size; a 100 TB corpus chunks scan-parallel."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    toks = "split(trim(text), '\\\\s+')"
+    per_chunk = (
+        f"transform(sequence(0, CAST((size(t) - 1) div {CHUNK_STRIDE} AS INT)), "
+        f"i -> named_struct("
+        f"'chunk_id', CAST(i AS BIGINT), "
+        f"'start_tok', CAST(i * {CHUNK_STRIDE} AS BIGINT), "
+        f"'ctoks', slice(t, i * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS})))"
+    )
+    exploded = d.select(
+        "doc_id",
+        F.explode(F.expr(bind_once_sql(toks, "t", per_chunk))).alias("c"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.size("c.ctoks").cast("long").alias("chunk_len"),
+        portable_hash60(F.array_join("c.ctoks", " ")).alias("chunk_fp"),
+    )
+
+
+DOC_CHUNKING_SQL = f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, (len(t) - 1) // {CHUNK_STRIDE})) AS i
+  FROM base
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       CAST(i * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(len(t[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_TOKENS}])
+            AS BIGINT) AS chunk_len,
+       {portable_hash60_sql(
+           f"array_to_string("
+           f"t[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_TOKENS}], ' ')"
+       )} AS chunk_fp
+FROM idx
+"""
+
+
+TFIDF_TOP_K = 3  # distinctive terms kept per document
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the TFIDF_TOP_K most
+    distinctive terms per document, scored tf × (N / df). The idf is
+    the raw N/df ratio (not log-damped) so the score stays a
+    two-operation IEEE expression — bit-identical across engines,
+    unlike ln() whose libm rounding differs.
+
+    Scale shape: explode → (doc, word) tf count → df as a count(*)
+    window over the already-aggregated tf table (NOT a groupBy+join —
+    that would rescan and re-explode the whole corpus for the second
+    branch) → scalar-N broadcast → per-doc top-k window. Exactly one
+    pass over the corpus; everything downstream of the tf aggregate
+    is vocabulary × docs-per-word sized."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("word")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    n_docs = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count("*").cast("double").alias("n_docs"))
+    )
+    scored = (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("word")))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.expr("CAST(tf AS DOUBLE) * (n_docs / CAST(df AS DOUBLE))"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "word", "tf", "df", "score", "rk")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+),
+dfreq AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY word
+),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+         CAST(tf.tf AS DOUBLE) *
+           (CAST((SELECT count(*) FROM documents) AS DOUBLE)
+            / CAST(dfreq.df AS DOUBLE)) AS score
+  FROM tf JOIN dfreq USING (word)
+)
+SELECT doc_id, word, tf, df, score, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, word) AS rk
+  FROM scored
+)
+WHERE rk <= {TFIDF_TOP_K}
+"""

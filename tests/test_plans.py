@@ -111,6 +111,14 @@ SHUFFLE_BUDGET = {
     "tpch_q19_disjunctive_revenue": 1,
     "tpch_q20_excess_shippers": 1,  # compound-key agg; semi join broadcast
     "tpch_q21_last_shipper": 2,  # semi + anti self-joins on orderkey
+    "doc_chunking": 1,  # balanced exchange only (narrow explode)
+    # balanced spread + (doc,word) tf agg + word df agg + scalar-N agg;
+    # df + N broadcast back, one doc_id window
+    "tfidf_top_terms": 5,
+    "source_capped_docs": 1,  # one source-keyed window
+    # (user, week) distinct + user window + tiny cell agg
+    "cohort_retention": 3,
+    "events_value_histogram": 1,  # ≤20-key map-side-combining agg
     "cms_heavy_hitters": 2,  # sketch-build agg + per-user exact agg
     # broadcast self-join at harness size (1 = pair groupBy); ≤3 if
     # the fingerprint join falls back to SMJ at scale
