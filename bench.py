@@ -18,7 +18,9 @@ import json
 import os
 import re
 import sys
+import threading
 import time
+import traceback
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
@@ -46,30 +48,60 @@ def main() -> None:
     # Each cycle rebuilds the DataFrame, so nothing is reused between
     # runs — AQE re-plans and all shuffles/streams re-execute.
     RUNS = 2
+    # Per-query fault isolation (round-1 lesson: one broken query
+    # zeroed the whole bench). Every query gets try/except plus a
+    # watchdog that cancels its Spark jobs/streams after TIMEOUT so a
+    # hung stream can't stall the harness; failures are reported in
+    # "errors" and the JSON line ALWAYS prints.
+    timeout_s = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "300"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
+    def _cancel() -> None:
+        try:
+            for q in spark.streams.active:
+                q.stop()
+        except Exception:
+            pass
+        try:
+            spark.sparkContext.cancelAllJobs()
+        except Exception:
+            pass
+
     for name, spec in sorted(api.REGISTRY.items()):
         best = float("inf")
+        err: str | None = None
         for _ in range(RUNS):
+            watchdog = threading.Timer(timeout_s, _cancel)
+            watchdog.start()
             # time the builder too: streaming builders execute the
             # whole readStream→sink job inside the builder call
             t0 = time.perf_counter()
-            df = spec.builder(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            try:
+                df = spec.builder(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            except Exception:
+                err = traceback.format_exc(limit=3)[-500:]
+                break
+            finally:
+                watchdog.cancel()
+        if best < float("inf"):
+            timings[name] = round(best, 3)
+        else:
+            errors[name] = err or "unknown"
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -485,7 +485,7 @@ def events_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_MOVING_AVERAGE_SQL = """
 SELECT event_type, bucket, n_events,
-       sum(n_events) OVER w AS trailing_sum,
+       CAST(sum(n_events) OVER w AS BIGINT) AS trailing_sum,
        CAST(sum(n_events) OVER w AS DOUBLE)
          / CAST(count(*) OVER w AS DOUBLE) AS trailing_avg
 FROM (
@@ -531,7 +531,7 @@ EVENTS_RANGE_FRAME_1H_SQL = """
 SELECT event_type,
        make_timestamp(bucket_s * 1000000) AS bucket,
        n_events,
-       sum(n_events) OVER w AS hour_sum,
+       CAST(sum(n_events) OVER w AS BIGINT) AS hour_sum,
        count(*) OVER w AS hour_buckets
 FROM (
   SELECT event_type,

@@ -364,7 +364,7 @@ JSON_PROPS_ROLLUP_SQL = """
 SELECT event_type,
        count(*) AS n_events,
        count(k) AS n_with_k,
-       sum(k) AS sum_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
        min(k) AS min_k,
        max(k) AS max_k
 FROM (
@@ -473,7 +473,7 @@ def props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROPS_MAP_EXPLODE_SQL = """
 SELECT event_type, prop_key,
        count(*) AS n,
-       sum(prop_value) AS sum_value,
+       CAST(sum(prop_value) AS BIGINT) AS sum_value,
        min(prop_value) AS min_value,
        max(prop_value) AS max_value
 FROM (
@@ -576,8 +576,8 @@ REGION_NULL_AUDIT_SQL = views.with_loan_ctes(
            count(region) AS n_region_nonnull,
            count(CASE WHEN region IS NULL THEN 1 END) AS n_region_null,
            count(nullif(region, 'Mumbai')) AS n_not_mumbai,
-           sum(CAST(region IS NOT DISTINCT FROM 'Delhi' AS BIGINT))
-             AS n_delhi_nullsafe
+           CAST(sum(CAST(region IS NOT DISTINCT FROM 'Delhi' AS BIGINT))
+                AS BIGINT) AS n_delhi_nullsafe
     FROM loans
     GROUP BY region
     """
@@ -765,8 +765,9 @@ SELECT user_id, session_seq,
        max(ts) AS session_end,
        {dsum_sql('value')} AS session_value
 FROM (
-  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT)
             AS session_seq
   FROM (
     SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000

@@ -447,18 +447,18 @@ WITH base AS (
   FROM documents
 )
 SELECT doc_id, source, n_tokens,
-       COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING),
-                0) AS tokens_before,
-       COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING),
-                0) // {PACK_BIN_TOKENS} AS bin_id,
-       COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING),
-                0) % {PACK_BIN_TOKENS} AS offset_in_bin
+       CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING),
+                     0) AS BIGINT) AS tokens_before,
+       CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING),
+                     0) // {PACK_BIN_TOKENS} AS BIGINT) AS bin_id,
+       CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING),
+                     0) % {PACK_BIN_TOKENS} AS BIGINT) AS offset_in_bin
 FROM base
 """
 
@@ -517,9 +517,11 @@ counted AS (
 SELECT bigram,
        split_part(bigram, ' ', 1) AS w1,
        n_bigram,
-       sum(n_bigram) OVER (PARTITION BY split_part(bigram, ' ', 1))
-         AS n_w1_starts,
-       n_bigram / (sum(n_bigram) OVER (PARTITION BY split_part(bigram, ' ', 1)))
+       CAST(sum(n_bigram) OVER (PARTITION BY split_part(bigram, ' ', 1))
+            AS BIGINT) AS n_w1_starts,
+       CAST(n_bigram AS DOUBLE)
+         / CAST(CAST(sum(n_bigram) OVER (PARTITION BY split_part(bigram, ' ', 1))
+                     AS BIGINT) AS DOUBLE)
          AS p_cond
 FROM counted
 ORDER BY n_bigram DESC, bigram

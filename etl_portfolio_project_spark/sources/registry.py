@@ -48,12 +48,18 @@ def balanced(df: DataFrame) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one harness table as a lazy DataFrame.
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects. We read it via the legacy nanos-as-long
-    path and rebuild a microsecond timestamp with exact integer
+    `events.ts` is written as parquet TIMESTAMP(NANOS). How Spark
+    surfaces that column depends on the version: Spark 4.1+ reads it
+    natively as TIMESTAMP_NTZ (truncating nanos→µs, same as DuckDB's
+    µs TIMESTAMP read of the file); older Sparks reject it in the
+    vectorized reader unless `spark.sql.legacy.parquet.nanosAsLong`
+    maps it to a raw nanosecond BIGINT. We branch on the observed
+    dtype rather than the version string so either path normalizes to
+    a session-TZ TIMESTAMP. The bigint branch uses exact integer
     division (`div 1000` — a double division would round: 1e18-scale
-    nanos exceed 2^53). The harness data is µs-exact, so this is
-    lossless and matches DuckDB's TIMESTAMP read of the same file.
+    nanos exceed 2^53); the NTZ branch is a plain cast, value-stable
+    because the session timezone is pinned UTC. The harness data is
+    µs-exact, so both are lossless and match DuckDB.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -61,7 +67,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf removed in newer Sparks; dtype branch below covers it
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type != "timestamp":
+            # timestamp_ntz (Spark 4.1+ native TIMESTAMP(NANOS) read)
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)

@@ -31,16 +31,34 @@ from pyspark.sql import types as T
 
 from ..operators.relational import dsum
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(spark: SparkSession, sf_dir: str, glob: str):
+    """Probe the physical `ts` type of the stream's input files via a
+    footer-only batch read. File-source streaming needs a declared
+    schema, and the harness events files have shipped both as
+    TIMESTAMP(NANOS) (long under the legacy conf) and as plain µs
+    TIMESTAMP — declaring the wrong one silently coerces and corrupts
+    the time axis (a declared-long read of a µs column divides real
+    time by 1000). Probing keeps the stream correct for either vintage."""
+    probed = (
+        spark.read.format("parquet")
+        .option("pathGlobFilter", glob)
+        .load(sf_dir)
+        .schema
+    )
+    ts_type = probed["ts"].dataType
+    return (
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", ts_type),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        ),
+        ts_type,
+    )
 
 
 def read_events_stream(
@@ -49,14 +67,19 @@ def read_events_stream(
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-source stream over the events parquet (nanos → µs ts).
+    """File-source stream over the events parquet, `ts` normalized to
+    a session-TZ TIMESTAMP (same contract as `registry.load_table`).
 
     `max_files_per_trigger` throttles ingestion to N files per
     micro-batch — tests use it (with a pre-split copy of the input) to
     genuinely exercise multi-batch state transitions."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf removed in newer Sparks; schema probe covers it
+    schema, ts_type = _events_stream_schema(spark, sf_dir, glob)
     reader = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("path", f"{sf_dir}")
         .option("pathGlobFilter", glob)
@@ -64,7 +87,13 @@ def read_events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.load()
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.LongType):
+        # legacy nanos-as-long: exact integer division (doubles round)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        # session TZ pinned UTC → value-stable cast
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _run_to_table(result: DataFrame, name: str, mode: str) -> None:
@@ -376,6 +405,9 @@ def _events_with_watermark_sentinels(spark: SparkSession, sf_dir: str) -> str:
 
     d = tempfile.mkdtemp(prefix="stream_louter_")
     shutil.copyfile(f"{sf_dir}/events.parquet", f"{d}/00_events.parquet")
+    # sentinel ts MUST match the source file's physical type — a mixed
+    # int64/timestamp dir fails the file source's fixed schema read
+    src_ts_type = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
     for i, nanos in enumerate(_SENTINEL_NANOS):
         # one row per side-filter: the event_type predicates are pushed
         # BELOW the EventTimeWatermark operator by Catalyst, so a
@@ -384,10 +416,15 @@ def _events_with_watermark_sentinels(spark: SparkSession, sf_dir: str) -> str:
         # both watermark operators see the far-future time. user_id=-1
         # keys them off every real join key; the builder drops them
         # from the final table.
+        if pa.types.is_integer(src_ts_type):
+            ts_arr = pa.array([nanos, nanos], src_ts_type)
+        else:
+            micros = nanos // 1000
+            ts_arr = pa.array([micros, micros], pa.int64()).cast(src_ts_type)
         tbl = pa.table(
             {
                 "event_id": pa.array([-1 - i, -11 - i], pa.int64()),
-                "ts": pa.array([nanos, nanos], pa.int64()),
+                "ts": ts_arr,
                 "user_id": pa.array([-1, -1], pa.int64()),
                 "event_type": pa.array(["click", "purchase"], pa.string()),
                 "value": pa.array([0.0, 0.0], pa.float64()),
