@@ -212,6 +212,21 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return even.unionByName(odd)
 
 
+@register(
+    "connectivity_probe",
+    None,  # engine-identity values (catalog/db names) have no cross-engine oracle
+    doc="S3: scalar connectivity probe — the reference's "
+    "`SELECT current_database()` smoke check against each source "
+    "(/root/reference/main.py:16-18,199-201), re-expressed as the "
+    "catalog/session diagnostics of the active SparkSession.",
+)
+def q_connectivity_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        "SELECT current_catalog() AS catalog, current_database() AS db, "
+        "version() AS engine_version"
+    )
+
+
 # ---------------------------------------------------------------------------
 # General relational operator library (SURVEY.md §7.3)
 # ---------------------------------------------------------------------------

@@ -34,7 +34,7 @@ Scale design (the reason these shapes were chosen):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import balanced, load_table
@@ -112,28 +112,73 @@ GROUP BY prefix_fp HAVING count(*) >= 2
 
 
 def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-set Jaccard near-dup pairs within one source block,
-    τ=0.9, via inverted-index self-join (no n² cross join)."""
+    """Word-set Jaccard near-dup pairs within one source block, τ=0.9,
+    via PREFIX-FILTERED inverted-index self-join (SSJoin/PPJoin-style,
+    Chaudhuri et al. 2006 / Xiao et al. 2008 — public literature).
+
+    Candidate generation indexes only each doc's PREFIX: its
+    (n − ⌈τ·n⌉ + 1) globally-RAREST distinct tokens (global order =
+    ascending document frequency, ties by token). The prefix-filter
+    theorem guarantees any pair with J ≥ τ shares a prefix token, so
+    the output is provably identical to the plain all-pairs formula —
+    the DuckDB oracle stays the naive self-join (value contract).
+    Shared counts are then computed EXACTLY per candidate pair from
+    the full word arrays (array_intersect), so the prefix only prunes.
+
+    Scale: this is the de-skew fix for the round-1 caveat — a hot stop
+    word (df ≈ n_docs) previously built an O(df²) posting-list pair
+    blowup; prefixes index the rarest ~(1−τ)·|d|+1 tokens of each doc,
+    so hot tokens never enter the index unless a doc consists of
+    nothing else. ⌈τ·n⌉ is computed in exact integer arithmetic
+    ((9n+9) div 10), not via double multiplication."""
     d = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("source") == DEDUP_SOURCE_BLOCK)
         .select("doc_id", _distinct_words(F.col("text")).alias("words"))
     )
-    sizes = d.select("doc_id", F.size("words").cast("long").alias("n_words"))
     tok = d.select("doc_id", F.explode("words").alias("word"))
-    a, b = tok.alias("a"), tok.alias("b")
-    shared = (
-        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+    dfreq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc prefix: rank tokens by (df asc, word asc), keep the
+    # first n - ceil(tau*n) + 1 = n - (9n+9) div 10 + 1
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "word")
+    pref = (
+        tok.join(dfreq, "word")
+        .withColumn("rnk", F.row_number().over(wdoc))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .where(F.col("rnk") <= F.col("n") - F.expr("(9 * n + 9) div 10") + 1)
+        .select("doc_id", "word")
     )
-    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_words").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n_words").alias("n2"))
-    j = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .distinct()
+    )
+    w1 = d.select(F.col("doc_id").alias("id1"), F.col("words").alias("words1"))
+    w2 = d.select(F.col("doc_id").alias("id2"), F.col("words").alias("words2"))
+    shared = F.size(F.array_intersect("words1", "words2")).cast("long")
+    n1 = F.size("words1").cast("long")
+    n2 = F.size("words2").cast("long")
     return (
-        shared.join(s1, "id1")
-        .join(s2, "id2")
-        .withColumn("jaccard", j)
+        cand.join(w1, "id1")
+        .join(w2, "id2")
+        .select(
+            "id1",
+            "id2",
+            shared.alias("shared"),
+            n1.alias("n1"),
+            n2.alias("n2"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")),
+        )
         .where(F.col("jaccard") >= JACCARD_TAU)
         .select("id1", "id2", "shared", "n1", "n2", "jaccard")
     )

@@ -603,32 +603,47 @@ def run_latest_user_event_merge(
             .drop("__rn")
         )
 
-    # Driver-side merge target for the bounded parity run: one row per
-    # user (the SCD1 dimension), upserted per epoch. The per-batch
-    # argmax runs distributed; only the already-reduced per-user rows
-    # reach the driver. On a real cluster the target is a Delta/
-    # Iceberg table and this function body is a MERGE INTO — note
-    # foreachBatch hands a batch-scoped session, so temp views made
-    # here are invisible to the outer session anyway.
-    state: dict[int, tuple] = {}
+    # Distributed merge target: the per-user state lives in a parquet
+    # generation directory, never on the driver (the driver holds only
+    # the current generation PATH). Each epoch unions the previous
+    # state with the batch argmax and re-argmaxes — associative, so
+    # the final state is micro-batch-split invariant — then writes a
+    # NEW generation and retires the old one (write-new-then-swap:
+    # overwriting the directory being read would corrupt mid-job).
+    # Epoch replay after failure rewrites the same gen path (mode
+    # overwrite) — idempotent. On a real cluster this function body is
+    # a Delta/Iceberg MERGE INTO; the shape (shuffle on user_id,
+    # state size = |users|, not |events|) is identical.
+    import os
+    import shutil
+
+    state_root = tempfile.mkdtemp(prefix="scd1_state_")
+    gen: dict[str, str | None] = {"path": None}
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
-        for r in latest(batch_df).collect():
-            key = (r["ts"], r["event_id"])
-            cur = state.get(r["user_id"])
-            if cur is None or key > (cur["ts"], cur["event_id"]):
-                state[r["user_id"]] = r
+        s = batch_df.sparkSession
+        upd = latest(batch_df)
+        if gen["path"] is not None:
+            upd = latest(s.read.parquet(gen["path"]).unionByName(upd))
+        new_path = os.path.join(state_root, f"gen_{epoch_id}")
+        upd.write.mode("overwrite").parquet(new_path)
+        old, gen["path"] = gen["path"], new_path
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
 
     q = e.writeStream.foreachBatch(merge).start()
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    final = spark.createDataFrame(
-        list(state.values()),
-        "user_id long, ts timestamp, event_id long, "
-        "event_type string, value double",
-    )
+    if gen["path"] is None:
+        final = spark.createDataFrame(
+            [],
+            "user_id long, ts timestamp, event_id long, "
+            "event_type string, value double",
+        )
+    else:
+        final = spark.read.parquet(gen["path"])
     return final.select(
         "user_id",
         F.unix_micros("ts").alias("last_ts_us"),

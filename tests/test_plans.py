@@ -123,6 +123,10 @@ SHUFFLE_BUDGET = {
     # broadcast self-join at harness size (1 = pair groupBy); ≤3 if
     # the fingerprint join falls back to SMJ at scale
     "winnow_neardup": 3,
+    # prefix filtering: df agg + df join-back on word + per-doc window
+    # + candidate distinct; verify joins broadcast at harness size,
+    # +2 budget headroom if they fall back to SMJ at scale
+    "neardup_jaccard": 6,
     "tpch_q22_inactive_rich_customers": 2,  # anti join + nation agg
     # neardup_clusters is intentionally absent: the iterative
     # fixpoint loop's plan depth is data-dependent (graph diameter)

@@ -28,6 +28,94 @@ def _sorted_rows(df):
     return sorted(map(tuple, df.select(*NATION_SCHEMA.fieldNames()).collect()))
 
 
+#: name → expected (column, dtype) list as loaded through the
+#: registry. Round 1 died on an ingest assumption (events
+#: TIMESTAMP(NANOS) vs the regenerated µs files under Spark 4.1.2)
+#: that this smoke check would have caught in seconds: if the harness
+#: regenerates testdata with different physical types, THIS test
+#: fails first with a readable diff instead of 27 queries erroring.
+EXPECTED_DTYPES = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [
+        ("n_nationkey", "int"),
+        ("n_name", "string"),
+        ("n_regionkey", "int"),
+    ],
+    "customer": [
+        ("c_custkey", "bigint"),
+        ("c_name", "string"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "bigint"),
+        ("s_name", "string"),
+        ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "bigint"),
+        ("p_name", "string"),
+        ("p_brand", "string"),
+        ("p_type", "string"),
+        ("p_size", "int"),
+        ("p_retailprice", "double"),
+    ],
+    "orders": [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp_ntz"),
+        ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "bigint"),
+        ("l_partkey", "bigint"),
+        ("l_suppkey", "bigint"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_tax", "double"),
+        ("l_returnflag", "string"),
+        ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp_ntz"),
+    ],
+    # ts is NORMALIZED by load_table (nanos-long / ntz / µs → session-TZ
+    # timestamp) — this pins the post-normalization contract
+    "events": [
+        ("event_id", "bigint"),
+        ("ts", "timestamp"),
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+        ("value", "double"),
+        ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "bigint"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "bigint"),
+    ],
+    "embeddings": [
+        ("vec_id", "bigint"),
+        ("embedding", "array<float>"),
+        ("label", "int"),
+    ],
+}
+
+
+def test_harness_table_schemas_smoke(spark):
+    got = {
+        name: load_table(spark, SF_SMALL, name).dtypes
+        for name in EXPECTED_DTYPES
+    }
+    assert got == EXPECTED_DTYPES
+
+
 def test_csv_round_trip_with_declared_schema(spark):
     nation = load_table(spark, SF_SMALL, "nation")
     with tempfile.TemporaryDirectory() as d:
