@@ -332,7 +332,11 @@ _EXTENSIONS = [
     ("dedup_exact_prefix", D.dedup_exact_prefix, D.DEDUP_EXACT_PREFIX_SQL,
      "Duplicate groups by 8-token-prefix fingerprint."),
     ("neardup_jaccard", D.neardup_jaccard, D.NEARDUP_JACCARD_SQL,
-     "Word-set Jaccard near-dup pairs via inverted-index self-join."),
+     "Word-set Jaccard near-dup pairs, exact prefix-filtered self-join."),
+    ("ngram_jaccard_neardup", D.ngram_jaccard_neardup,
+     D.NGRAM_JACCARD_NEARDUP_SQL,
+     "3-gram-shingle Jaccard near-dup pairs (order-sensitive), exact "
+     "prefix-filtered self-join over md5 shingle hashes."),
     ("minhash_lsh_neardup", D.minhash_lsh_neardup, D.MINHASH_LSH_NEARDUP_SQL,
      "MinHash-LSH banding candidates + exact-Jaccard verification."),
     ("simhash_pairs", D.simhash_pairs, D.SIMHASH_PAIRS_SQL,

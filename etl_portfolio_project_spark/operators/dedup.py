@@ -8,8 +8,10 @@ banding is differentially tested):
 - exact: hash-groupBy on a canonical fingerprint.
 - prefix-exact: fingerprint of the first 8 tokens (the harness corpus
   has no full-text dups; prefix collisions exercise the group path).
-- n-gram Jaccard: inverted-index self-join (explode shingles → join on
-  shingle → count) — the exact-verification half of near-dup dedup.
+- word-set Jaccard: exact prefix-filtered self-join (SSJoin/PPJoin) —
+  the exact-verification half of near-dup dedup.
+- n-gram (3-word shingle) Jaccard: inverted-index self-join on shingle
+  hashes, exact top-k most-similar pairs (order-sensitive).
 - MinHash LSH: k=16 signature / 4 bands × 4 rows, band-bucket join for
   candidates, then exact Jaccard verification of candidates only.
 - SimHash: 48-bit signature via per-bit majority vote of token hashes,
@@ -111,48 +113,52 @@ GROUP BY prefix_fp HAVING count(*) >= 2
 # --- exact n-gram / word-set Jaccard --------------------------------------
 
 
-def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-set Jaccard near-dup pairs within one source block, τ=0.9,
-    via PREFIX-FILTERED inverted-index self-join (SSJoin/PPJoin-style,
-    Chaudhuri et al. 2006 / Xiao et al. 2008 — public literature).
+def _prefix_filtered_jaccard_pairs(
+    d: DataFrame, tau: float, tau_num: int, tau_den: int
+) -> DataFrame:
+    """Exact set-Jaccard pairs (J ≥ τ) via PREFIX-FILTERED
+    inverted-index self-join (SSJoin/PPJoin-style, Chaudhuri et al.
+    2006 / Xiao et al. 2008 — public literature).
+
+    `d` = (doc_id, items: array<T> of DISTINCT elements); τ is given
+    as both a double (final filter, mirroring the oracle's literal)
+    and an exact integer ratio tau_num/tau_den for the prefix length.
 
     Candidate generation indexes only each doc's PREFIX: its
-    (n − ⌈τ·n⌉ + 1) globally-RAREST distinct tokens (global order =
-    ascending document frequency, ties by token). The prefix-filter
-    theorem guarantees any pair with J ≥ τ shares a prefix token, so
-    the output is provably identical to the plain all-pairs formula —
-    the DuckDB oracle stays the naive self-join (value contract).
-    Shared counts are then computed EXACTLY per candidate pair from
-    the full word arrays (array_intersect), so the prefix only prunes.
+    (n − ⌈τ·n⌉ + 1) globally-RAREST items (global order = ascending
+    document frequency, ties by item). The prefix-filter theorem
+    guarantees any pair with J ≥ τ shares a prefix item, so the output
+    is provably identical to the plain all-pairs formula — DuckDB
+    oracles stay the naive self-join (value contract). Shared counts
+    are then computed EXACTLY per candidate pair from the full arrays
+    (array_intersect), so the prefix only prunes.
 
-    Scale: this is the de-skew fix for the round-1 caveat — a hot stop
-    word (df ≈ n_docs) previously built an O(df²) posting-list pair
-    blowup; prefixes index the rarest ~(1−τ)·|d|+1 tokens of each doc,
-    so hot tokens never enter the index unless a doc consists of
-    nothing else. ⌈τ·n⌉ is computed in exact integer arithmetic
-    ((9n+9) div 10), not via double multiplication."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.col("source") == DEDUP_SOURCE_BLOCK)
-        .select("doc_id", _distinct_words(F.col("text")).alias("words"))
-    )
-    tok = d.select("doc_id", F.explode("words").alias("word"))
-    dfreq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    # per-doc prefix: rank tokens by (df asc, word asc), keep the
-    # first n - ceil(tau*n) + 1 = n - (9n+9) div 10 + 1
-    wdoc = Window.partitionBy("doc_id").orderBy("df", "word")
+    Scale: the de-skew fix for the round-1 caveat — a hot stop word
+    (df ≈ n_docs) previously built an O(df²) posting-list pair blowup;
+    prefixes index the rarest ~(1−τ)·|d|+1 items of each doc, so hot
+    items never enter the index unless a doc consists of nothing else.
+    ⌈τ·n⌉ is exact integer arithmetic ((num·n + num) div den), not a
+    double multiplication."""
+    tok = d.select("doc_id", F.explode("items").alias("item"))
+    dfreq = tok.groupBy("item").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "item")
     pref = (
-        tok.join(dfreq, "word")
+        tok.join(dfreq, "item")
         .withColumn("rnk", F.row_number().over(wdoc))
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-        .where(F.col("rnk") <= F.col("n") - F.expr("(9 * n + 9) div 10") + 1)
-        .select("doc_id", "word")
+        .where(
+            F.col("rnk")
+            <= F.col("n")
+            - F.expr(f"({tau_num} * n + {tau_num}) div {tau_den}")
+            + 1
+        )
+        .select("doc_id", "item")
     )
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.word") == F.col("b.word"))
+            (F.col("a.item") == F.col("b.item"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -160,11 +166,11 @@ def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    w1 = d.select(F.col("doc_id").alias("id1"), F.col("words").alias("words1"))
-    w2 = d.select(F.col("doc_id").alias("id2"), F.col("words").alias("words2"))
-    shared = F.size(F.array_intersect("words1", "words2")).cast("long")
-    n1 = F.size("words1").cast("long")
-    n2 = F.size("words2").cast("long")
+    w1 = d.select(F.col("doc_id").alias("id1"), F.col("items").alias("items1"))
+    w2 = d.select(F.col("doc_id").alias("id2"), F.col("items").alias("items2"))
+    shared = F.size(F.array_intersect("items1", "items2")).cast("long")
+    n1 = F.size("items1").cast("long")
+    n2 = F.size("items2").cast("long")
     return (
         cand.join(w1, "id1")
         .join(w2, "id2")
@@ -179,9 +185,20 @@ def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
             F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")),
         )
-        .where(F.col("jaccard") >= JACCARD_TAU)
+        .where(F.col("jaccard") >= tau)
         .select("id1", "id2", "shared", "n1", "n2", "jaccard")
     )
+
+
+def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard near-dup pairs within one source block, τ=0.9,
+    exact via prefix filtering (`_prefix_filtered_jaccard_pairs`)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source") == DEDUP_SOURCE_BLOCK)
+        .select("doc_id", _distinct_words(F.col("text")).alias("items"))
+    )
+    return _prefix_filtered_jaccard_pairs(d, JACCARD_TAU, 9, 10)
 
 
 NEARDUP_JACCARD_SQL = f"""
@@ -201,6 +218,103 @@ WHERE len(list_intersect(a.words, b.words)) > 0
   AND CAST(len(list_intersect(a.words, b.words)) AS BIGINT)
       / (CAST(len(a.words) AS BIGINT) + CAST(len(b.words) AS BIGINT)
          - CAST(len(list_intersect(a.words, b.words)) AS BIGINT)) >= {JACCARD_TAU}
+"""
+
+
+# --- n-gram (shingle) Jaccard ---------------------------------------------
+
+#: 3-word shingles — order-SENSITIVE, unlike the word-set family:
+#: swapping sentence order changes shingles but not words
+SHINGLE_N = 3
+SHINGLE_TOPK = 20
+
+
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM Jaccard similarity audit: the exact TOP-20 most
+    shingle-similar doc pairs (3-word shingle sets) within one source
+    block. Top-k rather than thresholded because shingle Jaccard
+    decays fast under edits — the audit shape ("show me the most
+    order-preserving-similar pairs") is the useful primitive; the
+    thresholded scale path is `minhash_lsh_neardup`/`winnow_neardup`.
+
+    Shingles are 60-bit md5 hashes (portable, and a fixed 8-byte join
+    key vs an arbitrary-length string in the shuffle). Candidate pairs
+    come from an inverted-index self-join on the shingle key — work ∝
+    colliding shingles, never n², and exactly the shared>0 pairs,
+    which is sufficient for exact top-k (J=0 pairs can't rank).
+    Unlike word tokens, 3-gram shingles have a naturally flat df
+    distribution (near-unique keys), so the posting-list skew that
+    motivated prefix filtering in `neardup_jaccard` doesn't arise.
+    Deterministic order: J desc, then (id1, id2)."""
+    from .text import _ngrams_spark_sql, bind_once_sql
+
+    hash_g = "CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)"
+    shingles = bind_once_sql(
+        "split(trim(text), '\\\\s+')",
+        "t",
+        f"array_distinct(transform({_ngrams_spark_sql('t', SHINGLE_N)}, "
+        f"g -> {hash_g}))",
+    )
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source") == DEDUP_SOURCE_BLOCK)
+        .select("doc_id", F.expr(shingles).alias("items"))
+    )
+    sizes = d.select("doc_id", F.size("items").cast("long").alias("n"))
+    tok = d.select("doc_id", F.explode("items").alias("item"))
+    a, b = tok.alias("a"), tok.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.item") == F.col("b.item"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
+    return (
+        shared.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")),
+        )
+        .select("id1", "id2", "shared", "n1", "n2", "jaccard")
+        .orderBy(F.col("jaccard").desc(), "id1", "id2")
+        .limit(SHINGLE_TOPK)
+    )
+
+
+def _shingle_hashes_duck_sql() -> str:
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    ngrams = (
+        f"list_transform(generate_series(1, len({toks}) - {SHINGLE_N - 1}), "
+        f"i -> array_to_string({toks}[i:i + {SHINGLE_N - 1}], ' '))"
+    )
+    return (
+        f"list_distinct(list_transform({ngrams}, "
+        "g -> CAST('0x' || substring(md5(g), 1, 15) AS BIGINT)))"
+    )
+
+
+NGRAM_JACCARD_NEARDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_shingle_hashes_duck_sql()} AS items
+  FROM documents WHERE source = '{DEDUP_SOURCE_BLOCK}'
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(len(list_intersect(a.items, b.items)) AS BIGINT) AS shared,
+       CAST(len(a.items) AS BIGINT) AS n1,
+       CAST(len(b.items) AS BIGINT) AS n2,
+       CAST(len(list_intersect(a.items, b.items)) AS BIGINT)
+         / (CAST(len(a.items) AS BIGINT) + CAST(len(b.items) AS BIGINT)
+            - CAST(len(list_intersect(a.items, b.items)) AS BIGINT)) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.items, b.items)) > 0
+ORDER BY jaccard DESC, id1, id2
+LIMIT {SHINGLE_TOPK}
 """
 
 

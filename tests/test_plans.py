@@ -127,6 +127,9 @@ SHUFFLE_BUDGET = {
     # + candidate distinct; verify joins broadcast at harness size,
     # +2 budget headroom if they fall back to SMJ at scale
     "neardup_jaccard": 6,
+    # shingle-key self-join (broadcast at harness size) + pair groupBy
+    # + size joins; +2 headroom if SMJ at scale; top-k is TakeOrdered
+    "ngram_jaccard_neardup": 4,
     "tpch_q22_inactive_rich_customers": 2,  # anti join + nation agg
     # neardup_clusters is intentionally absent: the iterative
     # fixpoint loop's plan depth is data-dependent (graph diameter)
