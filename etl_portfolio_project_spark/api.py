@@ -355,7 +355,11 @@ _EXTENSIONS = [
      "IVF coarse-quantizer ANN: broadcast centroids, nprobe re-rank."),
     ("embedding_neardup_pairs", S.embedding_neardup_pairs,
      S.EMBEDDING_NEARDUP_PAIRS_SQL,
-     "Cosine-threshold near-dup pairs, label-blocked."),
+     "Cosine-threshold near-dup pairs, label-blocked (exact baseline)."),
+    ("embedding_lsh_neardup_pairs", S.embedding_lsh_neardup_pairs,
+     S.EMBEDDING_LSH_NEARDUP_PAIRS_SQL,
+     "Cosine-threshold near-dup pairs, LSH-bucketed candidates + exact "
+     "verify — the 100 TB-safe embedding dedup path."),
     ("label_centroid_components", S.label_centroid_components,
      S.LABEL_CENTROID_COMPONENTS_SQL,
      "Per-label embedding centroids (mean pooling / K-means update), "

@@ -2,7 +2,9 @@
 
 Brute-force cosine top-k as the exactness baseline, a random-
 hyperplane LSH-bucketed variant as the scale path, and cosine-
-threshold near-dup pairs (label-blocked).
+threshold near-dup pairs in two forms: label-blocked (exact within
+blocks — the harness baseline) and LSH-bucketed (bounded candidate
+space — the 100 TB dedup path).
 
 Numeric portability: cosine is computed with an EXPLICIT left-to-right
 fold — `F.aggregate(zip_with(a,b,*), 0.0, +)` in Spark ≡ an unrolled
@@ -217,13 +219,88 @@ WHERE {dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {NEARDUP_TAU}
 """
 
 
-def _table_bucket_spark_sql(vec: str, table: int) -> str:
+#: near-dup LSH: deeper buckets than the ANN index (more sign bits →
+#: smaller buckets → candidate pairs ∝ Σ|bucket|² stays bounded);
+#: 2 tables give a second chance to pairs split by one table's planes
+NEARDUP_LSH_TABLES = 2
+NEARDUP_LSH_BITS = 10
+_rng_nd = random.Random(43)
+NEARDUP_LSH_PLANES: list[list[list[float]]] = [
+    [
+        [_rng_nd.uniform(-1.0, 1.0) for _ in range(DIM)]
+        for _ in range(NEARDUP_LSH_BITS)
+    ]
+    for _ in range(NEARDUP_LSH_TABLES)
+]
+
+
+def embedding_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, LSH-BUCKETED — the 100 TB-safe form
+    of `embedding_neardup_pairs`: candidate pairs must share a full
+    10-sign-bit bucket in one of 2 hyperplane tables (so the pair
+    space is Σ_buckets |bucket|² with E|bucket| = n/1024 per table,
+    bounded, vs the label-blocked variant's O(n²/|labels|)); exact
+    cosine then verifies candidates at the same τ. Deterministic
+    seeded hyperplanes → reproducible output; recall vs the exact
+    variant is the documented LSH trade-off (sign-LSH collision
+    probability 1−θ/π per bit).
+
+    Scale shape: bucketing is a narrow map over the scan (planes are
+    literals = broadcast), candidates come from one equi-join on the
+    short (tbl, bucket) key, verification touches candidates only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = (
+        balanced(e)
+        .select("vec_id", _dvec("embedding").alias("vec"))
+        .withColumn("norm", norm_expr("vec"))
+    )
+    bb = _with_buckets(base, "vec", "vec_id", NEARDUP_LSH_PLANES)
+    a = bb.select(
+        F.col("vec_id").alias("id1"), "tbl", F.col("bucket").alias("bucket")
+    )
+    b = bb.select(
+        F.col("vec_id").alias("id2"), "tbl", F.col("bucket").alias("bucket")
+    )
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    v1 = base.select(
+        F.col("vec_id").alias("id1"),
+        F.col("vec").alias("v1"),
+        F.col("norm").alias("n1"),
+    )
+    v2 = base.select(
+        F.col("vec_id").alias("id2"),
+        F.col("vec").alias("v2"),
+        F.col("norm").alias("n2"),
+    )
+    cos = cosine_expr("v1", "v2", "n1", "n2")
+    return (
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= NEARDUP_TAU)
+        .select("id1", "id2", "cosine")
+    )
+
+
+# EMBEDDING_LSH_NEARDUP_PAIRS_SQL is defined after the shared bucket
+# SQL helpers below (module-level f-string evaluation order).
+
+
+def _table_bucket_spark_sql(
+    vec: str, table: int, planes: list | None = None
+) -> str:
     """Sign-bit bucket id of `vec` in LSH table `table`, as one Spark
     SQL string (same single-round-trip rationale as _dot_spark_sql;
     the hyperplane coefficients are embedded as double literals, the
     Spark-SQL analogue of a broadcast of the tiny plane matrix)."""
+    planes = LSH_PLANES if planes is None else planes
     bits = []
-    for i, plane in enumerate(LSH_PLANES[table]):
+    for i, plane in enumerate(planes[table]):
         lits = ", ".join(f"{p!r}D" for p in plane)
         proj = _dot_spark_sql(vec, f"array({lits})")
         bits.append(
@@ -233,11 +310,15 @@ def _table_bucket_spark_sql(vec: str, table: int) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
-def _with_buckets(df: DataFrame, vec_col: str, id_alias: str) -> DataFrame:
+def _with_buckets(
+    df: DataFrame, vec_col: str, id_alias: str, planes: list | None = None
+) -> DataFrame:
     """Explode a vector frame into one row per (LSH table, bucket)."""
+    planes = LSH_PLANES if planes is None else planes
     entries = ", ".join(
-        f"named_struct('tbl', {t}, 'bucket', {_table_bucket_spark_sql(vec_col, t)})"
-        for t in range(LSH_TABLES)
+        f"named_struct('tbl', {t}, "
+        f"'bucket', {_table_bucket_spark_sql(vec_col, t, planes)})"
+        for t in range(len(planes))
     )
     return df.select(
         F.col("vec_id").alias(id_alias),
@@ -429,10 +510,11 @@ SELECT query_id, vec_id, cosine, rank FROM (
 """
 
 
-def _table_bucket_sql(vec: str, table: int) -> str:
+def _table_bucket_sql(vec: str, table: int, planes: list | None = None) -> str:
+    planes = LSH_PLANES if planes is None else planes
     terms = []
-    for i in range(LSH_BITS):
-        plane = LSH_PLANES[table][i]
+    for i in range(len(planes[table])):
+        plane = planes[table][i]
         prods = [
             f"CAST({vec}[{j + 1}] AS DOUBLE) * {plane[j]!r}" for j in range(DIM)
         ]
@@ -444,10 +526,11 @@ def _table_bucket_sql(vec: str, table: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _buckets_cte_sql(vec: str) -> str:
+def _buckets_cte_sql(vec: str, planes: list | None = None) -> str:
+    planes = LSH_PLANES if planes is None else planes
     entries = ", ".join(
-        f"{{'tbl': {t}, 'bucket': {_table_bucket_sql(vec, t)}}}"
-        for t in range(LSH_TABLES)
+        f"{{'tbl': {t}, 'bucket': {_table_bucket_sql(vec, t, planes)}}}"
+        for t in range(len(planes))
     )
     return f"UNNEST([{entries}]) AS u(tb)"
 
@@ -481,6 +564,28 @@ SELECT query_id, vec_id, cosine, rank FROM (
                                ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
   FROM scored
 ) WHERE rank <= {TOP_K}
+"""
+
+
+EMBEDDING_LSH_NEARDUP_PAIRS_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm FROM embeddings
+),
+bb AS (
+  SELECT vec_id, tb.tbl AS tbl, tb.bucket AS bucket
+  FROM embeddings, {_buckets_cte_sql('embedding', NEARDUP_LSH_PLANES)}
+),
+candidates AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM bb a JOIN bb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id
+)
+SELECT c.id1 AS id1, c.id2 AS id2,
+       {dot_sql('x.embedding', 'y.embedding')} / (x.nrm * y.nrm) AS cosine
+FROM candidates c
+JOIN base x ON x.vec_id = c.id1
+JOIN base y ON y.vec_id = c.id2
+WHERE {dot_sql('x.embedding', 'y.embedding')} / (x.nrm * y.nrm) >= {NEARDUP_TAU}
 """
 
 

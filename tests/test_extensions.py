@@ -45,6 +45,18 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert overlap > 0.05, f"LSH/BF overlap {overlap:.2f} suspiciously low"
 
 
+def test_embedding_lsh_neardup_precision_and_yield(spark):
+    """The LSH-bucketed embedding near-dup: every emitted pair must
+    genuinely clear the cosine threshold (precision 1.0 — the exact
+    verify step guarantees it), and the bucketing must yield a
+    non-degenerate candidate set on the harness data."""
+    pairs = S.embedding_lsh_neardup_pairs(spark, SF_SMALL).collect()
+    assert pairs, "degenerate: LSH bucketing produced no near-dup pairs"
+    for r in pairs:
+        assert r.cosine >= S.NEARDUP_TAU
+        assert r.id1 < r.id2
+
+
 def test_simhash_locality(spark):
     """Near-identical texts get near-identical simhashes: take a doc,
     its hamming distance to itself is 0 and the pairs output respects

@@ -130,6 +130,9 @@ SHUFFLE_BUDGET = {
     # shingle-key self-join (broadcast at harness size) + pair groupBy
     # + size joins; +2 headroom if SMJ at scale; top-k is TakeOrdered
     "ngram_jaccard_neardup": 4,
+    # balanced spread + (tbl,bucket) self-join + candidate distinct +
+    # two vector join-backs (broadcast at harness size; headroom for SMJ)
+    "embedding_lsh_neardup_pairs": 6,
     "tpch_q22_inactive_rich_customers": 2,  # anti join + nation agg
     # neardup_clusters is intentionally absent: the iterative
     # fixpoint loop's plan depth is data-dependent (graph diameter)
