@@ -450,6 +450,11 @@ _ANALYTICS = [
      A.EVENTS_VALUE_HISTOGRAM_SQL,
      "Fixed-width value histogram: clamped floor-binning, counts + "
      "per-bin min/max envelope (no double sums)."),
+    ("events_approx_quantiles", A.events_approx_quantiles,
+     A.EVENTS_APPROX_QUANTILES_SQL,
+     "Mergeable single-pass approximate quantiles: per-type bin "
+     "sketch + integer-ceiling cumulative pick (p50/p90/p99 upper "
+     "bounds within one bin width)."),
     ("cohort_retention", A.cohort_retention,
      A.COHORT_RETENTION_SQL,
      "Weekly cohort-retention triangle: first-active-week cohorts x "

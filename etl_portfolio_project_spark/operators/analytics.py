@@ -1209,3 +1209,92 @@ SELECT cohort_wk,
 FROM cohorted
 GROUP BY cohort_wk, week_offset
 """
+
+
+# --- approximate quantiles (mergeable single-pass sketch) ------------------
+
+QUANT_BIN_WIDTH = "1.0"  # literal shared verbatim by both engines
+
+
+def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-type value quantiles (p50/p90/p99) from a
+    fixed-width bin sketch — the mergeable single-pass percentile
+    pattern for data too big to sort: bin counts are associative
+    partial aggregates (exactly what a 1000-executor pass produces),
+    the cumulative scan runs over ≤ range/width bins per type, and the
+    reported value is the bin UPPER edge, so the estimate is a
+    guaranteed over-approximation within one bin width. All counting
+    is integer (engine-exact); the only doubles are the final edge
+    multiplications, mirrored operation-for-operation in the oracle.
+
+    Quantile thresholds use exact integer ceilings — ceil(q·n) as
+    (q_num·n + q_num) div q_den — never a double multiplication.
+
+    Scale shape: one map-side-combining hash agg on (type, bin) keys
+    [the sketch build], one type-keyed window over bin-count rows
+    [sketch merge: rows ∝ bins, not events], one tiny final agg."""
+    e = load_table(spark, sf_dir, "events")
+    bin_id = F.expr(
+        f"CAST(floor(value / CAST({QUANT_BIN_WIDTH} AS DOUBLE)) AS BIGINT)"
+    )
+    b = (
+        e.select("event_type", bin_id.alias("bin_id"))
+        .groupBy("event_type", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_bin"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = b.withColumn("cum", F.sum("n_bin").over(wcum)).withColumn(
+        "n", F.sum("n_bin").over(Window.partitionBy("event_type"))
+    )
+
+    def pick(threshold_sql: str) -> F.Column:
+        return F.min(
+            F.when(F.col("cum") >= F.expr(threshold_sql), F.col("bin_id"))
+        )
+
+    def upper_edge(bin_col: F.Column) -> F.Column:
+        return (bin_col + F.lit(1)).cast("double") * F.expr(
+            f"CAST({QUANT_BIN_WIDTH} AS DOUBLE)"
+        )
+
+    return c.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        upper_edge(pick("(n + 1) div 2")).alias("p50_ub"),
+        upper_edge(pick("(9 * n + 9) div 10")).alias("p90_ub"),
+        upper_edge(pick("(99 * n + 99) div 100")).alias("p99_ub"),
+    )
+
+
+EVENTS_APPROX_QUANTILES_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(value / CAST({QUANT_BIN_WIDTH} AS DOUBLE)) AS BIGINT)
+           AS bin_id,
+         count(*) AS n_bin
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bin_id,
+         CAST(sum(n_bin) OVER (PARTITION BY event_type ORDER BY bin_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(n_bin) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM b
+)
+SELECT event_type,
+       max(n) AS n_events,
+       CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN bin_id END) + 1 AS DOUBLE)
+         * CAST({QUANT_BIN_WIDTH} AS DOUBLE) AS p50_ub,
+       CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN bin_id END) + 1
+            AS DOUBLE)
+         * CAST({QUANT_BIN_WIDTH} AS DOUBLE) AS p90_ub,
+       CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin_id END) + 1
+            AS DOUBLE)
+         * CAST({QUANT_BIN_WIDTH} AS DOUBLE) AS p99_ub
+FROM c
+GROUP BY event_type
+"""

@@ -119,6 +119,8 @@ SHUFFLE_BUDGET = {
     # (user, week) distinct + user window + tiny cell agg
     "cohort_retention": 3,
     "events_value_histogram": 1,  # ≤20-key map-side-combining agg
+    # (type,bin) sketch agg + type window/final agg share one exchange
+    "events_approx_quantiles": 2,
     "cms_heavy_hitters": 2,  # sketch-build agg + per-user exact agg
     # broadcast self-join at harness size (1 = pair groupBy); ≤3 if
     # the fingerprint join falls back to SMJ at scale
