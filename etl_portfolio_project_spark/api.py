@@ -455,6 +455,18 @@ _ANALYTICS = [
      "Mergeable single-pass approximate quantiles: per-type bin "
      "sketch + integer-ceiling cumulative pick (p50/p90/p99 upper "
      "bounds within one bin width)."),
+    ("global_revenue_rank", A.global_revenue_rank,
+     A.GLOBAL_REVENUE_RANK_SQL,
+     "Distributed global total-order rank: range partition + parallel "
+     "local windows + partition offsets (no single-reducer sort)."),
+    ("corpus_temperature_mixture", A.corpus_temperature_mixture,
+     A.CORPUS_TEMPERATURE_MIXTURE_SQL,
+     "Temperature-flattened (sqrt) corpus mixing: sub-linear "
+     "per-source quotas filled in deterministic md5-hash order."),
+    ("source_quality_percentile_filter", A.source_quality_percentile_filter,
+     A.SOURCE_QUALITY_PERCENTILE_FILTER_SQL,
+     "Per-source relative quality gate: top half by unique-word "
+     "fraction via exact percent_rank cutoff."),
     ("cohort_retention", A.cohort_retention,
      A.COHORT_RETENTION_SQL,
      "Weekly cohort-retention triangle: first-active-week cohorts x "

@@ -1298,3 +1298,211 @@ SELECT event_type,
 FROM c
 GROUP BY event_type
 """
+
+
+# --- distributed global ranking (range partition + offset) -----------------
+
+
+def global_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL total-order ranking WITHOUT a single-reducer window —
+    the billion-key pattern `customer_value_tiles` documents but
+    doesn't demonstrate: range-partition by the sort key, rank
+    locally inside each (parallel) partition, then add the cumulative
+    count of all preceding partitions. Output is provably identical
+    to `row_number() OVER (ORDER BY revenue DESC, custkey)` whatever
+    boundaries the range sampler picks, because range partitions are
+    order-contiguous and the offsets re-serialize them.
+
+    Scale shape: one agg shuffle, one range exchange, per-partition
+    window sorts in parallel (vs ONE task sorting everything in the
+    naive global window), a bins-sized offset table broadcast back.
+    The local windows re-key on spark_partition_id so rows never move
+    between range partitions for the rank itself."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("revenue"))
+    # persist: the ranged relation feeds BOTH the local-rank branch and
+    # the partition-size branch — materializing it once makes the agg +
+    # range exchange run once (same "build the index once" pattern as
+    # ann_lsh_topk's bucket table)
+    ranged = (
+        rev.repartitionByRange(
+            8, F.col("revenue").desc(), F.col("o_custkey").asc()
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    wlocal = Window.partitionBy("pid").orderBy(
+        F.col("revenue").desc(), F.col("o_custkey").asc()
+    )
+    local = ranged.withColumn("local_rank", F.row_number().over(wlocal))
+    sizes = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n_part"))
+    woff = (
+        Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = sizes.withColumn(
+        "offset", F.sum("n_part").over(woff) - F.col("n_part")
+    ).select("pid", "offset")
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "o_custkey",
+            "revenue",
+            (F.col("local_rank").cast("long") + F.col("offset")).alias(
+                "global_rank"
+            ),
+        )
+    )
+
+
+GLOBAL_REVENUE_RANK_SQL = f"""
+WITH rev AS (
+  SELECT o_custkey, {dsum_sql('o_totalprice')} AS revenue
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, revenue,
+       CAST(row_number() OVER (ORDER BY revenue DESC, o_custkey)
+            AS BIGINT) AS global_rank
+FROM rev
+"""
+
+
+# --- temperature-based corpus mixing ---------------------------------------
+
+#: per-source quota scale (the char-heaviest source gets MIX_QUOTA docs)
+MIX_QUOTA = 20
+
+
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened corpus mixing (the T=2 / sqrt data-mixing
+    rule for LLM training sets), weighted by per-source VOLUME (total
+    chars — mixing quotas are token budgets, not doc counts): each
+    source's doc quota is ceil(Q · sqrt(chars_s / chars_max)) —
+    sub-linear in source volume, so small sources are up-weighted
+    relative to proportional sampling — and the quota is filled
+    DETERMINISTICALLY by md5-hash order (a seeded shuffle both engines
+    reproduce bit-for-bit). Volume sums are INTEGER (engine-exact);
+    the only floating ops are one sqrt + one multiply per SOURCE,
+    mirrored exactly in the oracle.
+
+    Scale shape: source volumes are a tiny agg (broadcast back), the
+    scalar chars_max rides a broadcast cross join, and the per-source
+    hash-order row_number is one window over the source partition —
+    the same single-shuffle shape as `source_capped_docs`."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.sum("n_chars").alias("n_s"))
+    nmax = counts.agg(F.max("n_s").alias("n_max"))
+    quota = F.expr(
+        f"CAST(ceil(CAST({MIX_QUOTA} AS DOUBLE)"
+        " * sqrt(CAST(n_s AS DOUBLE) / CAST(n_max AS DOUBLE))) AS BIGINT)"
+    )
+    quotas = counts.crossJoin(F.broadcast(nmax)).select(
+        "source", "n_s", quota.alias("quota")
+    )
+    h = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    wsrc = Window.partitionBy("source").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "source", h.alias("h"))
+        .withColumn("rn", F.row_number().over(wsrc))
+        .join(F.broadcast(quotas), "source")
+        .where(F.col("rn") <= F.col("quota"))
+        .select(
+            "source",
+            "doc_id",
+            F.col("rn").cast("long").alias("sample_seq"),
+            "quota",
+        )
+    )
+
+
+CORPUS_TEMPERATURE_MIXTURE_SQL = f"""
+WITH counts AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_s
+  FROM documents GROUP BY source
+),
+quotas AS (
+  SELECT source, n_s,
+         CAST(ceil(CAST({MIX_QUOTA} AS DOUBLE)
+              * sqrt(CAST(n_s AS DOUBLE)
+                     / CAST((SELECT max(n_s) FROM counts) AS DOUBLE)))
+              AS BIGINT) AS quota
+  FROM counts
+),
+hashed AS (
+  SELECT source, doc_id,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+              AS BIGINT) AS sample_seq
+  FROM hashed
+)
+SELECT r.source AS source, r.doc_id AS doc_id, r.sample_seq AS sample_seq,
+       q.quota AS quota
+FROM ranked r JOIN quotas q ON r.source = q.source
+WHERE r.sample_seq <= q.quota
+"""
+
+
+# --- per-source quality percentile gate ------------------------------------
+
+
+def source_quality_percentile_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RELATIVE quality gate: within each source, keep the top half of
+    documents by unique-word fraction (the Gopher-style repetition
+    proxy — duplicated words signal low quality). Absolute-threshold
+    gates (`corpus_preparation`) break when sources have different
+    quality distributions; percentile gates auto-calibrate per source.
+    percent_rank is the exact integer ratio (rank−1)/(n−1) over a
+    TOTAL deterministic order (fraction desc, doc_id), so the cutoff
+    is engine-identical.
+
+    Scale shape: the fraction is a narrow LET-bound expression; one
+    shuffle on source for the window; the filter streams."""
+    from .text import bind_once_sql
+
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    uniq = bind_once_sql(
+        "split(trim(text), '\\\\s+')",
+        "t",
+        "CAST(size(array_distinct(t)) AS DOUBLE)"
+        " / CAST(size(t) AS DOUBLE)",
+    )
+    wsrc = Window.partitionBy("source").orderBy(
+        F.col("uniq_frac").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "source", F.expr(uniq).alias("uniq_frac"))
+        .withColumn("pct_rank", F.percent_rank().over(wsrc))
+        .where(F.col("pct_rank") <= F.expr("CAST(0.5 AS DOUBLE)"))
+        .select("source", "doc_id", "uniq_frac", "pct_rank")
+    )
+
+
+SOURCE_QUALITY_PERCENTILE_FILTER_SQL = """
+SELECT source, doc_id, uniq_frac, pct_rank
+FROM (
+  SELECT source, doc_id, uniq_frac,
+         percent_rank() OVER (PARTITION BY source
+                              ORDER BY uniq_frac DESC, doc_id) AS pct_rank
+  FROM (
+    SELECT source, doc_id,
+           CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                AS DOUBLE)
+             / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+             AS uniq_frac
+    FROM documents
+  )
+)
+WHERE pct_rank <= CAST(0.5 AS DOUBLE)
+"""

@@ -121,6 +121,13 @@ SHUFFLE_BUDGET = {
     "events_value_histogram": 1,  # ≤20-key map-side-combining agg
     # (type,bin) sketch agg + type window/final agg share one exchange
     "events_approx_quantiles": 2,
+    # custkey agg + range exchange (persisted) + pid-window rekey +
+    # sizes agg + tiny offsets window; offsets broadcast back
+    "global_revenue_rank": 5,
+    # volume agg + broadcast-scalar max + source window; quotas broadcast
+    "corpus_temperature_mixture": 4,
+    # narrow fraction expr + one source-keyed window (+ balanced spread)
+    "source_quality_percentile_filter": 2,
     "cms_heavy_hitters": 2,  # sketch-build agg + per-user exact agg
     # broadcast self-join at harness size (1 = pair groupBy); ≤3 if
     # the fingerprint join falls back to SMJ at scale
