@@ -287,6 +287,10 @@ _RELATIONAL = [
      R.BLOOM_PRUNED_CUSTOMER_ORDERS_SQL,
      "Runtime-filter join: broadcast membership prefilter on the "
      "fact side; oracle is the plain join (transparency contract)."),
+    ("bucketed_customer_orders_join", R.bucketed_customer_orders_join,
+     R.BUCKETED_CUSTOMER_ORDERS_JOIN_SQL,
+     "Zero-shuffle co-located join via bucketBy/sortBy tables; oracle "
+     "is the plain join (layout transparency contract)."),
     ("region_null_audit", R.region_null_audit, R.REGION_NULL_AUDIT_SQL,
      "SQL NULL semantics: null groups, count(col), nullif, <=>."),
 ]

@@ -847,3 +847,68 @@ SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
 FROM events
 GROUP BY time_bucket(INTERVAL '5 minutes', ts), event_type
 """
+
+
+# --- bucketed (pre-shuffled) co-located join -------------------------------
+
+N_BUCKETS = 8
+
+
+def bucketed_customer_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-SHUFFLE equi-join via BUCKETING — the co-located-join
+    feature every 100 TB warehouse leans on: both sides are written
+    `bucketBy(N, key).sortBy(key)`, so at read time Spark knows rows
+    with equal keys share a bucket file and plans a sort-merge join
+    with NO exchange and NO sort on either side (asserted in
+    tests/test_plans.py). At scale you bucket the fact table ONCE and
+    every subsequent key join rides it; here the builder materializes
+    the bucketed tables per call (the write cost IS the point — it's
+    the one-time shuffle you amortize).
+
+    The join output is aggregated per market segment; values match the
+    plain-join oracle exactly (bucketing is a physical layout choice,
+    invisible to results)."""
+    import tempfile
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    # one task (hence ONE FILE) per bucket: Spark elides the merge-join
+    # Sort only for single-file buckets (multi-file buckets cannot be
+    # assumed globally sorted), so pre-repartition on the bucket key
+    (
+        c.repartition(N_BUCKETS, F.col("c_custkey"))
+        .write.mode("overwrite")
+        .bucketBy(N_BUCKETS, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", f"{base}/customer_b")
+        .saveAsTable("bucketed_customer_tmp")
+    )
+    (
+        o.repartition(N_BUCKETS, F.col("o_custkey"))
+        .write.mode("overwrite")
+        .bucketBy(N_BUCKETS, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", f"{base}/orders_b")
+        .saveAsTable("bucketed_orders_tmp")
+    )
+    cb = spark.table("bucketed_customer_tmp")
+    ob = spark.table("bucketed_orders_tmp")
+    joined = cb.join(ob, cb.c_custkey == ob.o_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+
+
+BUCKETED_CUSTOMER_ORDERS_JOIN_SQL = f"""
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""

@@ -79,6 +79,8 @@ SHUFFLE_BUDGET = {
     "salted_customer_orders": 2,  # broadcast at harness size; ≤2 if SMJ
     # 1 = the bucket-set collect agg; fact side stays narrow
     "bloom_pruned_customer_orders": 1,
+    # join rides pre-bucketed files (zero exchanges); 1 = final agg
+    "bucketed_customer_orders_join": 1,
     "region_null_audit": 1,
     "small_quantity_order_revenue": 2,  # agg + co-partitioned join-back
     # 3 stage aggs + 2 stage joins, all hash-partitioned on user_id —
@@ -249,6 +251,43 @@ def test_runtime_bloom_filter_injects(spark):
         )
         plan = j._jdf.queryExecution().toString()
         assert "might_contain" in plan and "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_bucketed_join_is_shuffle_and_sort_free(spark):
+    """The bucketed-table join must plan a SortMergeJoin with NO
+    exchange and NO sort on either side — the co-located-join contract
+    bucketing exists for. Broadcast is disabled so the tiny harness
+    tables can't cheat the demonstration (at 100 TB both sides exceed
+    any broadcast threshold and this IS the natural plan).
+
+    Sort elision needs `legacy.bucketedTableScan.outputOrdering`:
+    Spark ≥3.0 stopped advertising bucket sort order because
+    MULTI-file buckets aren't globally sorted — the builder writes
+    exactly one file per bucket (repartition on the bucket key before
+    write), which is the precondition that makes the conf sound."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = api.REGISTRY["bucketed_customer_orders_join"].builder(
+            spark, SF_SMALL
+        )
+        plan = explain.physical_plan(df)
+        assert "SortMergeJoin" in plan, plan
+        # the ONLY exchange is the final segment aggregation; the join
+        # itself reads pre-bucketed, pre-sorted files
+        assert explain.count_shuffles(df) == 1, plan
+        assert "Sort " not in plan.replace("SortMergeJoin", "SMJ"), plan
     finally:
         for k, v in prev.items():
             if v is None:
