@@ -396,6 +396,11 @@ _ANALYTICS = [
     ("monthly_revenue_growth", A.monthly_revenue_growth,
      A.MONTHLY_REVENUE_GROWTH_SQL,
      "MoM growth: lag window over the aggregated month series."),
+    ("monthly_revenue_incremental", A.monthly_revenue_incremental,
+     A.MONTHLY_REVENUE_INCREMENTAL_SQL,
+     "Incremental MV maintenance: base + delta partial aggregates "
+     "merged exactly (associative decimal sums); oracle is the full "
+     "recomputation."),
     ("keyword_search_topk", A.keyword_search_topk,
      A.KEYWORD_SEARCH_TOPK_SQL,
      "Inverted-index keyword search: integer tf scoring, top-20."),

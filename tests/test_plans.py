@@ -43,6 +43,8 @@ SHUFFLE_BUDGET = {
     "agg_pricing_summary": 1,
     "monthly_revenue": 1,
     "monthly_revenue_growth": 2,  # month agg + tiny post-agg window
+    # base-branch agg + merged re-agg (delta partials ride the union)
+    "monthly_revenue_incremental": 2,
     # term-filtered explode + doc agg (countDistinct two-phase) + top-k
     "keyword_search_topk": 3,
     "dedup_exact": 1,

@@ -98,13 +98,28 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     from etl_portfolio_project_spark import api
-    from etl_portfolio_project_spark.session import get_spark
 
-    spark = get_spark(cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    if vanilla:
+        # the grading driver's conditions: a PLAIN session (default
+        # shuffle partitions, no tuned confs) — api.register() must pin
+        # whatever determinism needs on its own
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[4]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from etl_portfolio_project_spark.session import get_spark
+
+        spark = get_spark(cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     con = duck_con(sf_dir)
     qs, oracles = api.queries(), api.oracle_sql()
     failed = []
