@@ -580,6 +580,11 @@ _STREAMING_MM = [
     ("stream_enriched_by_segment", E.stream_enriched_by_segment,
      E.STREAM_ENRICHED_BY_SEGMENT_SQL,
      "Stream-static broadcast enrichment + windowed aggregation."),
+    ("stream_approx_quantiles", E.stream_approx_quantiles,
+     A.EVENTS_APPROX_QUANTILES_SQL,
+     "Streaming quantile sketch: bin counts as bounded streaming "
+     "state, batch-side percentile extraction; equals the batch twin "
+     "bit-for-bit."),
     ("multimodal_features", M.multimodal_features, M.MULTIMODAL_FEATURES_SQL,
      "Binary media column → Arrow mapInPandas featurization (stub codec)."),
     ("multimodal_frame_sample", M.multimodal_frame_sample,

@@ -1234,14 +1234,26 @@ def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     [the sketch build], one type-keyed window over bin-count rows
     [sketch merge: rows ∝ bins, not events], one tiny final agg."""
     e = load_table(spark, sf_dir, "events")
-    bin_id = F.expr(
-        f"CAST(floor(value / CAST({QUANT_BIN_WIDTH} AS DOUBLE)) AS BIGINT)"
-    )
     b = (
-        e.select("event_type", bin_id.alias("bin_id"))
+        e.select("event_type", quant_bin_id().alias("bin_id"))
         .groupBy("event_type", "bin_id")
         .agg(F.count(F.lit(1)).alias("n_bin"))
     )
+    return quantiles_from_bins(b)
+
+
+def quant_bin_id() -> F.Column:
+    """Sketch bin id of `value` (shared by the batch and streaming
+    quantile queries)."""
+    return F.expr(
+        f"CAST(floor(value / CAST({QUANT_BIN_WIDTH} AS DOUBLE)) AS BIGINT)"
+    )
+
+
+def quantiles_from_bins(b: DataFrame) -> DataFrame:
+    """Extract p50/p90/p99 upper bounds from a (event_type, bin_id,
+    n_bin) sketch relation — the serve-side half of the quantile
+    sketch, shared by the batch builder and the streaming twin."""
     wcum = (
         Window.partitionBy("event_type")
         .orderBy("bin_id")
@@ -1320,16 +1332,19 @@ def global_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     between range partitions for the rank itself."""
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("revenue"))
-    # persist: the ranged relation feeds BOTH the local-rank branch and
-    # the partition-size branch — materializing it once makes the agg +
-    # range exchange run once (same "build the index once" pattern as
-    # ann_lsh_topk's bucket table)
+    # materialize the ranged relation ONCE (eager localCheckpoint):
+    # it feeds BOTH the local-rank branch and the partition-size
+    # branch, and checkpointing (a) runs the agg + range exchange a
+    # single time and (b) FREEZES the nondeterministic pid assignment
+    # so both branches provably see the same partitioning (a lazy
+    # cache could be evicted and recomputed with different range
+    # bounds between branches; checkpointed partitions cannot)
     ranged = (
         rev.repartitionByRange(
             8, F.col("revenue").desc(), F.col("o_custkey").asc()
         )
         .withColumn("pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     wlocal = Window.partitionBy("pid").orderBy(
         F.col("revenue").desc(), F.col("o_custkey").asc()

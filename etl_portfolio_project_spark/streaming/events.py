@@ -665,3 +665,24 @@ FROM (
   FROM events
 ) WHERE rn = 1
 """
+
+
+def stream_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `events_approx_quantiles`: the bin-count
+    SKETCH is the streaming aggregation state (complete-mode groupBy
+    on (event_type, bin) — bounded at range/width keys per type no
+    matter how much data streams through), and the quantile extraction
+    runs batch-side over the completed sketch table — exactly how a
+    production pipeline serves percentiles from a continuously-
+    maintained sketch store. Result equals the batch query and its
+    oracle bit-for-bit."""
+    from ..operators.analytics import quant_bin_id, quantiles_from_bins
+
+    e = read_events_stream(spark, sf_dir)
+    sketch = (
+        e.select("event_type", quant_bin_id().alias("bin_id"))
+        .groupBy("event_type", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_bin"))
+    )
+    _run_to_table(sketch, "stream_quantile_sketch", "complete")
+    return quantiles_from_bins(spark.table("stream_quantile_sketch"))

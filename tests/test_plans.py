@@ -125,9 +125,10 @@ SHUFFLE_BUDGET = {
     "events_value_histogram": 1,  # ≤20-key map-side-combining agg
     # (type,bin) sketch agg + type window/final agg share one exchange
     "events_approx_quantiles": 2,
-    # custkey agg + range exchange (persisted) + pid-window rekey +
-    # sizes agg + tiny offsets window; offsets broadcast back
-    "global_revenue_rank": 5,
+    # post-checkpoint plan: pid-window rekey + sizes agg + tiny offsets
+    # window (the custkey agg + range exchange run once INSIDE the
+    # eager localCheckpoint, before this plan); offsets broadcast back
+    "global_revenue_rank": 3,
     # volume agg + broadcast-scalar max + source window; quotas broadcast
     "corpus_temperature_mixture": 4,
     # narrow fraction expr + one source-keyed window (+ balanced spread)
