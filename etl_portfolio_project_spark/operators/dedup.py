@@ -255,10 +255,16 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"array_distinct(transform({_ngrams_spark_sql('t', SHINGLE_N)}, "
         f"g -> {hash_g}))",
     )
+    # materialize the shingle-hash table once (eager localCheckpoint):
+    # it feeds the inverted index AND both verify join-backs, and the
+    # md5-per-shingle projection is the dominant cost — recomputing it
+    # per branch tripled the query time (measured 6.5s → ~2s at sf0.1).
+    # At scale this IS the shingle index you'd build once and reuse.
     d = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("source") == DEDUP_SOURCE_BLOCK)
         .select("doc_id", F.expr(shingles).alias("items"))
+        .localCheckpoint(eager=True)
     )
     sizes = d.select("doc_id", F.size("items").cast("long").alias("n"))
     tok = d.select("doc_id", F.explode("items").alias("item"))
