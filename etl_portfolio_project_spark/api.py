@@ -364,6 +364,11 @@ _EXTENSIONS = [
      S.EMBEDDING_LSH_NEARDUP_PAIRS_SQL,
      "Cosine-threshold near-dup pairs, LSH-bucketed candidates + exact "
      "verify — the 100 TB-safe embedding dedup path."),
+    ("embedding_linear_scores", S.embedding_linear_scores,
+     S.EMBEDDING_LINEAR_SCORES_SQL,
+     "Broadcast model inference as pure SQL: 4-class linear margins "
+     "via exact fold dot products + deterministic argmax (no exp — "
+     "not libm-portable)."),
     ("label_centroid_components", S.label_centroid_components,
      S.LABEL_CENTROID_COMPONENTS_SQL,
      "Per-label embedding centroids (mean pooling / K-means update), "
@@ -401,6 +406,10 @@ _ANALYTICS = [
      "Incremental MV maintenance: base + delta partial aggregates "
      "merged exactly (associative decimal sums); oracle is the full "
      "recomputation."),
+    ("tree_inference_leaf_stats", A.tree_inference_leaf_stats,
+     A.TREE_INFERENCE_LEAF_STATS_SQL,
+     "Decision-tree inference fused into the scan: 8-leaf nested CASE "
+     "routing + per-leaf decimal aggregates."),
     ("keyword_search_topk", A.keyword_search_topk,
      A.KEYWORD_SEARCH_TOPK_SQL,
      "Inverted-index keyword search: integer tf scoring, top-20."),

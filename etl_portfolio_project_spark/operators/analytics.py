@@ -1573,3 +1573,57 @@ SELECT date_trunc('month', o_orderdate) AS month,
 FROM orders
 GROUP BY 1
 """
+
+
+# --- decision-tree inference fused into the scan ---------------------------
+
+#: tree thresholds as shared literals (both engines compare, not emit)
+TREE_SQL_CASE = """
+CASE
+  WHEN l_quantity < 25.0 THEN
+    CASE WHEN l_discount < 0.05 THEN
+           CASE WHEN l_extendedprice < 30000.0 THEN 0 ELSE 1 END
+         ELSE
+           CASE WHEN l_extendedprice < 30000.0 THEN 2 ELSE 3 END
+    END
+  ELSE
+    CASE WHEN l_discount < 0.05 THEN
+           CASE WHEN l_tax < 0.04 THEN 4 ELSE 5 END
+         ELSE
+           CASE WHEN l_tax < 0.04 THEN 6 ELSE 7 END
+    END
+END
+"""
+
+
+def tree_inference_leaf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECISION-TREE model inference fused into the scan: a 3-level /
+    8-leaf tree over lineitem features expressed as one nested CASE —
+    the "ML inference as relational operator" pattern (tree ensembles
+    compile to exactly this shape). Comparisons only, no float
+    emission from the model, so the leaf routing is engine-exact; the
+    per-leaf aggregates follow the engine's decimal-sum rules.
+
+    Scale shape: the CASE rides whole-stage codegen inside the scan
+    stage (model inference costs zero extra passes at 100 TB), then
+    one 8-key map-side-combining aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("leaf_id", F.expr(TREE_SQL_CASE).cast("int"))
+        .groupBy("leaf_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+TREE_INFERENCE_LEAF_STATS_SQL = f"""
+SELECT CAST({TREE_SQL_CASE} AS INTEGER) AS leaf_id,
+       count(*) AS n_rows,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       {dsum_sql('l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY 1
+"""

@@ -515,8 +515,12 @@ def _table_bucket_sql(vec: str, table: int, planes: list | None = None) -> str:
     terms = []
     for i in range(len(planes[table])):
         plane = planes[table][i]
+        # quoted literals: see _clf_dot_duck — DuckDB double-rounds
+        # bare 16-digit decimal literals; a projection within an ulp
+        # of zero could otherwise flip a sign bit vs Spark
         prods = [
-            f"CAST({vec}[{j + 1}] AS DOUBLE) * {plane[j]!r}" for j in range(DIM)
+            f"CAST({vec}[{j + 1}] AS DOUBLE) * CAST('{plane[j]!r}' AS DOUBLE)"
+            for j in range(DIM)
         ]
         proj = "(0.0 + " + " + ".join(prods) + ")"
         terms.append(
@@ -650,4 +654,86 @@ SELECT label, dim,
                    (a, b) -> a + b) / count(*) AS mean_component
 FROM pe
 GROUP BY label, dim
+"""
+
+
+# --- broadcast model inference (pure-SQL ML scoring) -----------------------
+
+#: deterministic seeded weight matrix [class][dim] — the "model";
+#: at scale this is the broadcast side of model-inference-as-SQL
+N_CLASSES = 4
+_rng_clf = random.Random(77)
+CLF_WEIGHTS: list[list[float]] = [
+    [_rng_clf.uniform(-1.0, 1.0) for _ in range(DIM)]
+    for _ in range(N_CLASSES)
+]
+
+
+def embedding_linear_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast MODEL INFERENCE as pure Catalyst expressions (the
+    "ML inference pipeline in SQL via operator fusion" pattern): a
+    4-class linear scorer whose weight matrix is embedded as literals
+    (= broadcast), per-class margins computed with the engine's exact
+    left-fold dot product, argmax class with deterministic tie-break.
+    No sigmoid/softmax on purpose: exp() is NOT bit-portable across
+    libm implementations, while dot-product margins and their
+    comparisons are — the predicted argmax is unaffected (softmax is
+    monotone in the margin).
+
+    Scale shape: a pure NARROW map over the embedding scan — zero
+    shuffles, whole-pipeline fusion, exactly how a 1000-executor
+    cluster scores 100 TB with a broadcast model."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = balanced(e).select("vec_id", _dvec("embedding").alias("vec"))
+    score_cols = []
+    for c in range(N_CLASSES):
+        lits = ", ".join(f"{w!r}D" for w in CLF_WEIGHTS[c])
+        score_cols.append(
+            F.expr(_dot_spark_sql("vec", f"array({lits})")).alias(f"score_{c}")
+        )
+    scored = base.select("vec_id", *score_cols)
+    pred = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN {' AND '.join(f'score_{c} >= score_{d}' for d in range(N_CLASSES) if d != c)} THEN {c}"
+            for c in range(N_CLASSES - 1)
+        )
+        + f" ELSE {N_CLASSES - 1} END"
+    )
+    return scored.withColumn("predicted_class", pred.cast("int"))
+
+
+def _clf_dot_duck(vec: str, c: int) -> str:
+    # weight literals must be QUOTED strings: DuckDB parses a bare
+    # 16-digit literal as DECIMAL whose int128→double conversion
+    # DOUBLE-ROUNDS (mantissa > 2^53, then a divide) — measured 1-ulp
+    # off Python/Java's correctly-rounded strtod. CAST('…' AS DOUBLE)
+    # goes through strtod and matches Spark's literal parse exactly.
+    terms = [
+        f"CAST({vec}[{j + 1}] AS DOUBLE)"
+        f" * CAST('{CLF_WEIGHTS[c][j]!r}' AS DOUBLE)"
+        for j in range(DIM)
+    ]
+    return "(0.0 + " + " + ".join(terms) + ")"
+
+
+_score_sel = ", ".join(
+    f"{_clf_dot_duck('embedding', c)} AS score_{c}" for c in range(N_CLASSES)
+)
+_pred_whens = " ".join(
+    "WHEN "
+    + " AND ".join(
+        f"{_clf_dot_duck('embedding', c)} >= {_clf_dot_duck('embedding', d)}"
+        for d in range(N_CLASSES)
+        if d != c
+    )
+    + f" THEN {c}"
+    for c in range(N_CLASSES - 1)
+)
+EMBEDDING_LINEAR_SCORES_SQL = f"""
+SELECT vec_id,
+       {_score_sel},
+       CAST(CASE {_pred_whens} ELSE {N_CLASSES - 1} END AS INTEGER)
+         AS predicted_class
+FROM embeddings
 """

@@ -94,6 +94,10 @@ SHUFFLE_BUDGET = {
     "zorder_events_tiles": 1,  # narrow bit-interleave + one group agg
     "events_value_outliers": 1,  # moment agg; stats broadcast back
     "label_centroid_components": 1,  # one (label, dim)-keyed agg
+    # pure narrow broadcast-model scoring; 1 = balanced scan spread only
+    "embedding_linear_scores": 1,
+    # leaf CASE fused in the scan stage; 1 = 8-key leaf aggregate
+    "tree_inference_leaf_stats": 1,
     # one custkey exchange; both windows + run groupBy reuse it
     "scd2_order_status_history": 1,
     "tpch_q2_min_price_supplier": 2,  # partkey agg + join-back (co-part.)
