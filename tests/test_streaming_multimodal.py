@@ -236,3 +236,43 @@ def test_scd1_upsert_across_multiple_microbatches(spark, tmp_path):
         )
     )
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_streaming_with_rocksdb_state_store(spark):
+    """Production state backend: the same watermarked streaming
+    aggregation runs on the RocksDB state store provider (bounded
+    JVM heap — state spills to local disk; what a real cluster uses
+    for billions of keys) and produces results identical to the
+    default in-memory provider."""
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = E.stream_tumbling_5min(spark, SF_SMALL)
+        exp = (
+            load_table(spark, SF_SMALL, "events")
+            .groupBy(
+                F.window("ts", "5 minutes").alias("w"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+        g = got.select("window_start", "event_type", "n_events")
+        assert g.exceptAll(exp).count() == 0
+        assert exp.exceptAll(g).count() == 0
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
