@@ -291,6 +291,10 @@ _RELATIONAL = [
      R.BUCKETED_CUSTOMER_ORDERS_JOIN_SQL,
      "Zero-shuffle co-located join via bucketBy/sortBy tables; oracle "
      "is the plain join (layout transparency contract)."),
+    ("data_quality_audit", R.data_quality_audit,
+     R.DATA_QUALITY_AUDIT_SQL,
+     "One-pass DQ gate: null keys, domain + temporal violations, "
+     "orphan FKs via broadcast membership, single global aggregate."),
     ("region_null_audit", R.region_null_audit, R.REGION_NULL_AUDIT_SQL,
      "SQL NULL semantics: null groups, count(col), nullif, <=>."),
 ]

@@ -912,3 +912,58 @@ SELECT c_mktsegment,
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_mktsegment
 """
+
+
+# --- data-quality audit ----------------------------------------------------
+
+
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass DATA-QUALITY audit over the orders fact — the
+    validation gate a production pipeline runs before publishing:
+    null-key counts, domain violations (non-positive price), temporal
+    sanity (dates outside the known range), plus referential
+    integrity against the customer dimension (orphan FKs via a
+    broadcast anti-join membership flag folded into the same
+    aggregate). All counters are conditional integer sums in ONE
+    aggregation pass over the scan.
+
+    Scale shape: narrow projection + broadcast dim key set + a single
+    global aggregate (partial-agg'd map-side; one row out)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    flagged = o.join(
+        F.broadcast(c),
+        o.o_custkey == c.c_custkey,
+        "left_outer",
+    )
+    bit = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        bit(F.col("o_custkey").isNull()).alias("n_null_custkey"),
+        bit(F.col("o_totalprice") <= 0).alias("n_nonpositive_price"),
+        bit(
+            (F.col("o_orderdate") < "1992-01-01")
+            | (F.col("o_orderdate") >= "1999-01-01")
+        ).alias("n_date_out_of_range"),
+        bit(F.col("c_custkey").isNull()).alias("n_orphan_orders"),
+        bit(~F.col("o_orderstatus").isin("O", "F", "P")).alias(
+            "n_bad_status"
+        ),
+    )
+
+
+DATA_QUALITY_AUDIT_SQL = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_custkey,
+       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nonpositive_price,
+       CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                      OR o_orderdate >= TIMESTAMP '1999-01-01'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_date_out_of_range,
+       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphan_orders,
+       CAST(sum(CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P'))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""

@@ -83,6 +83,8 @@ SHUFFLE_BUDGET = {
     "bloom_pruned_customer_orders": 1,
     # join rides pre-bucketed files (zero exchanges); 1 = final agg
     "bucketed_customer_orders_join": 1,
+    # broadcast dim membership + ONE global aggregate
+    "data_quality_audit": 1,
     "region_null_audit": 1,
     "small_quantity_order_revenue": 2,  # agg + co-partitioned join-back
     # 3 stage aggs + 2 stage joins, all hash-partitioned on user_id —
