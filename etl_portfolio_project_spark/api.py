@@ -603,6 +603,10 @@ _STREAMING_MM = [
     ("multimodal_frame_sample", M.multimodal_frame_sample,
      M.MULTIMODAL_FRAME_SAMPLE_SQL,
      "Video-shaped frame sampling: row → N frames via mapInPandas."),
+    ("multimodal_wav_decode", M.multimodal_wav_decode,
+     M.MULTIMODAL_WAV_DECODE_SQL,
+     "REAL audio decode: PCM16 WAV synth → binary column → stdlib "
+     "wave decode → integer features, round-trip proven by oracle."),
 ]
 
 from .operators import arrow_ops as AR  # noqa: E402

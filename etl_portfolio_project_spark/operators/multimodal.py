@@ -2,13 +2,17 @@
 
 Images/audio/video are opaque `binary` columns with typed metadata;
 decode / feature-extraction runs as Arrow-batched pandas UDFs via
-`mapInPandas`. The container ships no image/audio libraries, so the
-actual codec step is STUBBED (clearly marked below) behind a
-deterministic fake — but everything Spark-side is real and tested:
-the binary schema, the Arrow batch iteration, the UDF signature, and
-the output schema. The registered query's feature columns are
-recomputed by a DuckDB oracle, so the pandas-UDF path itself is
-differentially verified.
+`mapInPandas`. The IMAGE codec step is STUBBED (clearly marked below;
+the container ships no PIL/ffmpeg) behind a deterministic fake — but
+everything Spark-side is real and tested: the binary schema, the
+Arrow batch iteration, the UDF signature, and the output schema. The
+AUDIO path is fully REAL: `multimodal_wav_decode` encodes PCM16 WAV
+bytes, carries them as a binary column, and decodes the actual RIFF
+container with the stdlib `wave` module — the round-trip is proven by
+a DuckDB oracle that regenerates the integer waveform relationally.
+The registered queries' feature columns are all recomputed by DuckDB
+oracles, so the pandas-UDF paths themselves are differentially
+verified.
 
 Scale notes: mapInPandas streams Arrow record batches — constant
 memory per task regardless of table size; binary payloads stay
@@ -221,4 +225,158 @@ FROM documents,
      LATERAL (SELECT unnest(range(0,
                 (length(text) + {FRAME_CHARS - 1}) // {FRAME_CHARS},
                 {FRAME_STRIDE}))) f(frame_idx)
+"""
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode: WAV is parseable with the Python stdlib (`wave`),
+# so unlike the image path (stubbed — no PIL in the container) the
+# audio modality runs a GENUINE encode → binary column → decode →
+# feature cycle end-to-end.
+# ---------------------------------------------------------------------------
+
+WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+WAV_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_payload_bytes", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+    ]
+)
+
+WAV_RATE = 8000
+
+
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode: synthesize a PCM16 mono WAV per doc
+    (deterministic integer waveform), carry it as a `binary` column,
+    then DECODE THE ACTUAL WAV BYTES with the stdlib `wave` module in
+    a second Arrow stage and emit audio features (frame count, energy
+    sum, peak). Nothing is faked in the decode: header fields come
+    from the RIFF header, samples from the PCM frames — this is the
+    audio half of the multimodal story running for real (the image
+    half stays stubbed: no codec library in the container).
+
+    Features are INTEGER (sum of squares, peak) so the DuckDB oracle
+    reproduces them exactly by regenerating the same waveform
+    relationally — the encode→decode round-trip is therefore
+    differentially PROVEN, not just exercised.
+
+    Scale shape: two narrow Arrow map stages (synth, decode) — binary
+    payloads stream through Arrow record batches, constant memory per
+    task; zero shuffles."""
+    d = balanced_docs(spark, sf_dir)
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import wave as _wave
+
+        import pandas as _pd
+
+        def make_wav(doc_id: int) -> bytes:
+            n = 100 + doc_id % 50
+            buf = _io.BytesIO()
+            w = _wave.open(buf, "wb")
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            frames = bytearray()
+            for i in range(n):
+                s = ((doc_id * 31 + i * 17) % 65536) - 32768
+                frames += int(s).to_bytes(2, "little", signed=True)
+            w.writeframes(bytes(frames))
+            w.close()
+            return buf.getvalue()
+
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(make_wav),
+                }
+            )
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import wave as _wave
+
+        import pandas as _pd
+
+        def feats(payload: bytes):
+            w = _wave.open(_io.BytesIO(bytes(payload)), "rb")
+            nch, width, rate, nframes = (
+                w.getnchannels(),
+                w.getsampwidth(),
+                w.getframerate(),
+                w.getnframes(),
+            )
+            raw = w.readframes(nframes)
+            w.close()
+            assert width == 2 and nch == 1
+            ssq = 0
+            peak = 0
+            for j in range(nframes):
+                s = int.from_bytes(raw[2 * j : 2 * j + 2], "little", signed=True)
+                ssq += s * s
+                peak = max(peak, abs(s))
+            return nch, rate, nframes, len(payload), ssq, peak
+
+        for pdf in it:
+            rows = [
+                (int(doc_id),) + feats(payload)
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_channels",
+                    "sample_rate",
+                    "n_frames",
+                    "n_payload_bytes",
+                    "sum_sq",
+                    "peak_abs",
+                ],
+            )
+
+    wavs = d.mapInPandas(synth, WAV_SCHEMA)
+    return wavs.mapInPandas(decode, WAV_FEATURES_SCHEMA)
+
+
+def balanced_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.registry import balanced
+
+    return balanced(load_table(spark, sf_dir, "documents")).select("doc_id")
+
+
+#: Oracle: regenerate the integer waveform relationally. The WAV
+#: container adds a fixed 44-byte RIFF/fmt/data header for PCM16 mono,
+#: so n_payload_bytes = 44 + 2*n_frames.
+#: correlated generate_series bounds aren't supported by DuckDB, so the
+#: sample index spine is the constant max range (149) cross-joined and
+#: filtered per doc by i < n_frames.
+MULTIMODAL_WAV_DECODE_SQL = """
+SELECT doc_id,
+       1 AS n_channels,
+       8000 AS sample_rate,
+       CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+       CAST(44 + 2 * (100 + doc_id % 50) AS BIGINT) AS n_payload_bytes,
+       CAST(sum(s * s) AS BIGINT) AS sum_sq,
+       CAST(max(abs(s)) AS BIGINT) AS peak_abs
+FROM (
+  SELECT doc_id, ((doc_id * 31 + i * 17) % 65536) - 32768 AS s
+  FROM documents, generate_series(0, 148) t(i)
+  WHERE i < 100 + doc_id % 50
+)
+GROUP BY doc_id
 """
