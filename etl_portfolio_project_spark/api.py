@@ -460,6 +460,10 @@ _ANALYTICS = [
      A.EVENTS_VALUE_OUTLIERS_SQL,
      "Z-score outliers: decimal-exact per-type moments broadcast back "
      "onto the narrow event scan."),
+    ("events_mad_outliers", A.events_mad_outliers,
+     A.EVENTS_MAD_OUTLIERS_SQL,
+     "Robust median/MAD outlier profile via bit-exact rank-selection "
+     "medians (no interpolation arithmetic)."),
     ("zorder_events_tiles", A.zorder_events_tiles,
      A.ZORDER_EVENTS_TILES_SQL,
      "Z-order layout audit: Morton-interleaved (user, hour) key, "

@@ -1627,3 +1627,99 @@ SELECT CAST({TREE_SQL_CASE} AS INTEGER) AS leaf_id,
 FROM lineitem
 GROUP BY 1
 """
+
+
+# --- robust outliers: median / MAD via rank selection ----------------------
+
+
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier profile per event type: median and MAD (median
+    absolute deviation) with a 3×MAD outlier count — the
+    heavy-tail-safe sibling of `events_value_outliers`' z-scores.
+
+    Portability: medians are LOWER-MIDDLE RANK SELECTIONS (the element
+    at row_number (n+1) div 2 under a total (value, event_id) order),
+    NEVER interpolated — interpolation arithmetic (lo + (hi−lo)·0.5
+    vs (lo+hi)/2) differs across engines in the last ulp, while
+    selecting an existing element is bit-exact by construction. The
+    deviation |v − med| is one exact double op per row; the outlier
+    rule compares against 3.0·MAD (compare-only, never emitted).
+
+    Scale shape: two event_type-keyed windows (value rank, deviation
+    rank) + a final per-type aggregate — the windows share one
+    partitioning. Rank-selection medians shuffle only (type, value)
+    pairs; for billion-row groups you'd swap in the binned-sketch
+    median (`events_approx_quantiles` machinery) at the same API."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    wcnt = Window.partitionBy("event_type")
+    wval = Window.partitionBy("event_type").orderBy("value", "event_id")
+    med = (
+        e.withColumn("n", F.count(F.lit(1)).over(wcnt))
+        .withColumn("rn", F.row_number().over(wval))
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("value").alias("med"))
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "abs_dev", F.expr("abs(value - med)")
+    )
+    wdev = Window.partitionBy("event_type").orderBy("abs_dev", "event_id")
+    mad = (
+        dev.withColumn("n", F.count(F.lit(1)).over(wcnt))
+        .withColumn("rn", F.row_number().over(wdev))
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("abs_dev").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("med").alias("median_value"),
+            F.max("mad").alias("mad_value"),
+            F.sum(
+                F.when(
+                    F.col("abs_dev") > F.expr("CAST(3.0 AS DOUBLE) * mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+EVENTS_MAD_OUTLIERS_SQL = """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn
+  FROM events
+),
+med AS (
+  SELECT event_type, value AS med FROM ranked WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT e.event_type, e.event_id, abs(e.value - m.med) AS abs_dev, m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+dev_ranked AS (
+  SELECT event_type, abs_dev,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs_dev, event_id) AS rn
+  FROM dev
+),
+mad AS (
+  SELECT event_type, abs_dev AS mad FROM dev_ranked WHERE rn = (n + 1) // 2
+)
+SELECT d.event_type,
+       count(*) AS n_events,
+       max(d.med) AS median_value,
+       max(a.mad) AS mad_value,
+       CAST(sum(CASE WHEN d.abs_dev > CAST(3.0 AS DOUBLE) * a.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad a ON d.event_type = a.event_type
+GROUP BY d.event_type
+"""

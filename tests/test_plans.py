@@ -95,6 +95,9 @@ SHUFFLE_BUDGET = {
     "rolling_distinct_users_24h": 4,
     "zorder_events_tiles": 1,  # narrow bit-interleave + one group agg
     "events_value_outliers": 1,  # moment agg; stats broadcast back
+    # value-rank window + deviation-rank window + final agg share the
+    # event_type partitioning; med/mad broadcast back
+    "events_mad_outliers": 4,
     "label_centroid_components": 1,  # one (label, dim)-keyed agg
     # pure narrow broadcast-model scoring; 1 = balanced scan spread only
     "embedding_linear_scores": 1,
