@@ -618,6 +618,9 @@ from .operators import arrow_ops as AR  # noqa: E402
 _STREAMING_MM += [
     ("arrow_group_median", AR.arrow_group_median, AR.ARROW_GROUP_MEDIAN_SQL,
      "applyInArrow grouped exact median (Arrow kernels, no pandas)."),
+    ("udaf_cents_total", AR.udaf_cents_total, AR.UDAF_CENTS_TOTAL_SQL,
+     "Python UDAF (GROUPED_AGG pandas_udf): exact integer-cents total "
+     "per type; partial-agg capable, oracle-exact."),
 ]
 
 if ST.tws_available():

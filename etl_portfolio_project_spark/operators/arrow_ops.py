@@ -81,3 +81,61 @@ SELECT source,
 FROM documents
 GROUP BY source
 """
+
+
+# --- Python UDAF: GROUPED_AGG pandas_udf -----------------------------------
+
+
+def udaf_cents_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom AGGREGATE function (UDAF) via a GROUPED_AGG
+    `pandas_udf` — the one Python-UDF flavor the rest of the engine
+    doesn't already exercise (scalar pandas_udf: fuzzy.py;
+    applyInPandas/-WithState: streaming; applyInArrow: this module;
+    mapInPandas: multimodal). Computes each event type's exact total
+    in integer cents using the engine's portable rounding
+    (floor(v·100 + 0.5)) so the Python aggregation is oracle-exact —
+    int64 summation is associative, so partial aggregation on Arrow
+    batches cannot change the result.
+
+    Scale shape: GROUPED_AGG pandas_udfs participate in partial
+    aggregation (map-side combine per Arrow batch, merge on the
+    reducer) — unlike applyInPandas, which must co-locate whole
+    groups. This is the UDAF to reach for when the aggregation is
+    algebraic but inexpressible in built-ins."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    # explicit functionType: `from __future__ import annotations`
+    # stringifies hints, which defeats pandas_udf's hint inference
+    @F.pandas_udf(T.LongType(), F.PandasUDFType.GROUPED_AGG)
+    def cents_sum(v):
+        import numpy as _np
+
+        return int(_np.floor(v.values * 100.0 + 0.5).astype(_np.int64).sum())
+
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one agg — the row count is a second pandas UDAF
+    @F.pandas_udf(T.LongType(), F.PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            cents_sum(F.col("value")).alias("cents_total"),
+            n_rows(F.col("value")).alias("n_events"),
+        )
+    )
+
+
+UDAF_CENTS_TOTAL_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(floor(value * CAST(100.0 AS DOUBLE)
+                           + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+         AS cents_total,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
