@@ -127,6 +127,15 @@ def _run_to_table(result: DataFrame, name: str, mode: str) -> None:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # The memory sink pins its whole result on the JVM heap for the
+    # session's lifetime; across a 100+-query session those tables
+    # accumulate into an OOM on default-sized drivers (observed at
+    # sf0.1 on a 1g vanilla session). Swap the sink table for a
+    # disk-backed temp parquet — exact round-trip, bounded memory.
+    out = tempfile.mkdtemp(prefix=f"stream_res_{name}_")
+    spark.table(name).write.mode("overwrite").parquet(out)
+    spark.catalog.dropTempView(name)
+    spark.read.parquet(out).createOrReplaceTempView(name)
 
 
 def stream_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -108,7 +108,11 @@ def main() -> int:
     if vanilla:
         # the grading driver's conditions: a PLAIN session (default
         # shuffle partitions, no tuned confs) — api.register() must pin
-        # whatever determinism needs on its own
+        # whatever determinism needs on its own. NOTE: the default 1g
+        # driver heap cannot toPandas() the sf0.1 full-result queries
+        # (loan_monthly_schedule is 4.3M rows there); use --vanilla at
+        # sf0.01 (the driver's actual correctness scale) and the tuned
+        # session for sf0.1.
         from pyspark.sql import SparkSession
 
         spark = (
