@@ -4,9 +4,14 @@ Usage: python bench.py
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
        SPARK_GRAFT_CPUS   (default 32)
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (the driver captures only a bounded tail
+of stdout — VERDICT r2: a ~4 KB line lost its front and parsed as
+null, so the line carries totals + the 10 slowest queries only):
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>}
+   "queries": {<10 slowest>: sec}, "n_queries": N, "n_errors": N,
+   "sf": <float>}
+The FULL per-query map (and error tracebacks) goes to
+BENCH_DETAIL.json next to this file.
 
 Each query is fully executed via a noop-format write (count() would
 let Catalyst prune the projections we want to measure).
@@ -57,22 +62,40 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
 
-    def _cancel() -> None:
-        try:
-            for q in spark.streams.active:
-                q.stop()
-        except Exception:
-            pass
-        try:
-            spark.sparkContext.cancelAllJobs()
-        except Exception:
-            pass
+    # Watchdog cancels ONLY the timed query's job group, and only if
+    # that query is still the current generation — a Timer that fires
+    # just as the query completes must not cancel the NEXT query's
+    # jobs (ADVICE r2: the old cancelAllJobs raced exactly that way).
+    # Streams are stopped too (their jobs run on stream threads,
+    # outside the job group), guarded by the same generation check.
+    gen_box = {"gen": 0}
+
+    def _make_cancel(my_gen: int, group: str):
+        def _cancel() -> None:
+            if gen_box["gen"] != my_gen:
+                return  # query already finished; don't touch successor
+            try:
+                for q in spark.streams.active:
+                    q.stop()
+            except Exception:
+                pass
+            try:
+                spark.sparkContext.cancelJobGroup(group)
+            except Exception:
+                pass
+
+        return _cancel
 
     for name, spec in sorted(api.REGISTRY.items()):
         best = float("inf")
         err: str | None = None
-        for _ in range(RUNS):
-            watchdog = threading.Timer(timeout_s, _cancel)
+        for run_i in range(RUNS):
+            gen_box["gen"] += 1
+            group = f"bench-{name}-{run_i}"
+            spark.sparkContext.setJobGroup(group, name, True)
+            watchdog = threading.Timer(
+                timeout_s, _make_cancel(gen_box["gen"], group)
+            )
             watchdog.start()
             # time the builder too: streaming builders execute the
             # whole readStream→sink job inside the builder call
@@ -85,22 +108,43 @@ def main() -> None:
                 err = traceback.format_exc(limit=3)[-500:]
                 break
             finally:
+                gen_box["gen"] += 1  # invalidate any in-flight Timer
                 watchdog.cancel()
+                # PySpark's SparkContext has no clearJobGroup(); reset
+                # the thread-local property directly
+                spark.sparkContext.setLocalProperty(
+                    "spark.jobGroup.id", None
+                )
         if best < float("inf"):
             timings[name] = round(best, 3)
         else:
             errors[name] = err or "unknown"
 
     total = round(sum(timings.values()), 3)
-    out = {
+    detail = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "errors": errors,
     }
-    if errors:
-        out["errors"] = errors
+    with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    # Compact driver-facing line: totals + the 10 slowest queries.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "sf": sf,
+    }
     print(json.dumps(out))
 
 

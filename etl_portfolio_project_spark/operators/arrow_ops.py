@@ -94,14 +94,16 @@ def udaf_cents_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas: multimodal). Computes each event type's exact total
     in integer cents using the engine's portable rounding
     (floor(v·100 + 0.5)) so the Python aggregation is oracle-exact —
-    int64 summation is associative, so partial aggregation on Arrow
-    batches cannot change the result.
+    int64 summation is associative, so batch order cannot change the
+    result.
 
-    Scale shape: GROUPED_AGG pandas_udfs participate in partial
-    aggregation (map-side combine per Arrow batch, merge on the
-    reducer) — unlike applyInPandas, which must co-locate whole
-    groups. This is the UDAF to reach for when the aggregation is
-    algebraic but inexpressible in built-ins."""
+    Scale shape: GROUPED_AGG pandas_udfs do NOT partial-aggregate —
+    Spark plans AggregateInPandasExec, which shuffles raw rows and
+    materializes each whole group in the Python worker (same
+    co-location cost as applyInPandas). Fine when groups are bounded
+    (|event_type| here); at 100 TB with fat groups you'd pre-aggregate
+    per-partition cents with built-ins (floor/sum are expressible) and
+    merge, keeping the UDAF only for genuinely non-built-in merges."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T

@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import caches
 from ..sources.registry import balanced, load_table
 from .text import portable_hash60, portable_hash60_sql, tokens_expr
 
@@ -561,60 +562,144 @@ HAVING count(*) >= {WINNOW_MIN_SHARED}
 # --- near-dup clustering (connected components) ---------------------------
 
 
-def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster the near-duplicate pairs into CONNECTED COMPONENTS —
-    the step that turns pairwise similarity into dedup groups (keep
-    one representative per cluster). Implemented as ITERATIVE min-
-    label propagation: every doc starts labeled with its own id; each
-    round every doc takes the min label among itself and its
-    neighbors; fixpoint = components. The driver loop runs until no
-    label changes (diameter-bounded, ≤ log-ish rounds with the
-    min-propagation shortcut of also joining through the current
-    label).
+#: Edge-count ceiling for the driver union-find finish in
+#: `neardup_clusters`. The candidate-pair graph is the output of
+#: near-dup detection — orders of magnitude smaller than the corpus
+#: (similarity is sparse) — so the standard two-phase shape applies:
+#: contract the problem distributedly (candidate generation IS the
+#: contraction), then solve the residual graph where it's cheapest.
+#: 2M edges ≈ 32 MB of id pairs — trivially driver-sized; above the
+#: ceiling the distributed min-label-propagation loop runs instead.
+CC_DRIVER_FINISH_MAX_EDGES = 2_000_000
 
-    Scale notes: each round is one join on the edge list + one
-    groupBy-min — both partial-aggregatable; the edge list for
-    near-dup graphs is tiny relative to the corpus (similarity is
-    sparse), so rounds are cheap. For billion-edge graphs you'd
-    switch to the large-star/small-star algorithm, same primitive
-    ops. Oracle: transitive closure via a recursive CTE computing
-    min-reachable-id — identical fixpoint, so even this iterative
-    algorithm is differentially tested."""
-    pairs = neardup_jaccard(spark, sf_dir).select("id1", "id2")
-    # symmetric edge list + self-loops (via the vertex set)
+
+def _cc_union_find(edge_rows: list, vertices: set[int]) -> dict[int, int]:
+    """Union-find with path compression; root = component MINIMUM, so
+    labels equal the min-label-propagation / recursive-CTE fixpoint."""
+    parent: dict[int, int] = {v: v for v in vertices}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:  # min id becomes the root → min-label semantics
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {v: find(v) for v in vertices}
+
+
+def _cc_label_propagation(pairs: DataFrame) -> DataFrame:
+    """Distributed min-label propagation to a fixpoint — the
+    above-threshold path. Cache hygiene (VERDICT r2 #3): exactly one
+    cached generation is live at any time (the superseded one is
+    unpersisted right after the convergence count) and lineage is
+    truncated with a localCheckpoint every 5 rounds so a high-diameter
+    graph can't build a quadratic-replay DAG. The final generation is
+    claimed under a registry-level key so re-runs release the prior
+    run's cache instead of accumulating. For billion-edge graphs the
+    round primitive would switch to large-star/small-star; same ops."""
     edges = pairs.union(
         pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
-    )
+    ).persist()
     labels = (
         pairs.select(F.col("id1").alias("doc_id"))
         .union(pairs.select(F.col("id2").alias("doc_id")))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     )
-    while True:
-        neighbor_min = (
-            edges.join(labels, edges.id2 == labels.doc_id)
-            .groupBy(F.col("id1").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nmin"))
-        )
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
-                ).alias("cluster_id"),
-                (
-                    F.coalesce("nmin", F.col("cluster_id"))
-                    < F.col("cluster_id")
-                ).alias("changed"),
+    prev: DataFrame | None = None
+    it = 0
+    try:
+        while True:
+            it += 1
+            neighbor_min = (
+                edges.join(labels, edges.id2 == labels.doc_id)
+                .groupBy(F.col("id1").alias("doc_id"))
+                .agg(F.min("cluster_id").alias("nmin"))
             )
+            updated = (
+                labels.join(neighbor_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce("nmin", F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                    (
+                        F.coalesce("nmin", F.col("cluster_id"))
+                        < F.col("cluster_id")
+                    ).alias("changed"),
+                )
+            )
+            updated = updated.persist()
+            n_changed = updated.where(F.col("changed")).count()
+            if prev is not None:
+                prev.unpersist()
+            prev = updated
+            labels = updated.select("doc_id", "cluster_id")
+            if n_changed == 0:
+                break
+            if it % 5 == 0:
+                labels = labels.localCheckpoint()
+                prev.unpersist()
+                prev = None
+        # pin + MATERIALIZE the fixpoint (from the still-cached last
+        # generation) before the finally releases the loop caches —
+        # otherwise the caller's terminal action would recompute the
+        # whole iterative chain from scratch
+        labels = caches.claim("neardup_clusters_labels", labels)
+        labels.count()
+    finally:
+        if prev is not None:
+            prev.unpersist()
+        edges.unpersist()
+    return labels
+
+
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the near-duplicate pairs into CONNECTED COMPONENTS —
+    the step that turns pairwise similarity into dedup groups (keep
+    one representative per cluster).
+
+    TWO-PHASE by size of the candidate graph (counted, not guessed):
+
+    - ≤ `CC_DRIVER_FINISH_MAX_EDGES`: union-find on the driver. The
+      pair list is the *post-detection* graph — for a 100 TB corpus
+      with percent-level dup rates it is GBs, not TBs, and often far
+      less; collecting a counted-small relation to finish a
+      fixpoint is the same contract as collecting the IVF centroid
+      set (similarity.py), and replaces O(diameter) distributed
+      rounds (each a join + shuffle + driver count) with one job.
+    - above the ceiling: distributed iterative min-label propagation
+      (`_cc_label_propagation`), one join + partial-agg'd groupBy-min
+      per round until no label changes.
+
+    Both paths produce the identical fixpoint (component = min doc_id)
+    and are differentially tested against each other and against the
+    oracle: transitive closure via a recursive CTE computing
+    min-reachable-id."""
+    pairs = caches.claim(
+        "neardup_clusters_pairs",
+        neardup_jaccard(spark, sf_dir).select("id1", "id2"),
+    )
+    n_edges = pairs.count()
+    if n_edges <= CC_DRIVER_FINISH_MAX_EDGES:
+        edge_rows = [(r[0], r[1]) for r in pairs.collect()]
+        verts = {v for e in edge_rows for v in e}
+        comp = _cc_union_find(edge_rows, verts)
+        labels = spark.createDataFrame(
+            sorted(comp.items()), "doc_id long, cluster_id long"
         )
-        updated = updated.persist()
-        n_changed = updated.where(F.col("changed")).count()
-        labels = updated.select("doc_id", "cluster_id")
-        if n_changed == 0:
-            break
+    else:
+        labels = _cc_label_propagation(pairs)
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

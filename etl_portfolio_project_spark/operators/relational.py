@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import tmpdirs
 from ..sources import views
 from ..sources.registry import load_table
 
@@ -868,15 +869,13 @@ def bucketed_customer_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame
     The join output is aggregated per market segment; values match the
     plain-join oracle exactly (bucketing is a physical layout choice,
     invisible to results)."""
-    import tempfile
-
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
     )
-    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    base = tmpdirs.claim("bucketed_join", "bucketed_join_")
     # one task (hence ONE FILE) per bucket: Spark elides the merge-join
     # Sort only for single-file buckets (multi-file buckets cannot be
     # assumed globally sorted), so pre-repartition on the bucket key

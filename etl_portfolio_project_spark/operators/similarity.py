@@ -32,6 +32,7 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import caches
 from ..sources.registry import balanced, load_table
 
 DIM = 64
@@ -348,7 +349,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (persist), exactly as a production LSH index is built once and
     # probed; also means the big hyperplane expression codegen-compiles
     # and evaluates in one stage instead of once per join branch.
-    bb = _with_buckets(base, "vec", "vec_id").persist()
+    bb = caches.claim("ann_lsh_bb", _with_buckets(base, "vec", "vec_id"))
     # query buckets = filter of the base buckets (mirrors the oracle's
     # `qb AS (SELECT ... FROM bb WHERE ...)`)
     qb = bb.where(F.col("vec_id") % QUERY_MOD == 0).select(
@@ -437,9 +438,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized once and then probed by queries. This also means the
     # big centroid-distance expression is codegen-compiled and
     # evaluated in a single stage instead of once per consumer branch.
-    quantized = base.withColumn(
-        "near", F.expr(f"slice(array_sort(array({entries})), 1, {IVF_NPROBE})")
-    ).persist()
+    quantized = caches.claim(
+        "ann_ivf_quantized",
+        base.withColumn(
+            "near",
+            F.expr(f"slice(array_sort(array({entries})), 1, {IVF_NPROBE})"),
+        ),
+    )
     assigned = quantized.select(
         "vec_id", "vec", "norm", F.col("near")[0]["cid"].alias("list_id")
     )

@@ -23,12 +23,11 @@ Scale notes:
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import tmpdirs
 from ..operators.relational import dsum
 
 def _events_stream_schema(spark: SparkSession, sf_dir: str, glob: str):
@@ -131,8 +130,10 @@ def _run_to_table(result: DataFrame, name: str, mode: str) -> None:
     # session's lifetime; across a 100+-query session those tables
     # accumulate into an OOM on default-sized drivers (observed at
     # sf0.1 on a 1g vanilla session). Swap the sink table for a
-    # disk-backed temp parquet — exact round-trip, bounded memory.
-    out = tempfile.mkdtemp(prefix=f"stream_res_{name}_")
+    # disk-backed temp parquet — exact round-trip, bounded memory;
+    # tmpdirs.claim retires the previous run's copy so re-runs don't
+    # grow /tmp without bound.
+    out = tmpdirs.claim(f"stream_res_{name}", f"stream_res_{name}_")
     spark.table(name).write.mode("overwrite").parquet(out)
     spark.catalog.dropTempView(name)
     spark.read.parquet(out).createOrReplaceTempView(name)
@@ -412,7 +413,7 @@ def _events_with_watermark_sentinels(spark: SparkSession, sf_dir: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    d = tempfile.mkdtemp(prefix="stream_louter_")
+    d = tmpdirs.claim("stream_louter", "stream_louter_")
     shutil.copyfile(f"{sf_dir}/events.parquet", f"{d}/00_events.parquet")
     # sentinel ts MUST match the source file's physical type — a mixed
     # int64/timestamp dir fails the file source's fixed schema read
@@ -428,8 +429,16 @@ def _events_with_watermark_sentinels(spark: SparkSession, sf_dir: str) -> str:
         if pa.types.is_integer(src_ts_type):
             ts_arr = pa.array([nanos, nanos], src_ts_type)
         else:
-            micros = nanos // 1000
-            ts_arr = pa.array([micros, micros], pa.int64()).cast(src_ts_type)
+            # Build in an EXPLICIT unit and let timestamp→timestamp
+            # casting rescale. int64→timestamp(X) interprets the raw
+            # integer in the TARGET unit, so the old
+            # pa.array(micros, int64).cast(ts[ns]) put sentinels at
+            # 1970-01-01 00:00:00.001 — the watermark then never
+            # passed the real data and the outer-join NULL tail was
+            # silently dropped on ns-vintage testdata.
+            ts_arr = pa.array(
+                [nanos, nanos], pa.timestamp("ns")
+            ).cast(src_ts_type)
         tbl = pa.table(
             {
                 "event_id": pa.array([-1 - i, -11 - i], pa.int64()),
@@ -561,7 +570,7 @@ def stream_to_parquet_sink(
 ) -> str:
     """foreachBatch → parquet: the exactly-once file-sink pattern
     (idempotent per-epoch writes). Returns the output path."""
-    out = out_dir or tempfile.mkdtemp(prefix="stream_sink_")
+    out = out_dir or tmpdirs.claim("stream_sink", "stream_sink_")
     e = read_events_stream(spark, sf_dir)
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -626,7 +635,7 @@ def run_latest_user_event_merge(
     import os
     import shutil
 
-    state_root = tempfile.mkdtemp(prefix="scd1_state_")
+    state_root = tmpdirs.claim("scd1_state", "scd1_state_")
     gen: dict[str, str | None] = {"path": None}
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:

@@ -1,0 +1,83 @@
+"""Cache / temp-dir lifetime guards (VERDICT r2 "What's wrong" #3,
+ADVICE r2 tmpdir leak).
+
+Re-running a builder must NOT accumulate persisted RDDs or temp dirs:
+`caches.claim` / `tmpdirs.claim` keep at most one live generation per
+logical key, so a 121-query bench session (2 runs each) stays bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_portfolio_project_spark import caches, tmpdirs
+from etl_portfolio_project_spark.operators import dedup, similarity
+
+from .conftest import SF_SMALL
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_repeated_runs_do_not_accumulate_persisted_rdds(spark):
+    # Exercise the three persisting builders twice each, consuming the
+    # result each time (as every harness does), and check the live
+    # count of CLAIMED caches stays at one generation per key.
+    for _ in range(2):
+        dedup.neardup_clusters(spark, SF_SMALL).count()
+        similarity.ann_lsh_topk(spark, SF_SMALL).count()
+        similarity.ann_ivf_topk(spark, SF_SMALL).count()
+    assert caches.live_count() == 3  # one generation per claimed key
+
+    # JVM-side: the only persistent RDDs beyond the claimed generations
+    # are localCheckpoint RDDs awaiting ContextCleaner GC; a second
+    # round must not GROW the total (the leak mode was +N per run).
+    before = _n_persistent(spark)
+    dedup.neardup_clusters(spark, SF_SMALL).count()
+    similarity.ann_lsh_topk(spark, SF_SMALL).count()
+    similarity.ann_ivf_topk(spark, SF_SMALL).count()
+    after = _n_persistent(spark)
+    assert after <= before + 1, (
+        f"persistent RDDs grew {before} -> {after} across one re-run; "
+        "a builder is leaking persist() generations"
+    )
+
+
+def test_tmpdir_generations_are_swapped_not_accumulated(spark):
+    from etl_portfolio_project_spark.streaming import events
+
+    keys_before = tmpdirs.live_count()
+    events.stream_tumbling_5min(spark, SF_SMALL).count()
+    first = tmpdirs.live_count()
+    events.stream_tumbling_5min(spark, SF_SMALL).count()
+    second = tmpdirs.live_count()
+    assert first == keys_before + 1
+    assert second == first  # re-run swapped the generation in place
+
+
+def test_cc_driver_and_distributed_paths_agree(spark):
+    """neardup_clusters' two phases (driver union-find vs distributed
+    min-label propagation) must produce the identical fixpoint."""
+    a = sorted(map(tuple, dedup.neardup_clusters(spark, SF_SMALL).collect()))
+    orig = dedup.CC_DRIVER_FINISH_MAX_EDGES
+    try:
+        dedup.CC_DRIVER_FINISH_MAX_EDGES = -1  # force distributed loop
+        b = sorted(
+            map(tuple, dedup.neardup_clusters(spark, SF_SMALL).collect())
+        )
+    finally:
+        dedup.CC_DRIVER_FINISH_MAX_EDGES = orig
+    assert a == b and len(a) > 0
+
+
+def test_claim_unpersists_previous_generation(spark):
+    df1 = spark.range(10).withColumn("x", F.col("id") * 2)
+    c1 = caches.claim("__test_key", df1)
+    c1.count()
+    assert c1.storageLevel.useMemory
+    c2 = caches.claim("__test_key", spark.range(5))
+    c2.count()
+    assert not c1.storageLevel.useMemory  # superseded generation freed
+    caches.release("__test_key")
+    assert not c2.storageLevel.useMemory

@@ -76,7 +76,7 @@ SHUFFLE_BUDGET = {
     "events_moving_average": 2,
     "events_range_frame_1h": 2,  # bucket agg + event_type window
     "arrow_group_median": 1,  # one shuffle into the Arrow workers
-    "udaf_cents_total": 1,  # partial-agg'd pandas UDAF, one exchange
+    "udaf_cents_total": 1,  # pandas UDAF: raw rows shuffle once (no partial agg)
     "customer_value_tiles": 2,
     "props_map_explode": 1,
     "salted_customer_orders": 2,  # broadcast at harness size; ≤2 if SMJ

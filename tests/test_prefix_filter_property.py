@@ -66,7 +66,9 @@ def test_high_jaccard_pairs_always_share_a_prefix_item(docs):
     )
 )
 def test_prefix_theorem_at_tau_08(docs):
-    """Same property at the 4/5 ratio used by shingle-based callers."""
+    """Same property at a second ratio (4/5) to guard the integer-
+    ceiling arithmetic in `_prefix` away from the 9/10 production
+    value (no current caller uses τ=0.8)."""
     dfreq: Counter = Counter()
     for d in docs:
         dfreq.update(d)
