@@ -387,6 +387,28 @@ _EXTENSIONS = [
      "broadcast vocabulary df, top-k window."),
 ]
 
+from .operators import corpus as C  # noqa: E402
+
+_EXTENSIONS += [
+    ("train_val_test_split", C.train_val_test_split,
+     C.TRAIN_VAL_TEST_SPLIT_SQL,
+     "Deterministic leak-proof dataset split: salted md5(doc_id) mod "
+     "100 buckets, zero-shuffle assignment + per-split audit agg."),
+    ("pii_scrub_profile", C.pii_scrub_profile, C.PII_SCRUB_PROFILE_SQL,
+     "PII detect + redact audit: email/phone regex counts and "
+     "scrubbed-text hashes over deterministically injected synthetic "
+     "PII (corpus has none); fully narrow scan-side pass."),
+    ("doc_containment_pairs", C.doc_containment_pairs,
+     C.DOC_CONTAINMENT_PAIRS_SQL,
+     "Asymmetric containment detection (quotation/inclusion): "
+     "winnowing-minimizer inverted-index join, containment = "
+     "shared/|fp(A)| >= 0.5 — catches what symmetric Jaccard misses."),
+    ("embedding_int8_quant_profile", S.embedding_int8_quant_profile,
+     S.EMBEDDING_INT8_QUANT_PROFILE_SQL,
+     "Per-vector int8 quantization audit: scale, integer checksums, "
+     "exact max reconstruction error; narrow zero-shuffle folds."),
+]
+
 for _name, _fn, _sql, _doc in _EXTENSIONS:
     register(_name, _sql, _doc)(_fn)
 

@@ -1,0 +1,312 @@
+"""Training-corpus preparation operators: deterministic dataset
+splits, PII detection/scrubbing, and containment (asymmetric overlap)
+detection.
+
+These extend the reference's batch-ETL surface (SURVEY.md §7.4) with
+the corpus-hygiene steps a pretraining pipeline runs between raw
+ingestion and sequence packing. Like every operator in this engine,
+each query is a pure DataFrame plan with a DuckDB oracle producing
+bit-identical values.
+
+Scale notes:
+- `train_val_test_split` is one narrow projection + one partial-agg'd
+  groupBy on a 3-value key — the assignment itself (hash mod) is a
+  zero-shuffle map stage, which is exactly how a 100 TB corpus gets
+  split: no global sample, no coordination, stable under re-runs and
+  re-partitioning because the hash depends only on doc_id.
+- `pii_scrub_profile` is fully narrow (regex count + replace per row,
+  zero shuffles) — at scale it rides the parquet scan. The harness
+  corpus contains no PII, so the op INJECTS synthetic emails/phones
+  deterministically from doc_id first (same strategy as the WAV
+  decode op: synthesize → process → verify), which makes both the
+  detection counts and the scrubbed-text hashes non-trivial.
+- `doc_containment_pairs` reuses the winnowing minimizer index
+  (dedup.py): candidate pairs come from an inverted-index equi-join
+  on shared minimizers (work ∝ collisions, never n²); the asymmetric
+  normalization |fp(A)∩fp(B)| / |fp(A)| then flags docs mostly
+  CONTAINED in another — quotation/embedding detection that symmetric
+  Jaccard misses (a short doc inside a long one has low Jaccard but
+  high containment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import balanced, load_table
+from .dedup import DEDUP_SOURCE_BLOCK, _WINNOW_GRAMS_SPARK, _WINNOW_MINS_SPARK
+from .dedup import WINNOW_K, WINNOW_W, MH_P, _WINNOW_TOKS_SPARK
+from .text import portable_hash60, portable_hash60_sql
+
+# --- deterministic train/val/test split -----------------------------------
+
+#: split fractions in bucket points (out of 100): <80 train, <90 val.
+SPLIT_TRAIN_LT = 80
+SPLIT_VAL_LT = 90
+#: salt so the split hash is independent of any other doc_id hashing
+SPLIT_SALT = "split:"
+
+
+def split_assignment_expr() -> F.Column:
+    """train/validation/test from a salted 60-bit md5 of doc_id —
+    pure map-side, no sampling, stable across runs and partitionings."""
+    h = portable_hash60(
+        F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))
+    )
+    bucket = h % 100
+    return (
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split of the corpus + per-split audit stats.
+
+    The assignment is `md5('split:' || doc_id) % 100` against fixed
+    bucket cut-points — the standard leak-proof split: membership is a
+    property of the doc alone (no ordering, no sampling state), so
+    adding data or re-running never moves an existing doc across
+    splits. The audit aggregation (count, chars, distinct sources,
+    id range) is one partial-agg'd shuffle on a 3-value key."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    return (
+        d.select(
+            split_assignment_expr().alias("split"),
+            "doc_id",
+            "n_chars",
+            "source",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+_SPLIT_CASE_SQL = f"""
+  CASE WHEN {portable_hash60_sql("'{salt}' || CAST(doc_id AS VARCHAR)")} % 100
+            < {SPLIT_TRAIN_LT} THEN 'train'
+       WHEN {portable_hash60_sql("'{salt}' || CAST(doc_id AS VARCHAR)")} % 100
+            < {SPLIT_VAL_LT} THEN 'validation'
+       ELSE 'test' END
+""".replace("{salt}", SPLIT_SALT)
+
+TRAIN_VAL_TEST_SPLIT_SQL = f"""
+SELECT {_SPLIT_CASE_SQL} AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT source) AS n_sources,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- PII scrub -------------------------------------------------------------
+
+#: simple, RE2-and-Java-compatible patterns (no lookaround, no \\b)
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+#: every 5th doc gets synthetic PII appended (deterministic in doc_id)
+PII_INJECT_MOD = 5
+
+
+def _injected_text() -> F.Column:
+    """documents.text with synthetic PII appended for doc_id ≡ 0
+    (mod PII_INJECT_MOD): one email and one phone, both derived from
+    doc_id so the expected counts and scrub output are deterministic."""
+    pii = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-0199"),
+    )
+    return F.when(
+        F.col("doc_id") % PII_INJECT_MOD == 0, F.concat(F.col("text"), pii)
+    ).otherwise(F.col("text"))
+
+
+def pii_scrub_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PII detection + redaction audit.
+
+    Counts email/phone matches and fingerprints the scrubbed text
+    (matches replaced by <EMAIL>/<PHONE> tags) so the redaction output
+    itself is value-checked, not just the counts. Fully narrow — the
+    regexes run inside the projection, zero shuffles; at 100 TB this
+    is a pure scan-side pass."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    t = _injected_text()
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0))
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0))
+        ).alias("n_phones"),
+        portable_hash60(scrubbed).alias("scrubbed_hash60"),
+    )
+
+
+PII_SCRUB_PROFILE_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {PII_INJECT_MOD} = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 555-'
+                   || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-0199'
+              ELSE text END AS txt
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(txt, '{PII_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(txt, '{PII_PHONE_RE}')) AS n_phones,
+       {portable_hash60_sql(
+           "regexp_replace(regexp_replace(txt, '" + PII_EMAIL_RE
+           + "', '<EMAIL>', 'g'), '" + PII_PHONE_RE + "', '<PHONE>', 'g')"
+       )} AS scrubbed_hash60
+FROM t
+"""
+
+
+# --- containment (asymmetric overlap) pairs --------------------------------
+
+#: minimum |fp(A) ∩ fp(B)| / |fp(A)| for A to count as contained in B
+CONTAINMENT_TAU = 0.5
+#: synthetic excerpts: every doc of the source block with doc_id ≡ 0
+#: (mod EXCERPT_MOD) contributes a 15-token slice starting at token 5,
+#: registered under doc_id + EXCERPT_ID_OFFSET
+EXCERPT_MOD = 40
+EXCERPT_ID_OFFSET = 10_000_000
+_EXCERPT_START = 5  # 1-based token position
+_EXCERPT_LEN = 15
+
+
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs substantially CONTAINED in another doc (quotation /
+    wholesale-inclusion detection) via winnowing-minimizer containment:
+    containment(A→B) = |fp(A) ∩ fp(B)| / |fp(A)| over the distinct
+    minimizer fingerprint sets (dedup.py's MOSS scheme), emitted when
+    ≥ CONTAINMENT_TAU.
+
+    Asymmetric by construction — a 50-token doc quoted inside a
+    2000-token doc scores containment ≈ 1 while its Jaccard is ≈ 0.02,
+    which is why symmetric near-dup passes miss it. The harness corpus
+    contains no real inclusions (natural containment tops out ≈ 0.09),
+    so the op first APPENDS deterministic excerpt docs — a token slice
+    of every EXCERPT_MOD-th block doc under an offset id (synthesize →
+    process → verify, like the PII and WAV ops). A contiguous excerpt
+    shares every window minimizer with its parent, so excerpt→parent
+    containment is exactly 1.0 — asserted in tests.
+
+    Candidates come from the same inverted-index join as
+    `winnow_neardup` (work ∝ shared fingerprints); the per-doc
+    fingerprint counts ride a broadcast-sized aggregate at harness
+    scale and a plain shuffle join at 100 TB. The integer pair
+    (n_shared, n_fp) is emitted alongside the double ratio so the
+    oracle comparison is exact."""
+    block = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source") == DEDUP_SOURCE_BLOCK)
+        .select("doc_id", "text")
+    )
+    excerpts = block.where(F.col("doc_id") % EXCERPT_MOD == 0).select(
+        (F.col("doc_id") + EXCERPT_ID_OFFSET).alias("doc_id"),
+        F.expr(
+            f"concat_ws(' ', slice({_WINNOW_TOKS_SPARK}, "
+            f"{_EXCERPT_START}, {_EXCERPT_LEN}))"
+        ).alias("text"),
+    )
+    fp = (
+        block.unionByName(excerpts)
+        .select("doc_id", F.expr(_WINNOW_TOKS_SPARK).alias("toks"))
+        .where(F.size("toks") >= WINNOW_K + WINNOW_W - 1)
+        .select("doc_id", F.expr(_WINNOW_GRAMS_SPARK).alias("grams"))
+        .select("doc_id", F.explode(F.expr(_WINNOW_MINS_SPARK)).alias("fp"))
+    )
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("other_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes, "doc_id")
+        .withColumn(
+            "containment",
+            F.col("n_shared").cast("double") / F.col("n_fp").cast("double"),
+        )
+        .where(F.col("containment") >= CONTAINMENT_TAU)
+        .select("doc_id", "other_id", "n_shared", "n_fp", "containment")
+    )
+
+
+DOC_CONTAINMENT_PAIRS_SQL = f"""
+WITH d0 AS (
+  SELECT doc_id, text
+  FROM documents WHERE source = '{DEDUP_SOURCE_BLOCK}'
+),
+ex AS (
+  SELECT doc_id + {EXCERPT_ID_OFFSET} AS doc_id,
+         array_to_string(list_slice(
+           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           {_EXCERPT_START}, {_EXCERPT_START + _EXCERPT_LEN - 1}), ' ')
+         AS text
+  FROM d0 WHERE doc_id % {EXCERPT_MOD} = 0
+),
+d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM (SELECT * FROM d0 UNION ALL SELECT * FROM ex)
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - {WINNOW_K - 2}), i ->
+           CAST('0x' || substring(md5(array_to_string(
+             list_slice(toks, i, i + {WINNOW_K - 1}), ' ')), 1, 15) AS BIGINT)
+           % {MH_P}) AS grams
+  FROM d WHERE len(toks) >= {WINNOW_K + WINNOW_W - 1}
+),
+fp AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(grams) - {WINNOW_W - 2}), j ->
+             list_aggregate(list_slice(grams, j, j + {WINNOW_W - 1}), 'min'))))
+         AS fp
+  FROM g
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS other_id, count(*) AS n_shared
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.doc_id, s.other_id, s.n_shared, z.n_fp,
+       CAST(s.n_shared AS DOUBLE) / CAST(z.n_fp AS DOUBLE) AS containment
+FROM shared s JOIN sizes z USING (doc_id)
+WHERE CAST(s.n_shared AS DOUBLE) / CAST(z.n_fp AS DOUBLE)
+      >= {CONTAINMENT_TAU}
+"""

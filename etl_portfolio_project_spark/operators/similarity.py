@@ -742,3 +742,86 @@ SELECT vec_id,
          AS predicted_class
 FROM embeddings
 """
+
+
+# --- int8 embedding quantization audit -------------------------------------
+
+
+def embedding_int8_quant_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit — the compression
+    step a 100 TB embedding store applies before ANN indexing (4×
+    smaller than float32, 8× smaller than float64): scale = amax/127,
+    q_i = round(v_i/scale), emitted per vector with integer checksums
+    (q_sum, q_abs_max) and the exact max reconstruction error.
+
+    Fully NARROW — every output is a per-row fold over the vector, no
+    shuffle at all; at scale this rides the parquet scan. Portability:
+    rounding is the engine's floor(x+0.5) contract; the checksums are
+    integer folds (order-free); max_abs_err is a MAX of per-element
+    IEEE-identical terms (order-free, unlike a float sum), so every
+    column is bit-exact against the oracle. Zero vectors take scale=1
+    so q=0, err=0 (no division by zero on either engine)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = balanced(e).select(
+        "vec_id", "label", _dvec("embedding").alias("vec")
+    )
+    # LET-bind amax then scale (transform-over-one-element-array) so
+    # interpreted HOF eval computes each once, not per element
+    quant = (
+        "transform(array(aggregate(vec, 0.0D, (acc, v) -> greatest(acc, abs(v)))), am -> "
+        "transform(array(if(am = 0.0D, 1.0D, am / 127.0D)), s -> named_struct("
+        "'amax', am, "
+        "'q_sum', aggregate(vec, 0L, (acc, v) -> acc + cast(floor(v / s + 0.5D) as bigint)), "
+        "'q_abs_max', aggregate(vec, 0L, (acc, v) -> greatest(acc, abs(cast(floor(v / s + 0.5D) as bigint)))), "
+        "'max_abs_err', aggregate(vec, 0.0D, (acc, v) -> greatest(acc, abs(v - floor(v / s + 0.5D) * s)))"
+        "))[0])[0]"
+    )
+    return base.select(
+        "vec_id",
+        "label",
+        F.expr(quant).alias("q"),
+    ).select(
+        "vec_id",
+        "label",
+        F.col("q.amax").alias("amax"),
+        F.col("q.q_sum").alias("q_sum"),
+        F.col("q.q_abs_max").alias("q_abs_max"),
+        F.col("q.max_abs_err").alias("max_abs_err"),
+    )
+
+
+def _quant_duck_terms() -> tuple[str, str, str, str]:
+    """Unrolled DuckDB mirrors of the four folds (element j is
+    CAST(embedding[j] AS DOUBLE); `scale` is a lateral alias)."""
+    els = [f"CAST(embedding[{j}] AS DOUBLE)" for j in range(1, DIM + 1)]
+    amax = "greatest(0.0, " + ", ".join(f"abs({e})" for e in els) + ")"
+    q = [f"floor({e} / scale + 0.5)" for e in els]
+    q_sum = "CAST((0.0 + " + " + ".join(q) + ") AS BIGINT)"
+    q_abs_max = (
+        "CAST(greatest(0.0, " + ", ".join(f"abs({t})" for t in q)
+        + ") AS BIGINT)"
+    )
+    err = "greatest(0.0, " + ", ".join(
+        f"abs({e} - {t} * scale)" for e, t in zip(els, q)
+    ) + ")"
+    return amax, q_sum, q_abs_max, err
+
+
+_Q_AMAX, _Q_SUM, _Q_ABS_MAX, _Q_ERR = _quant_duck_terms()
+
+EMBEDDING_INT8_QUANT_PROFILE_SQL = f"""
+WITH a AS (
+  SELECT vec_id, label, embedding, {_Q_AMAX} AS amax
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, label, embedding, amax,
+         CASE WHEN amax = 0.0 THEN 1.0 ELSE amax / 127.0 END AS scale
+  FROM a
+)
+SELECT vec_id, label, amax,
+       {_Q_SUM} AS q_sum,
+       {_Q_ABS_MAX} AS q_abs_max,
+       {_Q_ERR} AS max_abs_err
+FROM s
+"""

@@ -160,6 +160,14 @@ SHUFFLE_BUDGET = {
     "tpch_q22_inactive_rich_customers": 2,  # anti join + nation agg
     # neardup_clusters is intentionally absent: the iterative
     # fixpoint loop's plan depth is data-dependent (graph diameter)
+    # zero-shuffle hash assignment; balanced spread + the 3-key agg's
+    # countDistinct(source) two-phase (distinct expand + final merge)
+    "train_val_test_split": 3,
+    "pii_scrub_profile": 1,  # fully narrow; balanced spread only
+    # fp self-join (broadcast at harness size) + pair groupBy + sizes
+    # agg + join-back; +2 headroom if the fp join is SMJ at scale
+    "doc_containment_pairs": 5,
+    "embedding_int8_quant_profile": 1,  # narrow folds; balanced spread
 }
 
 
