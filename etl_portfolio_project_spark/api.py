@@ -297,6 +297,11 @@ _RELATIONAL = [
      "orphan FKs via broadcast membership, single global aggregate."),
     ("region_null_audit", R.region_null_audit, R.REGION_NULL_AUDIT_SQL,
      "SQL NULL semantics: null groups, count(col), nullif, <=>."),
+    ("interval_bin_join_revenue", R.interval_bin_join_revenue,
+     R.INTERVAL_BIN_JOIN_REVENUE_SQL,
+     "Range/containment join as a bin-bucketed EQUI-join (month bins "
+     "+ residual BETWEEN) — never BroadcastNestedLoop/Cartesian; the "
+     "scale-safe range-join form."),
 ]
 
 for _name, _fn, _sql, _doc in _RELATIONAL:
@@ -407,6 +412,10 @@ _EXTENSIONS += [
      S.EMBEDDING_INT8_QUANT_PROFILE_SQL,
      "Per-vector int8 quantization audit: scale, integer checksums, "
      "exact max reconstruction error; narrow zero-shuffle folds."),
+    ("cdc_chunking", X.cdc_chunking, X.CDC_CHUNKING_SQL,
+     "Content-defined chunking (Rabin-style rolling-hash cuts): "
+     "boundaries follow content, so chunk fingerprints re-align after "
+     "edits — the storage-dedup primitive; narrow, zero shuffles."),
 ]
 
 for _name, _fn, _sql, _doc in _EXTENSIONS:

@@ -20,6 +20,8 @@ Scale notes per operator are in each builder's docstring.
 
 from __future__ import annotations
 
+import datetime as dt
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -965,4 +967,93 @@ SELECT count(*) AS n_rows,
        CAST(sum(CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P'))
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status
 FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --- interval-containment join via bin bucketing ---------------------------
+
+#: deterministic promo campaign windows (inclusive start, exclusive
+#: end) spanning the orders date range — the "small-but-not-broadcast-
+#: able-at-scale" interval side of a containment join
+PROMO_PERIODS: list[tuple[int, str, str]] = [
+    (1, "1995-02-01", "1995-03-15"),
+    (2, "1995-11-15", "1996-01-10"),
+    (3, "1996-06-01", "1996-06-30"),
+    (4, "1996-12-01", "1997-01-05"),
+    (5, "1997-07-01", "1997-08-20"),
+    (6, "1998-03-10", "1998-05-01"),
+    (7, "1998-11-20", "1999-01-15"),
+    (8, "1999-08-01", "1999-10-01"),
+    (9, "2000-04-01", "2000-04-25"),
+    (10, "2001-01-01", "2001-03-01"),
+]
+
+
+def interval_bin_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (order date ∈ promo window) executed
+    as a BIN-BUCKETED EQUI-JOIN — the scale-safe form of a range join.
+
+    A naive `o_orderdate BETWEEN p.start AND p.end` predicate gives
+    Catalyst no equi-key, so with a non-broadcastable interval side it
+    plans BroadcastNestedLoopJoin/CartesianProduct — O(n·m) and the
+    classic 100 TB range-join cliff. The standard fix (built into
+    Databricks' range-join hints, reproduced here with plain
+    DataFrame ops): discretize time into bins (months), explode each
+    interval into the bins it overlaps, equi-join fact rows to bins,
+    then re-check the exact BETWEEN predicate. The join is now
+    hash-partitionable on the bin key (shuffle/broadcast — the
+    planner's choice, never nested-loop), candidates per row are
+    bounded by intervals-per-bin, and the residual filter restores
+    exact semantics. Windows here are non-overlapping, so each order
+    matches ≤ 1 promo (no dedup step; overlapping intervals would add
+    a distinct on (orderkey, promo)).
+
+    The plan test pins the absence of BroadcastNestedLoopJoin AND
+    CartesianProduct."""
+    periods = spark.createDataFrame(
+        [(i, dt.date.fromisoformat(s), dt.date.fromisoformat(e))
+         for i, s, e in PROMO_PERIODS],
+        "promo_id int, p_start date, p_end date",
+    )
+    bins = periods.select(
+        "promo_id",
+        "p_start",
+        "p_end",
+        F.explode(
+            F.sequence(
+                F.trunc("p_start", "month"),
+                F.trunc("p_end", "month"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("bin_month"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    joined = o.join(
+        bins,
+        (F.trunc(F.col("o_orderdate").cast("date"), "month")
+         == F.col("bin_month"))
+        & (F.col("o_orderdate").cast("date") >= F.col("p_start"))
+        & (F.col("o_orderdate").cast("date") < F.col("p_end")),
+    )
+    return joined.groupBy("promo_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("promo_revenue"),
+    )
+
+
+_PROMO_VALUES = ", ".join(
+    f"({i}, DATE '{s}', DATE '{e}')" for i, s, e in PROMO_PERIODS
+)
+
+INTERVAL_BIN_JOIN_REVENUE_SQL = f"""
+WITH periods(promo_id, p_start, p_end) AS (VALUES {_PROMO_VALUES})
+SELECT CAST(promo_id AS INTEGER) AS promo_id,
+       count(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS promo_revenue
+FROM orders JOIN periods
+  ON CAST(o_orderdate AS DATE) >= p_start
+ AND CAST(o_orderdate AS DATE) < p_end
+GROUP BY 1
 """

@@ -662,3 +662,102 @@ FROM (
 )
 WHERE rk <= {TFIDF_TOP_K}
 """
+
+
+# --- content-defined chunking (rolling-hash boundaries) --------------------
+
+#: expected CDC chunk length in tokens: a boundary fires after token i
+#: when hash60(token_{i-1} + ' ' + token_i) % CDC_MOD == 0
+CDC_MOD = 8
+
+
+def _cdc_chunks_expr() -> str:
+    """Chunk a token array at content-defined boundaries, as one
+    Spark-SQL expression over column `text` (LET-bound: tokens and
+    boundary positions each evaluate once per row)."""
+    boundary = (
+        "filter(sequence(2, size(tk)), i -> "
+        "cast(conv(substring(md5(concat(element_at(tk, i - 1), ' ', "
+        "element_at(tk, i))), 1, 15), 16, 10) as bigint) "
+        f"% {CDC_MOD} = 0)"
+    )
+    spans = (
+        "filter(transform(sequence(1, size(bp) + 1), j -> "
+        "transform(array(named_struct("
+        "'s', if(j = 1, 1, element_at(bp, j - 1) + 1), "
+        "'e', if(j <= size(bp), element_at(bp, j), size(tk)))), se -> "
+        "named_struct("
+        "'chunk_id', CAST(j - 1 AS BIGINT), "
+        "'start_tok', CAST(se.s AS BIGINT), "
+        "'chunk_len', CAST(se.e - se.s + 1 AS BIGINT), "
+        "'ctoks', slice(tk, se.s, se.e - se.s + 1)))[0]), "
+        "c -> c.chunk_len >= 1)"
+    )
+    toks = "split(trim(text), '\\\\s+')"
+    return bind_once_sql(toks, "tk", bind_once_sql(boundary, "bp", spans))
+
+
+def cdc_chunk_df(d: DataFrame) -> DataFrame:
+    """Apply CDC chunking to any (doc_id, text) DataFrame (split out
+    so tests can chunk synthetic shifted documents)."""
+    exploded = d.select(
+        "doc_id", F.explode(F.expr(_cdc_chunks_expr())).alias("c")
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.col("c.chunk_len").alias("chunk_len"),
+        portable_hash60(F.array_join("c.ctoks", " ")).alias("chunk_fp"),
+    )
+
+
+def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED chunking — the storage-dedup / incremental-
+    ingest primitive (Rabin/FastCDC family): cut after token i
+    whenever the rolling 2-token hash ≡ 0 (mod CDC_MOD), giving
+    ~CDC_MOD-token chunks whose boundaries depend on CONTENT, not
+    position. Unlike `doc_chunking`'s fixed windows, an insertion near
+    the start of a document shifts every fixed window but only
+    perturbs CDC chunks until the next surviving boundary — after
+    that, chunk fingerprints re-align and dedup against the previous
+    version of the document (asserted in tests with a shifted twin).
+
+    Scale shape: identical to `doc_chunking` — pure narrow LET-bound
+    HOFs, explode, zero shuffles; a 100 TB corpus chunks scan-
+    parallel. Production CDC adds min/max chunk-size clamps
+    (FastCDC); the unclamped Rabin cut keeps the oracle a direct
+    mirror."""
+    return cdc_chunk_df(balanced(load_table(spark, sf_dir, "documents")))
+
+
+CDC_CHUNKING_SQL = f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+  FROM documents
+),
+b AS (
+  SELECT doc_id, tk,
+         list_filter(range(2, len(tk) + 1), i ->
+           CAST('0x' || substring(md5(tk[i-1] || ' ' || tk[i]), 1, 15)
+                AS BIGINT) % {CDC_MOD} = 0) AS bp
+  FROM base
+),
+j AS (
+  SELECT doc_id, tk, bp, unnest(range(1, len(bp) + 2)) AS j
+  FROM b
+),
+spans AS (
+  SELECT doc_id, tk,
+         CAST(j - 1 AS BIGINT) AS chunk_id,
+         CASE WHEN j = 1 THEN 1 ELSE bp[j-1] + 1 END AS s,
+         CASE WHEN j <= len(bp) THEN bp[j] ELSE len(tk) END AS e
+  FROM j
+)
+SELECT doc_id, chunk_id,
+       CAST(s AS BIGINT) AS start_tok,
+       CAST(e - s + 1 AS BIGINT) AS chunk_len,
+       {portable_hash60_sql("array_to_string(tk[s:e], ' ')")} AS chunk_fp
+FROM spans
+WHERE e >= s
+"""

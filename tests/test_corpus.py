@@ -58,6 +58,41 @@ def test_excerpts_are_fully_contained_in_parents(spark):
             assert c == 1.0
 
 
+def test_cdc_chunks_realign_after_prefix_edit(spark):
+    """The CDC property fixed windows lack: after a prefix insertion,
+    chunk fingerprints re-align at the next content boundary, so most
+    chunks of the edited document dedup against the original."""
+    from etl_portfolio_project_spark.operators import text as T
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    docs = (
+        load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 50)
+    )
+    shifted = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.lit("inserted prefix words "), F.col("text")).alias(
+            "text"
+        ),
+    )
+    chunks = T.cdc_chunk_df(docs.unionByName(shifted))
+    orig = {
+        r["chunk_fp"]
+        for r in chunks.where(F.col("doc_id") < 1000).collect()
+    }
+    shifted_fps = [
+        r["chunk_fp"]
+        for r in chunks.where(F.col("doc_id") >= 1000).collect()
+    ]
+    shared = sum(1 for fp in shifted_fps if fp in orig)
+    # the first chunk of each shifted doc differs (it absorbed the
+    # insertion) but chunks after the first boundary must re-align
+    assert shared / len(shifted_fps) > 0.5, (
+        f"only {shared}/{len(shifted_fps)} shifted chunks re-aligned"
+    )
+
+
 def test_int8_quant_bounds(spark):
     from etl_portfolio_project_spark.operators import similarity
 

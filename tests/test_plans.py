@@ -168,6 +168,9 @@ SHUFFLE_BUDGET = {
     # agg + join-back; +2 headroom if the fp join is SMJ at scale
     "doc_containment_pairs": 5,
     "embedding_int8_quant_profile": 1,  # narrow folds; balanced spread
+    # bin equi-join (broadcastable interval side) + promo_id agg
+    "interval_bin_join_revenue": 1,
+    "cdc_chunking": 1,  # narrow HOF explode; balanced spread only
 }
 
 
@@ -180,6 +183,16 @@ def test_shuffle_budget(spark, name):
         f"{name}: {n} shuffle exchanges, budget {budget}\n"
         + explain.physical_plan(df)
     )
+
+
+def test_interval_join_is_never_nested_loop(spark):
+    """The bin-bucketed range join must plan as an equi-join: a
+    BroadcastNestedLoopJoin or CartesianProduct here is the O(n·m)
+    cliff the binning exists to prevent."""
+    df = api.REGISTRY["interval_bin_join_revenue"].builder(spark, SF_SMALL)
+    plan = explain.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 @pytest.mark.parametrize(
