@@ -416,6 +416,14 @@ _EXTENSIONS += [
      "Content-defined chunking (Rabin-style rolling-hash cuts): "
      "boundaries follow content, so chunk fingerprints re-align after "
      "edits — the storage-dedup primitive; narrow, zero shuffles."),
+    ("repeated_ngram_spans", X.repeated_ngram_spans,
+     X.REPEATED_NGRAM_SPANS_SQL,
+     "Cross-doc exact 8-gram duplication index (suffix-array dedup's "
+     "distributed form): gram explode + one combined shuffle, top-50 "
+     "recurring grams."),
+    ("vocab_oov_rate", X.vocab_oov_rate, X.VOCAB_OOV_RATE_SQL,
+     "Tokenizer coverage profile: top-100 vocabulary + per-doc OOV "
+     "count/rate via broadcast anti-join."),
 ]
 
 for _name, _fn, _sql, _doc in _EXTENSIONS:

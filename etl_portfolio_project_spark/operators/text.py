@@ -761,3 +761,134 @@ SELECT doc_id, chunk_id,
 FROM spans
 WHERE e >= s
 """
+
+
+# --- cross-document repeated n-gram index ----------------------------------
+
+#: width of the exact-duplication grams and the report size
+REP_NGRAM_N = 8
+REP_NGRAM_TOPK = 50
+
+
+def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT substring duplication index — the core of
+    suffix-array-style training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): every token 8-gram,
+    hashed and exploded with its (doc, position), aggregated to the
+    grams that recur across ≥2 documents; top-50 by occurrence count
+    (ties broken on the hash for determinism).
+
+    At 100 TB this IS the practical distributed alternative to a
+    monolithic suffix array: the gram index shuffles once on the gram
+    key with map-side combine, hot grams are exposed (they are the
+    dedup targets), and the output feeds a span-removal pass. The
+    8-gram hash is md5-portable so the oracle matches bitwise."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    toks = "split(trim(lower(text)), '\\\\s+')"
+    grams = (
+        f"transform(sequence(1, size(tk) - {REP_NGRAM_N - 1}), i -> "
+        "named_struct('pos', CAST(i AS BIGINT), 'g', "
+        "cast(conv(substring(md5(concat_ws(' ', "
+        f"slice(tk, i, {REP_NGRAM_N}))), 1, 15), 16, 10) as bigint)))"
+    )
+    exploded = (
+        d.select("doc_id", F.expr(bind_once_sql(toks, "tk", grams)).alias("gs"))
+        .where(F.size("gs") >= 1)
+        .select("doc_id", F.explode("gs").alias("p"))
+        .select("doc_id", F.col("p.g").alias("gram_hash60"))
+    )
+    agg = exploded.groupBy("gram_hash60").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    return (
+        agg.where(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram_hash60"))
+        .limit(REP_NGRAM_TOPK)
+    )
+
+
+REPEATED_NGRAM_SPANS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) - {REP_NGRAM_N - 2}), i ->
+           CAST('0x' || substring(md5(array_to_string(
+             list_slice(tk, i, i + {REP_NGRAM_N - 1}), ' ')), 1, 15)
+             AS BIGINT))) AS gram_hash60
+  FROM base WHERE len(tk) >= {REP_NGRAM_N}
+)
+SELECT gram_hash60,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences
+FROM g
+GROUP BY gram_hash60
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_occurrences DESC, gram_hash60
+LIMIT {REP_NGRAM_TOPK}
+"""
+
+
+# --- vocabulary coverage / OOV rate ----------------------------------------
+
+#: vocabulary size for the coverage profile
+VOCAB_TOP_V = 100
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design profile: build the top-V vocabulary by global
+    token count (ties lexicographic) and report each document's
+    out-of-vocabulary token count and rate.
+
+    Scale shape: one partial-agg'd shuffle builds the vocabulary
+    (V=100 rows → broadcast back as an in-vocab marker), then BOTH
+    per-doc counts come from a single doc-keyed aggregation over the
+    marked explode — one pass over the tokens, not one per metric.
+    The rate is an integer pair divided once at the end —
+    deterministic doubles."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(F.expr("split(trim(lower(text)), '\\\\s+')")).alias("w")
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(VOCAB_TOP_V)
+        .select("w", F.lit(1).alias("iv"))
+    )
+    marked = toks.join(F.broadcast(vocab), "w", "left")
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("iv").isNull(), 1)).alias("n_oov"),
+        (
+            F.count(F.when(F.col("iv").isNull(), 1)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("oov_rate"),
+    )
+
+
+VOCAB_OOV_RATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+),
+vocab AS (
+  SELECT w, 1 AS iv FROM toks GROUP BY w
+  ORDER BY count(*) DESC, w LIMIT {VOCAB_TOP_V}
+),
+marked AS (
+  SELECT t.doc_id, v.iv FROM toks t LEFT JOIN vocab v ON t.w = v.w
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       count(CASE WHEN iv IS NULL THEN 1 END) AS n_oov,
+       CAST(count(CASE WHEN iv IS NULL THEN 1 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS oov_rate
+FROM marked
+GROUP BY doc_id
+"""

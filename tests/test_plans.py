@@ -171,6 +171,12 @@ SHUFFLE_BUDGET = {
     # bin equi-join (broadcastable interval side) + promo_id agg
     "interval_bin_join_revenue": 1,
     "cdc_chunking": 1,  # narrow HOF explode; balanced spread only
+    # balanced spread + gram agg (countDistinct two-phase); top-k is
+    # TakeOrdered, no extra exchange
+    "repeated_ngram_spans": 3,
+    # 2 balanced spreads (vocab branch + marked branch) + vocab agg +
+    # single doc-keyed agg; in-vocab marker join broadcast
+    "vocab_oov_rate": 4,
 }
 
 
