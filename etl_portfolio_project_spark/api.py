@@ -424,6 +424,11 @@ _EXTENSIONS += [
     ("vocab_oov_rate", X.vocab_oov_rate, X.VOCAB_OOV_RATE_SQL,
      "Tokenizer coverage profile: top-100 vocabulary + per-doc OOV "
      "count/rate via broadcast anti-join."),
+    ("corpus_version_diff", C.corpus_version_diff,
+     C.CORPUS_VERSION_DIFF_SQL,
+     "Snapshot CDC audit: full-outer md5 diff of two corpus versions "
+     "(v2 synthesized deterministically) → added/removed/changed/"
+     "unchanged counts."),
 ]
 
 for _name, _fn, _sql, _doc in _EXTENSIONS:
@@ -652,6 +657,11 @@ _STREAMING_MM = [
      M.MULTIMODAL_WAV_DECODE_SQL,
      "REAL audio decode: PCM16 WAV synth → binary column → stdlib "
      "wave decode → integer features, round-trip proven by oracle."),
+    ("stream_checkpoint_restart_ingest", E.stream_checkpoint_restart_ingest,
+     E.STREAM_CHECKPOINT_RESTART_INGEST_SQL,
+     "Checkpoint-recovery incremental ingest: stop + restart against "
+     "the same checkpoint resumes from committed offsets and reads "
+     "ONLY new files (exactly-once proven by the full-table oracle)."),
 ]
 
 from .operators import arrow_ops as AR  # noqa: E402

@@ -310,3 +310,108 @@ FROM shared s JOIN sizes z USING (doc_id)
 WHERE CAST(s.n_shared AS DOUBLE) / CAST(z.n_fp AS DOUBLE)
       >= {CONTAINMENT_TAU}
 """
+
+
+# --- corpus version diff (CDC between snapshots) ---------------------------
+
+#: deterministic v2 mutation rules (synthesize → diff → verify):
+#: docs with doc_id % 11 == 3 are DELETED in v2, docs with
+#: doc_id % 7 == 2 are CHANGED (text suffixed), and one ADDED doc per
+#: doc_id % 13 == 5 appears under doc_id + ADDED_ID_OFFSET
+DIFF_DELETE_MOD, DIFF_DELETE_REM = 11, 3
+DIFF_CHANGE_MOD, DIFF_CHANGE_REM = 7, 2
+DIFF_ADD_MOD, DIFF_ADD_REM = 13, 5
+ADDED_ID_OFFSET = 20_000_000
+
+
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions — the change-data-
+    capture audit every periodically-refreshed training corpus needs
+    (what changed between last month's crawl and this one?): FULL
+    OUTER join v1⟗v2 on doc_id, content compared by md5, per-status
+    counts (added / removed / changed / unchanged) with id ranges.
+
+    The harness has one snapshot, so v2 is synthesized from v1 by
+    deterministic rules (delete / mutate / add — same synthesize→
+    process→verify strategy as the PII and excerpt ops). Scale shape:
+    both branches shuffle once on doc_id into the co-partitioned full
+    outer join; the status aggregation is a 4-key partial-agg. At
+    100 TB you'd sort-merge on bucketed doc_id and the diff is one
+    pass."""
+    v1 = balanced(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    kept = v1.where(
+        F.col("doc_id") % DIFF_DELETE_MOD != DIFF_DELETE_REM
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % DIFF_CHANGE_MOD == DIFF_CHANGE_REM,
+            F.concat(F.col("text"), F.lit(" [v2 revision]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = v1.where(F.col("doc_id") % DIFF_ADD_MOD == DIFF_ADD_REM).select(
+        (F.col("doc_id") + ADDED_ID_OFFSET).alias("doc_id"),
+        F.concat(F.lit("new doc for "), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+    )
+    v2 = kept.unionByName(added)
+    j = v1.select(
+        F.col("doc_id").alias("id1"), F.md5("text").alias("h1")
+    ).join(
+        v2.select(F.col("doc_id").alias("id2"), F.md5("text").alias("h2")),
+        F.col("id1") == F.col("id2"),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("id1").isNull(), F.lit("added"))
+        .when(F.col("id2").isNull(), F.lit("removed"))
+        .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce("id1", "id2").alias("doc_id"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+CORPUS_VERSION_DIFF_SQL = f"""
+WITH v1 AS (
+  SELECT doc_id, text FROM documents
+),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {DIFF_CHANGE_MOD} = {DIFF_CHANGE_REM}
+              THEN text || ' [v2 revision]' ELSE text END AS text
+  FROM v1 WHERE doc_id % {DIFF_DELETE_MOD} <> {DIFF_DELETE_REM}
+  UNION ALL
+  SELECT doc_id + {ADDED_ID_OFFSET} AS doc_id,
+         'new doc for ' || CAST(doc_id AS VARCHAR) AS text
+  FROM v1 WHERE doc_id % {DIFF_ADD_MOD} = {DIFF_ADD_REM}
+),
+j AS (
+  SELECT a.doc_id AS id1, md5(a.text) AS h1,
+         b.doc_id AS id2, md5(b.text) AS h2
+  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+)
+SELECT CASE WHEN id1 IS NULL THEN 'added'
+            WHEN id2 IS NULL THEN 'removed'
+            WHEN h1 <> h2 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       count(*) AS n_docs,
+       min(COALESCE(id1, id2)) AS min_doc_id,
+       max(COALESCE(id1, id2)) AS max_doc_id
+FROM j
+GROUP BY 1
+"""

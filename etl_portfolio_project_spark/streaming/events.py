@@ -704,3 +704,87 @@ def stream_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_table(sketch, "stream_quantile_sketch", "complete")
     return quantiles_from_bins(spark.table("stream_quantile_sketch"))
+
+
+def stream_checkpoint_restart_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpoint-recovery incremental ingest — the one Structured
+    Streaming guarantee the other stream ops don't exercise: a query
+    STOPPED and RESTARTED against the same checkpoint resumes from its
+    committed offsets and processes ONLY files that arrived while it
+    was down.
+
+    The builder stages half the events (even event_id) and runs a
+    foreachBatch→parquet ingest to completion; then stages the other
+    half and RESTARTS the stream with the SAME checkpoint dir. The
+    restarted query's file-source offsets show the first file as
+    committed, so only the new file is read. The proof is the oracle:
+    the ingested output must equal a batch aggregate over ALL events —
+    if restart re-processed the first half, every even-id count would
+    double and the hash check would fail; if it skipped the new file,
+    counts would halve.
+
+    This is the production shape of incremental batch (Trigger
+    AvailableNow + checkpoint): hourly/daily jobs that each pick up
+    exactly the new files, with exactly-once bookkeeping in the
+    checkpoint WAL instead of hand-rolled manifests."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    root = tmpdirs.claim("ckpt_restart", "ckpt_restart_")
+    in_dir = os.path.join(root, "in")
+    out = os.path.join(root, "out")
+    ck = os.path.join(root, "ck")
+    os.makedirs(in_dir)
+
+    # split via pyarrow so both halves keep the source's EXACT physical
+    # schema (a Spark rewrite could change the ts annotation and break
+    # the fixed-schema stream read)
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    even = pc.equal(pc.bit_wise_and(tbl["event_id"], 1), 0)
+
+    def run_phase() -> None:
+        e = read_events_stream(spark, in_dir, glob="*_events.parquet")
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            e.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    pq.write_table(tbl.filter(even), f"{in_dir}/a_events.parquet")
+    run_phase()
+    pq.write_table(tbl.filter(pc.invert(even)), f"{in_dir}/b_events.parquet")
+    run_phase()  # same checkpoint → resumes, ingests ONLY file b
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+STREAM_CHECKPOINT_RESTART_INGEST_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       min(event_id) AS min_event_id,
+       max(event_id) AS max_event_id
+FROM events
+GROUP BY event_type
+"""

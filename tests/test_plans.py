@@ -177,6 +177,9 @@ SHUFFLE_BUDGET = {
     # 2 balanced spreads (vocab branch + marked branch) + vocab agg +
     # single doc-keyed agg; in-vocab marker join broadcast
     "vocab_oov_rate": 4,
+    # 3 branch spreads (v1 + v2-kept + v2-added derive separately) +
+    # full-outer join exchanges on doc_id + 4-key status agg
+    "corpus_version_diff": 6,
 }
 
 
