@@ -431,6 +431,21 @@ _EXTENSIONS += [
      "unchanged counts."),
 ]
 
+from .operators import io_ops as IO  # noqa: E402
+
+_EXTENSIONS += [
+    ("format_roundtrip_audit", IO.format_roundtrip_audit,
+     IO.FORMAT_ROUNDTRIP_AUDIT_SQL,
+     "Multi-format IO: parquet/ORC/JSON/CSV write + explicit-schema "
+     "read-back; per-format count, char sum, and order-free content "
+     "XOR must equal the source-table oracle."),
+    ("partitioned_write_prune", IO.partitioned_write_prune,
+     IO.PARTITIONED_WRITE_PRUNE_SQL,
+     "Hive-partitioned write + partition-pruned read: the year filter "
+     "binds to directories (PartitionFilters pinned by plan test); "
+     "layout is semantically invisible vs the source-table oracle."),
+]
+
 for _name, _fn, _sql, _doc in _EXTENSIONS:
     register(_name, _sql, _doc)(_fn)
 

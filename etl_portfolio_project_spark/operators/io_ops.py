@@ -1,0 +1,157 @@
+"""Storage-format and layout operators: multi-format round-trips and
+hive-partitioned writes with partition-pruned reads.
+
+The reference's IO surface is Postgres/Mongo in, Postgres out
+(SURVEY.md §2.1); no live DB exists in the harness, so its S5/S6
+semantics are exercised through file sinks (`sources/files.py`). This
+module adds the format breadth a Spark engine owes its users — CSV,
+JSON, and ORC alongside parquet — and the single most important
+data-layout lever at 100 TB: hive-style partitioned directories that
+let the scan SKIP non-matching partitions entirely (the plan shows
+`PartitionFilters`, and a date-filtered query reads 1/Nth of the
+files before a single row is decoded).
+
+Both ops are oracle-checked like everything else: the round-trip
+re-aggregates what it read back and must match a plain batch
+aggregate over the source table — any format-conversion corruption
+(type coercion, quoting, encoding) breaks the bit-exact compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import tmpdirs
+from ..sources.registry import load_table
+from .relational import dsum, dsum_sql
+from .text import portable_hash60, portable_hash60_sql
+
+#: formats exercised by the round-trip (all built into Spark; avro is
+#: an external package and intentionally absent)
+ROUNDTRIP_FORMATS = ("parquet", "orc", "json", "csv")
+
+_DOCS_READ_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def format_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the documents table to parquet, ORC, JSON, and CSV; read
+    each back with an EXPLICIT schema (schema inference is a
+    correctness hazard, not a convenience); emit one audit row per
+    format. Every row must carry identical values — count, exact char
+    sum, and a bit_xor fold of per-doc content hashes (order-free, so
+    partition order can't perturb it) — and the oracle computes the
+    same values once from the source table, so any format that
+    mangles content (CSV quoting, JSON escaping, type drift) fails
+    the hash compare.
+
+    Scale note: the write cost is the point (fan-out to N formats is
+    N scans or one cached scan); reads are format-parallel. CSV and
+    JSON are row-oriented text — the audit is also a standing
+    demonstration of WHY the engine's native format is columnar."""
+    root = tmpdirs.claim("format_roundtrip", "format_roundtrip_")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    audits: list[DataFrame] = []
+    for fmt in ROUNDTRIP_FORMATS:
+        path = f"{root}/{fmt}"
+        w = d.write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            w = w.option("header", "true").option("escape", '"')
+        w.save(path)
+        r = spark.read.format(fmt)
+        if fmt in ("csv", "json"):
+            r = r.schema(_DOCS_READ_SCHEMA)
+            if fmt == "csv":
+                r = r.option("header", "true").option("escape", '"')
+        back = r.load(path)
+        audits.append(
+            back.agg(
+                F.lit(fmt).alias("fmt"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+                F.expr(
+                    "bit_xor("
+                    + "cast(conv(substring(md5(concat(cast(doc_id as string),"
+                    " ':', text)), 1, 15), 16, 10) as bigint))"
+                ).alias("content_xor60"),
+            )
+        )
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+_DOC_XOR = (
+    "bit_xor(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||"
+    " text), 1, 15) AS BIGINT))"
+)
+
+FORMAT_ROUNDTRIP_AUDIT_SQL = f"""
+WITH one AS (
+  SELECT count(*) AS n_rows,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         {_DOC_XOR} AS content_xor60
+  FROM documents
+)
+SELECT f.fmt, o.n_rows, o.total_chars, o.content_xor60
+FROM (VALUES ('parquet'), ('orc'), ('json'), ('csv')) AS f(fmt), one o
+"""
+
+
+#: partition-pruning demo: the year kept by the filtered read-back
+PRUNE_YEAR = 1996
+
+
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition-pruned read: orders
+    written `partitionBy(o_year)`, read back filtered to one year.
+    The filter binds to the DIRECTORY structure — the scan lists only
+    `o_year=1996/` and never opens the other years' files
+    (`PartitionFilters` in the plan, pinned by a plan test). At 100 TB
+    with daily partitions this is the difference between reading one
+    day and reading three years.
+
+    Output: per-month order counts + exact revenue for the kept year;
+    the oracle recomputes from the source table with a value filter —
+    layout must be semantically invisible."""
+    root = tmpdirs.claim("partitioned_orders", "partitioned_orders_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    o.write.mode("overwrite").partitionBy("o_year").parquet(root)
+    back = spark.read.parquet(root).where(F.col("o_year") == PRUNE_YEAR)
+    return (
+        back.groupBy(F.month("o_orderdate").cast("long").alias("o_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+            portable_hash60(
+                F.concat(F.lit("k:"), F.min("o_orderkey").cast("string"))
+            ).alias("min_key_hash60"),
+        )
+    )
+
+
+PARTITIONED_WRITE_PRUNE_SQL = f"""
+SELECT CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       count(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS revenue,
+       {portable_hash60_sql("'k:' || CAST(min(o_orderkey) AS VARCHAR)")}
+         AS min_key_hash60
+FROM orders
+WHERE year(o_orderdate) = {PRUNE_YEAR}
+GROUP BY 1
+"""

@@ -180,6 +180,7 @@ SHUFFLE_BUDGET = {
     # 3 branch spreads (v1 + v2-kept + v2-added derive separately) +
     # full-outer join exchanges on doc_id + 4-key status agg
     "corpus_version_diff": 6,
+    "partitioned_write_prune": 1,  # pruned scan + 12-key month agg
 }
 
 
@@ -192,6 +193,17 @@ def test_shuffle_budget(spark, name):
         f"{name}: {n} shuffle exchanges, budget {budget}\n"
         + explain.physical_plan(df)
     )
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    """The year filter must bind to the hive partition directories —
+    a PartitionFilters entry in the scan, not a post-scan Filter over
+    all years."""
+    df = api.REGISTRY["partitioned_write_prune"].builder(spark, SF_SMALL)
+    plan = explain.physical_plan(df)
+    assert "PartitionFilters" in plan and "o_year" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], plan
 
 
 def test_interval_join_is_never_nested_loop(spark):
