@@ -677,6 +677,11 @@ _STREAMING_MM = [
      "Checkpoint-recovery incremental ingest: stop + restart against "
      "the same checkpoint resumes from committed offsets and reads "
      "ONLY new files (exactly-once proven by the full-table oracle)."),
+    ("multimodal_bmp_decode", M.multimodal_bmp_decode,
+     M.MULTIMODAL_BMP_DECODE_SQL,
+     "REAL image decode, no PIL: 24-bit BMP synth (padding + "
+     "bottom-up rows) → binary column → numpy byte-level decode; "
+     "orientation-weighted feature proves the geometry."),
 ]
 
 from .operators import arrow_ops as AR  # noqa: E402

@@ -230,9 +230,11 @@ FROM documents,
 
 # ---------------------------------------------------------------------------
 # REAL audio decode: WAV is parseable with the Python stdlib (`wave`),
-# so unlike the image path (stubbed — no PIL in the container) the
-# audio modality runs a GENUINE encode → binary column → decode →
-# feature cycle end-to-end.
+# so the audio modality runs a GENUINE encode → binary column →
+# decode → feature cycle end-to-end. (The image modality gets the
+# same treatment below via a numpy BMP codec — `multimodal_features`'
+# stub hook remains only for compressed formats that genuinely need
+# PIL/libjpeg.)
 # ---------------------------------------------------------------------------
 
 WAV_SCHEMA = T.StructType(
@@ -378,5 +380,180 @@ FROM (
   FROM documents, generate_series(0, 148) t(i)
   WHERE i < 100 + doc_id % 50
 )
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode: 24-bit uncompressed BMP is parseable with numpy +
+# stdlib struct alone (no PIL needed), so the image modality now runs
+# a GENUINE encode → binary column → decode → feature cycle, exactly
+# like the WAV path. The BMP bytes are real — 'BM' magic, BITMAPINFO
+# header, BGR pixel order, 4-byte row padding, bottom-up row storage —
+# and the decode handles every one of those quirks; an orientation-
+# weighted feature makes the oracle FAIL if the vertical flip or the
+# row padding were mishandled, so the codec is differentially proven,
+# not just exercised.
+# ---------------------------------------------------------------------------
+
+BMP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+BMP_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_payload_bytes", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("pos_weighted_r", T.LongType()),
+    ]
+)
+
+BMP_H = 12  # fixed image height; width varies per doc (16..23)
+
+
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode without an image library: synthesize a
+    24-bit uncompressed BMP per doc (deterministic RGB gradient,
+    width 16 + doc_id % 8 so the 4-byte ROW PADDING actually varies),
+    carry it as a `binary` column, then parse the ACTUAL BMP bytes in
+    a second Arrow stage — magic check, pixel-offset from the file
+    header, dimensions from BITMAPINFOHEADER, stride-padded BGR rows
+    stored bottom-up — and emit integer features.
+
+    `pos_weighted_r` weights each red value by its top-down raster
+    position, so a decoder that forgot the bottom-up flip or misread
+    the stride produces different sums and the DuckDB oracle (which
+    regenerates the same pixels relationally) catches it: the
+    geometry of the decode is proven, not assumed.
+
+    Scale shape: two narrow Arrow map stages (encode, decode), binary
+    payloads streaming through record batches, zero shuffles — the
+    same plumbing a real image corpus uses, with the codec swapped
+    for PIL/libjpeg where available."""
+    d = balanced_docs(spark, sf_dir)
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def make_bmp(doc_id: int) -> bytes:
+            w = 16 + doc_id % 8
+            h = BMP_H
+            x = _np.arange(w, dtype=_np.int64)[None, :]
+            y = _np.arange(h, dtype=_np.int64)[:, None]
+            r = (doc_id + 7 * x + 13 * y) % 256
+            g = (3 * doc_id + 5 * x + y) % 256
+            b = (2 * doc_id + x + 11 * y) % 256
+            bgr = _np.stack([b, g, r], axis=2).astype(_np.uint8)  # (h,w,3)
+            stride = (3 * w + 3) // 4 * 4
+            rows = _np.zeros((h, stride), dtype=_np.uint8)
+            rows[:, : 3 * w] = bgr.reshape(h, 3 * w)
+            pixel_data = rows[::-1].tobytes()  # bottom-up storage
+            file_size = 54 + len(pixel_data)
+            header = _struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+            info = _struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data),
+                2835, 2835, 0, 0,
+            )
+            return header + info + pixel_data
+
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(make_bmp),
+                }
+            )
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def feats(payload: bytes):
+            buf = bytes(payload)
+            assert buf[:2] == b"BM"
+            data_off = int.from_bytes(buf[10:14], "little")
+            w = int.from_bytes(buf[18:22], "little", signed=True)
+            h = int.from_bytes(buf[22:26], "little", signed=True)
+            bpp = int.from_bytes(buf[28:30], "little")
+            comp = int.from_bytes(buf[30:34], "little")
+            assert bpp == 24 and comp == 0 and h > 0
+            stride = (3 * w + 3) // 4 * 4
+            rows = _np.frombuffer(
+                buf, dtype=_np.uint8, count=h * stride, offset=data_off
+            ).reshape(h, stride)
+            # bottom-up → top-down, drop padding, split BGR
+            img = rows[::-1, : 3 * w].reshape(h, w, 3).astype(_np.int64)
+            b_ch, g_ch, r_ch = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+            pos = (
+                _np.arange(h, dtype=_np.int64)[:, None] * w
+                + _np.arange(w, dtype=_np.int64)[None, :]
+            )
+            return (
+                w,
+                h,
+                len(buf),
+                int(r_ch.sum()),
+                int(g_ch.sum()),
+                int(b_ch.sum()),
+                int((pos * r_ch).sum()),
+            )
+
+        for pdf in it:
+            rows = [
+                (int(doc_id),) + feats(payload)
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_payload_bytes",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                    "pos_weighted_r",
+                ],
+            )
+
+    bmps = d.mapInPandas(synth, BMP_SCHEMA)
+    return bmps.mapInPandas(decode, BMP_FEATURES_SCHEMA)
+
+
+MULTIMODAL_BMP_DECODE_SQL = f"""
+WITH px AS (
+  SELECT doc_id,
+         16 + doc_id % 8 AS w,
+         x, y,
+         (doc_id + 7 * x + 13 * y) % 256 AS r,
+         (3 * doc_id + 5 * x + y) % 256 AS g,
+         (2 * doc_id + x + 11 * y) % 256 AS b
+  FROM documents,
+       generate_series(0, 23) xs(x),
+       generate_series(0, {BMP_H - 1}) ys(y)
+  WHERE x < 16 + doc_id % 8
+)
+SELECT doc_id,
+       CAST(min(w) AS INTEGER) AS width,
+       CAST({BMP_H} AS INTEGER) AS height,
+       CAST(54 + {BMP_H} * ((3 * min(w) + 3) // 4 * 4) AS BIGINT)
+         AS n_payload_bytes,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b,
+       CAST(sum((y * w + x) * r) AS BIGINT) AS pos_weighted_r
+FROM px
 GROUP BY doc_id
 """
