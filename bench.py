@@ -132,11 +132,21 @@ def main() -> None:
     with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
-    # Compact driver-facing line: totals + the 10 slowest queries.
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
-    )
-    out = {
+    print(json.dumps(compact_line(timings, errors, total, sf)))
+
+
+def compact_line(
+    timings: dict[str, float],
+    errors: dict[str, str],
+    total: float,
+    sf: float,
+) -> dict:
+    """Driver-facing summary: totals + the 10 slowest queries. MUST
+    stay well under ~2 KB serialized — the driver keeps only a bounded
+    tail of stdout, and an oversized line loses its front and parses
+    as null (round-2 failure mode; tests pin the size)."""
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    return {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
@@ -145,7 +155,6 @@ def main() -> None:
         "n_errors": len(errors),
         "sf": sf,
     }
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -360,6 +360,14 @@ _EXTENSIONS = [
     ("neardup_clusters", D.neardup_clusters, D.NEARDUP_CLUSTERS_SQL,
      "Connected components of near-dup pairs via iterative min-label "
      "propagation (oracle: recursive-CTE transitive closure)."),
+    ("neardup_triangles", D.neardup_triangles, D.NEARDUP_TRIANGLES_SQL,
+     "Triangle census of the near-dup graph (wedge equi-join + "
+     "closing-edge lookup, work ∝ Σdeg²): transitivity diagnostic "
+     "for dedup clusters."),
+    ("neardup_pagerank", D.neardup_pagerank, D.NEARDUP_PAGERANK_SQL,
+     "Integer fixed-point PageRank over the near-dup graph (5 "
+     "unrolled iterations, micro-unit ranks): deterministic survivor "
+     "ranking inside dup clusters."),
     ("ann_brute_force_topk", S.ann_brute_force_topk, S.ANN_BRUTE_FORCE_TOPK_SQL,
      "Exact cosine top-k neighbors (broadcast query set)."),
     ("ann_lsh_topk", S.ann_lsh_topk, S.ANN_LSH_TOPK_SQL,

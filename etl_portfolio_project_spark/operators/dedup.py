@@ -918,3 +918,197 @@ def _build_decontaminate_sql() -> str:
 
 
 DECONTAMINATE_NGRAMS_SQL = _build_decontaminate_sql()
+
+
+# --- graph analytics over the near-dup graph -------------------------------
+
+
+def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-duplicate graph — the standard
+    graph-quality diagnostic for dedup output (triangles = transitive
+    near-dup triples; a cluster whose pairs DON'T close into
+    triangles signals chained borderline matches rather than a true
+    duplicate group).
+
+    Algorithm: order each undirected edge (lo < hi), join edges on
+    the shared lowest vertex to form wedges, close each wedge with a
+    third edge lookup — work ∝ Σ deg², never all-triples, and every
+    join is an equi-join on vertex ids (the standard distributed
+    triangle enumeration). Output: each triangle once as the sorted
+    id triple.
+
+    The edge list is claimed+materialized ONCE: it feeds three join
+    branches, and without the cache each branch would lazily re-run
+    the whole upstream jaccard pipeline (3× the scan work and a plan
+    tree that compounds at every reuse)."""
+    pairs = caches.claim(
+        "neardup_triangles_edges",
+        neardup_jaccard(spark, sf_dir)
+        .select(
+            F.least("id1", "id2").alias("lo"),
+            F.greatest("id1", "id2").alias("hi"),
+        )
+        .distinct(),
+    )
+    pairs.count()  # materialize before the three-way reuse
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.lo") == F.col("e2.lo"))
+        & (F.col("e1.hi") < F.col("e2.hi")),
+    ).select(
+        F.col("e1.lo").alias("a"),
+        F.col("e1.hi").alias("b"),
+        F.col("e2.hi").alias("c"),
+    )
+    return wedges.join(
+        e3,
+        (F.col("b") == F.col("e3.lo")) & (F.col("c") == F.col("e3.hi")),
+    ).select("a", "b", "c")
+
+
+NEARDUP_TRIANGLES_SQL = None  # built below (needs the pair CTE)
+
+
+def _build_neardup_triangles_sql() -> str:
+    jaccard_pairs = NEARDUP_JACCARD_SQL.strip()
+    return f"""
+    WITH pairs AS (
+      SELECT id1, id2 FROM ({jaccard_pairs})
+    ),
+    e AS (
+      SELECT DISTINCT least(id1, id2) AS lo, greatest(id1, id2) AS hi
+      FROM pairs
+    )
+    SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+    FROM e e1
+    JOIN e e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+    JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+    """
+
+
+NEARDUP_TRIANGLES_SQL = _build_neardup_triangles_sql()
+
+
+# --- PageRank over the near-dup graph (integer fixed-point) ---------------
+
+#: fixed-point scale (micro-units), damping d = 85/100, iterations
+PR_SCALE = 1_000_000_000_000
+PR_D_NUM, PR_D_DEN = 85, 100
+PR_ITERS = 5
+
+
+def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of the near-duplicate graph — ranks the
+    "canonical-ness" of docs inside dup clusters (the highest-rank
+    member is the natural survivor when collapsing a cluster).
+
+    All arithmetic is INTEGER FIXED-POINT (micro-units, scale 10^12):
+    contribution = rank div out_degree, new rank = (15·S) div 100 +
+    (85·Σcontrib) div 100 — integer division is deterministic and
+    engine-portable, unlike float PageRank whose per-node sums depend
+    on aggregation order. PR_ITERS is FIXED (5), so the Spark side is
+    an unrolled lazy join chain (no actions, no persisted state, one
+    plan) and the oracle is 5 chained CTE stages — no recursive
+    aggregation, which SQL recursion disallows anyway.
+
+    Scale shape per iteration: one equi-join rank⋈edges + one
+    partial-agg'd groupBy on the destination — the same primitive as
+    the CC loop; at billions of edges you'd checkpoint every few
+    iterations exactly as `_cc_label_propagation` does."""
+    pairs = neardup_jaccard(spark, sf_dir).select("id1", "id2")
+    # claim + materialize the graph ONCE: edges feed every iteration's
+    # join and outdeg feeds every iteration's contribution — left
+    # lazy, each of the 5 iterations would re-run the whole jaccard
+    # pipeline per reference (measured: a 159-exchange plan; with the
+    # cache it is one jaccard pass + a linear 5-round chain)
+    edges = caches.claim(
+        "neardup_pagerank_edges",
+        pairs.union(
+            pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+        ).distinct(),
+    )
+    outdeg = caches.claim(
+        "neardup_pagerank_outdeg",
+        edges.groupBy(F.col("id1").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        ),
+    )
+    outdeg.count()  # materializes edges too (lineage parent)
+    ranks = outdeg.select(
+        "node", F.lit(PR_SCALE).cast("long").alias("rank")
+    )
+    base = (PR_SCALE * (PR_D_DEN - PR_D_NUM)) // PR_D_DEN
+    for _ in range(PR_ITERS):
+        contrib = (
+            ranks.join(outdeg, "node")
+            .join(edges, F.col("node") == F.col("id1"))
+            .select(
+                F.col("id2").alias("dst"),
+                F.expr("rank div deg").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            outdeg.select("node")
+            .join(contrib, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({PR_D_NUM} * coalesce(contrib, 0L)) div {PR_D_DEN}"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(F.col("node").alias("doc_id"), "rank")
+
+
+def _build_neardup_pagerank_sql() -> str:
+    jaccard_pairs = NEARDUP_JACCARD_SQL.strip()
+    base = (PR_SCALE * (PR_D_DEN - PR_D_NUM)) // PR_D_DEN
+    stages = []
+    prev = "r0"
+    for t in range(1, PR_ITERS + 1):
+        stages.append(f"""
+c{t} AS (
+  SELECT e.id2 AS dst,
+         sum(r.rank // d.deg) AS contrib
+  FROM {prev} r JOIN deg d ON r.node = d.node
+  JOIN e ON r.node = e.id1
+  GROUP BY e.id2
+),
+r{t} AS (
+  SELECT d.node,
+         CAST({base} + ({PR_D_NUM} * COALESCE(c.contrib, 0)) // {PR_D_DEN}
+              AS BIGINT) AS rank
+  FROM deg d LEFT JOIN c{t} c ON d.node = c.dst
+)""")
+        prev = f"r{t}"
+    stage_sql = ",".join(stages)
+    return f"""
+WITH pairs AS (
+  SELECT id1, id2 FROM ({jaccard_pairs})
+),
+e AS (
+  SELECT DISTINCT id1, id2 FROM (
+    SELECT id1, id2 FROM pairs
+    UNION ALL
+    SELECT id2 AS id1, id1 AS id2 FROM pairs
+  )
+),
+deg AS (
+  SELECT id1 AS node, count(*) AS deg FROM e GROUP BY id1
+),
+r0 AS (
+  SELECT node, CAST({PR_SCALE} AS BIGINT) AS rank FROM deg
+),{stage_sql}
+SELECT node AS doc_id, rank FROM r{PR_ITERS}
+"""
+
+
+NEARDUP_PAGERANK_SQL = _build_neardup_pagerank_sql()

@@ -181,6 +181,12 @@ SHUFFLE_BUDGET = {
     # full-outer join exchanges on doc_id + 4-key status agg
     "corpus_version_diff": 6,
     "partitioned_write_prune": 1,  # pruned scan + 12-key month agg
+    # claimed edge cache scan ×3 + wedge/closing joins (broadcast at
+    # harness size) — the jaccard pipeline runs ONCE inside the claim
+    "neardup_triangles": 8,
+    # 5 unrolled rounds × (rank⋈edges join + dst groupBy + left join
+    # back to the vertex set) over the claimed graph caches
+    "neardup_pagerank": 20,
 }
 
 
