@@ -23,15 +23,23 @@ _LIVE: dict[str, DataFrame] = {}
 
 
 def claim(key: str, df: DataFrame) -> DataFrame:
-    """Persist `df`; release the superseded generation for `key`."""
-    new = df.persist()
-    old = _LIVE.get(key)
-    _LIVE[key] = new
+    """Persist `df`; release the superseded generation for `key`.
+
+    ORDER MATTERS: the old generation is unpersisted BEFORE the new
+    one registers. A re-run builds an IDENTICAL logical plan, and
+    Spark's CacheManager matches cache entries by plan — persisting
+    the new first and then unpersisting the old would evict the entry
+    BOTH DataFrames share, leaving the "cached" new generation
+    uncached (observed: neardup_pagerank's second build planned 159
+    exchanges instead of 19; pinned by test_cache_hygiene)."""
+    old = _LIVE.pop(key, None)
     if old is not None:
         try:
             old.unpersist()
         except Exception:
             pass  # session of the old generation may already be gone
+    new = df.persist()
+    _LIVE[key] = new
     return new
 
 

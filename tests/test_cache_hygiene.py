@@ -71,6 +71,22 @@ def test_cc_driver_and_distributed_paths_agree(spark):
     assert a == b and len(a) > 0
 
 
+def test_reclaim_of_identical_plan_stays_cached(spark):
+    """Re-running a builder re-claims an IDENTICAL logical plan; the
+    claim must not evict the cache entry both generations share (the
+    CacheManager matches by plan), or every re-run loses its cache
+    and the plan re-derives the full upstream pipeline."""
+    from etl_portfolio_project_spark.plans import explain
+
+    dedup.neardup_pagerank(spark, SF_SMALL).collect()
+    df = dedup.neardup_pagerank(spark, SF_SMALL)  # second build
+    n = explain.count_shuffles(df)
+    assert n <= 20, (
+        f"second build planned {n} exchanges — the re-claim evicted "
+        "the shared cache entry"
+    )
+
+
 def test_claim_unpersists_previous_generation(spark):
     df1 = spark.range(10).withColumn("x", F.col("id") * 2)
     c1 = caches.claim("__test_key", df1)
