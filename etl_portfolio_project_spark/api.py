@@ -302,6 +302,16 @@ _RELATIONAL = [
      "Range/containment join as a bin-bucketed EQUI-join (month bins "
      "+ residual BETWEEN) — never BroadcastNestedLoop/Cartesian; the "
      "scale-safe range-join form."),
+    ("skew_detection_profile", R.skew_detection_profile,
+     R.SKEW_DETECTION_PROFILE_SQL,
+     "Join-key skew diagnostic: key cardinality, max/avg frequency, "
+     "skew ratio, deterministic hottest key — the measurement that "
+     "drives salting/broadcast choices."),
+    ("merge_upsert_orders", R.merge_upsert_orders,
+     R.MERGE_UPSERT_ORDERS_SQL,
+     "Batch MERGE INTO (upsert): co-partitioned full-outer join of "
+     "target vs synthesized change feed, matched→update / "
+     "unmatched→insert, post-merge audit by status."),
 ]
 
 for _name, _fn, _sql, _doc in _RELATIONAL:

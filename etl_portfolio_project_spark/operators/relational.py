@@ -1057,3 +1057,141 @@ FROM orders JOIN periods
  AND CAST(o_orderdate AS DATE) < p_end
 GROUP BY 1
 """
+
+
+# --- join-key skew diagnostic ----------------------------------------------
+
+
+def skew_detection_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic for orders.o_custkey — the
+    measurement that DRIVES the mitigation choices the engine already
+    ships (salting in `salted_customer_orders`, AQE skew-join):
+    per-key counts → one global row with key cardinality, max/avg
+    key frequency, and the skew ratio. At 100 TB you run this (one
+    partial-agg'd shuffle + a scalar fold) BEFORE the big join and
+    pick the strategy from the ratio; a ratio near 1 means hash
+    partitioning balances, a hot ratio means salt or broadcast.
+
+    Doubles are two mirrored divisions of exact integers —
+    deterministic cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.max("cnt").alias("max_key_rows"),
+        (
+            F.sum("cnt").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_key_rows"),
+        (
+            F.max("cnt").cast("double")
+            / (F.sum("cnt").cast("double") / F.count(F.lit(1)).cast("double"))
+        ).alias("skew_ratio"),
+    )
+    # deterministic argmax (max cnt, ties → min key) as a broadcast
+    # 1-row scalar join — the engine's standard scalar-aggregate shape
+    hot = (
+        per_key.orderBy(F.col("cnt").desc(), F.col("o_custkey"))
+        .limit(1)
+        .select(F.col("o_custkey").alias("hottest_key"))
+    )
+    return stats.crossJoin(F.broadcast(hot))
+
+
+SKEW_DETECTION_PROFILE_SQL = """
+WITH per_key AS (
+  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+)
+SELECT count(*) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS total_rows,
+       max(cnt) AS max_key_rows,
+       CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_key_rows,
+       CAST(max(cnt) AS DOUBLE)
+         / (CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         AS skew_ratio,
+       min(CASE WHEN cnt = (SELECT max(cnt) FROM per_key)
+                THEN o_custkey END) AS hottest_key
+FROM per_key
+"""
+
+
+# --- batch MERGE upsert (warehouse pattern) --------------------------------
+
+#: deterministic change feed: every key ≡ 3 (mod 10) is UPDATED
+#: (status 'U', price + 1.50), every key ≡ 0 (mod 97) also produces
+#: an INSERT under key + INSERT_KEY_OFFSET with status 'N'
+MERGE_UPDATE_MOD, MERGE_UPDATE_REM = 10, 3
+MERGE_INSERT_MOD = 97
+INSERT_KEY_OFFSET = 500_000_000
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO (upsert) — the warehouse maintenance pattern
+    (Delta/Iceberg MERGE) expressed in pure DataFrame ops: target ⟗
+    change-feed full-outer join on the key; matched rows take the
+    source's values, unmatched-target rows pass through, unmatched-
+    source rows insert. The change feed is synthesized
+    deterministically from the target (same synthesize→process→verify
+    strategy as the PII/excerpt/diff ops).
+
+    Output: per final-status row counts + exact decimal revenue — the
+    post-merge audit a MERGE job emits. Scale shape: both sides
+    shuffle once on the key into a co-partitioned full-outer join
+    (sort-merge at scale); at 100 TB this is file-pruned by the
+    table format's min/max stats, same logical plan."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.where(
+        F.col("o_orderkey") % MERGE_UPDATE_MOD == MERGE_UPDATE_REM
+    ).select(
+        "o_orderkey",
+        F.lit("U").alias("s_status"),
+        (F.col("o_totalprice") + F.lit(1.5)).alias("s_totalprice"),
+    )
+    inserts = o.where(F.col("o_orderkey") % MERGE_INSERT_MOD == 0).select(
+        (F.col("o_orderkey") + INSERT_KEY_OFFSET).alias("o_orderkey"),
+        F.lit("N").alias("s_status"),
+        F.col("o_totalprice").alias("s_totalprice"),
+    )
+    source = updates.unionByName(inserts)
+    merged = o.join(source, "o_orderkey", "full_outer").select(
+        "o_orderkey",
+        F.coalesce("s_status", "o_orderstatus").alias("status"),
+        F.coalesce("s_totalprice", "o_totalprice").alias("totalprice"),
+    )
+    return merged.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("totalprice").alias("revenue"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+MERGE_UPSERT_ORDERS_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+source AS (
+  SELECT o_orderkey, 'U' AS s_status,
+         o_totalprice + 1.5 AS s_totalprice
+  FROM o WHERE o_orderkey % {MERGE_UPDATE_MOD} = {MERGE_UPDATE_REM}
+  UNION ALL
+  SELECT o_orderkey + {INSERT_KEY_OFFSET} AS o_orderkey, 'N' AS s_status,
+         o_totalprice AS s_totalprice
+  FROM o WHERE o_orderkey % {MERGE_INSERT_MOD} = 0
+),
+merged AS (
+  SELECT COALESCE(s.o_orderkey, o.o_orderkey) AS o_orderkey,
+         COALESCE(s.s_status, o.o_orderstatus) AS status,
+         COALESCE(s.s_totalprice, o.o_totalprice) AS totalprice
+  FROM o FULL OUTER JOIN source s ON o.o_orderkey = s.o_orderkey
+)
+SELECT status,
+       count(*) AS n_rows,
+       {dsum_sql('totalprice')} AS revenue,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM merged
+GROUP BY status
+"""

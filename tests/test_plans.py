@@ -187,6 +187,12 @@ SHUFFLE_BUDGET = {
     # 5 unrolled rounds × (rank⋈edges join + dst groupBy + left join
     # back to the vertex set) over the claimed graph caches
     "neardup_pagerank": 20,
+    # per-key agg ×2 branches + scalar TakeOrdered; hottest-key join
+    # is a broadcast 1-row scalar
+    "skew_detection_profile": 3,
+    # target + change-feed branches shuffle into the co-partitioned
+    # full-outer + status agg
+    "merge_upsert_orders": 3,
 }
 
 
