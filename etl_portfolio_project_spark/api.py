@@ -378,6 +378,11 @@ _EXTENSIONS = [
      "Integer fixed-point PageRank over the near-dup graph (5 "
      "unrolled iterations, micro-unit ranks): deterministic survivor "
      "ranking inside dup clusters."),
+    ("incremental_minhash_dedup", D.incremental_minhash_dedup,
+     D.INCREMENTAL_MINHASH_DEDUP_SQL,
+     "Incremental corpus dedup: incoming batch vs the persisted "
+     "corpus LSH index — band-collision candidates, exact-Jaccard "
+     "verify, per-doc keep/drop decision (never corpus-vs-corpus)."),
     ("ann_brute_force_topk", S.ann_brute_force_topk, S.ANN_BRUTE_FORCE_TOPK_SQL,
      "Exact cosine top-k neighbors (broadcast query set)."),
     ("ann_lsh_topk", S.ann_lsh_topk, S.ANN_LSH_TOPK_SQL,
@@ -576,6 +581,12 @@ _ANALYTICS = [
      A.COHORT_RETENTION_SQL,
      "Weekly cohort-retention triangle: first-active-week cohorts x "
      "week offset, single pass + user window, no join."),
+    ("events_lateness_audit", A.events_lateness_audit,
+     A.EVENTS_LATENESS_AUDIT_SQL,
+     "Watermark-tuning lateness audit over a deterministic hash "
+     "replay: global running event-time max decomposed as a parallel "
+     "prefix scan (contiguous chunks + broadcast carry-in), lateness "
+     "tier shares per event type."),
 ]
 
 from .operators import tpch as T  # noqa: E402

@@ -1723,3 +1723,136 @@ SELECT d.event_type,
 FROM dev d JOIN mad a ON d.event_type = a.event_type
 GROUP BY d.event_type
 """
+
+
+# --- watermark-lateness audit (distributed prefix-max) ---------------------
+
+#: bounded replay disorder: each event's arrival slot is its ingestion
+#: id jittered by a deterministic hash within ±_LATENESS_JITTER slots
+#: (real ingest reorders locally — network/partition races — not
+#: globally)
+_LATENESS_JITTER = 50
+#: arrival slots per order-contiguous chunk of the parallel prefix scan
+_LATENESS_CHUNK = 1024
+#: lateness tier bounds (µs): on-time / ≤60 s / ≤600 s / dropped
+_LATENESS_TIER1_US = 60_000_000
+_LATENESS_TIER2_US = 600_000_000
+
+
+def events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-tuning audit: how late does each event arrive behind
+    the max event-time seen so far, and what share of each event type
+    would a 60 s / 600 s watermark delay drop? The harness events file
+    is globally time-sorted, so arrival order is SIMULATED as a
+    deterministic bounded-disorder replay: events "arrive" in order of
+    their ingestion id jittered ±50 slots by a portable hash — the
+    local reordering real ingest produces (documented simulation; on
+    real ingest you'd use the source's arrival sequence instead).
+
+    The interesting part is the plan: `max(ts) OVER (ORDER BY arrival)`
+    is a GLOBAL running aggregate — the naive window is a single task
+    sorting everything (the same trap `global_revenue_rank` avoids for
+    ranking). Here it's decomposed as a parallel prefix scan: the
+    arrival key's high bits (`div 1024` — truncating div is monotone,
+    so chunks are ORDER-CONTIGUOUS intervals of the sort key) define
+    chunks, each chunk computes its running max locally (parallel
+    window per chunk), a tiny per-chunk max table gets a cumulative
+    max over preceding chunks (chunk-count-sized single-reducer window
+    — trivially small), and the carry-in is broadcast back. Provably
+    equal to the global window whatever the chunking, because max is
+    associative and chunks are contiguous. At deeper scale you'd
+    recurse the same trick over chunk groups."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    e = e.withColumn(
+        "ak",
+        F.expr(
+            "event_id + CAST(conv(substring(md5(CAST(event_id AS STRING)), "
+            f"1, 15), 16, 10) AS BIGINT) % {2 * _LATENESS_JITTER + 1} "
+            f"- {_LATENESS_JITTER}"
+        ),
+    ).withColumn("chunk", F.expr(f"ak div {_LATENESS_CHUNK}"))
+    wlocal = (
+        Window.partitionBy("chunk")
+        .orderBy("ak", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = e.withColumn("local_max", F.max("ts").over(wlocal))
+    cmax = e.groupBy("chunk").agg(F.max("ts").alias("cmax"))
+    wprev = Window.orderBy("chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev = cmax.withColumn("prev_max", F.max("cmax").over(wprev)).select(
+        "chunk", "prev_max"
+    )
+    arrival_max = F.greatest(
+        F.col("local_max"), F.coalesce(F.col("prev_max"), F.col("local_max"))
+    )
+    lat = F.unix_micros(arrival_max) - F.unix_micros(F.col("ts"))
+    bucket = (
+        F.when(lat == 0, F.lit("on_time"))
+        .when(lat <= _LATENESS_TIER1_US, F.lit("late_le_60s"))
+        .when(lat <= _LATENESS_TIER2_US, F.lit("late_le_600s"))
+        .otherwise(F.lit("dropped_at_600s"))
+    )
+    g = (
+        local.join(F.broadcast(prev), "chunk")
+        .select(
+            "event_type",
+            bucket.alias("lateness_bucket"),
+            lat.alias("lat_us"),
+        )
+        .groupBy("event_type", "lateness_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("lat_us").cast("long").alias("max_lateness_us"),
+        )
+    )
+    wtype = Window.partitionBy("event_type")
+    return g.select(
+        "event_type",
+        "lateness_bucket",
+        "n_events",
+        "max_lateness_us",
+        (F.col("n_events") / F.sum("n_events").over(wtype)).alias("share"),
+    )
+
+
+EVENTS_LATENESS_AUDIT_SQL = f"""
+WITH e AS (
+  SELECT event_id, ts, event_type,
+         event_id
+           + CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % {2 * _LATENESS_JITTER + 1}
+           - {_LATENESS_JITTER} AS ak
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         epoch_us(max(ts) OVER (ORDER BY ak, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW))
+           - epoch_us(ts) AS lat_us
+  FROM e
+),
+b AS (
+  SELECT event_type,
+         CASE WHEN lat_us = 0 THEN 'on_time'
+              WHEN lat_us <= {_LATENESS_TIER1_US} THEN 'late_le_60s'
+              WHEN lat_us <= {_LATENESS_TIER2_US} THEN 'late_le_600s'
+              ELSE 'dropped_at_600s' END AS lateness_bucket,
+         lat_us
+  FROM m
+),
+g AS (
+  SELECT event_type, lateness_bucket,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(lat_us) AS BIGINT) AS max_lateness_us
+  FROM b GROUP BY 1, 2
+)
+SELECT event_type, lateness_bucket, n_events, max_lateness_us,
+       n_events / CAST(sum(n_events) OVER (PARTITION BY event_type)
+                       AS BIGINT) AS share
+FROM g
+"""

@@ -1112,3 +1112,186 @@ SELECT node AS doc_id, rank FROM r{PR_ITERS}
 
 
 NEARDUP_PAGERANK_SQL = _build_neardup_pagerank_sql()
+
+
+# --- incremental (batch-vs-corpus) MinHash dedup --------------------------
+
+#: deterministic corpus/batch split: doc_id % MOD == 0 → the incoming
+#: batch; everything else is the already-ingested corpus.
+INC_BATCH_MOD = 5
+
+
+def _band_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) rows from a (doc_id, words, sig)
+    relation — the LSH index layout: one row per signature band, keyed
+    by the concatenated in-band hash values."""
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col("sig")[i * MH_ROWS + r].cast("string")
+                                for r in range(MH_ROWS)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for i in range(MH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the production shape for continuously
+    ingested training data: dedup an INCOMING BATCH against the
+    already-ingested corpus (never corpus-vs-corpus). Per batch doc:
+    LSH band collisions against the corpus index → exact-Jaccard
+    verification of candidates only → keep/drop decision.
+
+    Output: one row PER BATCH DOC (match-less docs included) with the
+    candidate count, verified-dup count, the keep/drop flag, and the
+    best-matching corpus doc (max jaccard, ties → higher corpus id via
+    lexicographic struct max — identical struct ordering in DuckDB).
+
+    Scale design: the corpus band table IS the persisted LSH index a
+    production pipeline maintains (here rebuilt per run and claimed
+    once — signatures feed both the band join and the verify join, so
+    an unclaimed plan would re-md5 the whole corpus per branch). The
+    band join shuffles on band_key only; a new batch is typically ≪
+    corpus, so candidates ∝ batch collisions, and the verify join
+    touches candidate corpus docs only. Nothing is ever all-pairs.
+    """
+    d = caches.claim(
+        "inc_minhash_sigs",
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            _distinct_words(F.col("text")).alias("words"),
+            _minhash_signature().alias("sig"),
+        ),
+    )
+    corpus = d.where(F.col("doc_id") % INC_BATCH_MOD != 0)
+    batch = d.where(F.col("doc_id") % INC_BATCH_MOD == 0)
+    cand = (
+        _band_rows(batch)
+        .alias("b")
+        .join(
+            _band_rows(corpus).alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.band_key") == F.col("c.band_key")),
+        )
+        .groupBy(
+            F.col("b.doc_id").alias("batch_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_band_hits"))
+    )
+    wb = batch.select(F.col("doc_id").alias("batch_id"), F.col("words").alias("w1"))
+    wc = corpus.select(F.col("doc_id").alias("corpus_id"), F.col("words").alias("w2"))
+    shared = F.size(F.array_intersect("w1", "w2")).cast("long")
+    n1 = F.size("w1").cast("long")
+    n2 = F.size("w2").cast("long")
+    scored = (
+        cand.join(wb, "batch_id")
+        .join(wc, "corpus_id")
+        .withColumn("jaccard", shared / (n1 + n2 - shared))
+    )
+    dup = F.col("jaccard") >= JACCARD_TAU
+    per_batch = scored.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count(F.when(dup, F.lit(1))).alias("n_dups"),
+        F.max(
+            F.when(
+                dup,
+                F.struct(
+                    F.col("jaccard").alias("j"),
+                    F.col("corpus_id").alias("cid"),
+                ),
+            )
+        ).alias("best"),
+    )
+    return (
+        batch.select(F.col("doc_id").alias("batch_id"))
+        .join(per_batch, "batch_id", "left")
+        .select(
+            F.col("batch_id").alias("doc_id"),
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
+            (F.coalesce(F.col("n_dups"), F.lit(0)) > 0).alias("is_dup"),
+            F.col("best.j").alias("best_jaccard"),
+            F.col("best.cid").alias("best_match_id"),
+        )
+    )
+
+
+def _build_incremental_minhash_sql() -> str:
+    sigs = _minhash_sig_sql()
+    band_structs = []
+    for i in range(MH_BANDS):
+        parts = " || '-' || ".join(
+            f"CAST(sig[{i * MH_ROWS + r + 1}] AS VARCHAR)" for r in range(MH_ROWS)
+        )
+        band_structs.append(f"{{'band': {i}, 'band_key': {parts}}}")
+    bands_from = f"UNNEST([{', '.join(band_structs)}]) AS t(bk)"
+    jac = (
+        "CAST(len(list_intersect(w1.words, w2.words)) AS BIGINT) "
+        "/ (CAST(len(w1.words) AS BIGINT) + CAST(len(w2.words) AS BIGINT) "
+        "- CAST(len(list_intersect(w1.words, w2.words)) AS BIGINT))"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_DISTINCT_WORDS_SQL} AS words,
+         [{', '.join(sigs)}] AS sig
+  FROM documents
+),
+corpus AS (SELECT * FROM d WHERE doc_id % {INC_BATCH_MOD} <> 0),
+batch AS (SELECT * FROM d WHERE doc_id % {INC_BATCH_MOD} = 0),
+cbands AS (
+  SELECT doc_id, bk.band AS band, bk.band_key AS band_key
+  FROM corpus, {bands_from}
+),
+bbands AS (
+  SELECT doc_id, bk.band AS band, bk.band_key AS band_key
+  FROM batch, {bands_from}
+),
+cand AS (
+  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id
+  FROM bbands b JOIN cbands c
+    ON b.band = c.band AND b.band_key = c.band_key
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT batch_id, corpus_id, {jac} AS jaccard
+  FROM cand
+  JOIN batch w1 ON w1.doc_id = batch_id
+  JOIN corpus w2 ON w2.doc_id = corpus_id
+),
+per AS (
+  SELECT batch_id,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(count(*) FILTER (WHERE jaccard >= {JACCARD_TAU}) AS BIGINT)
+           AS n_dups,
+         max({{'j': jaccard, 'cid': corpus_id}})
+           FILTER (WHERE jaccard >= {JACCARD_TAU}) AS best
+  FROM scored GROUP BY 1
+)
+SELECT b.doc_id AS doc_id,
+       COALESCE(per.n_candidates, 0) AS n_candidates,
+       COALESCE(per.n_dups, 0) AS n_dups,
+       COALESCE(per.n_dups, 0) > 0 AS is_dup,
+       best.j AS best_jaccard,
+       best.cid AS best_match_id
+FROM batch b LEFT JOIN per ON per.batch_id = b.doc_id
+"""
+
+
+INCREMENTAL_MINHASH_DEDUP_SQL = _build_incremental_minhash_sql()

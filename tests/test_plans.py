@@ -193,6 +193,12 @@ SHUFFLE_BUDGET = {
     # target + change-feed branches shuffle into the co-partitioned
     # full-outer + status agg
     "merge_upsert_orders": 3,
+    # band-collision join agg + candidate verify agg + batch left join
+    # over the claimed signature cache; word tables broadcast
+    "incremental_minhash_dedup": 3,
+    # chunk-window spread + chunk-max agg + tiny carry-in window +
+    # (type,bucket) agg + post-agg share window; carry-in broadcast
+    "events_lateness_audit": 5,
 }
 
 
