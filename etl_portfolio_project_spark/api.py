@@ -370,6 +370,10 @@ _EXTENSIONS = [
     ("neardup_clusters", D.neardup_clusters, D.NEARDUP_CLUSTERS_SQL,
      "Connected components of near-dup pairs via iterative min-label "
      "propagation (oracle: recursive-CTE transitive closure)."),
+    ("dedup_keep_best", D.dedup_keep_best, D.DEDUP_KEEP_BEST_SQL,
+     "Cluster-representative selection: keep the highest-quality "
+     "(n_chars, tie → min id) member per near-dup cluster + untouched "
+     "singletons — the surviving corpus after dedup."),
     ("neardup_triangles", D.neardup_triangles, D.NEARDUP_TRIANGLES_SQL,
      "Triangle census of the near-dup graph (wedge equi-join + "
      "closing-edge lookup, work ∝ Σdeg²): transitivity diagnostic "

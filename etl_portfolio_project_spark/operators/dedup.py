@@ -742,6 +742,95 @@ def _build_neardup_clusters_sql() -> str:
 NEARDUP_CLUSTERS_SQL = _build_neardup_clusters_sql()
 
 
+# --- cluster-representative selection (the dedup END step) ----------------
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve near-dup clusters into the SURVIVING corpus — the final
+    step of every training-data dedup pipeline (pairs → clusters →
+    keep ONE representative per cluster, drop the rest).
+
+    Representative = the highest-quality member (quality = `n_chars`,
+    the canonical keep-the-longest rule), tie → min doc_id. Documents
+    in no cluster survive unchanged as their own singleton.
+
+    Scale shape: `labels` is the *post-detection* cluster map — for a
+    100 TB corpus with percent-level dup rates it is GBs — so both the
+    enrichment join and the singleton anti-join broadcast it against
+    the full-corpus scan; the only keyed shuffle is the per-cluster
+    argmax groupBy over clustered rows only (corpus-size work is one
+    narrow projection). Argmax is expressed as max-quality + min-id-at-
+    max — two partial-agg'd groupBys on the tiny clustered slice —
+    rather than a window sort, and identically in the oracle so the
+    tie-break is engine-portable."""
+    labels = caches.claim(
+        "dedup_keep_best_labels", neardup_clusters(spark, sf_dir)
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("quality")
+    )
+    clustered = docs.join(F.broadcast(labels), "doc_id")
+    qmax = (
+        clustered.groupBy(F.col("cluster_id").alias("qcid"))
+        .agg(F.max("quality").alias("qmax"))
+    )
+    best = (
+        clustered.join(
+            qmax,
+            (clustered.cluster_id == qmax.qcid)
+            & (clustered.quality == qmax.qmax),
+        )
+        .groupBy("cluster_id", "cluster_size", "qmax")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            F.col("qmax").alias("quality"),
+        )
+    )
+    singles = docs.join(
+        F.broadcast(labels.select("doc_id")), "doc_id", "left_anti"
+    ).select(
+        "doc_id",
+        F.col("doc_id").alias("cluster_id"),
+        F.lit(1).cast("long").alias("cluster_size"),
+        "quality",
+    )
+    return best.unionByName(singles)
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH labels AS (
+  SELECT doc_id, cluster_id, cluster_size
+  FROM ({NEARDUP_CLUSTERS_SQL})
+),
+docs AS (
+  SELECT doc_id, n_chars AS quality FROM documents
+),
+clustered AS (
+  SELECT d.doc_id, d.quality, l.cluster_id, l.cluster_size
+  FROM docs d JOIN labels l USING (doc_id)
+),
+qmax AS (
+  SELECT cluster_id, max(quality) AS qmax FROM clustered GROUP BY cluster_id
+),
+best AS (
+  SELECT min(c.doc_id) AS doc_id, c.cluster_id, c.cluster_size,
+         m.qmax AS quality
+  FROM clustered c
+  JOIN qmax m ON c.cluster_id = m.cluster_id AND c.quality = m.qmax
+  GROUP BY c.cluster_id, c.cluster_size, m.qmax
+)
+SELECT doc_id, cluster_id, cluster_size, quality FROM best
+UNION ALL
+SELECT d.doc_id, d.doc_id AS cluster_id, CAST(1 AS BIGINT) AS cluster_size,
+       d.quality
+FROM docs d LEFT JOIN labels l ON d.doc_id = l.doc_id
+WHERE l.doc_id IS NULL
+"""
+
+
 # --- SimHash --------------------------------------------------------------
 
 

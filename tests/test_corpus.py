@@ -105,3 +105,38 @@ def test_int8_quant_bounds(spark):
     )
     assert bad.count() == 0
     assert df.count() > 0
+
+
+def test_keep_best_partitions_the_corpus(spark):
+    """dedup_keep_best must cover every document exactly once across
+    (survivor per cluster) ∪ (singletons): survivors = #clusters +
+    #unclustered, each survivor carries its cluster's max quality, and
+    Σ cluster_size == corpus size."""
+    from etl_portfolio_project_spark.operators import dedup
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    kept = dedup.dedup_keep_best(spark, SF_SMALL)
+    labels = dedup.neardup_clusters(spark, SF_SMALL)
+    docs = load_table(spark, SF_SMALL, "documents")
+    n_docs = docs.count()
+    n_clusters = labels.select("cluster_id").distinct().count()
+    n_clustered_docs = labels.count()
+    rows = kept.collect()
+    assert len(rows) == n_clusters + (n_docs - n_clustered_docs)
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    assert sum(r["cluster_size"] for r in rows) == n_docs
+    # each survivor's quality is the max n_chars within its cluster
+    best = {
+        r["cluster_id"]: r["quality"]
+        for r in rows
+        if r["cluster_size"] > 1
+    }
+    if best:
+        joined = (
+            labels.join(docs, "doc_id")
+            .groupBy("cluster_id")
+            .agg(F.max("n_chars").alias("qmax"))
+            .collect()
+        )
+        qmax = {r["cluster_id"]: r["qmax"] for r in joined}
+        assert all(qmax[cid] == q for cid, q in best.items())

@@ -199,6 +199,11 @@ SHUFFLE_BUDGET = {
     # chunk-window spread + chunk-max agg + tiny carry-in window +
     # (type,bucket) agg + post-agg share window; carry-in broadcast
     "events_lateness_audit": 5,
+    # claimed labels cache (its 2-exchange build plan prints under
+    # each of the 3 scan sites but runs ONCE inside the claim) ⋈ docs
+    # (broadcast) + qmax agg + argmax agg + anti-join (broadcast);
+    # +2 headroom if the broadcasts fall back to SMJ at scale
+    "dedup_keep_best": 8,
 }
 
 
