@@ -38,7 +38,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    from etl_portfolio_project_spark import api
+    from etl_portfolio_project_spark import api, caches
     from etl_portfolio_project_spark.session import get_spark
 
     spark = get_spark(app_name="bench", cpus=cpus)
@@ -119,6 +119,13 @@ def main() -> None:
             timings[name] = round(best, 3)
         else:
             errors[name] = err or "unknown"
+        # Isolate queries from each other: drop this query's claimed
+        # caches before the next one starts (outside the timed window;
+        # claims still persist ACROSS this query's two runs, so the
+        # best-of reflects steady-state cache hits). Left live, every
+        # cached plan tree taxes the analysis of all later queries via
+        # CacheManager plan matching and accumulates executor memory.
+        caches.release_all()
 
     total = round(sum(timings.values()), 3)
     detail = {

@@ -53,6 +53,16 @@ def release(key: str) -> None:
             pass
 
 
+def release_all() -> None:
+    """Unpersist every tracked generation. Bench/verify isolation
+    hook: each live cache entry is another plan tree Spark's
+    CacheManager compares against during EVERY subsequent query's
+    analysis, so a 141-query session that never releases pays a
+    growing per-query planning tax on top of the memory residency."""
+    for key in list(_LIVE):
+        release(key)
+
+
 def live_count() -> int:
     """Number of currently-live tracked caches (test hook)."""
     return len(_LIVE)

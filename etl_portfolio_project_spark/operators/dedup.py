@@ -1103,16 +1103,52 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan) and the oracle is 5 chained CTE stages — no recursive
     aggregation, which SQL recursion disallows anyway.
 
-    Scale shape per iteration: one equi-join rank⋈edges + one
-    partial-agg'd groupBy on the destination — the same primitive as
-    the CC loop; at billions of edges you'd checkpoint every few
-    iterations exactly as `_cc_label_propagation` does."""
-    pairs = neardup_jaccard(spark, sf_dir).select("id1", "id2")
-    # claim + materialize the graph ONCE: edges feed every iteration's
-    # join and outdeg feeds every iteration's contribution — left
-    # lazy, each of the 5 iterations would re-run the whole jaccard
-    # pipeline per reference (measured: a 159-exchange plan; with the
+    TWO-PHASE like `neardup_clusters` (counted, not guessed): the
+    post-detection graph is orders of magnitude smaller than the
+    corpus, so under `CC_DRIVER_FINISH_MAX_EDGES` the 5 fixed-point
+    rounds run as one Python loop over the collected edge list —
+    replacing 5 distributed rounds × (join + groupBy + left join) of
+    pure scheduling overhead with a single job (measured at sf0.1:
+    2,235 edges, 16.6 s → ~4 s; the whole remaining cost is the
+    jaccard pipeline itself). Integer fixed-point arithmetic makes
+    the two paths bit-identical.
+
+    Above the ceiling, the distributed unrolled chain runs: per
+    iteration one equi-join rank⋈edges + one partial-agg'd groupBy on
+    the destination — the same primitive as the CC loop; at billions
+    of edges you'd checkpoint every few iterations exactly as
+    `_cc_label_propagation` does."""
+    # claim + materialize the pair list ONCE: it feeds the count +
+    # collect (driver path) or every iteration's join (distributed
+    # path) — left lazy, each reference would re-run the whole
+    # jaccard pipeline (measured: a 159-exchange plan; with the
     # cache it is one jaccard pass + a linear 5-round chain)
+    pairs = caches.claim(
+        "neardup_pagerank_pairs",
+        neardup_jaccard(spark, sf_dir).select("id1", "id2"),
+    )
+    n_pairs = pairs.count()
+    base = (PR_SCALE * (PR_D_DEN - PR_D_NUM)) // PR_D_DEN
+    if 2 * n_pairs <= CC_DRIVER_FINISH_MAX_EDGES:
+        edge_rows: list = []
+        for r in pairs.collect():  # symmetrize in-loop, no shuffle
+            edge_rows.append((r[0], r[1]))
+            edge_rows.append((r[1], r[0]))
+        deg: dict[int, int] = {}
+        for a, _ in edge_rows:
+            deg[a] = deg.get(a, 0) + 1
+        rank = {v: PR_SCALE for v in deg}
+        for _ in range(PR_ITERS):
+            contrib: dict[int, int] = {}
+            for a, b in edge_rows:
+                contrib[b] = contrib.get(b, 0) + rank[a] // deg[a]
+            rank = {
+                v: base + (PR_D_NUM * contrib.get(v, 0)) // PR_D_DEN
+                for v in deg
+            }
+        return spark.createDataFrame(
+            sorted(rank.items()), "doc_id long, rank long"
+        )
     edges = caches.claim(
         "neardup_pagerank_edges",
         pairs.union(
@@ -1129,7 +1165,6 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = outdeg.select(
         "node", F.lit(PR_SCALE).cast("long").alias("rank")
     )
-    base = (PR_SCALE * (PR_D_DEN - PR_D_NUM)) // PR_D_DEN
     for _ in range(PR_ITERS):
         contrib = (
             ranks.join(outdeg, "node")

@@ -97,3 +97,19 @@ def test_claim_unpersists_previous_generation(spark):
     assert not c1.storageLevel.useMemory  # superseded generation freed
     caches.release("__test_key")
     assert not c2.storageLevel.useMemory
+
+
+def test_pagerank_driver_and_distributed_paths_agree(spark):
+    """neardup_pagerank's two phases (driver fixed-point loop vs the
+    distributed unrolled join chain) must produce bit-identical
+    integer ranks."""
+    a = sorted(map(tuple, dedup.neardup_pagerank(spark, SF_SMALL).collect()))
+    orig = dedup.CC_DRIVER_FINISH_MAX_EDGES
+    try:
+        dedup.CC_DRIVER_FINISH_MAX_EDGES = -1  # force distributed loop
+        b = sorted(
+            map(tuple, dedup.neardup_pagerank(spark, SF_SMALL).collect())
+        )
+    finally:
+        dedup.CC_DRIVER_FINISH_MAX_EDGES = orig
+    assert a == b and len(a) > 0

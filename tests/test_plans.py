@@ -184,9 +184,11 @@ SHUFFLE_BUDGET = {
     # claimed edge cache scan ×3 + wedge/closing joins (broadcast at
     # harness size) — the jaccard pipeline runs ONCE inside the claim
     "neardup_triangles": 8,
-    # 5 unrolled rounds × (rank⋈edges join + dst groupBy + left join
-    # back to the vertex set) over the claimed graph caches
-    "neardup_pagerank": 20,
+    # harness size takes the counted-threshold driver finish: the
+    # returned plan is a LogicalRDD (the claimed pairs cache + the 5
+    # fixed-point rounds run inside the builder); the distributed
+    # unrolled chain (forced in test_cache_hygiene) is ~20 exchanges
+    "neardup_pagerank": 1,
     # per-key agg ×2 branches + scalar TakeOrdered; hottest-key join
     # is a broadcast 1-row scalar
     "skew_detection_profile": 3,
