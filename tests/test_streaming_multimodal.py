@@ -276,3 +276,37 @@ def test_streaming_with_rocksdb_state_store(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_louter_sentinels_survive_ns_vintage_events(spark, tmp_path):
+    """ADVICE r3 regression: on TIMESTAMP(NANOS) testdata (the round-1
+    vintage) the sentinel rows must still land in 2100, not 1970 — a
+    wrong-unit sentinel silently drops the outer join's NULL tail.
+    Synthesize a genuine ns-typed copy of events and require the
+    stream result to match the µs-vintage run exactly, NULL tail
+    included."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_portfolio_project_spark.streaming import events as E
+
+    t = pq.read_table(f"{SF_SMALL}/events.parquet")
+    i = t.schema.get_field_index("ts")
+    ns_col = t.column("ts").cast(pa.timestamp("ns"))
+    t2 = t.set_column(i, pa.field("ts", pa.timestamp("ns")), ns_col)
+    d = str(tmp_path / "ns_vintage")
+    os.makedirs(d)
+    pq.write_table(t2, f"{d}/events.parquet")
+
+    got = E.stream_click_purchase_left_join(spark, d)
+    # materialize BEFORE the second builder call: re-running swaps the
+    # single live tmpdir generation, deleting the first run's files
+    got_rows = sorted(map(tuple, got.collect()))
+    assert any(None in r for r in got_rows), (
+        "no NULL-tail rows — sentinels failed to advance the watermark "
+        "past the real data on the ns-vintage file"
+    )
+    base = E.stream_click_purchase_left_join(spark, SF_SMALL)
+    assert got_rows == sorted(map(tuple, base.collect()))
