@@ -113,3 +113,14 @@ def test_pagerank_driver_and_distributed_paths_agree(spark):
     finally:
         dedup.CC_DRIVER_FINISH_MAX_EDGES = orig
     assert a == b and len(a) > 0
+
+
+def test_release_all_empties_tracked_caches(spark):
+    """bench.py isolates queries with release_all(); it must leave no
+    tracked generation behind (each live entry is a plan tree the
+    CacheManager compares against every later query's analysis)."""
+    dedup.neardup_pagerank(spark, SF_SMALL).count()
+    similarity.ann_ivf_topk(spark, SF_SMALL).count()
+    assert caches.live_count() > 0
+    caches.release_all()
+    assert caches.live_count() == 0
