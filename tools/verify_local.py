@@ -127,10 +127,15 @@ def main() -> int:
     con = duck_con(sf_dir)
     qs, oracles = api.queries(), api.oracle_sql()
     failed = []
+    from etl_portfolio_project_spark import caches
+
     for name, builder in qs.items():
         if only and name not in only:
             continue
         sdf = builder(spark, sf_dir).toPandas()
+        # same isolation as bench.py: a live claimed cache is a plan
+        # tree the CacheManager compares against every later query
+        caches.release_all()
         if name not in oracles:
             print(f"[rows-only] {name}: {len(sdf)} rows")
             continue
