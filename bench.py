@@ -120,11 +120,13 @@ def main() -> None:
         else:
             errors[name] = err or "unknown"
         # Isolate queries from each other: drop this query's claimed
-        # caches before the next one starts (outside the timed window;
-        # claims still persist ACROSS this query's two runs, so the
-        # best-of reflects steady-state cache hits). Left live, every
-        # cached plan tree taxes the analysis of all later queries via
-        # CacheManager plan matching and accumulates executor memory.
+        # caches before the next one starts (outside the timed window).
+        # NOTE: run 2's re-claim already unpersisted run 1's generation
+        # (one live generation per key), so there is no cross-run data
+        # reuse to protect — this only clears the LAST run's leftovers.
+        # Left live, every cached plan tree taxes the analysis of all
+        # later queries via CacheManager plan matching and accumulates
+        # executor memory.
         caches.release_all()
 
     total = round(sum(timings.values()), 3)

@@ -757,19 +757,27 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: `labels` is the *post-detection* cluster map — for a
     100 TB corpus with percent-level dup rates it is GBs — so both the
     enrichment join and the singleton anti-join broadcast it against
-    the full-corpus scan; the only keyed shuffle is the per-cluster
-    argmax groupBy over clustered rows only (corpus-size work is one
-    narrow projection). Argmax is expressed as max-quality + min-id-at-
-    max — two partial-agg'd groupBys on the tiny clustered slice —
-    rather than a window sort, and identically in the oracle so the
-    tie-break is engine-portable."""
+    the narrow (doc_id, n_chars) corpus projection; corpus-size work
+    is two such scans (the claimed `clustered` slice build + the
+    anti-join), and the only keyed shuffles are the per-cluster
+    groupBys over clustered rows only. Argmax is expressed as
+    max-quality + min-id-at-max — two partial-agg'd groupBys on the
+    tiny clustered slice — rather than a window sort, and identically
+    in the oracle so the tie-break is engine-portable."""
     labels = caches.claim(
         "dedup_keep_best_labels", neardup_clusters(spark, sf_dir)
     )
+    labels.count()  # materialize: 3 scan sites below (CLAUDE.md rule)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").alias("quality")
     )
-    clustered = docs.join(F.broadcast(labels), "doc_id")
+    # clustered feeds BOTH the qmax aggregation and the argmax join —
+    # claim + materialize so the corpus scan behind it runs once (the
+    # only remaining full-corpus scan is the singles anti-join below)
+    clustered = caches.claim(
+        "dedup_keep_best_clustered", docs.join(F.broadcast(labels), "doc_id")
+    )
+    clustered.count()
     qmax = (
         clustered.groupBy(F.col("cluster_id").alias("qcid"))
         .agg(F.max("quality").alias("qmax"))
@@ -1183,8 +1191,19 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 (
                     F.lit(base).cast("long")
+                    # the 85·contrib product runs in DECIMAL(38,0):
+                    # contrib on a hub node can reach Σranks ≈ n·10^12,
+                    # so an int64 product wraps silently past ~10^17
+                    # while the driver path (Python bigint) and the
+                    # oracle (DuckDB HUGEINT) stay exact. The divided
+                    # result is ≤ 0.85·contrib and fits back in the
+                    # BIGINT rank (rank mass is conserved; PR_SCALE
+                    # bounds exact ranks to graphs ≲ 9×10^6 dup-graph
+                    # nodes — lower PR_SCALE beyond that).
                     + F.expr(
-                        f"({PR_D_NUM} * coalesce(contrib, 0L)) div {PR_D_DEN}"
+                        f"CAST((CAST({PR_D_NUM} AS DECIMAL(38,0)) "
+                        f"* coalesce(contrib, 0L)) div {PR_D_DEN} "
+                        "AS BIGINT)"
                     )
                 ).alias("rank"),
             )

@@ -201,10 +201,10 @@ SHUFFLE_BUDGET = {
     # chunk-window spread + chunk-max agg + tiny carry-in window +
     # (type,bucket) agg + post-agg share window; carry-in broadcast
     "events_lateness_audit": 5,
-    # claimed labels cache (its 2-exchange build plan prints under
-    # each of the 3 scan sites but runs ONCE inside the claim) ⋈ docs
-    # (broadcast) + qmax agg + argmax agg + anti-join (broadcast);
-    # +2 headroom if the broadcasts fall back to SMJ at scale
+    # claimed+materialized labels and clustered caches (their build
+    # plans print under every scan site in explain but executed once
+    # at the builder's count()s) + qmax agg + argmax agg + anti-join
+    # (broadcast); +2 headroom if the broadcasts fall back to SMJ
     "dedup_keep_best": 8,
 }
 

@@ -33,7 +33,12 @@ def main() -> int:
     )
     new = json.load(open(new_path))
     oq, nq = old["queries"], new["queries"]
+    new_errors = new.get("errors", {})
     regressions, improvements = [], []
+    # worst regression class first: previously-timed query now ERRORS
+    for name in sorted(set(oq) & set(new_errors)):
+        print(f"[BROKEN]    {name}: {oq[name]:.2f}s -> error")
+        regressions.append((name, oq[name], float("inf")))
     for name in sorted(set(oq) & set(nq)):
         a, b = oq[name], nq[name]
         if b > a * THRESH_RATIO and b - a > THRESH_ABS_S:
@@ -42,12 +47,13 @@ def main() -> int:
             improvements.append((name, a, b))
     for name in sorted(set(nq) - set(oq)):
         print(f"[new]       {name}: {nq[name]:.2f}s")
-    for name in sorted(set(oq) - set(nq)):
+    for name in sorted(set(oq) - set(nq) - set(new_errors)):
         print(f"[gone]      {name} (was {oq[name]:.2f}s)")
     for name, a, b in improvements:
         print(f"[improved]  {name}: {a:.2f}s -> {b:.2f}s")
     for name, a, b in regressions:
-        print(f"[REGRESSED] {name}: {a:.2f}s -> {b:.2f}s")
+        if b != float("inf"):  # BROKEN entries already printed above
+            print(f"[REGRESSED] {name}: {a:.2f}s -> {b:.2f}s")
     print(
         f"total: {old.get('value')}s -> {new.get('value')}s "
         f"({len(oq)} -> {len(nq)} queries, "
