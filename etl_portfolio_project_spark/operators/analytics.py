@@ -116,7 +116,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(0).cast("decimal(18,4)"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
         .agg(
             F.sum(promo).cast("double").alias("promo_revenue"),
             F.sum(revenue).cast("double").alias("total_revenue"),
@@ -197,7 +197,7 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar rollup: date_trunc month + decimal-exact revenue."""
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month_start"))
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"))
         .agg(
             dsum("o_totalprice").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
@@ -1188,7 +1188,12 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS INT)"
     )
     return (
-        cohorted.select("cohort_wk", offset.alias("week_offset"))
+        cohorted.select(
+            # DATE like the oracle (DuckDB date_trunc at week
+            # precision yields DATE; Spark yields TIMESTAMP)
+            F.col("cohort_wk").cast("date").alias("cohort_wk"),
+            offset.alias("week_offset"),
+        )
         .groupBy("cohort_wk", "week_offset")
         .agg(F.count("*").alias("n_users"))
     )
@@ -1548,7 +1553,7 @@ def monthly_revenue_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def monthly(df: DataFrame) -> DataFrame:
         return df.groupBy(
-            F.date_trunc("month", "o_orderdate").alias("month")
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
         ).agg(
             F.sum(dec("o_totalprice")).alias("rev_partial"),
             F.count(F.lit(1)).alias("n_orders"),

@@ -154,10 +154,10 @@ def pii_scrub_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(
             F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0))
-        ).alias("n_emails"),
+        ).cast("long").alias("n_emails"),
         F.size(
             F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0))
-        ).alias("n_phones"),
+        ).cast("long").alias("n_phones"),
         portable_hash60(scrubbed).alias("scrubbed_hash60"),
     )
 

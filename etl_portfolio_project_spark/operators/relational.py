@@ -599,7 +599,10 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        o.withColumn("rank_in_customer", F.row_number().over(w))
+        o.withColumn(
+            # BIGINT like the oracle (DuckDB row_number is BIGINT)
+            "rank_in_customer", F.row_number().over(w).cast("long")
+        )
         .where(F.col("rank_in_customer") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_customer")
     )
