@@ -124,3 +124,21 @@ def test_release_all_empties_tracked_caches(spark):
     assert caches.live_count() > 0
     caches.release_all()
     assert caches.live_count() == 0
+
+
+def test_cc_long_diameter_graph_hits_checkpoint_branch(spark):
+    """A path graph of diameter 12 forces >10 label-propagation
+    rounds, firing the every-5-iterations localCheckpoint + unpersist
+    branch (twice) that harness-sized graphs (diameter ≤3) never
+    reach. The fixpoint must still be the component minimum for every
+    vertex."""
+    n = 13
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(100, 101), (101, 102)],
+        "id1 long, id2 long",
+    )
+    labels = dedup._cc_label_propagation(pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {**{i: 0 for i in range(n)},
+                   **{v: 100 for v in (100, 101, 102)}}
+    caches.release_all()
