@@ -294,6 +294,20 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_hashes_spark_sql() -> str:
+    """Spark-SQL 60-bit md5 hashes of the distinct 3-word shingles
+    (LET-bound token split — see `ngram_jaccard_neardup`)."""
+    from .text import _ngrams_spark_sql, bind_once_sql
+
+    hash_g = "CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)"
+    return bind_once_sql(
+        "split(trim(text), '\\\\s+')",
+        "t",
+        f"array_distinct(transform({_ngrams_spark_sql('t', SHINGLE_N)}, "
+        f"g -> {hash_g}))",
+    )
+
+
 def _shingle_hashes_duck_sql() -> str:
     toks = "regexp_split_to_array(trim(text), '\\s+')"
     ngrams = (
@@ -1301,6 +1315,16 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH band collisions against the corpus index → exact-Jaccard
     verification of candidates only → keep/drop decision.
 
+    The similarity representation is 3-word SHINGLE hashes, not word
+    sets — the GPT-3/Dolma-style choice, and on this corpus the one
+    that makes LSH work at all: documents drawn from a shared template
+    vocabulary have ~0.6 average pairwise WORD Jaccard (measured), so
+    word-level 4-row bands collided for ~86% of batch×corpus pairs —
+    1.94M candidates at sf0.1, an O(n²) blowup hiding inside the
+    "bucketed" join. Shingle Jaccard is bimodal (~0.001 between
+    non-dups, ~1 for true near-copies), so band collisions ≈ the
+    planted dup pairs only.
+
     Output: one row PER BATCH DOC (match-less docs included) with the
     candidate count, verified-dup count, the keep/drop flag, and the
     best-matching corpus doc (max jaccard, ties → higher corpus id via
@@ -1308,27 +1332,46 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: the corpus band table IS the persisted LSH index a
     production pipeline maintains (here rebuilt per run and claimed
-    once — signatures feed both the band join and the verify join, so
-    an unclaimed plan would re-md5 the whole corpus per branch). The
-    band join shuffles on band_key only; a new batch is typically ≪
-    corpus, so candidates ∝ batch collisions, and the verify join
-    touches candidate corpus docs only. Nothing is ever all-pairs.
+    once — shingle hashes + signatures feed the band join and the
+    verify join, so an unclaimed plan would re-md5 the whole corpus
+    per branch). The band join shuffles on band_key only; a new batch
+    is typically ≪ corpus, so candidates ∝ batch collisions, and the
+    verify join touches candidate corpus docs only. Nothing is ever
+    all-pairs.
     """
+    from .text import bind_once_sql
+
+    sigs = ", ".join(
+        f"array_min(transform(hs, h -> ({a} * h + {b}) % {MH_P}))"
+        for a, b in MH_AB
+    )
+    sig_from_items = bind_once_sql(
+        f"transform(items_, x -> x % {MH_P})", "hs", f"array({sigs})"
+    )
+    # one LET-bound expression producing (items, sig) together: the
+    # md5-per-shingle projection runs once per row (CollapseProject
+    # would otherwise inline it into all 16 sig expressions)
+    row_expr = bind_once_sql(
+        _shingle_hashes_spark_sql(),
+        "items_",
+        f"struct(items_ AS items, {sig_from_items} AS sig)",
+    )
     d = caches.claim(
         "inc_minhash_sigs",
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id",
-            _distinct_words(F.col("text")).alias("words"),
-            _minhash_signature().alias("sig"),
-        ),
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(row_expr).alias("s"))
+        .select("doc_id", F.col("s.items").alias("items"), F.col("s.sig").alias("sig")),
     )
+    d.count()  # materialize: 5 scan branches below (CLAUDE.md rule)
     corpus = d.where(F.col("doc_id") % INC_BATCH_MOD != 0)
     batch = d.where(F.col("doc_id") % INC_BATCH_MOD == 0)
+    # <SHINGLE_N-token docs have no shingles → all-NULL signatures;
+    # exclude them from banding on BOTH engines (they can't near-dup)
     cand = (
-        _band_rows(batch)
+        _band_rows(batch.where(F.size("items") >= 1))
         .alias("b")
         .join(
-            _band_rows(corpus).alias("c"),
+            _band_rows(corpus.where(F.size("items") >= 1)).alias("c"),
             (F.col("b.band") == F.col("c.band"))
             & (F.col("b.band_key") == F.col("c.band_key")),
         )
@@ -1338,8 +1381,8 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_band_hits"))
     )
-    wb = batch.select(F.col("doc_id").alias("batch_id"), F.col("words").alias("w1"))
-    wc = corpus.select(F.col("doc_id").alias("corpus_id"), F.col("words").alias("w2"))
+    wb = batch.select(F.col("doc_id").alias("batch_id"), F.col("items").alias("w1"))
+    wc = corpus.select(F.col("doc_id").alias("corpus_id"), F.col("items").alias("w2"))
     shared = F.size(F.array_intersect("w1", "w2")).cast("long")
     n1 = F.size("w1").cast("long")
     n2 = F.size("w2").cast("long")
@@ -1377,7 +1420,11 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_incremental_minhash_sql() -> str:
-    sigs = _minhash_sig_sql()
+    sigs = [
+        "list_aggregate(list_transform(hs, "
+        f"h -> ({a} * h + {b}) % {MH_P}), 'min')"
+        for a, b in MH_AB
+    ]
     band_structs = []
     for i in range(MH_BANDS):
         parts = " || '-' || ".join(
@@ -1386,25 +1433,32 @@ def _build_incremental_minhash_sql() -> str:
         band_structs.append(f"{{'band': {i}, 'band_key': {parts}}}")
     bands_from = f"UNNEST([{', '.join(band_structs)}]) AS t(bk)"
     jac = (
-        "CAST(len(list_intersect(w1.words, w2.words)) AS BIGINT) "
-        "/ (CAST(len(w1.words) AS BIGINT) + CAST(len(w2.words) AS BIGINT) "
-        "- CAST(len(list_intersect(w1.words, w2.words)) AS BIGINT))"
+        "CAST(len(list_intersect(w1.items, w2.items)) AS BIGINT) "
+        "/ (CAST(len(w1.items) AS BIGINT) + CAST(len(w2.items) AS BIGINT) "
+        "- CAST(len(list_intersect(w1.items, w2.items)) AS BIGINT))"
     )
     return f"""
 WITH d AS (
-  SELECT doc_id, {_DISTINCT_WORDS_SQL} AS words,
-         [{', '.join(sigs)}] AS sig
-  FROM documents
+  SELECT doc_id, items, [{', '.join(sigs)}] AS sig
+  FROM (
+    SELECT doc_id, items, list_transform(items, x -> x % {MH_P}) AS hs
+    FROM (
+      SELECT doc_id, {_shingle_hashes_duck_sql()} AS items
+      FROM documents
+    )
+  )
 ),
 corpus AS (SELECT * FROM d WHERE doc_id % {INC_BATCH_MOD} <> 0),
 batch AS (SELECT * FROM d WHERE doc_id % {INC_BATCH_MOD} = 0),
 cbands AS (
   SELECT doc_id, bk.band AS band, bk.band_key AS band_key
   FROM corpus, {bands_from}
+  WHERE len(items) >= 1
 ),
 bbands AS (
   SELECT doc_id, bk.band AS band, bk.band_key AS band_key
   FROM batch, {bands_from}
+  WHERE len(items) >= 1
 ),
 cand AS (
   SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id

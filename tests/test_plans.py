@@ -196,7 +196,7 @@ SHUFFLE_BUDGET = {
     # full-outer + status agg
     "merge_upsert_orders": 3,
     # band-collision join agg + candidate verify agg + batch left join
-    # over the claimed signature cache; word tables broadcast
+    # over the claimed shingle-hash + signature cache
     "incremental_minhash_dedup": 3,
     # chunk-window spread + chunk-max agg + tiny carry-in window +
     # (type,bucket) agg + post-agg share window; carry-in broadcast
