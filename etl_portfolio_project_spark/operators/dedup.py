@@ -247,15 +247,7 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution (near-unique keys), so the posting-list skew that
     motivated prefix filtering in `neardup_jaccard` doesn't arise.
     Deterministic order: J desc, then (id1, id2)."""
-    from .text import _ngrams_spark_sql, bind_once_sql
-
-    hash_g = "CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)"
-    shingles = bind_once_sql(
-        "split(trim(text), '\\\\s+')",
-        "t",
-        f"array_distinct(transform({_ngrams_spark_sql('t', SHINGLE_N)}, "
-        f"g -> {hash_g}))",
-    )
+    shingles = _shingle_hashes_spark_sql()
     # materialize the shingle-hash table once (eager localCheckpoint):
     # it feeds the inverted index AND both verify join-backs, and the
     # md5-per-shingle projection is the dominant cost — recomputing it

@@ -47,6 +47,11 @@ def main() -> int:
     args = sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
+    unknown = only - set(api.REGISTRY)
+    if unknown or not os.path.isdir(sf_dir):
+        # a typo must not produce a vacuous "0 mismatches" pass
+        print(f"unknown queries {sorted(unknown)} or bad sf_dir {sf_dir}")
+        return 2
     spark = get_spark(cpus="8")
     con = duck_con(sf_dir)
     mismatches = []
@@ -72,7 +77,11 @@ def main() -> int:
             base = ot.split("(")[0]
             om = _MAP.get(base, ot.lower())
             if st.startswith("decimal") and base == "DECIMAL":
-                continue
+                # equivalent only at matching precision/scale
+                if st.replace("decimal", "").replace(" ", "") == ot[
+                    len("DECIMAL"):
+                ].replace(" ", ""):
+                    continue
             if st == "timestamp_ntz" and om == "timestamp":
                 continue
             if st != om:
