@@ -761,12 +761,16 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     in no cluster survive unchanged as their own singleton.
 
     Scale shape: `labels` is the *post-detection* cluster map — for a
-    100 TB corpus with percent-level dup rates it is GBs — so both the
-    enrichment join and the singleton anti-join broadcast it against
-    the narrow (doc_id, n_chars) corpus projection; corpus-size work
-    is two such scans (the claimed `clustered` slice build + the
-    anti-join), and the only keyed shuffles are the per-cluster
-    groupBys over clustered rows only. Argmax is expressed as
+    100 TB corpus with percent-level dup rates it is GBs, which is at
+    or beyond Spark's 8 GB broadcast ceiling (and driver/executor
+    memory pressure starts well before it), so the explicit
+    F.broadcast here is the harness-scale shape only; above the
+    ceiling drop the hint and let a shuffled hash/SMJ join on doc_id
+    carry both the enrichment join and the singleton anti-join.
+    Corpus-size work is two narrow (doc_id, n_chars) scans (the
+    claimed `clustered` slice build + the anti-join), and the only
+    keyed shuffles are the per-cluster groupBys over clustered rows
+    only. Argmax is expressed as
     max-quality + min-id-at-max — two partial-agg'd groupBys on the
     tiny clustered slice — rather than a window sort, and identically
     in the oracle so the tie-break is engine-portable."""

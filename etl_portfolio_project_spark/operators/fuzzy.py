@@ -11,10 +11,12 @@ codegen'd, and O(|candidates|) per row: at 100 TB it is a narrow map
 stage with no shuffle and no Python workers. (The reference calls
 rapidfuzz per ROW, even for repeated values.)
 
-A rapidfuzz-faithful variant (WRatio scorer) ships as an Arrow-batched
-pandas UDF behind `use_rapidfuzz=True` for parity with adversarial
-inputs where WRatio ranking ≠ edit-distance ranking; it is gated on
-rapidfuzz being importable.
+A WRatio-faithful variant ships as an Arrow-batched pandas UDF behind
+`use_rapidfuzz=True` for parity with adversarial inputs where WRatio
+ranking ≠ edit-distance ranking. It uses rapidfuzz when importable and
+otherwise a pure-Python re-derivation of the published weighted-ratio
+algorithm (`make_wratio_scorer`), so it runs in rapidfuzz-less
+environments (this container) too.
 
 Scale alternative for huge candidate sets: distinct dirty values →
 match once → broadcast-join back (dirty-value cardinality ≪ rows);
@@ -94,25 +96,180 @@ def clean_region_via_distinct(
     return joined.withColumn(out, F.col("__clean")).drop("__dirty", "__clean")
 
 
-def _rapidfuzz_udf(candidates: Sequence[str] = VALID_CITIES):
-    """rapidfuzz WRatio extractOne as an Arrow-batched pandas UDF —
-    faithful to /root/reference/main.py:72 for inputs where WRatio and
-    edit distance disagree. Import-gated: raises if rapidfuzz absent."""
+def make_wratio_scorer():
+    """Pure-Python WRatio + extractOne, re-derived from the published
+    fuzzywuzzy/rapidfuzz weighted-ratio algorithm (the scorer behind
+    the reference's `process.extractOne`, /root/reference/main.py:72).
+
+    Returns `(wratio, extract_one)` as self-contained nested closures
+    (no module-level references), so capturing them inside a pandas
+    UDF serializes them BY VALUE — required because the grading driver
+    imports `__spark_entry__.py` by file path (CLAUDE.md worker rule).
+
+    Components (all scores in [0, 100]):
+      ratio          — normalized InDel similarity 200·LCS/(|a|+|b|)
+      partial_ratio  — best `ratio` over alignments of the shorter
+                       string against same-length (and boundary)
+                       windows of the longer
+      token_sort     — `ratio` over whitespace-tokenized, sorted joins
+      token_set      — fuzzywuzzy set algebra: 100 if one token set
+                       contains the other (with nonempty intersection),
+                       else max of ratios over sorted set differences
+                       with the common sect prefix credited
+      WRatio         — len_ratio < 1.5: max(ratio, 0.95·token_*);
+                       else scale partial paths by 0.9 (len_ratio < 8)
+                       or 0.6, token-partials additionally by 0.95.
+    """
+
+    def _lcs(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = [0] * (len(b) + 1)
+        for ca in a:
+            cur = [0]
+            for j, cb in enumerate(b):
+                cur.append(
+                    prev[j] + 1 if ca == cb else max(prev[j + 1], cur[-1])
+                )
+            prev = cur
+        return prev[-1]
+
+    def ratio(a: str, b: str) -> float:
+        if not a and not b:
+            return 100.0
+        if not a or not b:
+            return 0.0
+        return 200.0 * _lcs(a, b) / (len(a) + len(b))
+
+    def partial_ratio(a: str, b: str) -> float:
+        s, lg = (a, b) if len(a) <= len(b) else (b, a)
+        if not s:
+            return 100.0 if not lg else 0.0
+        best = 0.0
+        # all len(s)-windows plus shorter boundary windows of lg
+        for start in range(-len(s) + 1, len(lg)):
+            w = lg[max(0, start) : start + len(s)]
+            if w:
+                best = max(best, ratio(s, w))
+                if best == 100.0:
+                    return best
+        return best
+
+    def _token_sort_join(a: str) -> str:
+        return " ".join(sorted(a.split()))
+
+    def token_sort_ratio(a: str, b: str) -> float:
+        return ratio(_token_sort_join(a), _token_sort_join(b))
+
+    def token_set_ratio(a: str, b: str) -> float:
+        ta, tb = set(a.split()), set(b.split())
+        if not ta or not tb:
+            return 100.0 if ta == tb else 0.0
+        sect = ta & tb
+        dab = " ".join(sorted(ta - tb))
+        dba = " ".join(sorted(tb - ta))
+        if sect and (not dab or not dba):
+            return 100.0
+        sect_len = len(" ".join(sorted(sect)))
+        pad = 1 if sect_len else 0  # joining space between sect and diff
+        ab_len = sect_len + pad + len(dab)
+        ba_len = sect_len + pad + len(dba)
+        # sect+diff_ab vs sect+diff_ba: shared sect prefix is free, so
+        # the InDel distance is exactly that of the diff joins
+        dist = len(dab) + len(dba) - 2 * _lcs(dab, dba)
+        scores = [100.0 * (1.0 - dist / (ab_len + ba_len))]
+        if sect_len:  # sect alone vs sect+diff on each side
+            scores.append(100.0 * (1.0 - (pad + len(dab)) / (sect_len + ab_len)))
+            scores.append(100.0 * (1.0 - (pad + len(dba)) / (sect_len + ba_len)))
+        return max(scores)
+
+    def wratio(a: str, b: str) -> float:
+        if not a or not b:
+            return 0.0
+        l1, l2 = len(a), len(b)
+        len_ratio = max(l1, l2) / min(l1, l2)
+        end = ratio(a, b)
+        if len_ratio < 1.5:
+            return max(
+                end,
+                token_sort_ratio(a, b) * 0.95,
+                token_set_ratio(a, b) * 0.95,
+            )
+        partial_scale = 0.9 if len_ratio < 8.0 else 0.6
+        return max(
+            end,
+            partial_ratio(a, b) * partial_scale,
+            partial_ratio(_token_sort_join(a), _token_sort_join(b))
+            * 0.95
+            * partial_scale,
+        )
+
+    def extract_one(query: str, candidates):
+        """argmax wratio, first-wins tie-break (rapidfuzz order)."""
+        best, best_score = None, -1.0
+        for c in candidates:
+            sc = wratio(query, c)
+            if sc > best_score:
+                best, best_score = c, sc
+        return best, best_score
+
+    return wratio, extract_one
+
+
+def _wratio_udf(candidates: Sequence[str] = VALID_CITIES):
+    """WRatio extractOne as an Arrow-batched pandas UDF — faithful to
+    /root/reference/main.py:72 for inputs where WRatio and edit
+    distance disagree. Uses rapidfuzz when importable; otherwise the
+    pure-Python `make_wratio_scorer` implementation of the same
+    published algorithm (the container has no rapidfuzz)."""
     import pandas as pd  # noqa: F401
     from pyspark.sql.types import StringType
 
     cand = list(candidates)
+    _, fallback_extract_one = make_wratio_scorer()  # driver-built closure
 
     @F.pandas_udf(StringType())
     def _clean(s):  # type: ignore[no-untyped-def]
-        from rapidfuzz import process
+        try:
+            from rapidfuzz import process
 
-        def one(v):
-            if v is None:
-                return None
-            best, _score, _idx = process.extractOne(v, cand)
-            return best
+            def one(v):
+                if v is None:
+                    return None
+                best, _score, _idx = process.extractOne(v, cand)
+                return best
+
+        except ImportError:
+
+            def one(v):
+                if v is None:
+                    return None
+                best, _score = fallback_extract_one(v, cand)
+                return best
 
         return s.map(one)
 
     return _clean
+
+
+# backwards-compatible alias (pre-round-4 name)
+_rapidfuzz_udf = _wratio_udf
+
+
+def clean_region_wratio_via_distinct(
+    df: DataFrame, col: str = "region", out: str = "region_cleaned"
+) -> DataFrame:
+    """WRatio-scored variant of `clean_region_via_distinct`: match each
+    DISTINCT dirty value once with the WRatio pandas UDF, broadcast the
+    tiny mapping back. At 100 TB the Python-side cost is O(|distinct|)
+    — the fact table never reaches a Python worker."""
+    mapping = (
+        df.select(F.col(col).alias("__dirty"))
+        .where(F.col("__dirty").isNotNull())
+        .distinct()
+        .withColumn("__clean", _wratio_udf()(F.col("__dirty")))
+    )
+    joined = df.join(
+        F.broadcast(mapping), df[col].eqNullSafe(mapping["__dirty"]), "left"
+    )
+    return joined.withColumn(out, F.col("__clean")).drop("__dirty", "__clean")

@@ -68,6 +68,7 @@ def test_cc_driver_and_distributed_paths_agree(spark):
         )
     finally:
         dedup.CC_DRIVER_FINISH_MAX_EDGES = orig
+        caches.release_all()  # claimed pairs/edges caches must not leak
     assert a == b and len(a) > 0
 
 
@@ -112,6 +113,7 @@ def test_pagerank_driver_and_distributed_paths_agree(spark):
         )
     finally:
         dedup.CC_DRIVER_FINISH_MAX_EDGES = orig
+        caches.release_all()  # claimed pairs/edges caches must not leak
     assert a == b and len(a) > 0
 
 

@@ -32,6 +32,9 @@ SHUFFLE_BUDGET = {
     "src_join_projection": 0,
     "join_left_extension": 0,
     "region_clean": 0,
+    # 1 = distinct over the tiny dirty-value set (pre-WRatio-UDF);
+    # the loans side broadcast-joins the mapping, no fact shuffle
+    "region_clean_wratio": 1,
     "filter_pushdown": 0,
     "text_profile": 1,  # balanced exchange only
     "doc_repetition_profile": 1,  # balanced exchange only (pure narrow)

@@ -33,19 +33,26 @@ def main() -> int:
     )
     new = json.load(open(new_path))
     oq, nq = old["queries"], new["queries"]
+    old_errors = old.get("errors", {})
     new_errors = new.get("errors", {})
     regressions, improvements = [], []
     # worst regression class first: previously-timed query now ERRORS
     for name in sorted(set(oq) & set(new_errors)):
         print(f"[BROKEN]    {name}: {oq[name]:.2f}s -> error")
         regressions.append((name, oq[name], float("inf")))
+    # errored-in-old queries are absent from oq — report their fate
+    # explicitly instead of letting them masquerade as '[new]'
+    for name in sorted(set(old_errors) & set(nq)):
+        print(f"[recovered] {name}: error -> {nq[name]:.2f}s")
+    for name in sorted(set(old_errors) & set(new_errors)):
+        print(f"[still-broken] {name}: error in both snapshots")
     for name in sorted(set(oq) & set(nq)):
         a, b = oq[name], nq[name]
         if b > a * THRESH_RATIO and b - a > THRESH_ABS_S:
             regressions.append((name, a, b))
         elif a > b * THRESH_RATIO and a - b > THRESH_ABS_S:
             improvements.append((name, a, b))
-    for name in sorted(set(nq) - set(oq)):
+    for name in sorted(set(nq) - set(oq) - set(old_errors)):
         print(f"[new]       {name}: {nq[name]:.2f}s")
     for name in sorted(set(oq) - set(nq) - set(new_errors)):
         print(f"[gone]      {name} (was {oq[name]:.2f}s)")

@@ -25,6 +25,7 @@ def main() -> int:
     from etl_portfolio_project_spark import api
 
     green: set[str] = set()
+    rows_only: set[str] = set()
     failed: dict[str, str] = {}
     graded: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
@@ -32,7 +33,23 @@ def main() -> int:
             rows = json.load(f)
         for name, r in rows.items():
             graded.add(name)
-            if r.get("err"):
+            if r.get("err") == "no_oracle" and r.get("spark_rows") is not None:
+                # rows-only by design iff the CURRENT spec ships no
+                # oracle — then a recorded row count is the strongest
+                # possible grade. A spec that has since gained an
+                # oracle must still rotate in for a real hash grade.
+                spec = api.REGISTRY.get(name)
+                if spec is not None and spec.oracle is None:
+                    rows_only.add(name)
+                    green.add(name)
+                    failed.pop(name, None)
+                else:
+                    failed.setdefault(
+                        name,
+                        f"{os.path.basename(path)}: graded rows-only but "
+                        "spec now has an oracle — awaiting hash grade",
+                    )
+            elif r.get("err"):
                 failed.setdefault(name, f"{os.path.basename(path)}: ERROR")
             elif r.get("hash_match") or (
                 r.get("hash_match") is None and r.get("rows_match")
@@ -50,6 +67,7 @@ def main() -> int:
     front = names[:50]
 
     print(f"registry: {len(names)}  green-somewhere: {len(green)}  "
+          f"(rows-only-by-design: {len(rows_only)})  "
           f"never-graded: {len(never)}  still-red: {len(still_red)}")
     if never:
         print("\nNEVER GRADED (rotate these forward):")
