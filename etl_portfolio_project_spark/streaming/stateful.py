@@ -82,7 +82,10 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     completion on the bounded harness input. Update-mode emissions are
     superseded by later ones for the same key; the monotone n_events
     picks the final state per user."""
-    e = read_events_stream(spark, sf_dir)
+    # project to the 3 consumed columns BEFORE the stateful op: every
+    # column here crosses the JVM→Arrow→pandas boundary per batch (the
+    # unpruned stream shipped the fat `props` JSON for nothing)
+    e = read_events_stream(spark, sf_dir).select("user_id", "ts", "value")
     res = (
         e.groupBy("user_id")
         .applyInPandasWithState(
@@ -93,7 +96,9 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    _run_to_table(res, "stream_user_stats", "update")
+    # 8 state partitions: per-key Python work (state round-trip + 1-row
+    # emission × |users|) parallelizes across workers — see _run_to_table
+    _run_to_table(res, "stream_user_stats", "update", partitions=8)
     emitted = spark.table("stream_user_stats")
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
@@ -208,7 +213,7 @@ def stream_user_extrema_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
-    _run_to_table(res, "stream_user_extrema_tws", "update")
+    _run_to_table(res, "stream_user_extrema_tws", "update", partitions=8)
     emitted = spark.table("stream_user_extrema_tws")
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
