@@ -178,6 +178,63 @@ def test_stateful_operator_across_multiple_microbatches(spark, tmp_path):
     )
 
 
+def test_tws_processor_logic_with_fake_state():
+    """The transformWithStateInPandas query is not registered (its
+    state server needs google.protobuf — r4 permanent decision), but
+    its processor's monoid state logic is real code: drive
+    handleInputRows directly with a fake ValueState across two
+    'micro-batches' and check count/extrema accumulate correctly."""
+    import pandas as pd
+
+    from etl_portfolio_project_spark.streaming.stateful import (
+        _make_extrema_processor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+
+        def getValueState(self, name, schema):
+            return self.state
+
+    proc = _make_extrema_processor()
+    handle = FakeHandle()
+    proc.init(handle)
+    out1 = list(
+        proc.handleInputRows(
+            (7,), [pd.DataFrame({"value": [2.0, 5.0, -1.0]})], None
+        )
+    )
+    assert out1[0].iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 3, "min_value": -1.0, "max_value": 5.0
+    }
+    # second micro-batch: state carries over and extrema widen
+    out2 = list(
+        proc.handleInputRows(
+            (7,), [pd.DataFrame({"value": [9.0]}), pd.DataFrame({"value": []})],
+            None,
+        )
+    )
+    assert out2[0].iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 4, "min_value": -1.0, "max_value": 9.0
+    }
+    assert handle.state.get() == (4, -1.0, 9.0)
+    proc.close()
+
+
 def test_stream_user_extrema_tws_matches_batch(spark):
     """transformWithStateInPandas parity vs the batch aggregate —
     runs only where google.protobuf exists (the operator's state
