@@ -12,9 +12,19 @@ Reference behavior being re-expressed (SURVEY.md §2.1):
   (/root/reference/main.py:204-219) → `mode("overwrite")` with
   `truncate` to avoid drop/recreate churn.
 
-The harness has no database server or JDBC driver jar, so these
-builders are exercised up to (not including) `.load()`/`.save()` in
-tests; the option plumbing is real.
+The harness has no database SERVER, but the full JDBC code path —
+DDL via DriverManager (S4), `mode("overwrite")` + truncate sink (S5/
+S6), and pushdown-query read-back (S1) — is exercised end-to-end in
+tests against EMBEDDED Apache Derby (its jars ship inside pyspark),
+via the same functions parameterized by `driver`/`url`. Live
+Postgres/Mongo smokes exist too, gated on SPARK_GRAFT_PG_URL /
+SPARK_GRAFT_MONGO_URI (tests/test_jdbc_integration.py).
+
+Identifier caveat exercised by the Derby round-trip: Spark's JDBC
+writer QUOTES column names, so they are case-sensitive in the target;
+pushdown SQL against Spark-written tables must quote identifiers
+(`SELECT "loan_id" ...`) or Derby/Postgres fold the unquoted name and
+miss the column.
 
 Scale notes:
 - A single-connection JDBC read is a 1-task bottleneck; for large
@@ -29,9 +39,45 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, DataFrameReader, SparkSession
 
+POSTGRES_DRIVER = "org.postgresql.Driver"
+#: embedded Derby ships inside pyspark's jars (used by the Hive
+#: metastore) — the in-harness integration target for the JDBC path
+DERBY_EMBEDDED_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
 
 def postgres_url(host: str, port: int, database: str) -> str:
     return f"jdbc:postgresql://{host}:{port}/{database}"
+
+
+def derby_memory_url(name: str, create: bool = True) -> str:
+    """In-memory embedded Derby URL (lives inside the driver JVM —
+    reachable from executors only in local mode, which is exactly the
+    integration-smoke scope)."""
+    suffix = ";create=true" if create else ""
+    return f"jdbc:derby:memory:{name}{suffix}"
+
+
+def execute_ddl(
+    spark: SparkSession, url: str, ddl: str, driver: str | None = None
+) -> None:
+    """S4: run DDL on the target over a plain java.sql connection —
+    the Spark-side equivalent of the reference's
+    `conn.execute(text("CREATE SCHEMA IF NOT EXISTS test"))`
+    (/root/reference/connect_postgres_target.py:25-26). DataFrame
+    writers cannot issue standalone DDL; production pipelines do this
+    driver-side before the executors open write connections."""
+    jvm = spark._jvm
+    if driver is not None:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            st.execute(ddl)
+        finally:
+            st.close()
+    finally:
+        conn.close()
 
 
 def read_postgres_query(
@@ -45,6 +91,7 @@ def read_postgres_query(
     upper_bound: int | None = None,
     num_partitions: int | None = None,
     fetchsize: int = 10_000,
+    driver: str = POSTGRES_DRIVER,
 ) -> DataFrameReader:
     """Pushdown-query reader (S1 semantics). Returns the configured
     reader; call `.load()` against a live database."""
@@ -54,7 +101,7 @@ def read_postgres_query(
         .option("query", query)
         .option("user", user)
         .option("password", password)
-        .option("driver", "org.postgresql.Driver")
+        .option("driver", driver)
         .option("fetchsize", str(fetchsize))
     )
     if partition_column is not None:
@@ -91,6 +138,7 @@ def write_jdbc_overwrite(
     password: str,
     batchsize: int = 10_000,
     truncate: bool = True,
+    driver: str = POSTGRES_DRIVER,
 ) -> None:
     """Full-replace table sink (S5/S6). `truncate=True` keeps the
     table definition and empties it instead of DROP+CREATE (safer than
@@ -101,7 +149,7 @@ def write_jdbc_overwrite(
         .option("dbtable", table)
         .option("user", user)
         .option("password", password)
-        .option("driver", "org.postgresql.Driver")
+        .option("driver", driver)
         .option("batchsize", str(batchsize))
         .option("truncate", str(truncate).lower())
         .mode("overwrite")
