@@ -445,6 +445,11 @@ _EXTENSIONS = [
      S.EMBEDDING_LSH_NEARDUP_PAIRS_SQL,
      "Cosine-threshold near-dup pairs, LSH-bucketed candidates + exact "
      "verify — the 100 TB-safe embedding dedup path."),
+    ("semantic_dedup_clusters", S.semantic_dedup_clusters,
+     S.SEMANTIC_DEDUP_CLUSTERS_SQL,
+     "SemDeDup-style semantic dedup end-to-end: LSH-bucketed cosine "
+     "pairs -> counted two-phase connected components -> one kept "
+     "representative + drop count per cluster."),
     ("embedding_linear_scores", S.embedding_linear_scores,
      S.EMBEDDING_LINEAR_SCORES_SQL,
      "Broadcast model inference as pure SQL: 4-class linear margins "

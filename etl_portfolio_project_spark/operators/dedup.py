@@ -114,6 +114,41 @@ GROUP BY prefix_fp HAVING count(*) >= 2
 # --- exact n-gram / word-set Jaccard --------------------------------------
 
 
+def _prefix_candidates(d: DataFrame, tau_num: int, tau_den: int) -> DataFrame:
+    """Candidate-pair stage of the prefix-filtered SSJoin (exposed so
+    tools/scaling_probe.py can measure candidate growth separately
+    from verification): distinct (id1<id2) pairs sharing a prefix item
+    — the prefix being each doc's (n − ⌈τ·n⌉ + 1) globally-rarest
+    items. See `_prefix_filtered_jaccard_pairs` for theory/citations."""
+    tok = d.select("doc_id", F.explode("items").alias("item"))
+    dfreq = tok.groupBy("item").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "item")
+    pref = (
+        tok.join(dfreq, "item")
+        .withColumn("rnk", F.row_number().over(wdoc))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .where(
+            F.col("rnk")
+            <= F.col("n")
+            - F.expr(f"({tau_num} * n + {tau_num}) div {tau_den}")
+            + 1
+        )
+        .select("doc_id", "item")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.item") == F.col("b.item"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .distinct()
+    )
+
+
 def _prefix_filtered_jaccard_pairs(
     d: DataFrame, tau: float, tau_num: int, tau_den: int
 ) -> DataFrame:
@@ -140,33 +175,7 @@ def _prefix_filtered_jaccard_pairs(
     items never enter the index unless a doc consists of nothing else.
     ⌈τ·n⌉ is exact integer arithmetic ((num·n + num) div den), not a
     double multiplication."""
-    tok = d.select("doc_id", F.explode("items").alias("item"))
-    dfreq = tok.groupBy("item").agg(F.count(F.lit(1)).alias("df"))
-    wdoc = Window.partitionBy("doc_id").orderBy("df", "item")
-    pref = (
-        tok.join(dfreq, "item")
-        .withColumn("rnk", F.row_number().over(wdoc))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-        .where(
-            F.col("rnk")
-            <= F.col("n")
-            - F.expr(f"({tau_num} * n + {tau_num}) div {tau_den}")
-            + 1
-        )
-        .select("doc_id", "item")
-    )
-    a, b = pref.alias("a"), pref.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.item") == F.col("b.item"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
-        )
-        .distinct()
-    )
+    cand = _prefix_candidates(d, tau_num, tau_den)
     w1 = d.select(F.col("doc_id").alias("id1"), F.col("items").alias("items1"))
     w2 = d.select(F.col("doc_id").alias("id2"), F.col("items").alias("items2"))
     shared = F.size(F.array_intersect("items1", "items2")).cast("long")
@@ -363,21 +372,11 @@ def _minhash_signature() -> Column:
     return F.expr(bind_once_sql(_TOKEN_HASHES_SPARK_SQL, "hs", f"array({sigs})"))
 
 
-def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate generation + exact-Jaccard verification
-    within one source block: docs sharing ANY full band of the
-    signature become candidates; candidates are verified against the
-    true word-set Jaccard. Output: verified pairs with band-collision
-    count and exact jaccard."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.col("source") == DEDUP_SOURCE_BLOCK)
-        .select(
-            "doc_id",
-            _distinct_words(F.col("text")).alias("words"),
-            _minhash_signature().alias("sig"),
-        )
-    )
+def _minhash_band_candidates(d: DataFrame) -> DataFrame:
+    """Band-collision candidate stage of MinHash-LSH (exposed for
+    tools/scaling_probe.py): explode each doc's signature into
+    MH_BANDS (band, band_key) rows, equi-join on the band key, count
+    collisions per (id1<id2) pair."""
     bands = d.select(
         "doc_id",
         F.explode(
@@ -399,7 +398,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a, b = bands.alias("a"), bands.alias("b")
-    candidates = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -409,6 +408,24 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .agg(F.count(F.lit(1)).alias("n_band_hits"))
     )
+
+
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification
+    within one source block: docs sharing ANY full band of the
+    signature become candidates; candidates are verified against the
+    true word-set Jaccard. Output: verified pairs with band-collision
+    count and exact jaccard."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source") == DEDUP_SOURCE_BLOCK)
+        .select(
+            "doc_id",
+            _distinct_words(F.col("text")).alias("words"),
+            _minhash_signature().alias("sig"),
+        )
+    )
+    candidates = _minhash_band_candidates(d)
     w1 = d.select(F.col("doc_id").alias("id1"), F.col("words").alias("w1"))
     w2 = d.select(F.col("doc_id").alias("id2"), F.col("words").alias("w2"))
     shared = F.size(F.array_intersect("w1", "w2")).cast("long")
@@ -602,7 +619,9 @@ def _cc_union_find(edge_rows: list, vertices: set[int]) -> dict[int, int]:
     return {v: find(v) for v in vertices}
 
 
-def _cc_label_propagation(pairs: DataFrame) -> DataFrame:
+def _cc_label_propagation(
+    pairs: DataFrame, claim_key: str = "neardup_clusters_labels"
+) -> DataFrame:
     """Distributed min-label propagation to a fixpoint — the
     above-threshold path. Cache hygiene (VERDICT r2 #3): exactly one
     cached generation is live at any time (the superseded one is
@@ -661,7 +680,7 @@ def _cc_label_propagation(pairs: DataFrame) -> DataFrame:
         # generation) before the finally releases the loop caches —
         # otherwise the caller's terminal action would recompute the
         # whole iterative chain from scratch
-        labels = caches.claim("neardup_clusters_labels", labels)
+        labels = caches.claim(claim_key, labels)
         labels.count()
     finally:
         if prev is not None:
@@ -692,26 +711,38 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     and are differentially tested against each other and against the
     oracle: transitive closure via a recursive CTE computing
     min-reachable-id."""
-    pairs = caches.claim(
-        "neardup_clusters_pairs",
+    labels = _cc_two_phase(
+        spark,
         neardup_jaccard(spark, sf_dir).select("id1", "id2"),
+        "neardup_clusters",
     )
-    n_edges = pairs.count()
-    if n_edges <= CC_DRIVER_FINISH_MAX_EDGES:
-        edge_rows = [(r[0], r[1]) for r in pairs.collect()]
-        verts = {v for e in edge_rows for v in e}
-        comp = _cc_union_find(edge_rows, verts)
-        labels = spark.createDataFrame(
-            sorted(comp.items()), "doc_id long, cluster_id long"
-        )
-    else:
-        labels = _cc_label_propagation(pairs)
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
     return labels.join(sizes, "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size"
     )
+
+
+def _cc_two_phase(
+    spark: SparkSession, pair_df: DataFrame, key_prefix: str
+) -> DataFrame:
+    """Counted two-phase connected components over an (id1, id2) pair
+    frame (see `neardup_clusters` for the size rationale). Returns
+    (doc_id, cluster_id) with cluster_id = component minimum. The pair
+    frame is claimed under `{key_prefix}_pairs` (one live generation);
+    the distributed branch claims its fixpoint under
+    `{key_prefix}_labels`."""
+    pairs = caches.claim(f"{key_prefix}_pairs", pair_df)
+    n_edges = pairs.count()
+    if n_edges <= CC_DRIVER_FINISH_MAX_EDGES:
+        edge_rows = [(r[0], r[1]) for r in pairs.collect()]
+        verts = {v for e in edge_rows for v in e}
+        comp = _cc_union_find(edge_rows, verts)
+        return spark.createDataFrame(
+            sorted(comp.items()), "doc_id long, cluster_id long"
+        )
+    return _cc_label_propagation(pairs, claim_key=f"{key_prefix}_labels")
 
 
 def _build_neardup_clusters_sql() -> str:

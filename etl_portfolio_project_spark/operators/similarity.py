@@ -240,7 +240,11 @@ def embedding_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of `embedding_neardup_pairs`: candidate pairs must share a full
     10-sign-bit bucket in one of 2 hyperplane tables (so the pair
     space is Σ_buckets |bucket|² with E|bucket| = n/1024 per table,
-    bounded, vs the label-blocked variant's O(n²/|labels|)); exact
+    vs the label-blocked variant's O(n²/|labels|)). With a FIXED code
+    length the per-bucket occupancy still grows ∝ n (measured 103×
+    candidates at 10× vecs — SCALING.md #4); at production scale the
+    bit count grows with log₂(n) (keeps E|bucket| constant) and/or
+    bucketing runs within coarse IVF cells. Exact
     cosine then verifies candidates at the same τ. Deterministic
     seeded hyperplanes → reproducible output; recall vs the exact
     variant is the documented LSH trade-off (sign-LSH collision
@@ -824,4 +828,74 @@ SELECT vec_id, label, amax,
        {_Q_ABS_MAX} AS q_abs_max,
        {_Q_ERR} AS max_abs_err
 FROM s
+"""
+
+
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup over the embedding space (Abbas
+    et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication" — public literature): pairs of
+    semantically near-identical items found via sign-LSH bucketing +
+    exact-cosine verification (`embedding_lsh_neardup_pairs`), closed
+    into clusters with the counted two-phase connected-components
+    machinery, then resolved to one KEPT representative per cluster.
+
+    Output: one row per semantic-dup cluster (size ≥ 2 by
+    construction) — cluster_id (component min vec_id), cluster_size,
+    keep_vec_id (deterministic representative = min vec_id; SemDeDup
+    proper ranks by distance-to-centroid, a policy swap on the same
+    plumbing), and n_dropped = cluster_size − 1, the count removed
+    from the training corpus.
+
+    Scale shape: inherits the LSH-bucketed candidate bound (pair space
+    = Σ_buckets |bucket|², never n²) and the counted CC finish
+    (driver union-find under the edge ceiling, distributed min-label
+    propagation above it — property-tested equal). The per-cluster
+    groupBy runs on the clustered slice only."""
+    from .dedup import _cc_two_phase
+
+    pairs = embedding_lsh_neardup_pairs(spark, sf_dir).select("id1", "id2")
+    labels = _cc_two_phase(spark, pairs, "semantic_dedup")
+    return (
+        labels.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("keep_vec_id"),
+        )
+        .select(
+            "cluster_id",
+            "cluster_size",
+            "keep_vec_id",
+            (F.col("cluster_size") - F.lit(1)).alias("n_dropped"),
+        )
+    )
+
+
+SEMANTIC_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE lsh_pairs AS (
+  {EMBEDDING_LSH_NEARDUP_PAIRS_SQL.strip()}
+),
+edges AS (
+  SELECT id1, id2 FROM lsh_pairs
+  UNION ALL
+  SELECT id2 AS id1, id1 AS id2 FROM lsh_pairs
+),
+verts AS (
+  SELECT DISTINCT id1 AS vec_id FROM edges
+),
+reach(vec_id, r) AS (
+  SELECT vec_id, vec_id FROM verts
+  UNION
+  SELECT e.id1, reach.r
+  FROM edges e JOIN reach ON e.id2 = reach.vec_id
+),
+labels AS (
+  SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id
+)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       min(vec_id) AS keep_vec_id,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM labels
+GROUP BY cluster_id
 """

@@ -160,6 +160,10 @@ SHUFFLE_BUDGET = {
     # balanced spread + (tbl,bucket) self-join + candidate distinct +
     # two vector join-backs (broadcast at harness size; headroom for SMJ)
     "embedding_lsh_neardup_pairs": 6,
+    # pairs+CC run eagerly inside the builder (claimed + driver
+    # union-find at harness scale); the returned plan is a local
+    # relation + one per-cluster groupBy exchange
+    "semantic_dedup_clusters": 1,
     "tpch_q22_inactive_rich_customers": 2,  # anti join + nation agg
     # neardup_clusters is intentionally absent: the iterative
     # fixpoint loop's plan depth is data-dependent (graph diameter)

@@ -1,0 +1,291 @@
+"""Dedup/ANN candidate-growth probe across the SF ladder + a 10× sf1
+equivalent (VERDICT r3 #3: every scale claim was measured at sf0.1
+only; this tool measures them at 10× and records the growth factors).
+
+The harness ships no sf1 testdata, so the probe SYNTHESIZES one
+("sf1e") from the sf0.1 generator's own empirical statistics:
+
+- documents: 50,000 docs (10× sf0.1). Texts are word sequences drawn
+  i.i.d. from sf0.1's empirical unigram distribution (the generator's
+  31-word template vocabulary), lengths from the empirical length
+  histogram, (lang, source) round-robin at the same proportions —
+  i.e., MORE data from the same generative family, not replication
+  (replicating rows would plant 10× exact dups and fake the dup
+  rate). Exact-duplicate texts are planted at sf0.1's measured rate
+  (8/5000) so the shingle-dedup family has the same planted-dup
+  structure to find.
+- embeddings: 20,000 vecs (10× sf0.1), per-label gaussians fit to
+  sf0.1's per-label mean/std. Same label proportions.
+
+Everything is seeded (numpy default_rng(42)) → the probe is
+reproducible. Output: stdout table + SCALING.md.
+
+Usage: python tools/scaling_probe.py [--skip-generate]
+Env:   SPARK_GRAFT_SCALE_DIR (default /tmp/spark_graft_sf1e)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_sf1e")
+SRC_SF = "/root/testdata/sf0.1"
+DOC_MULT = 10
+SEED = 42
+
+
+def synthesize(out_dir: str) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # ---- documents ----
+    src = pq.read_table(f"{SRC_SF}/documents.parquet")
+    texts = src["text"].to_pylist()
+    langs = src["lang"].to_pylist()
+    sources = src["source"].to_pylist()
+    words: list[str] = []
+    lengths: list[int] = []
+    for t in texts:
+        ws = t.split()
+        words.extend(ws)
+        lengths.append(len(ws))
+    vocab, counts = np.unique(np.array(words), return_counts=True)
+    probs = counts / counts.sum()
+    uniq_langs = sorted(set(langs))
+    uniq_sources = sorted(set(sources))
+    n_docs = len(texts) * DOC_MULT
+    n_dup_planted = round(
+        (len(texts) - len(set(texts))) / len(texts) * n_docs
+    )  # same planted exact-dup rate as sf0.1
+
+    lens = rng.choice(np.array(lengths), size=n_docs, replace=True)
+    new_texts: list[str] = []
+    for i in range(n_docs):
+        ws = rng.choice(vocab, size=int(lens[i]), p=probs)
+        new_texts.append(" ".join(ws))
+    dup_targets = rng.choice(n_docs, size=n_dup_planted * 2, replace=False)
+    for k in range(n_dup_planted):  # plant: doc b becomes a copy of doc a
+        a, b = int(dup_targets[2 * k]), int(dup_targets[2 * k + 1])
+        new_texts[b] = new_texts[a]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(new_texts, pa.string()),
+            "lang": pa.array(
+                [uniq_langs[i % len(uniq_langs)] for i in range(n_docs)],
+                pa.string(),
+            ),
+            "source": pa.array(
+                [uniq_sources[i % len(uniq_sources)] for i in range(n_docs)],
+                pa.string(),
+            ),
+            "n_chars": pa.array(
+                [len(t) for t in new_texts], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, f"{out_dir}/documents.parquet")
+
+    # ---- embeddings ----
+    esrc = pq.read_table(f"{SRC_SF}/embeddings.parquet")
+    emb = np.array(esrc["embedding"].to_pylist(), dtype=np.float32)
+    lab = np.array(esrc["label"].to_pylist())
+    n_vec = emb.shape[0] * DOC_MULT
+    new_emb = np.empty((n_vec, emb.shape[1]), dtype=np.float32)
+    new_lab = np.empty(n_vec, dtype=np.int32)
+    pos = 0
+    for label in np.unique(lab):
+        m = emb[lab == label]
+        k = m.shape[0] * DOC_MULT
+        sample = rng.normal(
+            m.mean(axis=0), m.std(axis=0), size=(k, emb.shape[1])
+        ).astype(np.float32)
+        new_emb[pos : pos + k] = sample
+        new_lab[pos : pos + k] = label
+        pos += k
+    etbl = pa.table(
+        {
+            "vec_id": pa.array(range(n_vec), pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in new_emb],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(new_lab, pa.int32()),
+        }
+    )
+    pq.write_table(etbl, f"{out_dir}/embeddings.parquet")
+    print(
+        f"synthesized {n_docs} docs ({n_dup_planted} planted dups), "
+        f"{n_vec} embeddings -> {out_dir}"
+    )
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return out, round(time.perf_counter() - t0, 2)
+
+
+def probe_sf(spark, sf_dir: str, label: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from etl_portfolio_project_spark import caches
+    from etl_portfolio_project_spark.operators import dedup, similarity
+    from etl_portfolio_project_spark.operators.similarity import (
+        NEARDUP_LSH_PLANES,
+        _dvec,
+        _with_buckets,
+        norm_expr,
+    )
+    from etl_portfolio_project_spark.sources.registry import balanced, load_table
+
+    r: dict = {"sf": label}
+    docs = load_table(spark, sf_dir, "documents")
+    block = docs.where(F.col("source") == dedup.DEDUP_SOURCE_BLOCK)
+    r["n_docs"] = docs.count()
+    r["n_block"] = block.count()
+    r["all_pairs_block"] = r["n_block"] * (r["n_block"] - 1) // 2
+
+    # 1. prefix-filtered exact Jaccard
+    d = block.select(
+        "doc_id", dedup._distinct_words(F.col("text")).alias("items")
+    )
+    r["pf_candidates"], _ = timed(
+        lambda: dedup._prefix_candidates(d, 9, 10).count()
+    )
+    out, r["pf_secs"] = timed(
+        lambda: dedup.neardup_jaccard(spark, sf_dir).count()
+    )
+    r["pf_pairs"] = out
+
+    # 2. MinHash-LSH (word sets)
+    dm = block.select(
+        "doc_id",
+        dedup._distinct_words(F.col("text")).alias("words"),
+        dedup._minhash_signature().alias("sig"),
+    )
+    r["mh_candidates"], _ = timed(
+        lambda: dedup._minhash_band_candidates(dm).count()
+    )
+    out, r["mh_secs"] = timed(
+        lambda: dedup.minhash_lsh_neardup(spark, sf_dir).count()
+    )
+    r["mh_pairs"] = out
+    caches.release_all()
+
+    # 3. incremental shingle-MinHash (batch vs corpus, full table)
+    inc, r["inc_secs"] = timed(
+        lambda: dedup.incremental_minhash_dedup(spark, sf_dir)
+        .agg(
+            F.count(F.lit(1)).alias("batch_docs"),
+            F.sum("n_candidates").alias("cands"),
+            F.sum("n_dups").alias("dups"),
+        )
+        .collect()[0]
+    )
+    r["inc_batch_docs"] = inc["batch_docs"]
+    r["inc_candidates"] = int(inc["cands"] or 0)
+    r["inc_dups"] = int(inc["dups"] or 0)
+    caches.release_all()
+
+    # 4. embedding LSH near-dup
+    e = load_table(spark, sf_dir, "embeddings")
+    base = (
+        balanced(e)
+        .select("vec_id", _dvec("embedding").alias("vec"))
+        .withColumn("norm", norm_expr("vec"))
+    )
+    bb = _with_buckets(base, "vec", "vec_id", NEARDUP_LSH_PLANES)
+    a = bb.select(F.col("vec_id").alias("id1"), "tbl", "bucket")
+    b = bb.select(F.col("vec_id").alias("id2"), "tbl", "bucket")
+    r["emb_n"] = e.count()
+    r["emb_candidates"], _ = timed(
+        lambda: a.join(b, ["tbl", "bucket"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+        .count()
+    )
+    out, r["emb_secs"] = timed(
+        lambda: similarity.embedding_lsh_neardup_pairs(spark, sf_dir).count()
+    )
+    r["emb_pairs"] = out
+    caches.release_all()
+    return r
+
+
+def probe_distributed_cc(spark, sf_dir: str, label: str) -> dict:
+    from etl_portfolio_project_spark import caches
+    from etl_portfolio_project_spark.operators import dedup
+
+    r = {"sf": label}
+    _, r["cc_driver_secs"] = timed(
+        lambda: dedup.neardup_clusters(spark, sf_dir).count()
+    )
+    caches.release_all()
+    orig = dedup.CC_DRIVER_FINISH_MAX_EDGES
+    try:
+        dedup.CC_DRIVER_FINISH_MAX_EDGES = -1  # force distributed branch
+        _, r["cc_distributed_secs"] = timed(
+            lambda: dedup.neardup_clusters(spark, sf_dir).count()
+        )
+        caches.release_all()
+        _, r["pagerank_distributed_secs"] = timed(
+            lambda: dedup.neardup_pagerank(spark, sf_dir).count()
+        )
+    finally:
+        dedup.CC_DRIVER_FINISH_MAX_EDGES = orig
+        caches.release_all()
+    return r
+
+
+def main() -> int:
+    if "--skip-generate" not in sys.argv:
+        need = not (
+            os.path.exists(f"{SCALE_DIR}/documents.parquet")
+            and os.path.exists(f"{SCALE_DIR}/embeddings.parquet")
+        )
+        if need:
+            synthesize(SCALE_DIR)
+        else:
+            print(f"reusing {SCALE_DIR}")
+
+    from etl_portfolio_project_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling_probe")
+    spark.read.parquet(f"{SRC_SF}/orders.parquet").count()
+
+    rows = []
+    for sf_dir, label in [
+        ("/root/testdata/sf0.01", "sf0.01"),
+        (SRC_SF, "sf0.1"),
+        (SCALE_DIR, "sf1e"),
+    ]:
+        print(f"--- probing {label} ({sf_dir})")
+        rows.append(probe_sf(spark, sf_dir, label))
+        print(json.dumps(rows[-1]))
+
+    cc_rows = []
+    for sf_dir, label in [(SRC_SF, "sf0.1"), (SCALE_DIR, "sf1e")]:
+        print(f"--- CC/pagerank distributed branch at {label}")
+        cc_rows.append(probe_distributed_cc(spark, sf_dir, label))
+        print(json.dumps(cc_rows[-1]))
+
+    with open(os.path.join(_REPO, "SCALING_RAW.json"), "w") as f:
+        json.dump({"ladder": rows, "cc": cc_rows}, f, indent=1)
+    print("wrote SCALING_RAW.json — render SCALING.md from it")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
