@@ -375,6 +375,11 @@ from .operators import text as X  # noqa: E402
 _EXTENSIONS = [
     ("text_profile", X.text_profile, X.TEXT_PROFILE_SQL,
      "Per-doc quality stats, language ID, md5 + rolling fingerprints."),
+    ("gopher_quality_flags", X.gopher_quality_flags,
+     X.GOPHER_QUALITY_FLAGS_SQL,
+     "Published Gopher pretraining-quality rules per doc (word count, "
+     "mean word length, symbol/alpha ratios, stop words) - all "
+     "thresholds in exact integer cross-multiplied form."),
     ("top_words", X.top_words, X.TOP_WORDS_SQL,
      "Distributed word count: explode tokens + partial-agg + top-20."),
     ("sequence_packing_bins", X.sequence_packing_bins,
@@ -434,6 +439,10 @@ _EXTENSIONS = [
      "Exact cosine top-k neighbors (broadcast query set)."),
     ("ann_lsh_topk", S.ann_lsh_topk, S.ANN_LSH_TOPK_SQL,
      "Random-hyperplane LSH bucketed approximate top-k."),
+    ("ann_lsh_recall_audit", S.ann_lsh_recall_audit,
+     S.ANN_LSH_RECALL_AUDIT_SQL,
+     "Recall@K of the LSH ANN index vs exact brute force, per query "
+     "vector — the measurement every ANN deployment ships."),
     ("ann_ivf_topk", S.ann_ivf_topk, S.ANN_IVF_TOPK_SQL,
      "IVF coarse-quantizer ANN: broadcast centroids, nprobe re-rank."),
     ("embedding_neardup_pairs", S.embedding_neardup_pairs,

@@ -899,3 +899,65 @@ SELECT cluster_id,
 FROM labels
 GROUP BY cluster_id
 """
+
+
+def ann_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K audit of the LSH ANN index against exact brute force —
+    the measurement every production ANN deployment ships alongside
+    the index (the approximation is only acceptable if its recall is
+    KNOWN). One row per query vector: exact-neighbor count, LSH hits
+    within the exact top-K, and recall = hits / K.
+
+    Scale shape: both inputs are existing bounded queries (brute force
+    runs on the query SUBSET only — |queries| × n cosines, the
+    labeled-baseline cost); the audit adds two partial-agg'd groupBys
+    and a broadcast-sized join keyed by query_id. On a 100 TB corpus
+    the same audit runs against a SAMPLED query set, which this
+    already is (vec_id % QUERY_MOD)."""
+    exact = ann_brute_force_topk(spark, sf_dir).select("query_id", "vec_id")
+    approx = ann_lsh_topk(spark, sf_dir).select("query_id", "vec_id")
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        n_exact.join(n_hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("hits", F.lit(0)) / F.col("n_exact")).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+ANN_LSH_RECALL_AUDIT_SQL = f"""
+WITH exact AS (
+  SELECT query_id, vec_id FROM ({ANN_BRUTE_FORCE_TOPK_SQL.strip()})
+),
+approx AS (
+  SELECT query_id, vec_id FROM ({ANN_LSH_TOPK_SQL.strip()})
+),
+n_exact AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM exact GROUP BY query_id
+),
+n_hits AS (
+  SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits
+  FROM exact e JOIN approx a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY e.query_id
+)
+SELECT n_exact.query_id AS query_id,
+       n_exact.n_exact AS n_exact,
+       CAST(COALESCE(n_hits.hits, 0) AS BIGINT) AS n_hits,
+       (CAST(COALESCE(n_hits.hits, 0) AS BIGINT) / n_exact.n_exact)
+         AS recall
+FROM n_exact LEFT JOIN n_hits ON n_hits.query_id = n_exact.query_id
+"""

@@ -892,3 +892,120 @@ SELECT doc_id,
 FROM marked
 GROUP BY doc_id
 """
+
+
+# --- Gopher quality-filter rules ------------------------------------------
+
+#: the published Gopher stop-word list (Rae et al. 2021, §A1.1 —
+#: public literature): a doc must contain at least 2 of these
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher pretraining-quality rule outcomes (Rae et
+    al. 2021 "Scaling Language Models: ... Gopher", Table A1 — the
+    rule set MassiveText/Dolma-class pipelines apply before training):
+
+    - word_count_ok:       50 ≤ |words| ≤ 100,000
+    - mean_word_len_ok:    3 ≤ mean word length ≤ 10
+    - symbol_ratio_ok:     (#'#' + #'...') / |words| ≤ 0.1
+    - alpha_word_ratio_ok: ≥80% of words contain ≥1 [A-Za-z]
+    - stopword_ok:         ≥2 distinct Gopher stop words present
+    - passes_all:          conjunction of the above
+
+    Line-based rules (bullet/ellipsis line ratios) are omitted: the
+    harness corpus is single-line; the implemented rules are the
+    corpus-shape-independent subset.
+
+    Numeric portability: every threshold is evaluated in INTEGER
+    cross-multiplied form (e.g. mean∈[3,10] ⇔ 3·n ≤ Σlen ≤ 10·n,
+    80% ⇔ 5·alpha ≥ 4·n) — zero float comparisons can drift between
+    engines; `mean_word_len` is additionally emitted as the one double
+    (single division, bit-identical both sides).
+
+    Scale shape: a single narrow LET-bound projection riding the scan
+    (plus the `balanced` spread on the single-file harness table) —
+    at 100 TB this is a pure map stage, the cheapest possible filter
+    pass."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    stop_hits = " + ".join(
+        f"(CASE WHEN array_contains(transform(tk, t -> lower(t)), '{s}') "
+        "THEN 1 ELSE 0 END)"
+        for s in GOPHER_STOPWORDS
+    )
+    m_struct = (
+        "struct(CAST(size(tk) AS BIGINT) AS n, "
+        "aggregate(tk, CAST(0 AS BIGINT), (acc, t) -> acc + length(t)) "
+        "AS sumlen, "
+        "CAST(size(regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)) "
+        "AS BIGINT) AS nsym, "
+        "CAST(size(filter(tk, t -> t rlike '[A-Za-z]')) AS BIGINT) "
+        "AS nalpha, "
+        f"CAST({stop_hits} AS BIGINT) AS nstop)"
+    )
+    final_struct = (
+        "struct("
+        "m.n AS n_words, "
+        "(m.sumlen / m.n) AS mean_word_len, "
+        "(m.n >= 50 AND m.n <= 100000) AS word_count_ok, "
+        "(3 * m.n <= m.sumlen AND m.sumlen <= 10 * m.n) AS mean_word_len_ok, "
+        "(10 * m.nsym <= m.n) AS symbol_ratio_ok, "
+        "(5 * m.nalpha >= 4 * m.n) AS alpha_word_ratio_ok, "
+        "(m.nstop >= 2) AS stopword_ok, "
+        "((m.n >= 50 AND m.n <= 100000) "
+        "AND (3 * m.n <= m.sumlen AND m.sumlen <= 10 * m.n) "
+        "AND (10 * m.nsym <= m.n) "
+        "AND (5 * m.nalpha >= 4 * m.n) "
+        "AND (m.nstop >= 2)) AS passes_all)"
+    )
+    one = bind_once_sql(
+        "split(trim(text), '\\\\s+')",
+        "tk",
+        bind_once_sql(m_struct, "m", final_struct),
+    )
+    return d.select("doc_id", "source", F.expr(f"inline(array({one}))"))
+
+
+def _gopher_sql() -> str:
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    stop_hits = " + ".join(
+        f"(CASE WHEN list_contains(list_transform({toks}, "
+        f"t -> lower(t)), '{s}') THEN 1 ELSE 0 END)"
+        for s in GOPHER_STOPWORDS
+    )
+    n = f"CAST(len({toks}) AS BIGINT)"
+    sumlen = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({toks}, t -> CAST(length(t) AS BIGINT))), "
+        "(a, b) -> a + b)"
+    )
+    nsym = r"CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)"
+    nalpha = (
+        f"CAST(len(list_filter({toks}, "
+        "t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT)"
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id, source,
+             {n} AS n, {sumlen} AS sumlen, {nsym} AS nsym,
+             {nalpha} AS nalpha, CAST({stop_hits} AS BIGINT) AS nstop
+      FROM documents
+    )
+    SELECT doc_id, source,
+           n AS n_words,
+           (sumlen / n) AS mean_word_len,
+           (n >= 50 AND n <= 100000) AS word_count_ok,
+           (3 * n <= sumlen AND sumlen <= 10 * n) AS mean_word_len_ok,
+           (10 * nsym <= n) AS symbol_ratio_ok,
+           (5 * nalpha >= 4 * n) AS alpha_word_ratio_ok,
+           (nstop >= 2) AS stopword_ok,
+           ((n >= 50 AND n <= 100000)
+            AND (3 * n <= sumlen AND sumlen <= 10 * n)
+            AND (10 * nsym <= n)
+            AND (5 * nalpha >= 4 * n)
+            AND (nstop >= 2)) AS passes_all
+    FROM m
+    """
+
+
+GOPHER_QUALITY_FLAGS_SQL = _gopher_sql()

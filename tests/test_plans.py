@@ -74,6 +74,11 @@ SHUFFLE_BUDGET = {
     # 2 for the sketch (register agg + sketch agg) + 2 for the exact
     # distinct-count companion column (harness verification only)
     "hll_distinct_users": 4,
+    "gopher_quality_flags": 1,  # balanced spread only (pure narrow map)
+    # composition of two pinned-shape ANN queries (brute-force window +
+    # LSH bucket join/distinct/window) + 2 tiny per-query aggs + a
+    # 200-row audit join; every exchange moves the sampled query set
+    "ann_lsh_recall_audit": 14,
     "corpus_mixture_sample": 0,
     "events_gapfill_5min": 2,
     "events_moving_average": 2,
