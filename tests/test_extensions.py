@@ -123,3 +123,68 @@ def test_hll_estimate_accuracy(spark):
             f"{r.exact_distinct} (rel err {rel_err:.3f})"
         )
         assert 0 < r.n_filled <= SK.HLL_M
+
+
+def test_gopher_flags_internally_consistent(spark):
+    """passes_all must equal the conjunction of the individual rule
+    flags, and the integer cross-multiplied mean-word-len rule must
+    agree with the emitted double mean."""
+    out = X.gopher_quality_flags(spark, SF_SMALL).toPandas()
+    assert len(out) > 0
+    conj = (
+        out["word_count_ok"]
+        & out["mean_word_len_ok"]
+        & out["symbol_ratio_ok"]
+        & out["alpha_word_ratio_ok"]
+        & out["stopword_ok"]
+    )
+    assert (out["passes_all"] == conj).all()
+    # cross-multiplied rule ⇔ double mean within [3, 10]
+    in_range = (out["mean_word_len"] >= 3.0) & (out["mean_word_len"] <= 10.0)
+    assert (out["mean_word_len_ok"] == in_range).all()
+    # this corpus has no '#'/'...' symbols and all-alpha words
+    assert out["symbol_ratio_ok"].all()
+    assert out["alpha_word_ratio_ok"].all()
+
+
+def test_ann_recall_audit_bounds_and_consistency(spark):
+    """Per-query recall must be n_hits/n_exact in [0, 1], with
+    n_hits ≤ n_exact = TOP_K, and the mean recall must match the
+    independently-computed recall of the two underlying queries."""
+    audit = S.ann_lsh_recall_audit(spark, SF_SMALL).toPandas()
+    assert len(audit) > 0
+    assert (audit["n_exact"] == S.TOP_K).all()
+    assert ((audit["n_hits"] >= 0) & (audit["n_hits"] <= audit["n_exact"])).all()
+    assert (audit["recall"] == audit["n_hits"] / audit["n_exact"]).all()
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in S.ann_brute_force_topk(spark, SF_SMALL).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in S.ann_lsh_topk(spark, SF_SMALL).collect()
+    }
+    assert int(audit["n_hits"].sum()) == len(exact & approx)
+
+
+def test_semantic_dedup_driver_and_distributed_cc_agree(spark):
+    """semantic_dedup_clusters rides _cc_two_phase: forcing the
+    distributed label-propagation branch must produce the identical
+    cluster table (same contract as the neardup_clusters tests)."""
+    from etl_portfolio_project_spark import caches
+
+    a = sorted(
+        map(tuple, S.semantic_dedup_clusters(spark, SF_SMALL).collect())
+    )
+    orig = D.CC_DRIVER_FINISH_MAX_EDGES
+    try:
+        D.CC_DRIVER_FINISH_MAX_EDGES = -1
+        b = sorted(
+            map(tuple, S.semantic_dedup_clusters(spark, SF_SMALL).collect())
+        )
+    finally:
+        D.CC_DRIVER_FINISH_MAX_EDGES = orig
+        caches.release_all()
+    assert a == b and len(a) > 0
+    for _cid, size, _keep, dropped in a:
+        assert size >= 2 and dropped == size - 1

@@ -149,3 +149,27 @@ def test_wratio_registered_query_runs(spark):
     assert len(pdf) > 0
     assert set(pdf.columns) == {"loan_id", "region", "region_cleaned"}
     assert pdf["region_cleaned"].dropna().isin(VALID_CITIES).all()
+
+
+def test_wratio_scorer_properties_hypothesis():
+    """Property-based bounds for the pure WRatio implementation:
+    scores in [0, 100], self-similarity 100 for nonempty strings,
+    extract_one always returns a candidate list member."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    wratio, extract_one = make_wratio_scorer()
+    alphabet = st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs"))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet, max_size=40), st.text(alphabet, max_size=40))
+    def check(a, b):
+        s = wratio(a, b)
+        assert 0.0 <= s <= 100.0
+        if a and a == b:
+            assert s == 100.0
+        best, score = extract_one(a, list(VALID_CITIES))
+        assert best in VALID_CITIES
+        assert 0.0 <= score <= 100.0
+
+    check()
