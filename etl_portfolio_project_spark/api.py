@@ -772,6 +772,12 @@ _STREAMING_MM = [
      "REAL image decode, no PIL: 24-bit BMP synth (padding + "
      "bottom-up rows) → binary column → numpy byte-level decode; "
      "orientation-weighted feature proves the geometry."),
+    ("multimodal_png_decode", M.multimodal_png_decode,
+     M.MULTIMODAL_PNG_DECODE_SQL,
+     "REAL COMPRESSED image decode, no PIL: PNG encode (all 5 "
+     "scanline filters, zlib DEFLATE, CRC32 chunks) → binary column "
+     "→ stdlib-zlib+numpy decode with CRC verify + filter "
+     "reconstruction; position-weighted feature proves geometry."),
 ]
 
 from .operators import arrow_ops as AR  # noqa: E402

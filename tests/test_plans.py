@@ -75,6 +75,8 @@ SHUFFLE_BUDGET = {
     # distinct-count companion column (harness verification only)
     "hll_distinct_users": 4,
     "gopher_quality_flags": 1,  # balanced spread only (pure narrow map)
+    # two narrow Arrow map stages (encode → decode), balanced spread only
+    "multimodal_png_decode": 1,
     # composition of two pinned-shape ANN queries (brute-force window +
     # LSH bucket join/distinct/window) + 2 tiny per-query aggs + a
     # 200-row audit join; every exchange moves the sampled query set
