@@ -435,6 +435,12 @@ _EXTENSIONS = [
      "Incremental corpus dedup: incoming batch vs the persisted "
      "corpus LSH index — band-collision candidates, exact-Jaccard "
      "verify, per-doc keep/drop decision (never corpus-vs-corpus)."),
+    ("stream_incremental_dedup", D.stream_incremental_dedup,
+     D.STREAM_INCREMENTAL_DEDUP_SQL,
+     "Continuous ingestion dedup as a Structured Streaming query: "
+     "micro-batched documents deduped against a persisted kept-only "
+     "LSH index maintained by foreachBatch; the sequential process "
+     "unrolls into a DuckDB CTE chain and must match bit-for-bit."),
     ("ann_brute_force_topk", S.ann_brute_force_topk, S.ANN_BRUTE_FORCE_TOPK_SQL,
      "Exact cosine top-k neighbors (broadcast query set)."),
     ("ann_lsh_topk", S.ann_lsh_topk, S.ANN_LSH_TOPK_SQL,

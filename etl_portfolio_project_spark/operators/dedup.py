@@ -1335,6 +1335,29 @@ def _band_rows(d: DataFrame) -> DataFrame:
     )
 
 
+def _shingle_sig_row_expr() -> str:
+    """One LET-bound Spark-SQL expression producing
+    `struct(items, sig)` per row — shingle hashes + the MinHash
+    signature computed from them, with the md5-per-shingle projection
+    evaluated once per row (CollapseProject would otherwise inline it
+    into all 16 sig expressions). Shared by the batch and streaming
+    incremental dedup builders."""
+    from .text import bind_once_sql
+
+    sigs = ", ".join(
+        f"array_min(transform(hs, h -> ({a} * h + {b}) % {MH_P}))"
+        for a, b in MH_AB
+    )
+    sig_from_items = bind_once_sql(
+        f"transform(items_, x -> x % {MH_P})", "hs", f"array({sigs})"
+    )
+    return bind_once_sql(
+        _shingle_hashes_spark_sql(),
+        "items_",
+        f"struct(items_ AS items, {sig_from_items} AS sig)",
+    )
+
+
 def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup — the production shape for continuously
     ingested training data: dedup an INCOMING BATCH against the
@@ -1366,23 +1389,7 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify join touches candidate corpus docs only. Nothing is ever
     all-pairs.
     """
-    from .text import bind_once_sql
-
-    sigs = ", ".join(
-        f"array_min(transform(hs, h -> ({a} * h + {b}) % {MH_P}))"
-        for a, b in MH_AB
-    )
-    sig_from_items = bind_once_sql(
-        f"transform(items_, x -> x % {MH_P})", "hs", f"array({sigs})"
-    )
-    # one LET-bound expression producing (items, sig) together: the
-    # md5-per-shingle projection runs once per row (CollapseProject
-    # would otherwise inline it into all 16 sig expressions)
-    row_expr = bind_once_sql(
-        _shingle_hashes_spark_sql(),
-        "items_",
-        f"struct(items_ AS items, {sig_from_items} AS sig)",
-    )
+    row_expr = _shingle_sig_row_expr()
     d = caches.claim(
         "inc_minhash_sigs",
         load_table(spark, sf_dir, "documents")
@@ -1519,3 +1526,263 @@ FROM batch b LEFT JOIN per ON per.batch_id = b.doc_id
 
 
 INCREMENTAL_MINHASH_DEDUP_SQL = _build_incremental_minhash_sql()
+
+
+# --- STREAMING incremental dedup (persisted kept-only LSH index) ----------
+
+SD_NBATCH = 4  # ingestion micro-batches (doc_id % SD_NBATCH, file per batch)
+
+
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS ingestion dedup — the production 100 TB shape that
+    `incremental_minhash_dedup` models one step of, run end-to-end as
+    a Structured Streaming query: documents arrive in micro-batches
+    (file source, one file per trigger, mtime-ordered), and each batch
+    is deduped against a PERSISTED LSH INDEX holding the shingle
+    signatures of every previously-KEPT document. Dropped documents
+    never enter the index (kept-only semantics — the canonical dedup
+    contract: a dup-of-a-dropped-dup is judged against the survivor
+    set, not the raw history). The index lives as parquet generation
+    directories maintained by foreachBatch (write-new-then-swap, same
+    discipline as the SCD1 upsert), never on the driver.
+
+    Per batch: shingle-MinHash signatures → band-collision join
+    against the index bands → exact-Jaccard verification of candidates
+    → per-doc decision appended to the result sink; kept docs' rows
+    are unioned into the next index generation.
+
+    DETERMINISTIC and fully oracle-checked: batches are doc_id %
+    SD_NBATCH with strictly increasing file mtimes, so arrival order
+    is fixed and the whole sequential process unrolls into a DuckDB
+    CTE chain (index_k = union of kept batches < k) — the streaming
+    run must match it bit-for-bit, which proves the foreachBatch
+    index maintenance (a lost index generation, a dropped doc leaking
+    into the index, or an out-of-order batch all diverge).
+
+    Scale shape: per micro-batch work is batch-bands × index-bands —
+    candidates ∝ band collisions (measured ~6e-5 selectivity,
+    SCALING.md), never batch × corpus; the index grows by kept rows
+    only, and at production scale is a bucketed table on band_key
+    (here a plain parquet generation per epoch)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .. import tmpdirs
+
+    root = tmpdirs.claim("stream_inc_dedup", "stream_inc_dedup_")
+    in_dir = os.path.join(root, "in")
+    res_dir = os.path.join(root, "res")
+    idx_root = os.path.join(root, "idx")
+    os.makedirs(in_dir)
+
+    # split by doc_id % SD_NBATCH via pyarrow (keeps the physical
+    # schema exact); force strictly increasing mtimes = arrival order
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet")
+    ids = tbl["doc_id"].to_numpy()
+    base = None
+    for k in range(SD_NBATCH):
+        path = os.path.join(in_dir, f"{k}_docs.parquet")
+        pq.write_table(tbl.filter(pa.array(ids % SD_NBATCH == k)), path)
+        if base is None:
+            base = os.stat(path).st_mtime
+        os.utime(path, (base + 2 * k, base + 2 * k))
+
+    schema = spark.read.parquet(os.path.join(in_dir, "0_docs.parquet")).schema
+    src = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("path", in_dir)
+        .option("pathGlobFilter", "*_docs.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load()
+    )
+
+    row_expr = _shingle_sig_row_expr()
+    gen: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        # foreachBatch bodies run in the DRIVER process (module
+        # references are safe; nothing here is pickled to workers)
+        s = batch_df.sparkSession
+        sigs = (
+            batch_df.select("doc_id", F.expr(row_expr).alias("s"))
+            .select(
+                "doc_id",
+                F.col("s.items").alias("items"),
+                F.col("s.sig").alias("sig"),
+            )
+            .localCheckpoint(eager=True)  # 3 consumers below, hash once
+        )
+        if gen["path"] is None:
+            per = sigs.select(
+                "doc_id",
+                F.lit(0).cast("long").alias("n_candidates"),
+                F.lit(0).cast("long").alias("n_dups"),
+            )
+        else:
+            idx = s.read.parquet(gen["path"])
+            cand = (
+                _band_rows(sigs.where(F.size("items") >= 1))
+                .alias("b")
+                .join(
+                    _band_rows(idx.where(F.size("items") >= 1)).alias("c"),
+                    (F.col("b.band") == F.col("c.band"))
+                    & (F.col("b.band_key") == F.col("c.band_key")),
+                )
+                .groupBy(
+                    F.col("b.doc_id").alias("did"),
+                    F.col("c.doc_id").alias("cid"),
+                )
+                .agg(F.count(F.lit(1)).alias("nb"))
+            )
+            w1 = sigs.select(F.col("doc_id").alias("did"), F.col("items").alias("w1"))
+            w2 = idx.select(F.col("doc_id").alias("cid"), F.col("items").alias("w2"))
+            shared = F.size(F.array_intersect("w1", "w2")).cast("long")
+            n1 = F.size("w1").cast("long")
+            n2 = F.size("w2").cast("long")
+            scored = (
+                cand.join(w1, "did")
+                .join(w2, "cid")
+                .withColumn("jaccard", shared / (n1 + n2 - shared))
+            )
+            agg = scored.groupBy("did").agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.count(
+                    F.when(F.col("jaccard") >= JACCARD_TAU, F.lit(1))
+                ).alias("n_dups"),
+            )
+            per = (
+                sigs.select("doc_id")
+                .join(agg, sigs.doc_id == agg.did, "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+                        "n_candidates"
+                    ),
+                    F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+                )
+            )
+        result = per.select(
+            "doc_id",
+            (F.col("doc_id") % SD_NBATCH).cast("int").alias("batch_id"),
+            "n_candidates",
+            "n_dups",
+            (F.col("n_dups") > 0).alias("is_dup"),
+        ).localCheckpoint(eager=True)
+        result.write.mode("append").parquet(res_dir)
+        kept = sigs.join(
+            result.where(~F.col("is_dup")).select("doc_id"), "doc_id"
+        )
+        if gen["path"] is not None:
+            kept = s.read.parquet(gen["path"]).unionByName(kept)
+        new_path = os.path.join(idx_root, f"gen_{epoch_id}")
+        kept.write.mode("overwrite").parquet(new_path)
+        old, gen["path"] = gen["path"], new_path
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
+
+    q = src.writeStream.foreachBatch(process).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(res_dir)
+
+
+def _build_stream_incremental_dedup_sql() -> str:
+    """Unrolled sequential oracle: index_k = kept docs of batches <k."""
+    sigs = [
+        "list_aggregate(list_transform(hs, "
+        f"h -> ({a} * h + {b}) % {MH_P}), 'min')"
+        for a, b in MH_AB
+    ]
+    band_structs = []
+    for i in range(MH_BANDS):
+        parts = " || '-' || ".join(
+            f"CAST(sig[{i * MH_ROWS + r + 1}] AS VARCHAR)"
+            for r in range(MH_ROWS)
+        )
+        band_structs.append(f"{{'band': {i}, 'band_key': {parts}}}")
+    bands_from = f"UNNEST([{', '.join(band_structs)}]) AS t(bk)"
+
+    def bands(src: str) -> str:
+        return (
+            f"(SELECT doc_id, bk.band AS band, bk.band_key AS band_key "
+            f"FROM {src}, {bands_from} WHERE len(items) >= 1)"
+        )
+
+    jac = (
+        "CAST(len(list_intersect(w1.items, w2.items)) AS BIGINT) "
+        "/ (CAST(len(w1.items) AS BIGINT) + CAST(len(w2.items) AS BIGINT) "
+        "- CAST(len(list_intersect(w1.items, w2.items)) AS BIGINT))"
+    )
+    ctes = [
+        f"""d AS (
+  SELECT doc_id, items, [{', '.join(sigs)}] AS sig
+  FROM (
+    SELECT doc_id, items, list_transform(items, x -> x % {MH_P}) AS hs
+    FROM (SELECT doc_id, {_shingle_hashes_duck_sql()} AS items
+          FROM documents)
+  )
+)"""
+    ]
+    for k in range(SD_NBATCH):
+        ctes.append(
+            f"b{k} AS (SELECT * FROM d WHERE doc_id % {SD_NBATCH} = {k})"
+        )
+    # batch 0: empty index → everything kept
+    ctes.append(
+        f"res0 AS (SELECT doc_id, CAST(0 AS INTEGER) AS batch_id, "
+        "CAST(0 AS BIGINT) AS n_candidates, CAST(0 AS BIGINT) AS n_dups, "
+        "FALSE AS is_dup FROM b0)"
+    )
+    ctes.append("idx1 AS (SELECT * FROM b0)")
+    for k in range(1, SD_NBATCH):
+        ctes.append(
+            f"""cand{k} AS (
+  SELECT b.doc_id AS did, c.doc_id AS cid
+  FROM {bands(f'b{k}')} b JOIN {bands(f'idx{k}')} c
+    ON b.band = c.band AND b.band_key = c.band_key
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""per{k} AS (
+  SELECT did,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(count(*) FILTER (WHERE {jac} >= {JACCARD_TAU}) AS BIGINT)
+           AS n_dups
+  FROM cand{k}
+  JOIN b{k} w1 ON w1.doc_id = did
+  JOIN idx{k} w2 ON w2.doc_id = cid
+  GROUP BY did
+)"""
+        )
+        ctes.append(
+            f"""res{k} AS (
+  SELECT b.doc_id AS doc_id, CAST({k} AS INTEGER) AS batch_id,
+         CAST(COALESCE(p.n_candidates, 0) AS BIGINT) AS n_candidates,
+         CAST(COALESCE(p.n_dups, 0) AS BIGINT) AS n_dups,
+         COALESCE(p.n_dups, 0) > 0 AS is_dup
+  FROM b{k} b LEFT JOIN per{k} p ON p.did = b.doc_id
+)"""
+        )
+        if k < SD_NBATCH - 1:
+            ctes.append(
+                f"""idx{k + 1} AS (
+  SELECT * FROM idx{k}
+  UNION ALL
+  SELECT b.* FROM b{k} b JOIN res{k} r
+    ON r.doc_id = b.doc_id AND NOT r.is_dup
+)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM res{k}" for k in range(SD_NBATCH)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+STREAM_INCREMENTAL_DEDUP_SQL = _build_stream_incremental_dedup_sql()

@@ -77,6 +77,9 @@ SHUFFLE_BUDGET = {
     "gopher_quality_flags": 1,  # balanced spread only (pure narrow map)
     # two narrow Arrow map stages (encode → decode), balanced spread only
     "multimodal_png_decode": 1,
+    # all work happens inside the builder's foreachBatch stream; the
+    # returned frame is a plain read of the appended result parquet
+    "stream_incremental_dedup": 0,
     # composition of two pinned-shape ANN queries (brute-force window +
     # LSH bucket join/distinct/window) + 2 tiny per-query aggs + a
     # 200-row audit join; every exchange moves the sampled query set

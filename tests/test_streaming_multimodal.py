@@ -406,3 +406,77 @@ def test_louter_sentinels_survive_ns_vintage_events(spark, tmp_path):
     )
     base = E.stream_click_purchase_left_join(spark, SF_SMALL)
     assert got_rows == sorted(map(tuple, base.collect()))
+
+
+def test_stream_incremental_dedup_kept_only_index(spark, tmp_path):
+    """The index must hold KEPT docs only: with A (batch 0), B (batch
+    1, near-dup of A), C (batch 2, near-dup of B but not of A), the
+    run must DROP B (dup of surviving A) but KEEP C — C's only match
+    was dropped and never entered the index. An all-history index
+    would wrongly drop C."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_portfolio_project_spark.operators import dedup as D
+
+    # 3-word-shingle docs; doc_id % 4 = batch. A=0, B=1, C=2.
+    # Suffix-extension keeps all original shingles, so the Jaccards
+    # are exact: A = 20 words → 18 shingles; B = A+1 word → 19
+    # shingles, J(A,B) = 18/19 ≈ 0.947 ≥ τ → B dropped; C = A+3 words
+    # → 21 shingles, J(C,B) = 19/21 ≈ 0.905 ≥ τ (dup of B only) but
+    # J(C,A) = 18/21 ≈ 0.857 < τ — C survives IFF the index is
+    # kept-only (B, its sole match, never entered it).
+    base = ["w%02d" % i for i in range(20)]
+    a_text = " ".join(base)
+    b_text = a_text + " zz1"
+    c_text = b_text + " zz2 zz3"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([a_text, b_text, c_text], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["src0"] * 3, pa.string()),
+            "n_chars": pa.array(
+                [len(a_text), len(b_text), len(c_text)], pa.int64()
+            ),
+        }
+    )
+    d = tmp_path / "chain"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in D.stream_incremental_dedup(spark, str(d)).collect()
+    }
+    assert len(out) == 3
+    assert not out[0]["is_dup"]   # A: first batch, empty index → kept
+    assert out[1]["is_dup"]       # B: dup of surviving A → dropped
+    # C: its only ≥τ match (B) was dropped and never entered the
+    # index; vs the surviving A, J = 18/21 < τ → C is KEPT. An
+    # all-history index would have dropped it.
+    assert not out[2]["is_dup"]
+    assert out[2]["n_candidates"] >= 1  # C did band-collide with A
+
+
+def test_stream_incremental_dedup_matches_batch_oracle_semantics(spark):
+    """At sf0.001 the streaming run must equal the unrolled
+    sequential CTE oracle (same check the driver does; kept here as a
+    fast regression for the foreachBatch index maintenance)."""
+    import duckdb
+
+    from etl_portfolio_project_spark.operators import dedup as D
+
+    got = {
+        (r["doc_id"]): (r["batch_id"], r["n_candidates"], r["n_dups"], r["is_dup"])
+        for r in D.stream_incremental_dedup(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    exp = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(D.STREAM_INCREMENTAL_DEDUP_SQL).fetchall()
+    }
+    assert got == exp
