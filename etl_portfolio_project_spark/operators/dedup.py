@@ -630,7 +630,9 @@ def _cc_label_propagation(
     graph can't build a quadratic-replay DAG. The final generation is
     claimed under a registry-level key so re-runs release the prior
     run's cache instead of accumulating. For billion-edge graphs the
-    round primitive would switch to large-star/small-star; same ops."""
+    round primitive switches to large-star/small-star — IMPLEMENTED as
+    `_cc_large_small_star` (O(log² n) rounds vs O(diameter) here),
+    property-tested equal to this fixpoint and to union-find."""
     edges = pairs.union(
         pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
     ).persist()
@@ -1786,3 +1788,125 @@ def _build_stream_incremental_dedup_sql() -> str:
 
 
 STREAM_INCREMENTAL_DEDUP_SQL = _build_stream_incremental_dedup_sql()
+
+
+# --- alternating-star connected components (billion-edge primitive) -------
+
+
+def _cc_large_small_star(pairs: DataFrame) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond" — public literature): the primitive the label-
+    propagation docstring promises for billion-edge graphs, where
+    convergence in O(log² n) rounds beats min-label propagation's
+    O(diameter) on high-diameter graphs.
+
+    Round primitive (node ids are longs; m(u) = min(N(u) ∪ {u})):
+      large-star: for every u, connect every STRICTLY LARGER neighbor
+                  to m(u)            → {(v, m(u)) : v ∈ N(u), v > u}
+      small-star: for every u, connect every ≤ neighbor and u itself
+                  to m(u)            → {(v, m(u)) : v ∈ N(u), v ≤ u}
+                                       ∪ {(u, m(u))}
+    Each is one groupBy-min + one join back over the (symmetrized)
+    edge list — the same partial-agg'd shuffle shape as a label-prop
+    round. Fixpoint: the edge multiset is a star forest, each node
+    pointing at its component minimum. Termination check = (count,
+    xor of edge hashes) unchanged — exact enough for a deterministic
+    contraction that only ever merges components (verified against
+    union-find and label propagation by property tests).
+
+    Returns (doc_id, cluster_id), cluster_id = component minimum —
+    identical contract to `_cc_union_find`/`_cc_label_propagation`."""
+    edges = (
+        pairs.select(F.col("id1").alias("u"), F.col("id2").alias("v"))
+        .union(pairs.select(F.col("id2").alias("u"), F.col("id1").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+
+    def _neighborhood_min(e: DataFrame) -> DataFrame:
+        return e.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    def _signature(e: DataFrame):
+        # hash-sum in DECIMAL(38,0): an int64 sum of xxhash64 values
+        # overflows ANSI long arithmetic (CLAUDE.md decimal rule)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    def _canon(e: DataFrame) -> DataFrame:
+        """Undirected canonical form (min, max), deduped + symmetrized
+        back — keeps each round's input a clean neighbor list."""
+        lo = F.least("u", "v")
+        hi = F.greatest("u", "v")
+        und = e.where(F.col("u") != F.col("v")).select(
+            lo.alias("a"), hi.alias("b")
+        ).distinct()
+        return und.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).union(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+
+    prev_sig = None
+    cur = edges
+    try:
+        while True:
+            m = _neighborhood_min(cur)
+            large = (
+                cur.join(m, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+            # eager localCheckpoint per half-round: each round
+            # references its input TWICE (join back + canon), so a
+            # lazy lineage doubles per round — the logical plan
+            # explodes exponentially (observed as an explain-string
+            # OOM inside AQE by round ~8 on a 31-node path)
+            after_large = _canon(large).localCheckpoint(eager=True)
+            m2 = _neighborhood_min(after_large)
+            small = (
+                after_large.join(m2, "u")
+                .where(F.col("v") <= F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(m2.select("u", F.col("m").alias("v")))
+            )
+            nxt = _canon(small).localCheckpoint(eager=True)
+            sig = _signature(nxt)
+            cur = nxt
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        # star forest → labels: every node's min neighbor (or itself);
+        # vertices of the ORIGINAL graph that became isolated roots
+        # keep their own id
+        verts = (
+            pairs.select(F.col("id1").alias("doc_id"))
+            .union(pairs.select(F.col("id2").alias("doc_id")))
+            .distinct()
+        )
+        nbr_min = cur.groupBy("u").agg(F.min("v").alias("nmin"))
+        labels = (
+            verts.join(nbr_min, verts.doc_id == nbr_min.u, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("doc_id"), F.coalesce("nmin", F.col("doc_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        labels = caches.claim("cc_star_labels", labels)
+        labels.count()
+    finally:
+        if cur is not edges:
+            cur.unpersist()
+        edges.unpersist()
+    return labels

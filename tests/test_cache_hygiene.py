@@ -144,3 +144,40 @@ def test_cc_long_diameter_graph_hits_checkpoint_branch(spark):
     assert got == {**{i: 0 for i in range(n)},
                    **{v: 100 for v in (100, 101, 102)}}
     caches.release_all()
+
+
+def test_large_small_star_cc_agrees_with_union_find_and_label_prop(spark):
+    """The alternating-star CC (the billion-edge primitive the
+    label-prop docstring references) must produce the identical
+    fixpoint as union-find AND distributed label propagation on
+    path (high-diameter), clustered, and random graphs."""
+    import random
+
+    cases = {
+        "path-31": [(i, i + 1) for i in range(30)],
+        "cliquey": [(0, 1), (1, 2), (2, 0), (5, 6), (10, 11), (11, 12),
+                    (12, 10), (100, 5)],
+    }
+    rng = random.Random(11)
+    cases["random"] = [
+        (a, b)
+        for a, b in ((rng.randrange(120), rng.randrange(120))
+                     for _ in range(90))
+        if a != b
+    ]
+    for name, edge_list in cases.items():
+        pairs = spark.createDataFrame(edge_list, "id1 long, id2 long")
+        star = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup._cc_large_small_star(pairs).collect()
+        }
+        caches.release_all()
+        verts = {v for e in edge_list for v in e}
+        uf = dedup._cc_union_find(edge_list, verts)
+        assert star == uf, name
+        lp = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup._cc_label_propagation(pairs).collect()
+        }
+        caches.release_all()
+        assert star == lp, name
