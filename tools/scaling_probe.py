@@ -225,6 +225,8 @@ def probe_sf(spark, sf_dir: str, label: str) -> dict:
 
 
 def probe_distributed_cc(spark, sf_dir: str, label: str) -> dict:
+    from pyspark.sql import functions as F
+
     from etl_portfolio_project_spark import caches
     from etl_portfolio_project_spark.operators import dedup
 
@@ -246,6 +248,43 @@ def probe_distributed_cc(spark, sf_dir: str, label: str) -> dict:
     finally:
         dedup.CC_DRIVER_FINISH_MAX_EDGES = orig
         caches.release_all()
+    # alternating-star CC on the same (pre-materialized) pair graph,
+    # isolated from the pair-generation cost so the round primitives
+    # compare head-to-head
+    pairs = dedup.neardup_jaccard(spark, sf_dir).select("id1", "id2")
+    pairs = pairs.localCheckpoint(eager=True)
+    r["n_edges"] = pairs.count()
+    _, r["cc_labelprop_only_secs"] = timed(
+        lambda: dedup._cc_label_propagation(pairs).count()
+    )
+    caches.release_all()
+    _, r["cc_star_only_secs"] = timed(
+        lambda: dedup._cc_large_small_star(pairs).count()
+    )
+    caches.release_all()
+    return r
+
+
+def probe_stream_inc_dedup(spark, sf_dir: str, label: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from etl_portfolio_project_spark import caches
+    from etl_portfolio_project_spark.operators import dedup
+
+    r = {"sf": label}
+    out, r["stream_inc_secs"] = timed(
+        lambda: dedup.stream_incremental_dedup(spark, sf_dir)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_candidates").alias("cands"),
+            F.sum("n_dups").alias("dups"),
+        )
+        .collect()[0]
+    )
+    r["stream_inc_docs"] = out["docs"]
+    r["stream_inc_candidates"] = int(out["cands"] or 0)
+    r["stream_inc_dups"] = int(out["dups"] or 0)
+    caches.release_all()
     return r
 
 
@@ -281,8 +320,18 @@ def main() -> int:
         cc_rows.append(probe_distributed_cc(spark, sf_dir, label))
         print(json.dumps(cc_rows[-1]))
 
+    stream_rows = []
+    for sf_dir, label in [(SRC_SF, "sf0.1"), (SCALE_DIR, "sf1e")]:
+        print(f"--- streaming incremental dedup at {label}")
+        stream_rows.append(probe_stream_inc_dedup(spark, sf_dir, label))
+        print(json.dumps(stream_rows[-1]))
+
     with open(os.path.join(_REPO, "SCALING_RAW.json"), "w") as f:
-        json.dump({"ladder": rows, "cc": cc_rows}, f, indent=1)
+        json.dump(
+            {"ladder": rows, "cc": cc_rows, "stream": stream_rows},
+            f,
+            indent=1,
+        )
     print("wrote SCALING_RAW.json — render SCALING.md from it")
     return 0
 
