@@ -265,6 +265,33 @@ def probe_distributed_cc(spark, sf_dir: str, label: str) -> dict:
     return r
 
 
+def probe_path_graphs(spark) -> list[dict]:
+    """High-diameter synthetic graphs: where the alternating-star
+    primitive's O(log² n) rounds beat label propagation's O(diameter).
+    Label-prop is only run at the small size (its round count equals
+    the path length — ~26 s at n=64 already; n=512 would need ~511
+    rounds)."""
+    from etl_portfolio_project_spark import caches
+    from etl_portfolio_project_spark.operators import dedup
+
+    out = []
+    for n in (64, 512):
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
+        ).localCheckpoint(eager=True)
+        _, star = timed(lambda: dedup._cc_large_small_star(pairs).count())
+        caches.release_all()
+        lp = None
+        if n <= 64:
+            _, lp = timed(
+                lambda: dedup._cc_label_propagation(pairs).count()
+            )
+            caches.release_all()
+        out.append({"path_n": n, "star_secs": star, "labelprop_secs": lp})
+        print(json.dumps(out[-1]))
+    return out
+
+
 def probe_stream_inc_dedup(spark, sf_dir: str, label: str) -> dict:
     from pyspark.sql import functions as F
 
@@ -326,9 +353,17 @@ def main() -> int:
         stream_rows.append(probe_stream_inc_dedup(spark, sf_dir, label))
         print(json.dumps(stream_rows[-1]))
 
+    print("--- high-diameter path graphs (star vs label-prop)")
+    path_rows = probe_path_graphs(spark)
+
     with open(os.path.join(_REPO, "SCALING_RAW.json"), "w") as f:
         json.dump(
-            {"ladder": rows, "cc": cc_rows, "stream": stream_rows},
+            {
+                "ladder": rows,
+                "cc": cc_rows,
+                "stream": stream_rows,
+                "path_graphs": path_rows,
+            },
             f,
             indent=1,
         )
