@@ -435,6 +435,11 @@ _EXTENSIONS = [
      "Incremental corpus dedup: incoming batch vs the persisted "
      "corpus LSH index — band-collision candidates, exact-Jaccard "
      "verify, per-doc keep/drop decision (never corpus-vs-corpus)."),
+    ("cross_source_dup_audit", D.cross_source_dup_audit,
+     D.CROSS_SOURCE_DUP_AUDIT_SQL,
+     "Data-governance audit: which sources duplicate each other - "
+     "corpus-wide shingle-MinHash banding + exact verify, rolled up "
+     "per source on a stable all-sources spine (zeros kept)."),
     ("stream_incremental_dedup", D.stream_incremental_dedup,
      D.STREAM_INCREMENTAL_DEDUP_SQL,
      "Continuous ingestion dedup as a Structured Streaming query: "

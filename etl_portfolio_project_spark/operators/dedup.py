@@ -1920,3 +1920,177 @@ def _cc_large_small_star(pairs: DataFrame) -> DataFrame:
             cur.unpersist()
         edges.unpersist()
     return labels
+
+
+# --- cross-source duplication audit (data-governance surface) -------------
+
+
+def cross_source_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which SOURCES duplicate each other — the data-governance audit
+    a multi-source training corpus needs before mixture weighting
+    (double-counted content silently upweights itself). Corpus-WIDE
+    shingle-MinHash banding (the bimodal representation, so candidates
+    ≈ true near-copies, never the word-set O(n²) trap) → exact-Jaccard
+    verification → pairs whose two docs come from DIFFERENT sources →
+    per-source rollup on a stable all-sources spine:
+
+      source, n_docs, n_cross_dup_pairs (pairs touching this source),
+      n_partner_sources (distinct other sources it shares dups with).
+
+    Sources with no cross-dups report zeros (the spine keeps the
+    result shape meaningful at every SF — the harness corpus has
+    cross-source exact dups at sf0.1 and none at sf0.01).
+
+    Scale shape: one band-key equi-join over the corpus-wide shingle
+    index + a verify join on candidates only; the rollup is two
+    partial-agg'd groupBys on the (tiny) cross-pair set; the spine
+    join broadcasts the 20-row source list."""
+    row_expr = _shingle_sig_row_expr()
+    d = caches.claim(
+        "cross_source_sigs",
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.expr(row_expr).alias("s"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("s.items").alias("items"),
+            F.col("s.sig").alias("sig"),
+        ),
+    )
+    d.count()  # materialize: bands (×2) + verify (×2) + spine scans
+    bands = _band_rows(d.where(F.size("items") >= 1))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .distinct()
+    )
+    w1 = d.select(
+        F.col("doc_id").alias("id1"),
+        F.col("source").alias("s1"),
+        F.col("items").alias("w1"),
+    )
+    w2 = d.select(
+        F.col("doc_id").alias("id2"),
+        F.col("source").alias("s2"),
+        F.col("items").alias("w2"),
+    )
+    shared = F.size(F.array_intersect("w1", "w2")).cast("long")
+    n1 = F.size("w1").cast("long")
+    n2 = F.size("w2").cast("long")
+    cross = (
+        cand.join(w1, "id1")
+        .join(w2, "id2")
+        .withColumn("jaccard", shared / (n1 + n2 - shared))
+        .where(
+            (F.col("jaccard") >= JACCARD_TAU) & (F.col("s1") != F.col("s2"))
+        )
+        .select("s1", "s2")
+    )
+    per_side = cross.select(
+        F.col("s1").alias("source"), F.col("s2").alias("partner")
+    ).union(
+        cross.select(F.col("s2").alias("source"), F.col("s1").alias("partner"))
+    )
+    rollup = per_side.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_cross_dup_pairs"),
+        F.countDistinct("partner").alias("n_partner_sources"),
+    )
+    spine = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        spine.join(F.broadcast(rollup), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_cross_dup_pairs", F.lit(0))
+            .cast("long")
+            .alias("n_cross_dup_pairs"),
+            F.coalesce("n_partner_sources", F.lit(0))
+            .cast("long")
+            .alias("n_partner_sources"),
+        )
+    )
+
+
+def _build_cross_source_dup_audit_sql() -> str:
+    sigs = [
+        "list_aggregate(list_transform(hs, "
+        f"h -> ({a} * h + {b}) % {MH_P}), 'min')"
+        for a, b in MH_AB
+    ]
+    band_structs = []
+    for i in range(MH_BANDS):
+        parts = " || '-' || ".join(
+            f"CAST(sig[{i * MH_ROWS + r + 1}] AS VARCHAR)"
+            for r in range(MH_ROWS)
+        )
+        band_structs.append(f"{{'band': {i}, 'band_key': {parts}}}")
+    bands_from = f"UNNEST([{', '.join(band_structs)}]) AS t(bk)"
+    jac = (
+        "CAST(len(list_intersect(w1.items, w2.items)) AS BIGINT) "
+        "/ (CAST(len(w1.items) AS BIGINT) + CAST(len(w2.items) AS BIGINT) "
+        "- CAST(len(list_intersect(w1.items, w2.items)) AS BIGINT))"
+    )
+    # AS MATERIALIZED: DuckDB inlines plain CTEs per reference — the
+    # md5-shingle + 16-sig projection would recompute for bands (×2
+    # via the self-join), both verify joins, and the spine (measured
+    # 403 s at sf0.1 inlined vs ~2 s materialized)
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, source, items, [{', '.join(sigs)}] AS sig
+  FROM (
+    SELECT doc_id, source, items,
+           list_transform(items, x -> x % {MH_P}) AS hs
+    FROM (SELECT doc_id, source, {_shingle_hashes_duck_sql()} AS items
+          FROM documents)
+  )
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, bk.band AS band, bk.band_key AS band_key
+  FROM d, {bands_from} WHERE len(items) >= 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+cross_pairs AS (
+  SELECT w1.source AS s1, w2.source AS s2
+  FROM cand
+  JOIN d w1 ON w1.doc_id = id1
+  JOIN d w2 ON w2.doc_id = id2
+  WHERE {jac} >= {JACCARD_TAU} AND w1.source <> w2.source
+),
+per_side AS (
+  SELECT s1 AS source, s2 AS partner FROM cross_pairs
+  UNION ALL
+  SELECT s2 AS source, s1 AS partner FROM cross_pairs
+),
+rollup AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_cross_dup_pairs,
+         CAST(count(DISTINCT partner) AS BIGINT) AS n_partner_sources
+  FROM per_side GROUP BY source
+),
+spine AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM d GROUP BY source
+)
+SELECT spine.source AS source, spine.n_docs AS n_docs,
+       CAST(COALESCE(rollup.n_cross_dup_pairs, 0) AS BIGINT)
+         AS n_cross_dup_pairs,
+       CAST(COALESCE(rollup.n_partner_sources, 0) AS BIGINT)
+         AS n_partner_sources
+FROM spine LEFT JOIN rollup ON rollup.source = spine.source
+"""
+
+
+CROSS_SOURCE_DUP_AUDIT_SQL = _build_cross_source_dup_audit_sql()

@@ -80,6 +80,10 @@ SHUFFLE_BUDGET = {
     # all work happens inside the builder's foreachBatch stream; the
     # returned frame is a plain read of the appended result parquet
     "stream_incremental_dedup": 0,
+    # band-key self-join + candidate distinct + cross-pair rollup
+    # (count + countDistinct two-phase) + per-source spine agg; the
+    # spine join back broadcasts
+    "cross_source_dup_audit": 5,
     # composition of two pinned-shape ANN queries (brute-force window +
     # LSH bucket join/distinct/window) + 2 tiny per-query aggs + a
     # 200-row audit join; every exchange moves the sampled query set
