@@ -1474,7 +1474,7 @@ def _build_incremental_minhash_sql() -> str:
         "- CAST(len(list_intersect(w1.items, w2.items)) AS BIGINT))"
     )
     return f"""
-WITH d AS (
+WITH d AS MATERIALIZED (
   SELECT doc_id, items, [{', '.join(sigs)}] AS sig
   FROM (
     SELECT doc_id, items, list_transform(items, x -> x % {MH_P}) AS hs
@@ -1484,8 +1484,8 @@ WITH d AS (
     )
   )
 ),
-corpus AS (SELECT * FROM d WHERE doc_id % {INC_BATCH_MOD} <> 0),
-batch AS (SELECT * FROM d WHERE doc_id % {INC_BATCH_MOD} = 0),
+corpus AS MATERIALIZED (SELECT * FROM d WHERE doc_id % {INC_BATCH_MOD} <> 0),
+batch AS MATERIALIZED (SELECT * FROM d WHERE doc_id % {INC_BATCH_MOD} = 0),
 cbands AS (
   SELECT doc_id, bk.band AS band, bk.band_key AS band_key
   FROM corpus, {bands_from}
@@ -1732,7 +1732,7 @@ def _build_stream_incremental_dedup_sql() -> str:
         "- CAST(len(list_intersect(w1.items, w2.items)) AS BIGINT))"
     )
     ctes = [
-        f"""d AS (
+        f"""d AS MATERIALIZED (
   SELECT doc_id, items, [{', '.join(sigs)}] AS sig
   FROM (
     SELECT doc_id, items, list_transform(items, x -> x % {MH_P}) AS hs
@@ -1743,7 +1743,8 @@ def _build_stream_incremental_dedup_sql() -> str:
     ]
     for k in range(SD_NBATCH):
         ctes.append(
-            f"b{k} AS (SELECT * FROM d WHERE doc_id % {SD_NBATCH} = {k})"
+            f"b{k} AS MATERIALIZED "
+            f"(SELECT * FROM d WHERE doc_id % {SD_NBATCH} = {k})"
         )
     # batch 0: empty index → everything kept
     ctes.append(

@@ -872,7 +872,7 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMANTIC_DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE lsh_pairs AS (
+WITH RECURSIVE lsh_pairs AS MATERIALIZED (
   {EMBEDDING_LSH_NEARDUP_PAIRS_SQL.strip()}
 ),
 edges AS (
