@@ -1542,9 +1542,15 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (file source, one file per trigger, mtime-ordered), and each batch
     is deduped against a PERSISTED LSH INDEX holding the shingle
     signatures of every previously-KEPT document. Dropped documents
-    never enter the index (kept-only semantics — the canonical dedup
-    contract: a dup-of-a-dropped-dup is judged against the survivor
-    set, not the raw history). The index lives as parquet generation
+    never enter the index (kept-only semantics ACROSS batches: a
+    dup-of-a-dropped-dup is judged against the survivor set, not the
+    raw history). WITHIN a micro-batch documents are NOT compared to
+    each other — the contract is batch-vs-index only, mirrored exactly
+    by the oracle; intra-batch near-dups are all kept and all enter
+    the index. Production pipelines that need intra-batch dedup run a
+    batch-local pass (the `minhash_lsh_neardup` family) before this
+    step — sequential kept-only semantics WITHIN an unordered batch
+    would be ill-defined. The index lives as parquet generation
     directories maintained by foreachBatch (write-new-then-swap, same
     discipline as the SCD1 upsert), never on the driver.
 
@@ -1822,7 +1828,7 @@ def _cc_large_small_star(pairs: DataFrame) -> DataFrame:
     edge list — the same partial-agg'd shuffle shape as a label-prop
     round. Fixpoint: the edge multiset is a star forest, each node
     pointing at its component minimum. Termination check = (count,
-    xor of edge hashes) unchanged — exact enough for a deterministic
+    DECIMAL(38,0) sum of edge hashes) unchanged — exact enough for a deterministic
     contraction that only ever merges components (verified against
     union-find and label propagation by property tests).
 
@@ -1877,12 +1883,16 @@ def _cc_large_small_star(pairs: DataFrame) -> DataFrame:
                 .where(F.col("v") > F.col("u"))
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
             )
-            # eager localCheckpoint per half-round: each round
-            # references its input TWICE (join back + canon), so a
-            # lazy lineage doubles per round — the logical plan
-            # explodes exponentially (observed as an explain-string
-            # OOM inside AQE by round ~8 on a 31-node path)
-            after_large = _canon(large).localCheckpoint(eager=True)
+            # The intra-round intermediate uses persist (released at
+            # end of round — one live generation, the cache-hygiene
+            # discipline); only the round RESULT is localCheckpointed:
+            # each round references its input TWICE (join back +
+            # canon), so a lazy lineage doubles per round — the
+            # logical plan explodes exponentially (observed as an
+            # explain-string OOM inside AQE by round ~8 on a 31-node
+            # path). One checkpoint generation per round; superseded
+            # generations are dereferenced for ContextCleaner GC.
+            after_large = _canon(large).persist()
             m2 = _neighborhood_min(after_large)
             small = (
                 after_large.join(m2, "u")
@@ -1891,6 +1901,7 @@ def _cc_large_small_star(pairs: DataFrame) -> DataFrame:
                 .union(m2.select("u", F.col("m").alias("v")))
             )
             nxt = _canon(small).localCheckpoint(eager=True)
+            after_large.unpersist()
             sig = _signature(nxt)
             cur = nxt
             if sig == prev_sig:

@@ -74,21 +74,30 @@ def with_region_cleaned(
 
 
 def clean_region_via_distinct(
-    df: DataFrame, col: str = "region", out: str = "region_cleaned"
+    df: DataFrame,
+    col: str = "region",
+    out: str = "region_cleaned",
+    cleaner=None,
 ) -> DataFrame:
     """Scale path: match each DISTINCT dirty value once, broadcast-join
     the tiny mapping back. Equivalent output to `with_region_cleaned`.
+
+    `cleaner` is the Column→Column matcher applied to the distinct
+    dirty values (default: the Levenshtein-argmin Catalyst expression;
+    the WRatio variant passes its pandas UDF) — one shared pipeline so
+    join/null-handling fixes can't drift between scorers.
 
     At 100 TB the distinct set of dirty region strings is tiny (city
     names), so the matching cost is O(|distinct|) instead of O(rows)
     and the join back is a broadcast hash join — no shuffle of the
     fact table.
     """
+    cleaner = cleaner or clean_region_expr
     mapping = (
         df.select(F.col(col).alias("__dirty"))
         .where(F.col("__dirty").isNotNull())
         .distinct()
-        .withColumn("__clean", clean_region_expr(F.col("__dirty")))
+        .withColumn("__clean", cleaner(F.col("__dirty")))
     )
     joined = df.join(
         F.broadcast(mapping), df[col].eqNullSafe(mapping["__dirty"]), "left"
@@ -183,6 +192,20 @@ def make_wratio_scorer():
             scores.append(100.0 * (1.0 - (pad + len(dba)) / (sect_len + ba_len)))
         return max(scores)
 
+    def partial_token_set_ratio(a: str, b: str) -> float:
+        # published fuzzywuzzy/rapidfuzz definition: any shared token
+        # makes the sorted intersection a substring of both token-set
+        # joins, so partial_ratio is 100 outright; otherwise compare
+        # the sorted set differences with partial_ratio
+        ta, tb = set(a.split()), set(b.split())
+        if not ta or not tb:
+            return 100.0 if ta == tb else 0.0
+        if ta & tb:
+            return 100.0
+        return partial_ratio(
+            " ".join(sorted(ta - tb)), " ".join(sorted(tb - ta))
+        )
+
     def wratio(a: str, b: str) -> float:
         if not a or not b:
             return 0.0
@@ -202,6 +225,7 @@ def make_wratio_scorer():
             partial_ratio(_token_sort_join(a), _token_sort_join(b))
             * 0.95
             * partial_scale,
+            partial_token_set_ratio(a, b) * 0.95 * partial_scale,
         )
 
     def extract_one(query: str, candidates):
@@ -259,17 +283,8 @@ _rapidfuzz_udf = _wratio_udf
 def clean_region_wratio_via_distinct(
     df: DataFrame, col: str = "region", out: str = "region_cleaned"
 ) -> DataFrame:
-    """WRatio-scored variant of `clean_region_via_distinct`: match each
-    DISTINCT dirty value once with the WRatio pandas UDF, broadcast the
-    tiny mapping back. At 100 TB the Python-side cost is O(|distinct|)
-    — the fact table never reaches a Python worker."""
-    mapping = (
-        df.select(F.col(col).alias("__dirty"))
-        .where(F.col("__dirty").isNotNull())
-        .distinct()
-        .withColumn("__clean", _wratio_udf()(F.col("__dirty")))
-    )
-    joined = df.join(
-        F.broadcast(mapping), df[col].eqNullSafe(mapping["__dirty"]), "left"
-    )
-    return joined.withColumn(out, F.col("__clean")).drop("__dirty", "__clean")
+    """WRatio-scored variant of `clean_region_via_distinct` (shared
+    pipeline, WRatio pandas UDF as the matcher). At 100 TB the
+    Python-side cost is O(|distinct|) — the fact table never reaches a
+    Python worker."""
+    return clean_region_via_distinct(df, col, out, cleaner=_wratio_udf())

@@ -2,14 +2,17 @@
 
 Images/audio/video are opaque `binary` columns with typed metadata;
 decode / feature-extraction runs as Arrow-batched pandas UDFs via
-`mapInPandas`. The IMAGE codec step is STUBBED (clearly marked below;
-the container ships no PIL/ffmpeg) behind a deterministic fake — but
-everything Spark-side is real and tested: the binary schema, the
-Arrow batch iteration, the UDF signature, and the output schema. The
-AUDIO path is fully REAL: `multimodal_wav_decode` encodes PCM16 WAV
-bytes, carries them as a binary column, and decodes the actual RIFF
-container with the stdlib `wave` module — the round-trip is proven by
-a DuckDB oracle that regenerates the integer waveform relationally.
+`mapInPandas`. Only EXTERNAL-codec formats (JPEG/ffmpeg video) are
+stubbed (clearly marked below; the container ships no PIL/ffmpeg)
+behind a deterministic fake — everything Spark-side is real and
+tested: the binary schema, the Arrow batch iteration, the UDF
+signature, and the output schema. Three codec paths are fully REAL:
+`multimodal_wav_decode` (PCM16 WAV via stdlib `wave`),
+`multimodal_bmp_decode` (24-bit BMP in numpy), and
+`multimodal_png_decode` (COMPRESSED PNG: stdlib-zlib DEFLATE,
+per-chunk CRC32 verification, all five scanline filters) — each
+round-trip proven by a DuckDB oracle that regenerates the payload
+content relationally.
 The registered queries' feature columns are all recomputed by DuckDB
 oracles, so the pandas-UDF paths themselves are differentially
 verified.
@@ -619,6 +622,10 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages, binary payloads streaming through record batches, zero
     shuffles."""
     d = balanced_docs(spark, sf_dir)
+    # bind the module constant BY VALUE into the worker closure (the
+    # closure must stay self-contained, but a duplicated literal could
+    # drift from the oracle's PNG_H interpolation)
+    png_h = PNG_H
 
     def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct
@@ -628,7 +635,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as _pd
 
         def make_png(doc_id: int) -> bytes:
-            w, h, bpp = 16 + doc_id % 8, PNG_H_IN, 3
+            w, h, bpp = 16 + doc_id % 8, png_h, 3
             x = _np.arange(w, dtype=_np.int64)[None, :]
             y = _np.arange(h, dtype=_np.int64)[:, None]
             r = (5 * doc_id + 11 * x + 3 * y) % 256
@@ -682,7 +689,6 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + chunk(b"IEND", b"")
             )
 
-        PNG_H_IN = 12  # self-contained: no module-global references
         for pdf in it:
             yield _pd.DataFrame(
                 {

@@ -58,18 +58,32 @@ def derby_memory_url(name: str, create: bool = True) -> str:
 
 
 def execute_ddl(
-    spark: SparkSession, url: str, ddl: str, driver: str | None = None
+    spark: SparkSession,
+    url: str,
+    ddl: str,
+    driver: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
 ) -> None:
     """S4: run DDL on the target over a plain java.sql connection —
     the Spark-side equivalent of the reference's
     `conn.execute(text("CREATE SCHEMA IF NOT EXISTS test"))`
     (/root/reference/connect_postgres_target.py:25-26). DataFrame
     writers cannot issue standalone DDL; production pipelines do this
-    driver-side before the executors open write connections."""
+    driver-side before the executors open write connections.
+
+    Pass `user`/`password` for auth-requiring servers (Postgres) —
+    embedded Derby needs none, which is why the credential-less form
+    exists."""
     jvm = spark._jvm
     if driver is not None:
         jvm.java.lang.Class.forName(driver)
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    if user is not None:
+        conn = jvm.java.sql.DriverManager.getConnection(
+            url, user, password or ""
+        )
+    else:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
         st = conn.createStatement()
         try:

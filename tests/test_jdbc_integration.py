@@ -162,7 +162,12 @@ def test_live_postgres_smoke(spark):
     user = os.environ.get("SPARK_GRAFT_PG_USER", "postgres")
     pw = os.environ.get("SPARK_GRAFT_PG_PASSWORD", "")
     jdbc.execute_ddl(
-        spark, url, jdbc.ensure_schema_sql("test"), jdbc.POSTGRES_DRIVER
+        spark,
+        url,
+        jdbc.ensure_schema_sql("test"),
+        jdbc.POSTGRES_DRIVER,
+        user=user,
+        password=pw,
     )
     df = spark.range(3).select(F.col("id").alias("loan_id"))
     jdbc.write_jdbc_overwrite(df, url, "test.it_smoke", user, pw)
