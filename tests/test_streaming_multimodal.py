@@ -480,3 +480,61 @@ def test_stream_incremental_dedup_matches_batch_oracle_semantics(spark):
         for r in con.execute(D.STREAM_INCREMENTAL_DEDUP_SQL).fetchall()
     }
     assert got == exp
+
+
+def test_stream_incremental_dedup_random_corpora_match_oracle(
+    spark, tmp_path
+):
+    """Randomized differential: three seeded random corpora — with
+    short docs (< shingle width), exact dup chains within and across
+    batches, and template-vocab near-dups — must match the unrolled
+    sequential CTE oracle exactly. Catches corner cases the fixed
+    harness corpus can't (all-NULL signatures, first-batch dups,
+    index misses)."""
+    import random
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_portfolio_project_spark.operators import dedup as D
+
+    vocab = ["w%d" % i for i in range(12)]
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        texts = []
+        for i in range(40):
+            n = rng.choice([1, 2, 5, 12, 20])  # incl. < SHINGLE_N
+            texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+        # plant exact dups: some same-batch (Δ doc_id multiple of 4),
+        # some cross-batch
+        for src, dst in [(0, 4), (1, 3), (2, 10), (5, 6)]:
+            texts[dst] = texts[src]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(40), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 40, pa.string()),
+                "source": pa.array(["s0"] * 40, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        d = tmp_path / f"rand{seed}"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        got = {
+            r["doc_id"]: (
+                r["batch_id"], r["n_candidates"], r["n_dups"], r["is_dup"]
+            )
+            for r in D.stream_incremental_dedup(spark, str(d)).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        exp = {
+            r[0]: (r[1], r[2], r[3], r[4])
+            for r in con.execute(D.STREAM_INCREMENTAL_DEDUP_SQL).fetchall()
+        }
+        assert got == exp, f"seed {seed}"
