@@ -452,14 +452,24 @@ def _minhash_sig_sql() -> list[str]:
     ]
 
 
-def _build_minhash_sql() -> str:
-    sigs = _minhash_sig_sql()
+def _duck_bands_from_sql() -> str:
+    """Shared DuckDB band-explode source: UNNEST of the MH_BANDS
+    (band, band_key) structs computed from a `sig` column — used by
+    every MinHash oracle builder (kept in ONE place so the banding
+    layout cannot drift between oracles)."""
     band_structs = []
     for i in range(MH_BANDS):
         parts = " || '-' || ".join(
-            f"CAST(sig[{i * MH_ROWS + r + 1}] AS VARCHAR)" for r in range(MH_ROWS)
+            f"CAST(sig[{i * MH_ROWS + r + 1}] AS VARCHAR)"
+            for r in range(MH_ROWS)
         )
-        band_structs.append(f"{{'band': {i}, 'band_key': {parts}}}")
+        band_structs.append("{'band': " + str(i) + ", 'band_key': " + parts + "}")
+    return f"UNNEST([{', '.join(band_structs)}]) AS t(bk)"
+
+
+def _build_minhash_sql() -> str:
+    sigs = _minhash_sig_sql()
+    band_structs_from = _duck_bands_from_sql()
     return f"""
     WITH d AS (
       SELECT doc_id, {_DISTINCT_WORDS_SQL} AS words,
@@ -468,7 +478,7 @@ def _build_minhash_sql() -> str:
     ),
     bands AS (
       SELECT doc_id, bk.band AS band, bk.band_key AS band_key
-      FROM d, UNNEST([{', '.join(band_structs)}]) AS t(bk)
+      FROM d, {band_structs_from}
     ),
     candidates AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_band_hits
@@ -1461,13 +1471,7 @@ def _build_incremental_minhash_sql() -> str:
         f"h -> ({a} * h + {b}) % {MH_P}), 'min')"
         for a, b in MH_AB
     ]
-    band_structs = []
-    for i in range(MH_BANDS):
-        parts = " || '-' || ".join(
-            f"CAST(sig[{i * MH_ROWS + r + 1}] AS VARCHAR)" for r in range(MH_ROWS)
-        )
-        band_structs.append(f"{{'band': {i}, 'band_key': {parts}}}")
-    bands_from = f"UNNEST([{', '.join(band_structs)}]) AS t(bk)"
+    bands_from = _duck_bands_from_sql()
     jac = (
         "CAST(len(list_intersect(w1.items, w2.items)) AS BIGINT) "
         "/ (CAST(len(w1.items) AS BIGINT) + CAST(len(w2.items) AS BIGINT) "
@@ -1717,14 +1721,7 @@ def _build_stream_incremental_dedup_sql() -> str:
         f"h -> ({a} * h + {b}) % {MH_P}), 'min')"
         for a, b in MH_AB
     ]
-    band_structs = []
-    for i in range(MH_BANDS):
-        parts = " || '-' || ".join(
-            f"CAST(sig[{i * MH_ROWS + r + 1}] AS VARCHAR)"
-            for r in range(MH_ROWS)
-        )
-        band_structs.append(f"{{'band': {i}, 'band_key': {parts}}}")
-    bands_from = f"UNNEST([{', '.join(band_structs)}]) AS t(bk)"
+    bands_from = _duck_bands_from_sql()
 
     def bands(src: str) -> str:
         return (
@@ -2037,14 +2034,7 @@ def _build_cross_source_dup_audit_sql() -> str:
         f"h -> ({a} * h + {b}) % {MH_P}), 'min')"
         for a, b in MH_AB
     ]
-    band_structs = []
-    for i in range(MH_BANDS):
-        parts = " || '-' || ".join(
-            f"CAST(sig[{i * MH_ROWS + r + 1}] AS VARCHAR)"
-            for r in range(MH_ROWS)
-        )
-        band_structs.append(f"{{'band': {i}, 'band_key': {parts}}}")
-    bands_from = f"UNNEST([{', '.join(band_structs)}]) AS t(bk)"
+    bands_from = _duck_bands_from_sql()
     jac = (
         "CAST(len(list_intersect(w1.items, w2.items)) AS BIGINT) "
         "/ (CAST(len(w1.items) AS BIGINT) + CAST(len(w2.items) AS BIGINT) "
