@@ -124,9 +124,52 @@ def synthesize(out_dir: str) -> None:
         }
     )
     pq.write_table(etbl, f"{out_dir}/embeddings.parquet")
+
+    # ---- events (10× traffic over the same 30-day window: 1M rows,
+    # 15k users — the streaming-family throughput probe input) ----
+    ev = pq.read_table(f"{SRC_SF}/events.parquet")
+    n_ev = ev.num_rows * DOC_MULT
+    n_users = 1500 * DOC_MULT
+    etypes = sorted(set(ev["event_type"].to_pylist()))
+    ts_vals = ev["ts"].to_pylist()
+    lo = min(ts_vals)
+    span_us = int((max(ts_vals) - lo).total_seconds() * 1_000_000)
+    offs = np.sort(rng.integers(0, span_us, size=n_ev))
+    mean_value = float(np.mean(ev["value"].to_numpy()))
+    values = np.round(rng.exponential(mean_value, size=n_ev), 2)
+    import datetime as _dt
+
+    ts_arr = pa.array(
+        [lo + _dt.timedelta(microseconds=int(o)) for o in offs],
+        ev.schema.field("ts").type,
+    )
+    ev_tbl = pa.table(
+        {
+            "event_id": pa.array(range(n_ev), pa.int64()),
+            "ts": ts_arr,
+            "user_id": pa.array(
+                rng.integers(1, n_users + 1, size=n_ev), pa.int64()
+            ),
+            "event_type": pa.array(
+                [etypes[i % len(etypes)] for i in range(n_ev)], pa.string()
+            ),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array(
+                [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, n_ev)],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(ev_tbl, f"{out_dir}/events.parquet")
+    # stream_enriched_by_segment joins the customer dim from the same dir
+    import shutil as _shutil
+
+    _shutil.copyfile(
+        f"{SRC_SF}/customer.parquet", f"{out_dir}/customer.parquet"
+    )
     print(
         f"synthesized {n_docs} docs ({n_dup_planted} planted dups), "
-        f"{n_vec} embeddings -> {out_dir}"
+        f"{n_vec} embeddings, {n_ev} events -> {out_dir}"
     )
 
 
@@ -265,6 +308,34 @@ def probe_distributed_cc(spark, sf_dir: str, label: str) -> dict:
     return r
 
 
+def probe_stream_family(spark, sf_dir: str, label: str) -> dict:
+    """Streaming-family wall times on 10× traffic (1M events, 15k
+    users over the same 30-day window): quantifies how much of each
+    bounded parity run is fixed micro-batch overhead vs data-bound
+    work. Best of 2 runs per query (codegen amortized, same protocol
+    as bench.py)."""
+    from etl_portfolio_project_spark import api, caches
+
+    names = [
+        "stream_tumbling_5min",
+        "stream_session_windows",
+        "stream_dedup_events",
+        "stream_user_stats",
+        "stream_click_purchase_join",
+        "stream_enriched_by_segment",
+    ]
+    r = {"sf": label}
+    for name in names:
+        b = api.REGISTRY[name].builder
+        best = None
+        for _ in range(2):
+            _, secs = timed(lambda: b(spark, sf_dir).count())
+            caches.release_all()
+            best = secs if best is None else min(best, secs)
+        r[name] = best
+    return r
+
+
 def probe_path_graphs(spark) -> list[dict]:
     """High-diameter synthetic graphs: where the alternating-star
     primitive's O(log² n) rounds beat label propagation's O(diameter).
@@ -317,9 +388,9 @@ def probe_stream_inc_dedup(spark, sf_dir: str, label: str) -> dict:
 
 def main() -> int:
     if "--skip-generate" not in sys.argv:
-        need = not (
-            os.path.exists(f"{SCALE_DIR}/documents.parquet")
-            and os.path.exists(f"{SCALE_DIR}/embeddings.parquet")
+        need = not all(
+            os.path.exists(f"{SCALE_DIR}/{t}.parquet")
+            for t in ("documents", "embeddings", "events", "customer")
         )
         if need:
             synthesize(SCALE_DIR)
@@ -353,6 +424,12 @@ def main() -> int:
         stream_rows.append(probe_stream_inc_dedup(spark, sf_dir, label))
         print(json.dumps(stream_rows[-1]))
 
+    sf_rows = []
+    for sf_dir, label in [(SRC_SF, "sf0.1"), (SCALE_DIR, "sf1e")]:
+        print(f"--- streaming family at {label}")
+        sf_rows.append(probe_stream_family(spark, sf_dir, label))
+        print(json.dumps(sf_rows[-1]))
+
     print("--- high-diameter path graphs (star vs label-prop)")
     path_rows = probe_path_graphs(spark)
 
@@ -362,6 +439,7 @@ def main() -> int:
                 "ladder": rows,
                 "cc": cc_rows,
                 "stream": stream_rows,
+                "stream_family": sf_rows,
                 "path_graphs": path_rows,
             },
             f,
