@@ -863,6 +863,27 @@ _RECONFIRM = [
     "cohort_retention",
     "funnel_conversion",
     "agg_pricing_summary",
+    # r4: every query whose code path changed this round (streaming
+    # session/partition tuning + schema-probe cache; dedup candidate-
+    # stage refactors; CC two-phase extraction; WRatio shared pipeline)
+    # regrades alongside the new entries — fills the window to 50
+    "stream_user_stats",
+    "stream_session_windows",
+    "stream_dedup_events",
+    "stream_click_purchase_join",
+    "stream_click_purchase_left_join",
+    "stream_sliding_windows",
+    "stream_enriched_by_segment",
+    "stream_approx_quantiles",
+    "stream_checkpoint_restart_ingest",
+    "neardup_jaccard",
+    "neardup_pagerank",
+    "dedup_keep_best",
+    "incremental_minhash_dedup",
+    "neardup_triangles",
+    "decontaminate_ngrams",
+    "embedding_lsh_neardup_pairs",
+    "multimodal_bmp_decode",
 ]
 
 
