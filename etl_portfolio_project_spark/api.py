@@ -858,11 +858,14 @@ _RECONFIRM = [
     "text_profile",
     "hll_distinct_users",
     "arrow_group_median",
-    "tpch_q6_forecast_revenue",
-    "multimodal_features",
-    "cohort_retention",
-    "funnel_conversion",
-    "agg_pricing_summary",
+    # r4 review-pass changes (claim-once materializations, sqrt clamp,
+    # balanced() addition, hash/winnow SQL consolidation) regrade in
+    # place of thrice-green unchanged picks
+    "events_value_outliers",
+    "corpus_preparation",
+    "doc_containment_pairs",
+    "events_mad_outliers",
+    "events_lateness_audit",
     # r4: every query whose code path changed this round (streaming
     # session/partition tuning + schema-probe cache; dedup candidate-
     # stage refactors; CC two-phase extraction; WRatio shared pipeline)

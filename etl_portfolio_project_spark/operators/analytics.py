@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..sources.registry import balanced, load_table
 from .relational import dec, dec_disc_price, dec_disc_price_sql, dsum, dsum_sql
-from .text import langid_expr, langid_sql, tokens_expr
+from .text import langid_expr, langid_sql, portable_hash60_sql, tokens_expr
 
 
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,7 +402,7 @@ def events_gapfill_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("ts") / F.lit(300)).cast("long") * F.lit(300)
     )
     counts = (
-        e.select("event_type", bucket.alias("bucket"), "value")
+        e.select("event_type", bucket.alias("bucket"))
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
@@ -589,9 +589,13 @@ def corpus_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the expensive profiled projection (regex tokenization + langid)
     is evaluated once, and the whole pipeline has exactly one shuffle
     (hash partition by fp); fp groups are tiny so no skew risk."""
+    from ..sources.registry import balanced
     from .text import LANG_MARKERS, bind_once_sql
 
-    d = load_table(spark, sf_dir, "documents")
+    # balanced(): the regex-profiling projection dwarfs a slim-row
+    # shuffle on the single-file harness table (the plan-budget
+    # comment always documented this exchange; the call was missing)
+    d = balanced(load_table(spark, sf_dir, "documents"))
     # LET-bind the token array: the filter + langid marker counts
     # would otherwise re-inline the regex split ~8× per row (see
     # text.bind_once_sql). The inline() generator materializes the
@@ -952,7 +956,15 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = e.join(F.broadcast(stats), "event_type")
     mean = F.col("sum_v") / F.col("n")
-    var = (F.col("sum_sq") / F.col("n")) - mean * mean
+    # clamp at 0: for (near-)constant groups the two decimal-exact
+    # moments can differ by a last-ulp after the double divisions,
+    # making var a tiny NEGATIVE double — Spark's sqrt then yields NaN
+    # (silently dropping every row of the group) while DuckDB ERRORS
+    # on sqrt(<0), aborting the oracle. greatest(·, 0e0) identically
+    # on both sides keeps the engines aligned and the filter sane.
+    var = F.greatest(
+        (F.col("sum_sq") / F.col("n")) - mean * mean, F.lit(0.0)
+    )
     std = F.sqrt(var)
     return (
         j.withColumn("mean_value", mean)
@@ -977,12 +989,13 @@ WITH stats AS (
 )
 SELECT e.event_id, e.event_type, e.value,
        (s.sum_v / s.n) AS mean_value,
-       sqrt((s.sum_sq / s.n) - (s.sum_v / s.n) * (s.sum_v / s.n))
-         AS std_value
+       sqrt(greatest((s.sum_sq / s.n) - (s.sum_v / s.n) * (s.sum_v / s.n),
+                     CAST(0 AS DOUBLE))) AS std_value
 FROM events e JOIN stats s USING (event_type)
 WHERE abs(e.value - (s.sum_v / s.n))
       > CAST(2.0 AS DOUBLE)
-        * sqrt((s.sum_sq / s.n) - (s.sum_v / s.n) * (s.sum_v / s.n))
+        * sqrt(greatest((s.sum_sq / s.n) - (s.sum_v / s.n) * (s.sum_v / s.n),
+                        CAST(0 AS DOUBLE)))
 """
 
 
@@ -1419,10 +1432,9 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotas = counts.crossJoin(F.broadcast(nmax)).select(
         "source", "n_s", quota.alias("quota")
     )
-    h = F.expr(
-        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
-        " AS BIGINT)"
-    )
+    from .text import portable_hash60
+
+    h = portable_hash60(F.col("doc_id").cast("string"))
     wsrc = Window.partitionBy("source").orderBy(
         F.col("h").asc(), F.col("doc_id").asc()
     )
@@ -1455,8 +1467,7 @@ quotas AS (
 ),
 hashed AS (
   SELECT source, doc_id,
-         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-              AS BIGINT) AS h
+         {portable_hash60_sql("CAST(doc_id AS VARCHAR)")} AS h
   FROM documents
 ),
 ranked AS (
@@ -1666,9 +1677,19 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == F.expr("(n + 1) div 2"))
         .select("event_type", F.col("value").alias("med"))
     )
-    dev = e.join(F.broadcast(med), "event_type").withColumn(
-        "abs_dev", F.expr("abs(value - med)")
+    from .. import caches
+
+    # claim + materialize dev ONCE: it feeds the MAD rank selection
+    # AND the terminal aggregate (left lazy, the events scan + median
+    # broadcast join re-run per branch — CLAUDE.md claim-once rule);
+    # `med` itself rides inside this single materialization
+    dev = caches.claim(
+        "mad_outliers_dev",
+        e.join(F.broadcast(med), "event_type").withColumn(
+            "abs_dev", F.expr("abs(value - med)")
+        ),
     )
+    dev.count()
     wdev = Window.partitionBy("event_type").orderBy("abs_dev", "event_id")
     mad = (
         dev.withColumn("n", F.count(F.lit(1)).over(wcnt))
@@ -1778,6 +1799,14 @@ def events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"- {_LATENESS_JITTER}"
         ),
     ).withColumn("chunk", F.expr(f"ak div {_LATENESS_CHUNK}"))
+    from .. import caches
+
+    # claim + materialize ONCE: the jittered relation feeds both the
+    # chunk-local running-max window AND the per-chunk max aggregate
+    # (left lazy, the scan + per-event md5 jitter run twice —
+    # CLAUDE.md claim-once rule)
+    e = caches.claim("lateness_audit_events", e)
+    e.count()
     wlocal = (
         Window.partitionBy("chunk")
         .orderBy("ak", "event_id")

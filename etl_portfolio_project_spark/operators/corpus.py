@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..sources.registry import balanced, load_table
 from .dedup import DEDUP_SOURCE_BLOCK, _WINNOW_GRAMS_SPARK, _WINNOW_MINS_SPARK
-from .dedup import WINNOW_K, WINNOW_W, MH_P, _WINNOW_TOKS_SPARK
+from .dedup import WINNOW_K, WINNOW_W, MH_P, _WINNOW_TOKS_SPARK, winnow_g_fp_ctes_sql
 from .text import portable_hash60, portable_hash60_sql
 
 # --- deterministic train/val/test split -----------------------------------
@@ -232,13 +232,21 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_EXCERPT_START}, {_EXCERPT_LEN}))"
         ).alias("text"),
     )
-    fp = (
+    from .. import caches
+
+    # claim + materialize ONCE: fp feeds THREE branches (both
+    # self-join sides + the per-doc sizes agg) — left lazy, the whole
+    # winnowing chain (tokenize → per-gram md5 → window-min distinct)
+    # re-runs per branch (CLAUDE.md claim-once rule)
+    fp = caches.claim(
+        "doc_containment_fp",
         block.unionByName(excerpts)
         .select("doc_id", F.expr(_WINNOW_TOKS_SPARK).alias("toks"))
         .where(F.size("toks") >= WINNOW_K + WINNOW_W - 1)
         .select("doc_id", F.expr(_WINNOW_GRAMS_SPARK).alias("grams"))
-        .select("doc_id", F.explode(F.expr(_WINNOW_MINS_SPARK)).alias("fp"))
+        .select("doc_id", F.explode(F.expr(_WINNOW_MINS_SPARK)).alias("fp")),
     )
+    fp.count()
     sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     a, b = fp.alias("a"), fp.alias("b")
     shared = (
@@ -281,21 +289,7 @@ d AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
   FROM (SELECT * FROM d0 UNION ALL SELECT * FROM ex)
 ),
-g AS (
-  SELECT doc_id,
-         list_transform(range(1, len(toks) - {WINNOW_K - 2}), i ->
-           CAST('0x' || substring(md5(array_to_string(
-             list_slice(toks, i, i + {WINNOW_K - 1}), ' ')), 1, 15) AS BIGINT)
-           % {MH_P}) AS grams
-  FROM d WHERE len(toks) >= {WINNOW_K + WINNOW_W - 1}
-),
-fp AS (
-  SELECT doc_id, unnest(list_distinct(
-           list_transform(range(1, len(grams) - {WINNOW_W - 2}), j ->
-             list_aggregate(list_slice(grams, j, j + {WINNOW_W - 1}), 'min'))))
-         AS fp
-  FROM g
-),
+{winnow_g_fp_ctes_sql()},
 sizes AS (
   SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id
 ),

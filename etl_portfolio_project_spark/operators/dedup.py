@@ -565,26 +565,36 @@ def winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-WINNOW_NEARDUP_SQL = f"""
-WITH d AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-  FROM documents WHERE source = '{DEDUP_SOURCE_BLOCK}'
-),
-g AS (
+def winnow_g_fp_ctes_sql() -> str:
+    """Shared DuckDB winnowing CTE bodies — `g` (per-position K-gram
+    60-bit hashes) and `fp` (distinct window minimizers) over a
+    preceding `d(doc_id, toks)` CTE. ONE definition consumed by both
+    WINNOW_NEARDUP_SQL and corpus.DOC_CONTAINMENT_PAIRS_SQL so the
+    two operators\' fingerprints cannot drift (same rationale as the
+    round-3 shingle-hash consolidation)."""
+    return f"""g AS (
   SELECT doc_id,
          list_transform(range(1, len(toks) - {WINNOW_K - 2}), i ->
-           CAST('0x' || substring(md5(array_to_string(
-             list_slice(toks, i, i + {WINNOW_K - 1}), ' ')), 1, 15) AS BIGINT)
+           CAST(\'0x\' || substring(md5(array_to_string(
+             list_slice(toks, i, i + {WINNOW_K - 1}), \' \')), 1, 15) AS BIGINT)
            % {MH_P}) AS grams
   FROM d WHERE len(toks) >= {WINNOW_K + WINNOW_W - 1}
 ),
 fp AS (
   SELECT doc_id, unnest(list_distinct(
            list_transform(range(1, len(grams) - {WINNOW_W - 2}), j ->
-             list_aggregate(list_slice(grams, j, j + {WINNOW_W - 1}), 'min'))))
+             list_aggregate(list_slice(grams, j, j + {WINNOW_W - 1}), \'min\'))))
          AS fp
   FROM g
-)
+)"""
+
+
+WINNOW_NEARDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE source = '{DEDUP_SOURCE_BLOCK}'
+),
+{winnow_g_fp_ctes_sql()}
 SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
 FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
