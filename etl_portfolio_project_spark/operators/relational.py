@@ -349,7 +349,10 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by a full extra pass over the data; integer aggregation keeps the
     oracle comparison exact."""
     e = load_table(spark, sf_dir, "events")
-    k = F.from_json("props", "k INT")["k"].cast("long")
+    # BIGINT parse schema: the oracle casts json_extract to BIGINT, so
+    # an int32-overflowing k would silently become NULL here under
+    # 'k INT' while DuckDB kept it — symmetric declared widths
+    k = F.from_json("props", "k BIGINT")["k"]
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -429,7 +432,7 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the long form is what metric stores and ML feature
     pipelines ingest."""
     p = load_table(spark, sf_dir, "part")
-    return p.select(
+    out = p.select(
         "p_partkey",
         F.col("p_size").cast("double").alias("p_size"),
         F.col("p_retailprice").cast("double").alias("p_retailprice"),
@@ -439,6 +442,10 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+    # DuckDB's UNPIVOT EXCLUDES NULL measure values by default while
+    # Spark's unpivot keeps them — filter to pin the same contract
+    # should the part columns ever regenerate with NULLs
+    return out.where(F.col("value").isNotNull())
 
 
 UNPIVOT_PART_METRICS_SQL = """
@@ -473,6 +480,12 @@ def props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ORACLE CONTRACT NOTE: values are reconstructed via
+#: json_extract(props, '$.' || k), which assumes keys contain no
+#: JSON-path metacharacters (dot/quote/bracket) and no duplicate keys
+#: — true for the harness generator's single simple-key props. For
+#: arbitrary keys the mirror would switch to DuckDB's json_each
+#: (Spark's map<string,bigint> parse handles both already).
 PROPS_MAP_EXPLODE_SQL = """
 SELECT event_type, prop_key,
        count(*) AS n,

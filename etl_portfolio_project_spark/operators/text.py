@@ -357,16 +357,24 @@ def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LET-bind: tokens split once per row (t), both n-gram arrays
     # built once (g), then every metric reads the bound arrays; a
     # single inline() generator materializes the struct exactly once.
-    dup_2 = _dup_frac_spark("g.g2")
-    dup_3 = _dup_frac_spark("g.g3")
-    metrics = (
+    # the fractions are LET-bound as `fr` so each array_distinct pass
+    # runs ONCE per row — inlining dup_2/dup_3 both as fields and
+    # inside repetition_flag evaluated each O(n)-hashing pass twice
+    frac_struct = (
+        f"struct({_dup_frac_spark('t')} AS w, "
+        f"{_dup_frac_spark('g.g2')} AS d2, "
+        f"{_dup_frac_spark('g.g3')} AS d3)"
+    )
+    metrics = bind_once_sql(
+        frac_struct,
+        "fr",
         "struct("
         "CAST(size(t) AS BIGINT) AS n_tokens, "
-        f"{_dup_frac_spark('t')} AS dup_word_frac, "
-        f"{dup_2} AS dup_2gram_frac, "
-        f"{dup_3} AS dup_3gram_frac, "
-        f"(({dup_2}) > {REP_2GRAM_TAU} OR ({dup_3}) > {REP_3GRAM_TAU})"
-        " AS repetition_flag)"
+        "fr.w AS dup_word_frac, "
+        "fr.d2 AS dup_2gram_frac, "
+        "fr.d3 AS dup_3gram_frac, "
+        f"(fr.d2 > {REP_2GRAM_TAU} OR fr.d3 > {REP_3GRAM_TAU})"
+        " AS repetition_flag)",
     )
     body = bind_once_sql(
         f"struct({_ngrams_spark_sql('t', 2)} AS g2, "
@@ -675,11 +683,16 @@ def _cdc_chunks_expr() -> str:
     """Chunk a token array at content-defined boundaries, as one
     Spark-SQL expression over column `text` (LET-bound: tokens and
     boundary positions each evaluate once per row)."""
+    # CASE guard for single-token docs: sequence(2, 1) DESCENDS to
+    # [2, 1] and element_at(tk, 2) throws under Spark 4 ANSI (verified
+    # crash); the oracle's range(2, len+1) is correctly empty, and so
+    # is this branch — the doc becomes one whole-doc chunk both sides
     boundary = (
+        "CASE WHEN size(tk) < 2 THEN CAST(array() AS array<int>) ELSE "
         "filter(sequence(2, size(tk)), i -> "
         "cast(conv(substring(md5(concat(element_at(tk, i - 1), ' ', "
         "element_at(tk, i))), 1, 15), 16, 10) as bigint) "
-        f"% {CDC_MOD} = 0)"
+        f"% {CDC_MOD} = 0) END"
     )
     spans = (
         "filter(transform(sequence(1, size(bp) + 1), j -> "
@@ -785,11 +798,18 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-gram hash is md5-portable so the oracle matches bitwise."""
     d = balanced(load_table(spark, sf_dir, "documents"))
     toks = "split(trim(lower(text)), '\\\\s+')"
+    # CASE guard for sub-8-token docs: sequence(1, n) with n ≤ 0
+    # DESCENDS ([1, 0, ...]) and slice(tk, 0, 8) then throws under
+    # Spark 4 ANSI (verified crash) — the oracle filters len(tk) >= 8;
+    # this guard is the Spark mirror (current testdata min is 10
+    # tokens, but the generator has drifted between rounds before)
     grams = (
+        f"CASE WHEN size(tk) < {REP_NGRAM_N} THEN "
+        "CAST(array() AS array<struct<pos: bigint, g: bigint>>) ELSE "
         f"transform(sequence(1, size(tk) - {REP_NGRAM_N - 1}), i -> "
         "named_struct('pos', CAST(i AS BIGINT), 'g', "
         "cast(conv(substring(md5(concat_ws(' ', "
-        f"slice(tk, i, {REP_NGRAM_N}))), 1, 15), 16, 10) as bigint)))"
+        f"slice(tk, i, {REP_NGRAM_N}))), 1, 15), 16, 10) as bigint))) END"
     )
     exploded = (
         d.select("doc_id", F.expr(bind_once_sql(toks, "tk", grams)).alias("gs"))
@@ -849,10 +869,20 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked explode — one pass over the tokens, not one per metric.
     The rate is an integer pair divided once at the end —
     deterministic doubles."""
+    from .. import caches
+
     d = balanced(load_table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", F.explode(F.expr("split(trim(lower(text)), '\\\\s+')")).alias("w")
+    # claim + materialize ONCE: the exploded tokens feed BOTH the
+    # vocabulary build and the marked join (left lazy, the corpus
+    # scan + explode ran twice — CLAUDE.md claim-once rule)
+    toks = caches.claim(
+        "vocab_oov_toks",
+        d.select(
+            "doc_id",
+            F.explode(F.expr("split(trim(lower(text)), '\\\\s+')")).alias("w"),
+        ),
     )
+    toks.count()
     vocab = (
         toks.groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -928,9 +958,11 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this is a pure map stage, the cheapest possible filter
     pass."""
     d = balanced(load_table(spark, sf_dir, "documents"))
+    # `lk` (the lowered token array) is LET-bound ONCE below — an
+    # inline transform(tk, t -> lower(t)) here would re-lowercase the
+    # whole array once per stop word (8×/row) in the interpreted HOF
     stop_hits = " + ".join(
-        f"(CASE WHEN array_contains(transform(tk, t -> lower(t)), '{s}') "
-        "THEN 1 ELSE 0 END)"
+        f"(CASE WHEN array_contains(lk, '{s}') THEN 1 ELSE 0 END)"
         for s in GOPHER_STOPWORDS
     )
     m_struct = (
@@ -961,7 +993,11 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = bind_once_sql(
         "split(trim(text), '\\\\s+')",
         "tk",
-        bind_once_sql(m_struct, "m", final_struct),
+        bind_once_sql(
+            "transform(tk, t -> lower(t))",
+            "lk",
+            bind_once_sql(m_struct, "m", final_struct),
+        ),
     )
     return d.select("doc_id", "source", F.expr(f"inline(array({one}))"))
 
