@@ -232,9 +232,16 @@ SHUFFLE_BUDGET = {
 
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
 def test_shuffle_budget(spark, name):
+    from etl_portfolio_project_spark import caches
+
     df = api.REGISTRY[name].builder(spark, SF_SMALL)
     n = explain.count_shuffles(df)
     budget = SHUFFLE_BUDGET[name]
+    # same isolation as bench/verify: builders that claim+materialize
+    # must not leave live cached plan trees behind — the CacheManager
+    # substitutes them into LATER queries' plans (observed: a claimed
+    # token explode reshaping keyword_search_topk's exchanges)
+    caches.release_all()
     assert n <= budget, (
         f"{name}: {n} shuffle exchanges, budget {budget}\n"
         + explain.physical_plan(df)
