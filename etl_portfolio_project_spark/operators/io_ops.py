@@ -25,6 +25,8 @@ from pyspark.sql import types as T
 
 from .. import tmpdirs
 from ..sources.registry import load_table
+from .text import portable_hash60_sql as _ph60_duck
+from .text import portable_hash60_spark_sql as _ph60_spark
 from .relational import dsum, dsum_sql
 from .text import portable_hash60, portable_hash60_sql
 
@@ -56,22 +58,45 @@ def format_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     N scans or one cached scan); reads are format-parallel. CSV and
     JSON are row-oriented text — the audit is also a standing
     demonstration of WHY the engine's native format is columnar."""
+    from .. import caches
+
     root = tmpdirs.claim("format_roundtrip", "format_roundtrip_")
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "n_chars"
+    # claim + materialize ONCE: four write actions in the loop each
+    # re-ran the source scan + projection (CLAUDE.md claim-once rule)
+    d = caches.claim(
+        "format_roundtrip_docs",
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "n_chars"
+        ),
     )
+    d.count()
     audits: list[DataFrame] = []
     for fmt in ROUNDTRIP_FORMATS:
         path = f"{root}/{fmt}"
         w = d.write.mode("overwrite").format(fmt)
         if fmt == "csv":
-            w = w.option("header", "true").option("escape", '"')
+            # whitespace/newline fidelity: the writer TRIMS cell edge
+            # whitespace by default and the reader splits quoted
+            # records on embedded newlines without multiLine — both
+            # would corrupt the audit if the corpus ever regenerates
+            # with such text (today's corpus has none: data luck, not
+            # a guarantee)
+            w = (
+                w.option("header", "true")
+                .option("escape", '"')
+                .option("ignoreLeadingWhiteSpace", "false")
+                .option("ignoreTrailingWhiteSpace", "false")
+            )
         w.save(path)
         r = spark.read.format(fmt)
         if fmt in ("csv", "json"):
             r = r.schema(_DOCS_READ_SCHEMA)
             if fmt == "csv":
-                r = r.option("header", "true").option("escape", '"')
+                r = (
+                    r.option("header", "true")
+                    .option("escape", '"')
+                    .option("multiLine", "true")
+                )
         back = r.load(path)
         audits.append(
             back.agg(
@@ -80,8 +105,10 @@ def format_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_chars").cast("long").alias("total_chars"),
                 F.expr(
                     "bit_xor("
-                    + "cast(conv(substring(md5(concat(cast(doc_id as string),"
-                    " ':', text)), 1, 15), 16, 10) as bigint))"
+                    + _ph60_spark(
+                        "concat(cast(doc_id as string), ':', text)"
+                    )
+                    + ")"
                 ).alias("content_xor60"),
             )
         )
@@ -92,8 +119,9 @@ def format_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DOC_XOR = (
-    "bit_xor(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||"
-    " text), 1, 15) AS BIGINT))"
+    "bit_xor("
+    + _ph60_duck("CAST(doc_id AS VARCHAR) || ':' || text")
+    + ")"
 )
 
 FORMAT_ROUNDTRIP_AUDIT_SQL = f"""

@@ -163,17 +163,17 @@ CMS_WIDTH = 256  # buckets per row
 
 
 def _cms_hash_sql_spark(i: int) -> str:
-    return (
-        f"CAST(conv(substring(md5(concat(CAST(user_id AS STRING), '#{i}')),"
-        f" 1, 15), 16, 10) AS BIGINT) % {CMS_WIDTH}"
-    )
+    from .text import portable_hash60_spark_sql
+
+    h = portable_hash60_spark_sql(f"concat(CAST(user_id AS STRING), '#{i}')")
+    return f"{h} % {CMS_WIDTH}"
 
 
 def _cms_hash_sql_duckdb(i: int) -> str:
-    return (
-        f"CAST('0x' || substring(md5(CAST(user_id AS VARCHAR) || '#{i}'),"
-        f" 1, 15) AS BIGINT) % {CMS_WIDTH}"
-    )
+    from .text import portable_hash60_sql
+
+    h = portable_hash60_sql(f"CAST(user_id AS VARCHAR) || '#{i}'")
+    return f"{h} % {CMS_WIDTH}"
 
 
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

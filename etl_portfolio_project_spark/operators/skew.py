@@ -95,10 +95,9 @@ def bloom_prefilter_join(
     """
 
     def bucket(col: Column) -> Column:
-        h = F.conv(
-            F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
-        ).cast("long")
-        return F.pmod(h, F.lit(buckets))
+        from .text import portable_hash60
+
+        return F.pmod(portable_hash60(col.cast("string")), F.lit(buckets))
 
     bucket_set = dim.select(
         F.array_sort(F.collect_set(bucket(F.col(dim_key)))).alias("__bset")
@@ -108,7 +107,14 @@ def bloom_prefilter_join(
         .where(F.array_contains(F.col("__bset"), bucket(F.col(fact_key))))
         .drop("__bset")
     )
-    return pre.join(F.broadcast(dim), pre[fact_key] == dim[dim_key])
+    # join on a RENAMED dim key and drop it: with fact_key == dim_key
+    # (the common same-named case) an expression join would keep two
+    # identically-named key columns, breaking the 'column-identical to
+    # the plain join' contract the docstring promises
+    dim_r = dim.withColumnRenamed(dim_key, "__dim_key")
+    return pre.join(
+        F.broadcast(dim_r), pre[fact_key] == dim_r["__dim_key"]
+    ).drop("__dim_key")
 
 
 #: Z-order parameters: 10 bits per dimension, 20-bit Morton key,

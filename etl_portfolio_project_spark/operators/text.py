@@ -61,6 +61,13 @@ def portable_hash60_sql(expr: str) -> str:
     return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
 
 
+def portable_hash60_spark_sql(expr: str) -> str:
+    """Spark-SQL string form of `portable_hash60` (for generated
+    expressions where a Column is not convenient) — the ONE place the
+    60-bit recipe lives in each dialect."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def _marker_count(tokens: Column, markers: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda t: F.lower(t).isin(*markers)))
 

@@ -282,7 +282,15 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exactly-once ingestion guard. On the harness input (unique
     ids) output = input row count; duplicate replays are dropped."""
     e = read_events_stream(spark, sf_dir)
-    deduped = e.withWatermark("ts", "30 minutes").dropDuplicates(["event_id"])
+    # dropDuplicatesWithinWatermark: plain dropDuplicates(["event_id"])
+    # NEVER evicts state (event_id alone is the state key — the
+    # watermark would clean nothing and the store grows with every id
+    # ever seen); the WithinWatermark variant expires each key once
+    # the watermark passes it, which is the bounded-state semantics
+    # the docstring promises
+    deduped = e.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
     counted = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
     # dedup state is |event_id|-sized (100k at sf0.1): measured flat
     # 1-8 partitions; 4 hedges larger inputs
@@ -598,13 +606,21 @@ def stream_tumbling_append_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_to_parquet_sink(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> str:
-    """foreachBatch → parquet: the exactly-once file-sink pattern
-    (idempotent per-epoch writes). Returns the output path."""
+    """foreachBatch → parquet: the exactly-once file-sink pattern.
+    Each epoch OVERWRITES its own subdirectory (keyed by epoch_id), so
+    a crash-replay of a committed-but-unacknowledged epoch rewrites
+    the same data instead of appending a duplicate — a bare
+    mode("append") here would be at-least-once, not idempotent.
+    Returns the output ROOT; read with `{out}/epoch_*`."""
+    import os as _os
+
     out = out_dir or tmpdirs.claim("stream_sink", "stream_sink_")
     e = read_events_stream(spark, sf_dir)
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out)
+        batch_df.write.mode("overwrite").parquet(
+            _os.path.join(out, f"epoch_{epoch_id}")
+        )
 
     q = (
         e.writeStream.foreachBatch(write_epoch)
@@ -780,7 +796,13 @@ def stream_checkpoint_restart_ingest(
         e = read_events_stream(spark, in_dir, glob="*_events.parquet")
 
         def sink(batch_df: DataFrame, epoch_id: int) -> None:
-            batch_df.write.mode("append").parquet(out)
+            # per-epoch overwrite = idempotent under epoch replay
+            # (an append would double rows if a crash replayed a
+            # committed-but-unacknowledged epoch — the exact recovery
+            # scenario this query exists to prove)
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out, f"epoch_{epoch_id}")
+            )
 
         q = (
             e.writeStream.foreachBatch(sink)
@@ -798,7 +820,7 @@ def stream_checkpoint_restart_ingest(
     run_phase()  # same checkpoint → resumes, ingests ONLY file b
 
     return (
-        spark.read.parquet(out)
+        spark.read.parquet(os.path.join(out, "epoch_*"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

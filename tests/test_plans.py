@@ -84,6 +84,9 @@ SHUFFLE_BUDGET = {
     # (count + countDistinct two-phase) + per-source spine agg; the
     # spine join back broadcasts
     "cross_source_dup_audit": 5,
+    # one single-row agg exchange per read-back format (4 formats);
+    # the writes execute eagerly inside the builder
+    "format_roundtrip_audit": 4,
     # composition of two pinned-shape ANN queries (brute-force window +
     # LSH bucket join/distinct/window) + 2 tiny per-query aggs + a
     # 200-row audit join; every exchange moves the sampled query set

@@ -56,7 +56,7 @@ def test_foreachbatch_parquet_sink(spark, tmp_path):
     from etl_portfolio_project_spark.sources.registry import load_table
 
     n_in = load_table(spark, SF_SMALL, "events").count()
-    n_out = spark.read.parquet(out).count()
+    n_out = spark.read.parquet(out + "/epoch_*").count()
     assert n_in == n_out
 
 
