@@ -851,7 +851,7 @@ _RECONFIRM = [
     "region_null_audit",
     "sequence_packing_bins",
     "bigram_conditional_topk",
-    "dedup_exact",
+    "simhash_pairs",  # r4: values changed (48 live bits, was 31)
     "minhash_lsh_neardup",
     "neardup_clusters",
     "ann_ivf_topk",

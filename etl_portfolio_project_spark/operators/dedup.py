@@ -375,28 +375,11 @@ def _minhash_signature() -> Column:
 def _minhash_band_candidates(d: DataFrame) -> DataFrame:
     """Band-collision candidate stage of MinHash-LSH (exposed for
     tools/scaling_probe.py): explode each doc's signature into
-    MH_BANDS (band, band_key) rows, equi-join on the band key, count
-    collisions per (id1<id2) pair."""
-    bands = d.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.concat_ws(
-                            "-",
-                            *[
-                                F.col("sig")[i * MH_ROWS + r].cast("string")
-                                for r in range(MH_ROWS)
-                            ],
-                        ).alias("band_key"),
-                    )
-                    for i in range(MH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    MH_BANDS (band, band_key) rows via the ONE Spark banding helper
+    (`_band_rows` — previously a second inline copy that could drift,
+    the same risk the DuckDB side's _duck_bands_from_sql removes),
+    equi-join on the band key, count collisions per (id1<id2) pair."""
+    bands = _band_rows(d)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -416,6 +399,10 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature become candidates; candidates are verified against the
     true word-set Jaccard. Output: verified pairs with band-collision
     count and exact jaccard."""
+    # eager localCheckpoint: d feeds the band candidates AND both
+    # verify joins — left lazy, the tokenize + 16-hash signature
+    # projection re-runs per branch (the same measured fix as
+    # ngram_jaccard_neardup's shingle table)
     d = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("source") == DEDUP_SOURCE_BLOCK)
@@ -424,6 +411,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             _distinct_words(F.col("text")).alias("words"),
             _minhash_signature().alias("sig"),
         )
+        .localCheckpoint(eager=True)
     )
     candidates = _minhash_band_candidates(d)
     w1 = d.select(F.col("doc_id").alias("id1"), F.col("words").alias("w1"))
@@ -905,10 +893,23 @@ WHERE l.doc_id IS NULL
 # --- SimHash --------------------------------------------------------------
 
 
+#: RAW 60-bit token hashes for SimHash (no % MH_P!): the MinHash
+#: recipe reduces hashes mod 2^31−1 to bound its affine products, but
+#: a SimHash built on that would have bits 31..47 constant ZERO — only
+#: 31 effective bits, inflating the P[hamming ≤ 8] false-pair rate by
+#: ~3 orders of magnitude. SimHash needs all 48 packed bits live.
+_RAW_TOKEN_HASHES_SPARK_SQL = (
+    "transform(array_distinct(split(trim(text), '\\\\s+')), "
+    "t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+)
+
+
 def _simhash() -> Column:
     """48-bit SimHash: bit b set iff the majority of token hashes have
-    bit b set. Pure expression fold — no UDF; the token-hash array is
-    LET-bound so tokenize+md5 runs once per row, not once per bit."""
+    bit b set — over the RAW 60-bit hashes so every packed bit is
+    live (see _RAW_TOKEN_HASHES_SPARK_SQL). Pure expression fold — no
+    UDF; the token-hash array is LET-bound so tokenize+md5 runs once
+    per row, not once per bit."""
     from .text import bind_once_sql
 
     terms = " + ".join(
@@ -917,7 +918,9 @@ def _simhash() -> Column:
         "ELSE CAST(0 AS BIGINT) END"
         for bit in range(SIMHASH_BITS)
     )
-    return F.expr(bind_once_sql(_TOKEN_HASHES_SPARK_SQL, "hs", f"({terms})"))
+    return F.expr(
+        bind_once_sql(_RAW_TOKEN_HASHES_SPARK_SQL, "hs", f"({terms})")
+    )
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -945,9 +948,10 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_simhash_sql() -> str:
+    # raw 60-bit hashes — NOT % MH_P (see _RAW_TOKEN_HASHES_SPARK_SQL)
     hashes = (
         f"list_transform({_DISTINCT_WORDS_SQL}, "
-        f"t -> {portable_hash60_sql('t')} % {MH_P})"
+        f"t -> {portable_hash60_sql('t')})"
     )
     bit_terms = []
     for bit in range(SIMHASH_BITS):
@@ -1475,18 +1479,31 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _build_incremental_minhash_sql() -> str:
-    sigs = [
+def _duck_affine_sigs_sql() -> list[str]:
+    """The 16 affine-MinHash signature expressions over a bound `hs`
+    token-hash list — ONE definition shared by every shingle-MinHash
+    oracle builder (incremental, streaming, cross-source) so the hash
+    recipe cannot drift between oracles."""
+    return [
         "list_aggregate(list_transform(hs, "
         f"h -> ({a} * h + {b}) % {MH_P}), 'min')"
         for a, b in MH_AB
     ]
+
+
+#: exact shingle-Jaccard over w1.items/w2.items — shared by the same
+#: three oracle builders (same single-definition rationale)
+_DUCK_ITEMS_JAC = (
+    "CAST(len(list_intersect(w1.items, w2.items)) AS BIGINT) "
+    "/ (CAST(len(w1.items) AS BIGINT) + CAST(len(w2.items) AS BIGINT) "
+    "- CAST(len(list_intersect(w1.items, w2.items)) AS BIGINT))"
+)
+
+
+def _build_incremental_minhash_sql() -> str:
+    sigs = _duck_affine_sigs_sql()
     bands_from = _duck_bands_from_sql()
-    jac = (
-        "CAST(len(list_intersect(w1.items, w2.items)) AS BIGINT) "
-        "/ (CAST(len(w1.items) AS BIGINT) + CAST(len(w2.items) AS BIGINT) "
-        "- CAST(len(list_intersect(w1.items, w2.items)) AS BIGINT))"
-    )
+    jac = _DUCK_ITEMS_JAC
     return f"""
 WITH d AS MATERIALIZED (
   SELECT doc_id, items, [{', '.join(sigs)}] AS sig
@@ -1726,11 +1743,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _build_stream_incremental_dedup_sql() -> str:
     """Unrolled sequential oracle: index_k = kept docs of batches <k."""
-    sigs = [
-        "list_aggregate(list_transform(hs, "
-        f"h -> ({a} * h + {b}) % {MH_P}), 'min')"
-        for a, b in MH_AB
-    ]
+    sigs = _duck_affine_sigs_sql()
     bands_from = _duck_bands_from_sql()
 
     def bands(src: str) -> str:
@@ -1739,11 +1752,7 @@ def _build_stream_incremental_dedup_sql() -> str:
             f"FROM {src}, {bands_from} WHERE len(items) >= 1)"
         )
 
-    jac = (
-        "CAST(len(list_intersect(w1.items, w2.items)) AS BIGINT) "
-        "/ (CAST(len(w1.items) AS BIGINT) + CAST(len(w2.items) AS BIGINT) "
-        "- CAST(len(list_intersect(w1.items, w2.items)) AS BIGINT))"
-    )
+    jac = _DUCK_ITEMS_JAC
     ctes = [
         f"""d AS MATERIALIZED (
   SELECT doc_id, items, [{', '.join(sigs)}] AS sig
@@ -2039,17 +2048,9 @@ def cross_source_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_cross_source_dup_audit_sql() -> str:
-    sigs = [
-        "list_aggregate(list_transform(hs, "
-        f"h -> ({a} * h + {b}) % {MH_P}), 'min')"
-        for a, b in MH_AB
-    ]
+    sigs = _duck_affine_sigs_sql()
     bands_from = _duck_bands_from_sql()
-    jac = (
-        "CAST(len(list_intersect(w1.items, w2.items)) AS BIGINT) "
-        "/ (CAST(len(w1.items) AS BIGINT) + CAST(len(w2.items) AS BIGINT) "
-        "- CAST(len(list_intersect(w1.items, w2.items)) AS BIGINT))"
-    )
+    jac = _DUCK_ITEMS_JAC
     # AS MATERIALIZED: DuckDB inlines plain CTEs per reference — the
     # md5-shingle + 16-sig projection would recompute for bands (×2
     # via the self-join), both verify joins, and the spine (measured

@@ -118,8 +118,8 @@ def norm_sql(a: str) -> str:
 
 def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors for the query subset
-    (vec_id % 101 == 0), excluding self. Deterministic tie-break on
-    candidate vec_id."""
+    (vec_id % QUERY_MOD == 0), excluding self. Deterministic tie-break
+    on candidate vec_id."""
     e = load_table(spark, sf_dir, "embeddings")
     # single-file harness table → under-split scan; `balanced` spreads
     # the pairwise cosine work (structural no-op at scale)
@@ -259,7 +259,14 @@ def embedding_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", _dvec("embedding").alias("vec"))
         .withColumn("norm", norm_expr("vec"))
     )
-    bb = _with_buckets(base, "vec", "vec_id", NEARDUP_LSH_PLANES)
+    # claim + materialize the bucket table: it feeds BOTH sides of the
+    # candidate self-join (same rationale as ann_lsh_topk's claimed
+    # index — the 2x10 hyperplane folds otherwise run once per branch)
+    bb = caches.claim(
+        "neardup_lsh_bb",
+        _with_buckets(base, "vec", "vec_id", NEARDUP_LSH_PLANES),
+    )
+    bb.count()
     a = bb.select(
         F.col("vec_id").alias("id1"), "tbl", F.col("bucket").alias("bucket")
     )
@@ -325,8 +332,10 @@ def _with_buckets(
         f"'bucket', {_table_bucket_spark_sql(vec_col, t, planes)})"
         for t in range(len(planes))
     )
+    # id_alias is the id column name of `df` (it was previously only a
+    # rename over a hardcoded 'vec_id', dead generality)
     return df.select(
-        F.col("vec_id").alias(id_alias),
+        F.col(id_alias),
         F.expr(f"explode(array({entries}))").alias("tb"),
     ).select(id_alias, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
@@ -914,7 +923,14 @@ def ann_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a broadcast-sized join keyed by query_id. On a 100 TB corpus
     the same audit runs against a SAMPLED query set, which this
     already is (vec_id % QUERY_MOD)."""
-    exact = ann_brute_force_topk(spark, sf_dir).select("query_id", "vec_id")
+    # claim + materialize: `exact` feeds both the per-query count and
+    # the hit join (left lazy, the O(|Q|*|C|*d) brute-force pipeline
+    # is planned per branch — CLAUDE.md claim-once rule)
+    exact = caches.claim(
+        "ann_recall_exact",
+        ann_brute_force_topk(spark, sf_dir).select("query_id", "vec_id"),
+    )
+    exact.count()
     approx = ann_lsh_topk(spark, sf_dir).select("query_id", "vec_id")
     n_exact = exact.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_exact")

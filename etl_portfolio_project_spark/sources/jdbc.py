@@ -108,23 +108,36 @@ def read_postgres_query(
     driver: str = POSTGRES_DRIVER,
 ) -> DataFrameReader:
     """Pushdown-query reader (S1 semantics). Returns the configured
-    reader; call `.load()` against a live database."""
+    reader; call `.load()` against a live database.
+
+    Partitioned reads wrap the query as a `dbtable` subselect: Spark's
+    JDBC source REFUSES 'query' together with 'partitionColumn'
+    (JDBCOptions throws at load), so the naive query+partition option
+    combination could never execute — exercised end-to-end against
+    embedded Derby in tests/test_jdbc_integration.py."""
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
-        .option("query", query)
         .option("user", user)
         .option("password", password)
         .option("driver", driver)
         .option("fetchsize", str(fetchsize))
     )
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partitioned JDBC read requires lower_bound and "
+                "upper_bound alongside partition_column"
+            )
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({query}) spark_pushdown")
+            .option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
             .option("upperBound", str(upper_bound))
             .option("numPartitions", str(num_partitions or 8))
         )
+    else:
+        reader = reader.option("query", query)
     return reader
 
 

@@ -127,17 +127,21 @@ def test_s1_partitioned_read_slices(spark, derby_url):
         F.min("loan_id"), F.max("loan_id")
     ).collect()[0]
     q = 'SELECT "loan_id", "customer_id" FROM loan_target.loans_part'
-    sliced = (
-        spark.read.format("jdbc")
-        .option("url", derby_url)
-        .option("driver", jdbc.DERBY_EMBEDDED_DRIVER)
-        .option("dbtable", "(" + q + ") t")
-        .option("partitionColumn", '"loan_id"')
-        .option("lowerBound", str(lo))
-        .option("upperBound", str(hi + 1))
-        .option("numPartitions", "4")
-        .load()
-    )
+    # through the production helper: proves the dbtable-subselect form
+    # actually loads (the old query+partitionColumn combination was
+    # rejected by Spark's JDBC source at .load())
+    sliced = jdbc.read_postgres_query(
+        spark,
+        derby_url,
+        q,
+        user="app",
+        password="",
+        partition_column='"loan_id"',
+        lower_bound=int(lo),
+        upper_bound=int(hi + 1),
+        num_partitions=4,
+        driver=jdbc.DERBY_EMBEDDED_DRIVER,
+    ).load()
     assert sliced.rdd.getNumPartitions() == 4
     plain = jdbc.read_postgres_query(
         spark,
