@@ -149,6 +149,13 @@ def main() -> None:
     # driver overwrite can't erase per-query history again)
     snap = os.environ.get("SPARK_GRAFT_BENCH_SNAPSHOT")
     if snap:
+        # the value lands in os.path.join(_REPO, ...): reject absolute
+        # paths / directory components so it can't escape the repo
+        if os.path.basename(snap) != snap or snap in (".", ".."):
+            raise ValueError(
+                f"SPARK_GRAFT_BENCH_SNAPSHOT must be a bare filename, "
+                f"got {snap!r}"
+            )
         with open(os.path.join(_REPO, snap), "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
 

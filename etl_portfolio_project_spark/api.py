@@ -30,6 +30,7 @@ class QuerySpec:
     builder: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL, or None → rows-only check
     doc: str = ""
+    module: str = ""  # defining module of the raw builder fn (regrade map)
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -41,7 +42,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
             pin_session_for_determinism(spark)
             return fn(spark, sf_dir)
 
-        REGISTRY[name] = QuerySpec(wrapped, oracle, doc)
+        REGISTRY[name] = QuerySpec(
+            wrapped, oracle, doc, module=getattr(fn, "__module__", "")
+        )
         return fn
 
     return deco
@@ -858,36 +861,60 @@ _RECONFIRM = [
     "text_profile",
     "hll_distinct_users",
     "arrow_group_median",
-    # r4 review-pass changes (claim-once materializations, sqrt clamp,
-    # balanced() addition, hash/winnow SQL consolidation) regrade in
-    # place of thrice-green unchanged picks
-    "events_value_outliers",
-    "corpus_preparation",
-    "doc_containment_pairs",
-    "events_mad_outliers",
-    "events_lateness_audit",
-    # r4: every query whose code path changed this round (streaming
-    # session/partition tuning + schema-probe cache; dedup candidate-
-    # stage refactors; CC two-phase extraction; WRatio shared pipeline)
-    # regrades alongside the new entries — fills the window to 50
+    # durable re-confirmation padding (one representative per big
+    # family beyond the §2 surface above). Changed-code regrades are
+    # no longer hand-listed here — REGRADE.json (emitted by
+    # tools/rotation_check.py --emit-regrade from the git diff since
+    # the last grading) takes priority over this list in
+    # grading_window(), so every touched code path regrades
+    # automatically.
     "stream_user_stats",
-    "stream_session_windows",
-    "stream_dedup_events",
-    "stream_click_purchase_join",
-    "stream_click_purchase_left_join",
-    "stream_sliding_windows",
-    "stream_enriched_by_segment",
-    "stream_approx_quantiles",
     "stream_checkpoint_restart_ingest",
-    "neardup_jaccard",
     "neardup_pagerank",
     "dedup_keep_best",
     "incremental_minhash_dedup",
-    "neardup_triangles",
     "decontaminate_ngrams",
     "embedding_lsh_neardup_pairs",
     "multimodal_bmp_decode",
+    "corpus_preparation",
+    "events_lateness_audit",
 ]
+
+
+def classify_verdict(name: str, row: dict) -> str:
+    """Classify one CORRECTNESS row: 'green' (hash-green, or rows-only
+    where that is the strongest possible grade), 'rows_only' (the
+    green-by-design subset, for reporting), or 'red'.
+
+    Single source of truth for the green rule — `_graded_verdicts`
+    below and tools/rotation_check.py both consume it so the two can't
+    drift (r4 ADVICE).
+
+    Rows-only detail: a `no_oracle` row with a recorded row count is
+    green ONLY if the CURRENT spec still ships no oracle — the driver
+    ran the query and recorded its row count, the strongest grade such
+    an entry can ever earn. If the spec has since gained an oracle, the
+    old row does NOT count, keeping the query in the window until the
+    oracle is hash-graded.
+    """
+    if row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+        spec = REGISTRY.get(name)
+        if spec is not None and spec.oracle is None:
+            return "rows_only"
+        return "red"
+    if row.get("err"):
+        return "red"
+    if row.get("hash_match") or (
+        row.get("hash_match") is None and row.get("rows_match")
+    ):
+        return "green"
+    return "red"
+
+
+def _repo_root() -> str:
+    import os as _os
+
+    return _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 
 
 def _graded_verdicts() -> tuple[set[str], set[str]]:
@@ -896,10 +923,11 @@ def _graded_verdicts() -> tuple[set[str], set[str]]:
     import json as _json
     import os as _os
 
-    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     green: set[str] = set()
     graded: set[str] = set()
-    for path in sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
+    for path in sorted(
+        _glob.glob(_os.path.join(_repo_root(), "CORRECTNESS_r*.json"))
+    ):
         try:
             with open(path) as f:
                 rows = _json.load(f)
@@ -907,34 +935,42 @@ def _graded_verdicts() -> tuple[set[str], set[str]]:
             continue
         for name, r in rows.items():
             graded.add(name)
-            if not r.get("err") and (
-                r.get("hash_match")
-                or (r.get("hash_match") is None and r.get("rows_match"))
-            ):
-                green.add(name)
-            elif (
-                r.get("err") == "no_oracle"
-                and r.get("spark_rows") is not None
-                and name in REGISTRY
-                and REGISTRY[name].oracle is None
-            ):
-                # rows-only BY DESIGN (spec ships no oracle): the driver
-                # ran the query and recorded its row count — that is the
-                # strongest grade this entry can ever earn, so count it
-                # green rather than rotating it into the window forever.
-                # (If the spec HAS an oracle now — e.g. a query upgraded
-                # from rows-only — the old no_oracle row does NOT count,
-                # keeping it in the window until the oracle is graded.)
+            if classify_verdict(name, r) in ("green", "rows_only"):
                 green.add(name)
     return green, graded
 
 
+def _changed_path_regrades() -> list[str]:
+    """Queries flagged for regrade by `tools/rotation_check.py
+    --emit-regrade` (git diff since last grading → operator modules →
+    registered queries), committed as REGRADE.json. Replaces the r4
+    hand-picked changed-path list — a missed changed-path query would
+    otherwise keep a stale green for up to 3 rounds."""
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(_repo_root(), "REGRADE.json")
+    try:
+        with open(path) as f:
+            data = _json.load(f)
+    except (OSError, ValueError):
+        return []
+    return [n for n in data.get("queries", []) if n in REGISTRY]
+
+
 def grading_window() -> list[str]:
     """The front-`_WINDOW` ordering: never-graded + still-red first
-    (registration order), then `_RECONFIRM` picks, then the rest."""
+    (registration order), then changed-code regrades (REGRADE.json,
+    emitted by tools/rotation_check.py), then `_RECONFIRM` picks, then
+    the rest."""
     green, graded = _graded_verdicts()
     names = list(REGISTRY)
     front = [n for n in names if n not in green]  # never graded or red
+    for n in _changed_path_regrades():
+        if len(front) >= _WINDOW:
+            break
+        if n not in front:
+            front.append(n)
     for n in _RECONFIRM:
         if len(front) >= _WINDOW:
             break

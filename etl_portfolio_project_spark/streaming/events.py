@@ -38,7 +38,29 @@ from ..operators.relational import dsum
 #: or `tmpdirs.claim` dirs (a fresh mkdtemp per generation → a fresh
 #: cache key; files added to a live dir keep the schema by
 #: construction — both checkpoint-restart halves come from one table).
-_SCHEMA_PROBE_CACHE: dict[tuple[str, str], tuple[T.StructType, T.DataType]] = {}
+_SCHEMA_PROBE_CACHE: dict[tuple, tuple[T.StructType, T.DataType]] = {}
+
+
+def _dir_fingerprint(sf_dir: str, glob: str) -> tuple[int, int]:
+    """(file count, newest mtime ns) of the glob's matches — a cheap
+    invalidation token so a reused directory path holding
+    different-vintage files (the exact ts drift the probe exists to
+    catch) can never serve a stale schema from the cache."""
+    import fnmatch
+    import os
+
+    count, newest = 0, 0
+    try:
+        with os.scandir(sf_dir) as it:
+            for e in it:
+                if e.is_file() and fnmatch.fnmatch(e.name, glob):
+                    count += 1
+                    mt = e.stat().st_mtime_ns
+                    if mt > newest:
+                        newest = mt
+    except OSError:
+        pass
+    return count, newest
 
 
 def _events_stream_schema(spark: SparkSession, sf_dir: str, glob: str):
@@ -50,7 +72,7 @@ def _events_stream_schema(spark: SparkSession, sf_dir: str, glob: str):
     silently coerces and corrupts the time axis (a declared-long read
     of a µs column divides real time by 1000). Probing keeps the
     stream correct for either vintage."""
-    key = (sf_dir, glob)
+    key = (sf_dir, glob, _dir_fingerprint(sf_dir, glob))
     hit = _SCHEMA_PROBE_CACHE.get(key)
     if hit is not None:
         return hit

@@ -52,3 +52,60 @@ def test_window_is_front_loaded_with_never_graded():
 def test_reconfirm_names_exist():
     unknown = [n for n in api._RECONFIRM if n not in api.REGISTRY]
     assert unknown == [], f"_RECONFIRM references unknown queries: {unknown}"
+
+
+def test_every_spec_has_a_module():
+    """QuerySpec.module feeds the changed-code regrade map
+    (tools/rotation_check.py --emit-regrade); an empty module would
+    silently exempt a query from regrading."""
+    missing = [
+        n for n, s in api.REGISTRY.items()
+        if not s.module.startswith("etl_portfolio_project_spark")
+    ]
+    assert missing == [], f"specs with no usable module: {missing}"
+
+
+def test_regrade_list_enters_window(tmp_path, monkeypatch):
+    """Names in REGRADE.json surface in grading_window() ahead of
+    _RECONFIRM padding."""
+    import json
+
+    # pick two green queries that are NOT _RECONFIRM picks
+    green, _ = api._graded_verdicts()
+    picks = [
+        n for n in api.REGISTRY
+        if n in green and n not in api._RECONFIRM
+    ][:2]
+    (tmp_path / "REGRADE.json").write_text(
+        json.dumps({"queries": picks + ["nonexistent_query"]})
+    )
+    monkeypatch.setattr(api, "_repo_root", lambda: str(tmp_path))
+    window = api.grading_window()[: api._WINDOW]
+    for p in picks:
+        assert p in window, f"regrade pick {p!r} missing from window"
+    assert "nonexistent_query" not in window
+
+
+def test_classify_verdict_rules():
+    some_oracle = next(
+        n for n, s in api.REGISTRY.items() if s.oracle is not None
+    )
+    assert api.classify_verdict(
+        some_oracle, {"hash_match": True, "rows_match": True}
+    ) == "green"
+    assert api.classify_verdict(
+        some_oracle, {"hash_match": False, "rows_match": True}
+    ) == "red"
+    assert api.classify_verdict(
+        some_oracle, {"err": "boom"}
+    ) == "red"
+    # rows-only row for a spec that HAS an oracle → red (awaiting hash)
+    assert api.classify_verdict(
+        some_oracle, {"err": "no_oracle", "spark_rows": 10}
+    ) == "red"
+    # rows-only row for a spec with NO oracle → green by design
+    no_oracle = [n for n, s in api.REGISTRY.items() if s.oracle is None]
+    if no_oracle:
+        assert api.classify_verdict(
+            no_oracle[0], {"err": "no_oracle", "spark_rows": 10}
+        ) == "rows_only"
