@@ -43,6 +43,46 @@ def claim(key: str, df: DataFrame) -> DataFrame:
     return new
 
 
+def claim_if_large(
+    key: str, df: DataFrame, source_paths: list[str],
+    min_bytes: int = 256 * 1024 * 1024,
+) -> DataFrame:
+    """`claim` + materialize, but ONLY when the source data is big
+    enough that recomputing the upstream chain per downstream branch
+    costs more than the cache write.
+
+    At harness SFs a claim+count inside a query's timed window is pure
+    overhead (doc_containment_pairs: lazy 0.75 s vs claimed 1.0-1.9 s
+    at sf0.1 — the triple recompute of a 0.6 MB input is cheaper than
+    persist+count barrier, measured r5). At 100 TB the trade inverts
+    hard: N downstream branches of a lazy plan re-run the whole
+    upstream N×. `min_bytes` is the switch: below it, return `df`
+    lazy; at/above it, claim + materialize (count) exactly like the
+    claim-once rule prescribes."""
+    import os
+
+    total = 0
+    for p in source_paths:
+        try:
+            if os.path.isdir(p):
+                for root, _dirs, files in os.walk(p):
+                    total += sum(
+                        os.path.getsize(os.path.join(root, f)) for f in files
+                    )
+            else:
+                total += os.path.getsize(p)
+        except OSError:
+            # unknown size → assume large (the scale-safe default)
+            total += min_bytes
+        if total >= min_bytes:
+            break
+    if total < min_bytes:
+        return df
+    out = claim(key, df)
+    out.count()
+    return out
+
+
 def release(key: str) -> None:
     """Explicitly unpersist and forget the generation for `key`."""
     old = _LIVE.pop(key, None)

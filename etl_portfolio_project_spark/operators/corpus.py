@@ -234,19 +234,23 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .. import caches
 
-    # claim + materialize ONCE: fp feeds THREE branches (both
-    # self-join sides + the per-doc sizes agg) — left lazy, the whole
-    # winnowing chain (tokenize → per-gram md5 → window-min distinct)
-    # re-runs per branch (CLAUDE.md claim-once rule)
-    fp = caches.claim(
+    # claim + materialize ONCE — but only above a source-size
+    # threshold: fp feeds THREE branches (both self-join sides + the
+    # per-doc sizes agg), and left lazy the whole winnowing chain
+    # (tokenize → per-gram md5 → window-min distinct) re-runs per
+    # branch. At 100 TB that triple recompute dwarfs one cache write;
+    # at harness SFs the persist+count barrier costs MORE than the
+    # recompute (r4 regression 0.75→1.88 s at sf0.1, root-caused r5),
+    # so claim_if_large keeps the plan lazy below 256 MB of input.
+    fp = caches.claim_if_large(
         "doc_containment_fp",
         block.unionByName(excerpts)
         .select("doc_id", F.expr(_WINNOW_TOKS_SPARK).alias("toks"))
         .where(F.size("toks") >= WINNOW_K + WINNOW_W - 1)
         .select("doc_id", F.expr(_WINNOW_GRAMS_SPARK).alias("grams"))
         .select("doc_id", F.explode(F.expr(_WINNOW_MINS_SPARK)).alias("fp")),
+        source_paths=[f"{sf_dir}/documents.parquet"],
     )
-    fp.count()
     sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     a, b = fp.alias("a"), fp.alias("b")
     shared = (

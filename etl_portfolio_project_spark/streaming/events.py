@@ -153,12 +153,55 @@ def _run_to_table(
     workers (stream_user_stats: 4.3 s at 1 partition → 1.3 s at 8).
     Production streams size this to sustained throughput instead — the
     setting is scoped to the stream and restored afterwards."""
+    import os
+
     spark = result.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(min(partitions, int(prev)))
     )
+    # Skip trailing no-data micro-batches: they re-commit every state
+    # partition with zero input (measured 0.7 s on the stream-stream
+    # join at sf0.1 — ~30% of its wall). Correct for these bounded
+    # parity runs because every watermark advancement the results
+    # depend on is driven by DATA batches (the outer-join tail uses
+    # sentinel files precisely so eviction happens in a data batch);
+    # production streams with open-ended tails should leave this on.
+    prev_ndm = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    out = tmpdirs.claim(f"stream_res_{name}", f"stream_res_{name}_")
     try:
+        if mode == "append":
+            # append-mode streams write STRAIGHT to a parquet file sink
+            # (the production shape): one materialization, no
+            # driver-heap staging. The memory-sink + rewrite path below
+            # collected every result row onto the driver and then wrote
+            # it out again — measured ~15-20% of the stream-stream join
+            # pair's wall time at sf0.1 (r4 VERDICT #3).
+            data_dir = os.path.join(out, "data")
+            q = (
+                result.writeStream.outputMode(mode)
+                .format("parquet")
+                .option("path", data_dir)
+                .option("checkpointLocation", os.path.join(out, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            spark.read.parquet(data_dir).createOrReplaceTempView(name)
+            return
+        # complete/update modes need the memory sink (the file sink is
+        # append-only). The memory sink pins its whole result on the
+        # JVM heap for the session's lifetime; across a 100+-query
+        # session those tables accumulate into an OOM on default-sized
+        # drivers (observed at sf0.1 on a 1g vanilla session). Swap the
+        # sink table for a disk-backed temp parquet — exact round-trip,
+        # bounded memory; tmpdirs.claim retires the previous run's copy
+        # so re-runs don't grow /tmp without bound.
         q = (
             result.writeStream.outputMode(mode)
             .format("memory")
@@ -171,14 +214,9 @@ def _run_to_table(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    # The memory sink pins its whole result on the JVM heap for the
-    # session's lifetime; across a 100+-query session those tables
-    # accumulate into an OOM on default-sized drivers (observed at
-    # sf0.1 on a 1g vanilla session). Swap the sink table for a
-    # disk-backed temp parquet — exact round-trip, bounded memory;
-    # tmpdirs.claim retires the previous run's copy so re-runs don't
-    # grow /tmp without bound.
-    out = tmpdirs.claim(f"stream_res_{name}", f"stream_res_{name}_")
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndm
+        )
     spark.table(name).write.mode("overwrite").parquet(out)
     spark.catalog.dropTempView(name)
     spark.read.parquet(out).createOrReplaceTempView(name)

@@ -181,3 +181,33 @@ def test_large_small_star_cc_agrees_with_union_find_and_label_prop(spark):
         }
         caches.release_all()
         assert star == lp, name
+
+
+def test_claim_if_large_threshold(spark, tmp_path):
+    """Below min_bytes → lazy passthrough (no live claim); at/above →
+    claimed + materialized (the 100 TB branch)."""
+    small = tmp_path / "small.bin"
+    small.write_bytes(b"x" * 1024)
+    df = spark.range(10)
+
+    before = caches.live_count()
+    out = caches.claim_if_large(
+        "test_cil_small", df, [str(small)], min_bytes=1 << 20
+    )
+    assert caches.live_count() == before  # lazy passthrough, no claim
+    assert not out.storageLevel.useMemory
+
+    out2 = caches.claim_if_large(
+        "test_cil_big", df, [str(small)], min_bytes=512
+    )
+    assert caches.live_count() == before + 1
+    assert out2.storageLevel.useMemory
+    caches.release("test_cil_big")
+
+    # missing path → size unknown → scale-safe default is to claim
+    out3 = caches.claim_if_large(
+        "test_cil_missing", spark.range(10), [str(tmp_path / "nope.bin")],
+        min_bytes=1 << 20,
+    )
+    assert out3.storageLevel.useMemory
+    caches.release("test_cil_missing")
