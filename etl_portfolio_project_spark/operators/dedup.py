@@ -1660,6 +1660,13 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # foreachBatch bodies run in the DRIVER process (module
         # references are safe; nothing here is pickled to workers)
         s = batch_df.sparkSession
+        # the batch arrives as ONE file split (1 partition at harness
+        # scale) — spread the md5-shingle/minhash compute across the
+        # machine before the heavy expression, same rationale as
+        # sources.registry.balanced()
+        par = s.sparkContext.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < min(8, par):
+            batch_df = batch_df.repartition(min(8, par))
         sigs = batch_df.select("doc_id", F.expr(row_expr).alias("s")).select(
             "doc_id",
             F.col("s.items").alias("items"),
