@@ -1890,12 +1890,16 @@ def _cc_large_small_star(pairs: DataFrame) -> DataFrame:
 
     Returns (doc_id, cluster_id), cluster_id = component minimum —
     identical contract to `_cc_union_find`/`_cc_label_propagation`."""
-    edges = (
+    # intra-round caches route through caches.claim (r4 ADVICE #7):
+    # one live generation per key, released in the finally below AND
+    # covered by the registry's release_all() safety net — the same
+    # lifecycle test_cache_hygiene enforces for every other builder
+    edges = caches.claim(
+        "cc_star_edges",
         pairs.select(F.col("id1").alias("u"), F.col("id2").alias("v"))
         .union(pairs.select(F.col("id2").alias("u"), F.col("id1").alias("v")))
         .where(F.col("u") != F.col("v"))
-        .distinct()
-        .persist()
+        .distinct(),
     )
 
     def _neighborhood_min(e: DataFrame) -> DataFrame:
@@ -1939,16 +1943,19 @@ def _cc_large_small_star(pairs: DataFrame) -> DataFrame:
                 .where(F.col("v") > F.col("u"))
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
             )
-            # The intra-round intermediate uses persist (released at
-            # end of round — one live generation, the cache-hygiene
-            # discipline); only the round RESULT is localCheckpointed:
+            # The intra-round intermediate claims a cache (re-claims
+            # under the same key each round → exactly one live
+            # generation, the cache-hygiene discipline); only the
+            # round RESULT is localCheckpointed:
             # each round references its input TWICE (join back +
             # canon), so a lazy lineage doubles per round — the
             # logical plan explodes exponentially (observed as an
             # explain-string OOM inside AQE by round ~8 on a 31-node
             # path). One checkpoint generation per round; superseded
             # generations are dereferenced for ContextCleaner GC.
-            after_large = _canon(large).persist()
+            after_large = caches.claim(
+                "cc_star_after_large", _canon(large)
+            )
             m2 = _neighborhood_min(after_large)
             small = (
                 after_large.join(m2, "u")
@@ -1957,7 +1964,7 @@ def _cc_large_small_star(pairs: DataFrame) -> DataFrame:
                 .union(m2.select("u", F.col("m").alias("v")))
             )
             nxt = _canon(small).localCheckpoint(eager=True)
-            after_large.unpersist()
+            caches.release("cc_star_after_large")
             sig = _signature(nxt)
             cur = nxt
             if sig == prev_sig:
@@ -1986,7 +1993,8 @@ def _cc_large_small_star(pairs: DataFrame) -> DataFrame:
     finally:
         if cur is not edges:
             cur.unpersist()
-        edges.unpersist()
+        caches.release("cc_star_after_large")
+        caches.release("cc_star_edges")
     return labels
 
 

@@ -211,3 +211,19 @@ def test_claim_if_large_threshold(spark, tmp_path):
     )
     assert out3.storageLevel.useMemory
     caches.release("test_cil_missing")
+
+
+def test_cc_star_caches_are_registry_tracked(spark):
+    """_cc_large_small_star's intra-round persists route through
+    caches.claim (r4 ADVICE #7): after a run, the only surviving
+    tracked cache is the labels claim — the edges and per-round
+    intermediates were released in the builder's finally — and a
+    release_all() leaves nothing live."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id1 long, id2 long"
+    )
+    caches.release_all()
+    dedup._cc_large_small_star(pairs).count()
+    assert caches.live_count() == 1  # cc_star_labels only
+    caches.release_all()
+    assert caches.live_count() == 0
