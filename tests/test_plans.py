@@ -182,6 +182,24 @@ SHUFFLE_BUDGET = {
     # relation + one per-cluster groupBy exchange
     "semantic_dedup_clusters": 1,
     "tpch_q22_inactive_rich_customers": 2,  # anti join + nation agg
+    # r5 additions -----------------------------------------------------
+    # per-part avg agg + final single-row agg; part dim broadcast twice
+    "tpch_q17_small_quantity_revenue": 2,
+    "c4_quality_flags": 1,  # balanced spread only (pure narrow map)
+    "token_fertility_by_lang": 2,  # balanced spread + 5-key lang agg
+    "lang_id_accuracy_audit": 2,  # balanced spread + confusion agg
+    # 2 balanced spreads (gopher + c4 branches) + source agg; the
+    # doc_id joins broadcast at harness size (+1 headroom for SMJ)
+    "corpus_quality_funnel": 4,
+    # band self-join agg + tau groupBy; sig table is a checkpoint
+    "minhash_tau_sweep": 3,
+    # gram hash equi-join + diagonal window + island agg (+1 headroom
+    # if the gram join goes SMJ at scale)
+    "exact_substring_spans": 3,
+    "embedding_pq_codes": 1,  # narrow codebook map; balanced spread
+    # balanced spread + (query,same)-keyed window + final query agg;
+    # anchor join broadcasts
+    "contrastive_hard_negatives": 4,
     # neardup_clusters is intentionally absent: the iterative
     # fixpoint loop's plan depth is data-dependent (graph diameter)
     # zero-shuffle hash assignment; balanced spread + the 3-key agg's

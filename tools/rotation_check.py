@@ -79,23 +79,183 @@ def file_to_module(path: str) -> str:
     return path[: -len(".py")].replace("/", ".")
 
 
+def changed_toplevel_names(base: str, path: str) -> set[str] | None:
+    """Top-level def/class/assignment names in `path` whose line spans
+    overlap the diff vs BASE (working-tree side). None = can't resolve
+    (file deleted, unparseable, binary diff) → caller falls back to
+    whole-module granularity."""
+    import ast
+
+    try:
+        diff = _git("diff", "-U0", base, "--", path)
+        src = open(os.path.join(_REPO, path)).read()
+        tree = ast.parse(src)
+    except (subprocess.CalledProcessError, OSError, SyntaxError):
+        return None
+    import re as _re
+
+    ranges: list[tuple[int, int]] = []
+    for m in _re.finditer(r"^@@ .* \+(\d+)(?:,(\d+))? @@", diff, _re.M):
+        start = int(m.group(1))
+        count = int(m.group(2)) if m.group(2) is not None else 1
+        # a pure deletion (count 0) still touches the surrounding span
+        ranges.append((start, start + max(count, 1) - 1))
+    if not ranges:
+        return set()
+    names: set[str] = set()
+    for node in tree.body:
+        span = (node.lineno, getattr(node, "end_lineno", node.lineno))
+        if not any(a <= span[1] and span[0] <= b for a, b in ranges):
+            continue
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                             ast.ClassDef)):
+            names.add(node.name)
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    names.add(t.id)
+        elif isinstance(node, ast.AnnAssign) and isinstance(
+            node.target, ast.Name
+        ):
+            names.add(node.target.id)
+    return names
+
+
+def module_importers(changed_module: str) -> set[str]:
+    """Package modules whose source imports from `changed_module`
+    (one-hop; enough for the helper-module pattern in this repo)."""
+    short = changed_module.rsplit(".", 1)[-1]
+    pat = rf"from\s+\.+[\w.]*\b{short}\b\s+import|from\s+\.+\s+import\s+.*\b{short}\b"
+    import re as _re
+
+    out: set[str] = set()
+    for root, _dirs, files in os.walk(os.path.join(_REPO, _PKG)):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            rel = os.path.relpath(os.path.join(root, fname), _REPO)
+            try:
+                src = open(os.path.join(_REPO, rel)).read()
+            except OSError:
+                continue
+            if _re.search(pat, src):
+                out.add(file_to_module(rel.replace(os.sep, "/")))
+    return out
+
+
 def emit_regrade(base: str | None) -> int:
+    import inspect
+    import re as _re
+
     from etl_portfolio_project_spark import api
 
     base = base or last_grading_commit()
     files = changed_package_files(base)
     infra = [f for f in files if f.startswith(_INFRA_PREFIXES)]
-    modules = {
-        file_to_module(f)
-        for f in files
+    code_files = [
+        f for f in files
         if f not in infra and not f.endswith("__init__.py")
-    }
-    queries = [
-        n for n, spec in api.REGISTRY.items() if spec.module in modules
     ]
+
+    def _builder_src(spec) -> str:
+        try:
+            return inspect.getsource(spec.raw or spec.builder)
+        except (OSError, TypeError):
+            return ""
+
+    def _expand_within_module(path: str, names: set[str]) -> set[str]:
+        """Fixpoint: a module-level def/constant whose SOURCE references
+        a changed name is itself changed (helpers and generated *_SQL
+        constants propagate to their consumers)."""
+        import ast
+
+        try:
+            tree = ast.parse(open(os.path.join(_REPO, path)).read())
+            src_lines = open(os.path.join(_REPO, path)).readlines()
+        except (OSError, SyntaxError):
+            return names
+        spans: dict[str, str] = {}
+        for node in tree.body:
+            body = "".join(
+                src_lines[node.lineno - 1: getattr(
+                    node, "end_lineno", node.lineno)]
+            )
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                 ast.ClassDef)):
+                spans[node.name] = body
+            elif isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if isinstance(t, ast.Name):
+                        spans[t.id] = body
+        out = set(names)
+        while True:
+            pat = _re.compile(
+                r"\b(" + "|".join(map(_re.escape, sorted(out))) + r")\b"
+            )
+            grew = {
+                nm for nm, body in spans.items()
+                if nm not in out and pat.search(body)
+            }
+            if not grew:
+                return out
+            out |= grew
+
+    # name → oracle-SQL constant, parsed from api.py's registration
+    # tuples ("q_name", MOD.fn, MOD.SOME_SQL, ...) so a changed SQL
+    # builder regrades its query even though the builder fn didn't move
+    api_src = open(
+        os.path.join(_REPO, _PKG, "api.py")
+    ).read()
+    oracle_const: dict[str, str] = {
+        m.group(1): m.group(2)
+        for m in _re.finditer(
+            r'\(\s*"([a-z0-9_]+)",\s*[A-Za-z_][\w.]*,\s*'
+            r'(?:[A-Za-z_][\w]*\.)?([A-Z][A-Z_0-9]*SQL)',
+            api_src,
+        )
+    }
+
+    queries: set[str] = set()
+    for f in code_files:
+        mod = file_to_module(f)
+        names = changed_toplevel_names(base, f)
+        if names is None:
+            # can't localize → whole-module fallback
+            queries.update(
+                n for n, s in api.REGISTRY.items() if s.module == mod
+            )
+            continue
+        if not names:
+            continue
+        names = _expand_within_module(f, names)
+        name_pat = _re.compile(
+            r"\b(" + "|".join(map(_re.escape, sorted(names))) + r")\b"
+        )
+        # direct: queries of the changed module whose builder is itself
+        # changed or references a changed top-level name
+        for n, s in api.REGISTRY.items():
+            if s.module != mod:
+                continue
+            fn_name = getattr(s.raw, "__name__", "")
+            if (
+                fn_name in names
+                or oracle_const.get(n) in names
+                or name_pat.search(_builder_src(s))
+            ):
+                queries.add(n)
+        # cross-module: modules importing the changed one — their
+        # builders regrade when they reference a changed name (e.g.
+        # streaming.stateful using events._run_to_table)
+        for dep in module_importers(mod):
+            for n, s in api.REGISTRY.items():
+                if s.module != dep or n in queries:
+                    continue
+                if name_pat.search(_builder_src(s)):
+                    queries.add(n)
+
     # registration order, not window order, for a stable committed file
     order = {n: i for i, n in enumerate(api.REGISTRY)}
-    queries.sort(key=order.__getitem__)
+    queries = sorted(queries, key=order.__getitem__)
     payload = {
         "base": base,
         "changed_files": files,

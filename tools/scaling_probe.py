@@ -386,6 +386,91 @@ def probe_stream_inc_dedup(spark, sf_dir: str, label: str) -> dict:
     return r
 
 
+def probe_r4_new(spark, sf_dir: str, label: str) -> dict:
+    """r5 (VERDICT r4 #6): selectivity/recall ladder rows for the
+    r4-new operators — semantic_dedup_clusters, cross_source_dup_audit
+    and ann_lsh_recall_audit — in the same candidates-per-true-pair
+    framing as the older families."""
+    from pyspark.sql import functions as F
+
+    from etl_portfolio_project_spark import caches
+    from etl_portfolio_project_spark.operators import dedup, similarity
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    r = {"sf": label}
+
+    # cross-source dup audit: band-candidate count vs verified pairs
+    row_expr = dedup._shingle_sig_row_expr()
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.expr(row_expr).alias("s"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("s.items").alias("items"),
+            F.col("s.sig").alias("sig"),
+        )
+    )
+    bands = dedup._band_rows(d.where(F.size("items") >= 1))
+    r["xs_candidates"], _ = timed(
+        lambda: bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    out, r["xs_secs"] = timed(
+        lambda: dedup.cross_source_dup_audit(spark, sf_dir)
+        .agg(
+            F.sum("n_docs").alias("docs"),
+            # each pair counted once per side → /2
+            (F.sum("n_cross_dup_pairs") / 2).alias("pairs"),
+        )
+        .collect()[0]
+    )
+    r["xs_docs"] = int(out["docs"])
+    r["xs_cross_pairs"] = int(out["pairs"] or 0)
+    caches.release_all()
+
+    # semantic dedup: verified LSH-cosine pairs -> clusters/dropped
+    # (candidate-stage count for the same pairs is probe_sf's
+    # emb_candidates; here we record the clustering outcome)
+    out, r["sem_secs"] = timed(
+        lambda: similarity.semantic_dedup_clusters(spark, sf_dir)
+        .agg(
+            F.count(F.lit(1)).alias("clusters"),
+            F.coalesce(F.sum("n_dropped"), F.lit(0)).alias("dropped"),
+            F.coalesce(F.max("cluster_size"), F.lit(0)).alias("max_sz"),
+        )
+        .collect()[0]
+    )
+    r["sem_clusters"] = int(out["clusters"])
+    r["sem_dropped"] = int(out["dropped"])
+    r["sem_max_cluster"] = int(out["max_sz"])
+    caches.release_all()
+
+    # ANN recall audit: the recall distribution IS the scale claim
+    out, r["ann_audit_secs"] = timed(
+        lambda: similarity.ann_lsh_recall_audit(spark, sf_dir)
+        .agg(
+            F.count(F.lit(1)).alias("queries"),
+            F.avg("recall").alias("mean_recall"),
+            F.min("recall").alias("min_recall"),
+        )
+        .collect()[0]
+    )
+    r["ann_queries"] = int(out["queries"])
+    r["ann_mean_recall"] = round(float(out["mean_recall"]), 4)
+    r["ann_min_recall"] = round(float(out["min_recall"]), 4)
+    caches.release_all()
+    return r
+
+
 def main() -> int:
     if "--skip-generate" not in sys.argv:
         need = not all(
@@ -430,6 +515,16 @@ def main() -> int:
         sf_rows.append(probe_stream_family(spark, sf_dir, label))
         print(json.dumps(sf_rows[-1]))
 
+    r4_rows = []
+    for sf_dir, label in [
+        ("/root/testdata/sf0.01", "sf0.01"),
+        (SRC_SF, "sf0.1"),
+        (SCALE_DIR, "sf1e"),
+    ]:
+        print(f"--- r4-new operators at {label}")
+        r4_rows.append(probe_r4_new(spark, sf_dir, label))
+        print(json.dumps(r4_rows[-1]))
+
     print("--- high-diameter path graphs (star vs label-prop)")
     path_rows = probe_path_graphs(spark)
 
@@ -440,6 +535,7 @@ def main() -> int:
                 "cc": cc_rows,
                 "stream": stream_rows,
                 "stream_family": sf_rows,
+                "r4_new": r4_rows,
                 "path_graphs": path_rows,
             },
             f,
