@@ -429,6 +429,10 @@ _EXTENSIONS = [
      S.CONTRASTIVE_HARD_NEGATIVES_SQL,
      "Hard positive/negative mining per anchor with cosine margin — "
      "the triplet/InfoNCE batch-building pass (r5)."),
+    ("embedding_norm_outliers", S.embedding_norm_outliers,
+     S.EMBEDDING_NORM_OUTLIERS_SQL,
+     "Embedding QA: norm outliers vs the rank-selected median norm "
+     "(degenerate-vector gate before cosine pipelines) (r5)."),
     ("simhash_pairs", D.simhash_pairs, D.SIMHASH_PAIRS_SQL,
      "48-bit SimHash signatures + Hamming-distance pairs."),
     ("winnow_neardup", D.winnow_neardup, D.WINNOW_NEARDUP_SQL,
@@ -658,6 +662,10 @@ _ANALYTICS = [
      A.EVENTS_MAD_OUTLIERS_SQL,
      "Robust median/MAD outlier profile via bit-exact rank-selection "
      "medians (no interpolation arithmetic)."),
+    ("source_lang_diversity", A.source_lang_diversity,
+     A.SOURCE_LANG_DIVERSITY_SQL,
+     "Per-source language Gini impurity + dominant share via the "
+     "exact-integer identity (no float accumulation) (r5)."),
     ("zorder_events_tiles", A.zorder_events_tiles,
      A.ZORDER_EVENTS_TILES_SQL,
      "Z-order layout audit: Morton-interleaved (user, hour) key, "

@@ -1890,3 +1890,68 @@ SELECT event_type, lateness_bucket, n_events, max_lateness_us,
                        AS BIGINT) AS share
 FROM g
 """
+
+
+def source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language diversity for mixture governance: language
+    count, dominant-language share, and Gini impurity of the lang
+    distribution — the one-line answer to "is this source
+    monolingual?" before weighting it into a multilingual mixture.
+
+    Numeric portability: Gini = 1 − Σ p_l² is computed as the exact
+    integer identity (n² − Σ n_l²) / n² — two BIGINT aggregates and
+    ONE double division, so no float accumulation order exists to
+    drift (CLAUDE.md no-double-sums rule). Dominant share is likewise
+    max(n_l)/n in one division.
+
+    Scale shape: two partial-agg'd groupBys ((source, lang) → source);
+    both keys are tiny, so the second agg is a near-broadcast
+    reduction."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_l"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("n_l").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.max("n_l").alias("n_dominant"),
+            F.sum(F.col("n_l") * F.col("n_l")).alias("sum_sq"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            (
+                F.col("n_dominant").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dominant_share"),
+            (
+                (
+                    F.col("n_docs") * F.col("n_docs") - F.col("sum_sq")
+                ).cast("double")
+                / (F.col("n_docs") * F.col("n_docs")).cast("double")
+            ).alias("gini_impurity"),
+        )
+    )
+
+
+SOURCE_LANG_DIVERSITY_SQL = """
+WITH per AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_l
+  FROM documents GROUP BY source, lang
+),
+agg AS (
+  SELECT source,
+         CAST(sum(n_l) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_langs,
+         CAST(max(n_l) AS BIGINT) AS n_dominant,
+         CAST(sum(n_l * n_l) AS BIGINT) AS sum_sq
+  FROM per GROUP BY source
+)
+SELECT source, n_docs, n_langs,
+       CAST(n_dominant AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         AS dominant_share,
+       CAST(n_docs * n_docs - sum_sq AS DOUBLE)
+         / CAST(n_docs * n_docs AS DOUBLE) AS gini_impurity
+FROM agg
+"""

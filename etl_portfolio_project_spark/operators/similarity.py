@@ -1191,3 +1191,135 @@ SELECT query_id,
 FROM top
 GROUP BY query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Embedding QA: norm-outlier detection (the sanity gate before any
+# cosine-based pipeline — zero/huge norms break similarity math).
+# ---------------------------------------------------------------------------
+
+NORM_OUT_HI = "2.0"  # flag norm > HI × median
+NORM_OUT_LO = "0.5"  # flag norm < LO × median
+NORM_PLANT_MOD = 100  # plant degenerates for every vec_id ≡ 1 (mod)
+NORM_PLANT_BIG = 10_000_000  # offset for the ×3.0 planted copies
+NORM_PLANT_SMALL = 20_000_000  # offset for the ×0.1 planted copies
+
+
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors whose L2 norm is anomalous relative to the corpus
+    MEDIAN norm (> NORM_OUT_HI× or < NORM_OUT_LO×) — the embedding
+    QA gate run before cosine pipelines (degenerate norms are how
+    truncated/zero vectors slip into an index).
+
+    The harness embeddings are unit-normalized (norm spread ~1e-7), so
+    a gate over the raw table can only ever return zero rows — the op
+    therefore first APPENDS deterministic degenerate copies (×3.0 and
+    ×0.1 scalings of every NORM_PLANT_MOD-th vector under offset ids:
+    synthesize → process → verify, the PII/WAV/containment pattern)
+    and must flag EXACTLY the planted set. The median is robust to the
+    2% planting by construction.
+
+    Portability: the median is RANK-SELECTED (row_number picks the
+    ceil(n/2)-th existing norm value — no interpolation, no float
+    summation), the planted scaling is one double multiply per
+    element before the shared left-to-right norm fold, and the
+    outlier test multiplies two deterministic doubles. The 1-row
+    median broadcast-crossjoins back (decorrelated-scalar idiom).
+
+    Scale shape: narrow norm map → single-column rank for ONE value
+    (at 100 TB this becomes approx_percentile or a sampled exact rank;
+    the selection contract — an existing value, not an average — is
+    what keeps the oracle exact here)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    src = balanced(e).select(
+        "vec_id", "label", _dvec("embedding").alias("vec")
+    )
+    planted = (
+        src.where(F.col("vec_id") % NORM_PLANT_MOD == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.expr("transform(vec, x -> x * 3.0D)").alias("big"),
+            F.expr("transform(vec, x -> x * 0.1D)").alias("small"),
+        )
+    )
+    aug = src.unionByName(
+        planted.select(
+            (F.col("vec_id") + NORM_PLANT_BIG).alias("vec_id"),
+            "label",
+            F.col("big").alias("vec"),
+        )
+    ).unionByName(
+        planted.select(
+            (F.col("vec_id") + NORM_PLANT_SMALL).alias("vec_id"),
+            "label",
+            F.col("small").alias("vec"),
+        )
+    )
+    # eager checkpoint of the NARROW (id, label, norm) projection:
+    # three consumers below (rank window, count, outlier filter) —
+    # left lazy, each one re-plans the 3-branch union + norm folds
+    # (measured: 11 exchanges → 4). Three slim columns, not vectors.
+    base = aug.select(
+        "vec_id", "label", norm_expr("vec").alias("nrm")
+    ).localCheckpoint(eager=True)
+    w = Window.orderBy("nrm", "vec_id")
+    ranked = base.withColumn("rn", F.row_number().over(w))
+    n_row = base.agg(F.count(F.lit(1)).alias("n"))
+    med = (
+        ranked.join(F.broadcast(n_row))
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("nrm").alias("median_norm"))
+    )
+    hi = F.expr(f"CAST({NORM_OUT_HI} AS DOUBLE)")
+    lo = F.expr(f"CAST({NORM_OUT_LO} AS DOUBLE)")
+    return (
+        base.crossJoin(F.broadcast(med))
+        .where(
+            (F.col("nrm") > hi * F.col("median_norm"))
+            | (F.col("nrm") < lo * F.col("median_norm"))
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.col("nrm").alias("norm"),
+            "median_norm",
+            (F.col("nrm") / F.col("median_norm")).alias("ratio"),
+        )
+    )
+
+
+EMBEDDING_NORM_OUTLIERS_SQL = f"""
+WITH src AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+aug AS (
+  SELECT vec_id, label, vec FROM src
+  UNION ALL
+  SELECT vec_id + {NORM_PLANT_BIG}, label,
+         list_transform(vec, x -> x * CAST(3.0 AS DOUBLE))
+  FROM src WHERE vec_id % {NORM_PLANT_MOD} = 1
+  UNION ALL
+  SELECT vec_id + {NORM_PLANT_SMALL}, label,
+         list_transform(vec, x -> x * CAST(0.1 AS DOUBLE))
+  FROM src WHERE vec_id % {NORM_PLANT_MOD} = 1
+),
+base AS (
+  SELECT vec_id, label, {norm_sql('vec')} AS nrm FROM aug
+),
+med AS (
+  SELECT nrm AS median_norm FROM (
+    SELECT nrm,
+           row_number() OVER (ORDER BY nrm, vec_id) AS rn,
+           count(*) OVER () AS n
+    FROM base
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT vec_id, label, nrm AS norm, median_norm,
+       nrm / median_norm AS ratio
+FROM base CROSS JOIN med
+WHERE nrm > CAST({NORM_OUT_HI} AS DOUBLE) * median_norm
+   OR nrm < CAST({NORM_OUT_LO} AS DOUBLE) * median_norm
+"""

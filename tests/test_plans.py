@@ -200,6 +200,10 @@ SHUFFLE_BUDGET = {
     # balanced spread + (query,same)-keyed window + final query agg;
     # anchor join broadcasts
     "contrastive_hard_negatives": 4,
+    "source_lang_diversity": 2,  # (source,lang) agg + source re-agg
+    # checkpointed narrow norm table + global rank exchange + count
+    # agg; outlier filter rides the checkpoint
+    "embedding_norm_outliers": 3,
     # neardup_clusters is intentionally absent: the iterative
     # fixpoint loop's plan depth is data-dependent (graph diameter)
     # zero-shuffle hash assignment; balanced spread + the 3-key agg's
