@@ -182,3 +182,42 @@ def write_jdbc_overwrite(
         .mode("overwrite")
         .save()
     )
+
+
+#: Spark JDBC type mapping for PostgreSQL — mirrors Spark's
+#: PostgresDialect.getJDBCType (apache/spark
+#: sql/core/.../jdbc/PostgresDialect.scala, public source): the DDL
+#: Spark would emit when `write_jdbc_overwrite` creates the table.
+#: Exposed so the dialect can be executed against a REAL PostgreSQL
+#: server even where the JDBC driver jar is absent (this container):
+#: tools/pg_dialect_check.py runs these statements through psql.
+_SPARK_PG_TYPES = {
+    "string": "TEXT",
+    "long": "BIGINT",
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "integer": "INTEGER",
+    "double": "DOUBLE PRECISION",
+    "float": "REAL",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "binary": "BYTEA",
+}
+
+
+def postgres_ddl_for(df: DataFrame, table: str) -> str:
+    """CREATE TABLE statement for `df`'s schema under Spark's
+    PostgresDialect mapping (decimal(p,s) → NUMERIC(p,s), string →
+    TEXT, double → DOUBLE PRECISION, ...)."""
+    cols = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t.startswith("decimal"):
+            pg = t.upper().replace("DECIMAL", "NUMERIC")
+        else:
+            pg = _SPARK_PG_TYPES.get(t)
+            if pg is None:
+                raise ValueError(f"unmapped Spark type for Postgres: {t}")
+        cols.append(f'"{f.name}" {pg}')
+    return f'CREATE TABLE {table} ({", ".join(cols)})'

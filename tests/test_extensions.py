@@ -188,3 +188,131 @@ def test_semantic_dedup_driver_and_distributed_cc_agree(spark):
     assert a == b and len(a) > 0
     for _cid, size, _keep, dropped in a:
         assert size >= 2 and dropped == size - 1
+
+
+# --- r5 operators ----------------------------------------------------------
+
+
+def test_minhash_tau_sweep_monotone(spark):
+    rows = D.minhash_tau_sweep(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == len(D.SWEEP_TAUS)
+    by_tau = sorted(rows, key=lambda r: r.tau)
+    cands = {r.n_candidates for r in rows}
+    assert len(cands) == 1, "candidate count must be tau-independent"
+    pairs = [r.n_pairs for r in by_tau]
+    assert pairs == sorted(pairs, reverse=True), (
+        f"n_pairs must be non-increasing in tau: {pairs}"
+    )
+    for r in rows:
+        assert 0.0 <= r.precision <= 1.0
+
+
+def test_exact_substring_spans_are_real_and_maximal(spark):
+    """Every reported span re-verifies against the RAW texts (the
+    tokens genuinely match position-for-position over the full span),
+    is at least ES_K + ES_MIN_GRAMS - 1 tokens, and is MAXIMAL (the
+    tokens just before/after the span differ or run off an end) —
+    a pure-Python recomputation, independent of the SQL/hash path."""
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    sf = "/root/testdata/sf0.01"
+    docs = {
+        r.doc_id: r.text.strip().lower().split()
+        for r in load_table(spark, sf, "documents").collect()
+    }
+    spans = D.exact_substring_spans(spark, sf).collect()
+    assert spans, "degenerate: no shared spans at sf0.01"
+    for r in spans:
+        t1, t2 = docs[r.id1], docs[r.id2]
+        a, b, ln = r.start1 - 1, r.start2 - 1, r.span_tokens
+        assert ln >= D.ES_K + D.ES_MIN_GRAMS - 1
+        assert t1[a: a + ln] == t2[b: b + ln], (r, t1[a: a + ln][:5])
+        # maximality: can't extend in either direction
+        if a > 0 and b > 0:
+            assert t1[a - 1] != t2[b - 1], ("left-extendable", r)
+        if a + ln < len(t1) and b + ln < len(t2):
+            assert t1[a + ln] != t2[b + ln], ("right-extendable", r)
+
+
+def test_embedding_pq_codes_properties(spark):
+    sf = "/root/testdata/sf0.01"
+    rows = S.embedding_pq_codes(spark, sf).collect()
+    valid_cids = {
+        r.vec_id for r in rows if r.vec_id % S.PQ_MOD == S.PQ_OFF
+    }
+    assert valid_cids
+    for r in rows:
+        for m in range(1, S.PQ_M + 1):
+            assert getattr(r, f"code_{m}") in valid_cids
+        assert r.sq_error >= 0.0
+    # a codebook vector reconstructs itself exactly (error 0, own code)
+    for r in rows:
+        if r.vec_id in valid_cids:
+            assert r.sq_error == 0.0, r
+            assert all(
+                getattr(r, f"code_{m}") == r.vec_id
+                for m in range(1, S.PQ_M + 1)
+            )
+
+
+def test_contrastive_margin_consistency(spark):
+    """pos/neg are genuine per-side maxima: margin = pos - neg, and
+    the negative's cosine never exceeds the true overall max."""
+    sf = "/root/testdata/sf0.01"
+    rows = S.contrastive_hard_negatives(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r.pos_vec_id != r.neg_vec_id
+        assert abs(r.margin - (r.pos_cosine - r.neg_cosine)) == 0.0
+
+
+def test_corpus_quality_funnel_consistency(spark):
+    """Funnel counts must equal recounts from the component per-doc
+    queries (composition contract)."""
+    sf = SF_SMALL
+    funnel = {r.source: r for r in X.corpus_quality_funnel(spark, sf).collect()}
+    g = X.gopher_quality_flags(spark, sf).select(
+        "doc_id", "source", "passes_all"
+    ).collect()
+    by_src: dict[str, int] = {}
+    for r in g:
+        if r.passes_all:
+            by_src[r.source] = by_src.get(r.source, 0) + 1
+    for src, row in funnel.items():
+        assert row.n_pass_gopher == by_src.get(src, 0), src
+        assert 0 <= row.n_pass_all <= min(
+            row.n_pass_gopher, row.n_pass_c4, row.n_lang_match
+        )
+        assert row.n_docs >= row.n_pass_all
+
+
+def test_embedding_norm_outliers_flags_exactly_planted(spark):
+    sf = "/root/testdata/sf0.01"
+    rows = S.embedding_norm_outliers(spark, sf).collect()
+    got = {r.vec_id for r in rows}
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    src_ids = [
+        r.vec_id
+        for r in load_table(spark, sf, "embeddings").collect()
+        if r.vec_id % S.NORM_PLANT_MOD == 1
+    ]
+    want = {i + S.NORM_PLANT_BIG for i in src_ids} | {
+        i + S.NORM_PLANT_SMALL for i in src_ids
+    }
+    assert got == want
+    for r in rows:
+        assert r.ratio > 2.0 or r.ratio < 0.5
+
+
+def test_source_lang_diversity_bounds(spark):
+    rows = __import__(
+        "etl_portfolio_project_spark.operators.analytics",
+        fromlist=["analytics"],
+    ).source_lang_diversity(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.gini_impurity < 1.0
+        assert 0.0 < r.dominant_share <= 1.0
+        if r.n_langs == 1:
+            assert r.gini_impurity == 0.0 and r.dominant_share == 1.0
