@@ -2278,6 +2278,8 @@ MINHASH_TAU_SWEEP_SQL = _build_minhash_tau_sweep_sql()
 ES_K = 8  # token k-gram width (the paper uses 50 BPE tokens; the
 # harness docs are 10-200 words, so 8 keeps spans observable)
 ES_MIN_GRAMS = 3  # ≥3 consecutive shared grams → span ≥ ES_K+2 tokens
+ES_HOT_CAP = 64  # drop grams with more occurrences (boilerplate stop-
+# grams — the paper's frequency cutoff; a k-doc gram fans out k² pairs)
 
 
 def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2300,10 +2302,16 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     are accepted — the paper's pipeline tolerates the same for its
     Bloom-filter variant.
 
-    Scale shape: one narrow gram projection riding the scan, one
-    equi-join on a high-cardinality key (uniform by construction — the
-    hash IS the key), one window over per-(pair, diagonal) partitions
-    whose size is bounded by doc length."""
+    Scale shape: one narrow gram projection riding the scan, then ONE
+    shuffle — groupBy the gram hash, collecting each gram's (doc,
+    pos) occurrence list — instead of a two-sided self-join (halves
+    the shuffled volume and gives a natural skew guard: grams with
+    more than ES_HOT_CAP occurrences are DROPPED as boilerplate
+    stop-grams, the frequency cutoff the paper's pipeline applies;
+    a hot gram in k docs would otherwise fan out k² pairs). Pairs
+    explode from the bounded lists; one window over per-(pair,
+    diagonal) partitions whose size is bounded by doc length. The
+    oracle mirrors the cap with a HAVING frequency filter."""
     grams_expr = (
         "transform(array(split(trim(lower(text)), '\\\\s+')), tk -> "
         f"CASE WHEN size(tk) < {ES_K} THEN "
@@ -2318,17 +2326,22 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.expr(grams_expr)).alias("g"))
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
     )
-    a = g.select(
-        F.col("doc_id").alias("id1"), F.col("pos").alias("pos1"), "h"
+    occ = (
+        g.groupBy("h")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("occ"))
+        .where(
+            (F.size("occ") >= 2) & (F.size("occ") <= ES_HOT_CAP)
+        )
     )
-    b = g.select(
-        F.col("doc_id").alias("id2"), F.col("pos").alias("pos2"), "h"
+    pair_expr = (
+        "flatten(transform(occ, o1 -> "
+        "transform(filter(occ, o2 -> o1.doc_id < o2.doc_id), o2 -> "
+        "named_struct('id1', o1.doc_id, 'id2', o2.doc_id, "
+        "'pos1', o1.pos, 'pos2', o2.pos))))"
     )
     m = (
-        a.join(b, "h")
-        .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "pos1", "pos2")
-        .distinct()
+        occ.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id1", "p.id2", "p.pos1", "p.pos2")
         .withColumn("diag", F.col("pos1") - F.col("pos2"))
     )
     w = Window.partitionBy("id1", "id2", "diag").orderBy("pos1")
@@ -2370,10 +2383,14 @@ WITH g AS (
          len({_ES_TOKS_DUCK}) - {ES_K - 1})) AS t(i)
   WHERE len({_ES_TOKS_DUCK}) >= {ES_K}
 ),
+keep AS (
+  SELECT h FROM g GROUP BY h HAVING count(*) BETWEEN 2 AND {ES_HOT_CAP}
+),
 m AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
          a.pos AS pos1, b.pos AS pos2
   FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+  WHERE a.h IN (SELECT h FROM keep)
 ),
 runs AS (
   SELECT id1, id2, (pos1 - pos2) AS diag,

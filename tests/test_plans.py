@@ -193,8 +193,8 @@ SHUFFLE_BUDGET = {
     "corpus_quality_funnel": 4,
     # band self-join agg + tau groupBy; sig table is a checkpoint
     "minhash_tau_sweep": 3,
-    # gram hash equi-join + diagonal window + island agg (+1 headroom
-    # if the gram join goes SMJ at scale)
+    # one gram-hash groupBy (occurrence lists, hot-cap filtered) +
+    # diagonal window/island agg (+1 headroom)
     "exact_substring_spans": 3,
     "embedding_pq_codes": 1,  # narrow codebook map; balanced spread
     # balanced spread + (query,same)-keyed window + final query agg;
