@@ -562,6 +562,10 @@ _EXTENSIONS += [
      "Hive-partitioned write + partition-pruned read: the year filter "
      "binds to directories (PartitionFilters pinned by plan test); "
      "layout is semantically invisible vs the source-table oracle."),
+    ("schema_evolution_read", IO.schema_evolution_read,
+     IO.SCHEMA_EVOLUTION_READ_SQL,
+     "mergeSchema read across parquet generations (v1 lacks a column "
+     "-> NULLs); merge semantics hash-checked vs a CASE oracle (r5)."),
     # r5: second published quality-filter family + tokenizer/filter
     # deployment measurements
     ("c4_quality_flags", X.c4_quality_flags, X.C4_QUALITY_FLAGS_SQL,

@@ -183,3 +183,79 @@ FROM orders
 WHERE year(o_orderdate) = {PRUNE_YEAR}
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: mergeSchema read across parquet generations.
+# ---------------------------------------------------------------------------
+
+EVO_SPLIT_YEAR = 1995  # v1 = orders before, v2 (wider) = from this year
+
+
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution round trip — the lake reality at 100 TB: a
+    table's early files predate a column. v1 files (orders before
+    EVO_SPLIT_YEAR) are written WITHOUT `o_orderpriority`; v2 files
+    (from the year on) include it. One `mergeSchema` read unifies the
+    generations: the column materializes as NULL for v1 rows, typed
+    from v2's footer.
+
+    Output per order-year: row count, NULL vs present priority counts
+    (proving which generation each row came from), distinct priority
+    count, and exact revenue — the oracle recomputes from the source
+    table by CASE-ing the column NULL for pre-split years, so the
+    merge semantics (not just the plumbing) are hash-checked.
+
+    Scale shape: two partitioned writes + one merged scan; at 100 TB
+    `mergeSchema` costs a footer read per file (schema union on the
+    driver) — production tables cache the merged schema in a
+    catalog/Delta log; the READ semantics proven here are identical."""
+    root = tmpdirs.claim("schema_evo", "schema_evo_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        "o_orderpriority",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    o.where(F.col("o_year") < EVO_SPLIT_YEAR).drop(
+        "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{root}/v1")
+    o.where(F.col("o_year") >= EVO_SPLIT_YEAR).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/v2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/v1", f"{root}/v2"
+    )
+    return (
+        back.groupBy(F.col("o_year").cast("long").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("o_orderpriority").isNull(), 1)).alias(
+                "n_null_priority"
+            ),
+            F.count("o_orderpriority").alias("n_with_priority"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+SCHEMA_EVOLUTION_READ_SQL = f"""
+WITH evolved AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice,
+         CASE WHEN year(o_orderdate) < {EVO_SPLIT_YEAR} THEN NULL
+              ELSE o_orderpriority END AS o_orderpriority,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year
+  FROM orders
+)
+SELECT o_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(CASE WHEN o_orderpriority IS NULL THEN 1 END)
+            AS BIGINT) AS n_null_priority,
+       CAST(count(o_orderpriority) AS BIGINT) AS n_with_priority,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+       {dsum_sql('o_totalprice')} AS revenue
+FROM evolved
+GROUP BY o_year
+"""

@@ -201,6 +201,9 @@ SHUFFLE_BUDGET = {
     # anchor join broadcasts
     "contrastive_hard_negatives": 4,
     "source_lang_diversity": 2,  # (source,lang) agg + source re-agg
+    # merged-scan year agg (countDistinct two-phase); writes execute
+    # eagerly inside the builder
+    "schema_evolution_read": 2,
     # checkpointed narrow norm table + global rank exchange + count
     # agg; outlier filter rides the checkpoint
     "embedding_norm_outliers": 3,
