@@ -825,10 +825,20 @@ def rolling_distinct_users_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     window/bucket ratio (24) — state never depends on event volume
     per user. The active-hour spine is bounded (≤ 8.8k hours/year),
     so the final semi join broadcasts at any data scale."""
+    from .. import caches
+
     e = load_table(spark, sf_dir, "events")
-    pairs = e.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # claim + materialize ONCE: pairs feeds the fan-out AND the
+    # active-hour spine — left lazy, the raw-event scan + (hour, user)
+    # aggregation ran twice (CLAUDE.md claim-once rule; pairs is the
+    # deduped slim table, orders of magnitude smaller than the log)
+    pairs = caches.claim(
+        "rolling_24h_pairs",
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("n")),
+    )
+    pairs.count()
     fan = pairs.select(
         F.expr("explode(sequence(0, 23))").alias("i"), "h", "user_id", "n"
     ).select(

@@ -111,9 +111,10 @@ SHUFFLE_BUDGET = {
     # 3 stage aggs + 2 stage joins, all hash-partitioned on user_id —
     # AQE broadcasts the small per-stage aggregates at harness size
     "funnel_conversion": 5,
-    # pair pre-agg + fan-out re-agg (countDistinct two-phase);
-    # spine side broadcast
-    "rolling_distinct_users_24h": 4,
+    # claimed pair pre-agg (its defining balanced+agg exchanges print
+    # under the InMemoryRelation but executed ONCE at claim time) +
+    # spine distinct + fan re-agg countDistinct two-phase
+    "rolling_distinct_users_24h": 5,
     "zorder_events_tiles": 1,  # narrow bit-interleave + one group agg
     "events_value_outliers": 1,  # moment agg; stats broadcast back
     # value-rank window + deviation-rank window + final agg share the
