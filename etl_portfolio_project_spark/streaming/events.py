@@ -138,7 +138,9 @@ def read_events_stream(
 def _run_to_table(
     result: DataFrame, name: str, mode: str, partitions: int = 1
 ) -> None:
-    """Run a bounded stream to completion into a memory sink.
+    """Run a bounded stream to completion into a queryable temp view:
+    append mode → a parquet FILE sink directly (the production shape);
+    complete/update → the memory sink, then swapped to disk.
 
     State-store partitions are fixed at query start from
     `spark.sql.shuffle.partitions`; every partition pays per-microbatch
