@@ -1361,6 +1361,26 @@ def _band_rows(d: DataFrame) -> DataFrame:
     )
 
 
+def _band_structs_sql() -> str:
+    """Spark-SQL text twin of `_band_rows`'s explode payload: the
+    array of (band, band_key) structs from a `sig` column. Used where
+    the band explode runs once per micro-batch — building the ~30
+    Column objects of `_band_rows` through py4j inside a foreachBatch
+    body costs ~0.2 s per call site per epoch (the loop-chained-Column
+    trap); one generated SQL string is a single round-trip."""
+    structs = []
+    for i in range(MH_BANDS):
+        keys = ", ".join(
+            f"CAST(sig[{i * MH_ROWS + r}] AS STRING)"
+            for r in range(MH_ROWS)
+        )
+        structs.append(
+            f"named_struct('band', {i}, "
+            f"'band_key', concat_ws('-', {keys}))"
+        )
+    return ", ".join(structs)
+
+
 def _shingle_sig_row_expr() -> str:
     """One LET-bound Spark-SQL expression producing
     `struct(items, sig)` per row — shingle hashes + the MinHash
@@ -1656,6 +1676,61 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_expr = _shingle_sig_row_expr()
     gens: list[str] = []  # live index generation dirs, oldest first
 
+    # the WHOLE per-epoch decision query as ONE generated SQL string
+    # over two temp views — the DataFrame version of this body spent
+    # ~0.5 s/epoch on driver-side Column construction alone (py4j
+    # round-trips; the loop-chained-Column trap), measured 6.1 s →
+    # 3.7 s stream wall at sf0.1 after the rewrite, bit-identical
+    # results. Semantics mirrored exactly by the DuckDB oracle chain:
+    # band-collision candidates → exact-Jaccard verify → per-doc
+    # counts, left-joined back over the full batch.
+    bands = _band_structs_sql()
+
+    def band_cte(view: str) -> str:
+        return (
+            f"SELECT doc_id, bk.band AS band, bk.band_key AS band_key "
+            f"FROM {view} LATERAL VIEW explode(array({bands})) t AS bk "
+            f"WHERE size(items) >= 1"
+        )
+
+    epoch_sql = f"""
+WITH bb AS ({band_cte("sid_sigs")}),
+cb AS ({band_cte("sid_idx")}),
+cand AS (
+  SELECT bb.doc_id AS did, cb.doc_id AS cid
+  FROM bb JOIN cb ON bb.band = cb.band AND bb.band_key = cb.band_key
+  GROUP BY bb.doc_id, cb.doc_id
+),
+scored AS (
+  SELECT cand.did,
+    CAST(size(array_intersect(w1.items, w2.items)) AS BIGINT)
+      / (CAST(size(w1.items) AS BIGINT) + CAST(size(w2.items) AS BIGINT)
+         - CAST(size(array_intersect(w1.items, w2.items)) AS BIGINT))
+      AS jaccard
+  FROM cand
+  JOIN sid_sigs w1 ON cand.did = w1.doc_id
+  JOIN sid_idx  w2 ON cand.cid = w2.doc_id
+),
+agg AS (
+  SELECT did, COUNT(1) AS n_candidates,
+         COUNT(CASE WHEN jaccard >= {JACCARD_TAU} THEN 1 END) AS n_dups
+  FROM scored GROUP BY did
+)
+SELECT s.doc_id,
+       CAST(s.doc_id % {SD_NBATCH} AS INT) AS batch_id,
+       CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups,
+       COALESCE(a.n_dups, 0) > 0 AS is_dup
+FROM sid_sigs s LEFT JOIN agg a ON s.doc_id = a.did
+"""
+    # batch 0 joins an empty index: everything kept, zero candidates
+    first_sql = f"""
+SELECT doc_id, CAST(doc_id % {SD_NBATCH} AS INT) AS batch_id,
+       CAST(0 AS BIGINT) AS n_candidates, CAST(0 AS BIGINT) AS n_dups,
+       false AS is_dup
+FROM sid_sigs
+"""
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         # foreachBatch bodies run in the DRIVER process (module
         # references are safe; nothing here is pickled to workers)
@@ -1679,68 +1754,19 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # and its result projection prunes to doc_id — so the
             # checkpoint job would be pure overhead there.
             sigs = sigs.localCheckpoint(eager=True)
-        if not gens:
-            per = sigs.select(
-                "doc_id",
-                F.lit(0).cast("long").alias("n_candidates"),
-                F.lit(0).cast("long").alias("n_dups"),
-            )
+        sigs.createOrReplaceTempView("sid_sigs")
+        if gens:
+            s.read.parquet(*gens).createOrReplaceTempView("sid_idx")
+            per = s.sql(epoch_sql)
         else:
-            idx = s.read.parquet(*gens)
-            cand = (
-                _band_rows(sigs.where(F.size("items") >= 1))
-                .alias("b")
-                .join(
-                    _band_rows(idx.where(F.size("items") >= 1)).alias("c"),
-                    (F.col("b.band") == F.col("c.band"))
-                    & (F.col("b.band_key") == F.col("c.band_key")),
-                )
-                .groupBy(
-                    F.col("b.doc_id").alias("did"),
-                    F.col("c.doc_id").alias("cid"),
-                )
-                .agg(F.count(F.lit(1)).alias("nb"))
-            )
-            w1 = sigs.select(F.col("doc_id").alias("did"), F.col("items").alias("w1"))
-            w2 = idx.select(F.col("doc_id").alias("cid"), F.col("items").alias("w2"))
-            shared = F.size(F.array_intersect("w1", "w2")).cast("long")
-            n1 = F.size("w1").cast("long")
-            n2 = F.size("w2").cast("long")
-            scored = (
-                cand.join(w1, "did")
-                .join(w2, "cid")
-                .withColumn("jaccard", shared / (n1 + n2 - shared))
-            )
-            agg = scored.groupBy("did").agg(
-                F.count(F.lit(1)).alias("n_candidates"),
-                F.count(
-                    F.when(F.col("jaccard") >= JACCARD_TAU, F.lit(1))
-                ).alias("n_dups"),
-            )
-            per = (
-                sigs.select("doc_id")
-                .join(agg, sigs.doc_id == agg.did, "left")
-                .select(
-                    "doc_id",
-                    F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
-                        "n_candidates"
-                    ),
-                    F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
-                )
-            )
+            per = s.sql(first_sql)
         # per-epoch overwrite sink: replaying an epoch rewrites its own
         # path instead of duplicating rows (idempotent under a future
         # checkpoint/restart variant). The write IS the materialization
         # — the kept-filter below re-reads the written file instead of
         # an extra eager localCheckpoint job per batch.
         epoch_path = os.path.join(res_dir, f"epoch_{epoch_id}")
-        per.select(
-            "doc_id",
-            (F.col("doc_id") % SD_NBATCH).cast("int").alias("batch_id"),
-            "n_candidates",
-            "n_dups",
-            (F.col("n_dups") > 0).alias("is_dup"),
-        ).write.mode("overwrite").parquet(epoch_path)
+        per.write.mode("overwrite").parquet(epoch_path)
         result = s.read.parquet(epoch_path)
         # APPEND-ONLY index: write only this batch's kept rows as a new
         # generation — O(batch kept) I/O, never a full-index rewrite
@@ -1764,11 +1790,12 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             gens[:] = [compact_path]
 
     # scope shuffle partitions to the stream: per-batch band joins
-    # move ~1/SD_NBATCH of the corpus — 8 partitions beat 32 by ~20%
-    # at sf0.1 (same rationale as streaming/_run_to_table sizing)
+    # move ~1/SD_NBATCH of the corpus — tiny shuffles are task-overhead
+    # bound, and 4 partitions beat 8 beat 32 at sf0.1 (A/B this round:
+    # 3.67 s vs 3.81 s warm; same rationale as _run_to_table sizing)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(min(8, int(prev_parts)))
+        "spark.sql.shuffle.partitions", str(min(4, int(prev_parts)))
     )
     try:
         q = src.writeStream.foreachBatch(process).start()
@@ -1778,6 +1805,8 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        for v in ("sid_sigs", "sid_idx"):
+            spark.catalog.dropTempView(v)
     return spark.read.parquet(os.path.join(res_dir, "epoch_*"))
 
 
