@@ -399,6 +399,10 @@ _EXTENSIONS = [
      X.DOC_REPETITION_PROFILE_SQL,
      "Gopher-style repetition quality: duplicate word/2-gram/3-gram "
      "fractions + reject flag (narrow, zero-shuffle)."),
+    ("doc_token_commonness", X.doc_token_commonness,
+     X.DOC_TOKEN_COMMONNESS_SQL,
+     "Unigram corpus-frequency quality proxy: integer-exact per-doc "
+     "frequency sums + cross-multiplied boilerplate/jargon flags."),
     ("decontaminate_ngrams", D.decontaminate_ngrams,
      D.DECONTAMINATE_NGRAMS_SQL,
      "Benchmark decontamination: 4-gram overlap vs held-out eval "
@@ -619,6 +623,9 @@ _ANALYTICS = [
     ("keyword_search_topk", A.keyword_search_topk,
      A.KEYWORD_SEARCH_TOPK_SQL,
      "Inverted-index keyword search: integer tf scoring, top-20."),
+    ("bm25_search_topk", A.bm25_search_topk, A.BM25_SEARCH_TOPK_SQL,
+     "BM25 ranked retrieval: log-free rational idf + length norm, "
+     "fixed-order term-pivot sum (engine-portable double math)."),
     ("order_gaps_lag_lead", A.order_gaps_lag_lead, A.ORDER_GAPS_LAG_LEAD_SQL,
      "Analytic lag/lead/row_number over per-customer order sequence."),
     ("cube_order_stats", A.cube_order_stats, A.CUBE_ORDER_STATS_SQL,

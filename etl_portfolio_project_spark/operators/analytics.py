@@ -1094,6 +1094,173 @@ LIMIT {SEARCH_TOP_K}
 """
 
 
+#: BM25 constants (Robertson/Okapi defaults)
+BM25_K1 = "CAST(1.2 AS DOUBLE)"
+BM25_K1P1 = "CAST(2.2 AS DOUBLE)"  # k1 + 1, precomputed (no engine op)
+BM25_B = "CAST(0.75 AS DOUBLE)"
+
+
+def _bm25_contrib_sql(df_col: str, tf_col: str, dl_col: str) -> str:
+    """One BM25 term contribution, shared verbatim by both dialects so
+    the IEEE operation order is identical. The idf is the RAW
+    Robertson odds ratio (N - df + 0.5)/(df + 0.5) — log-free, same
+    policy as `tfidf_top_terms`: ln()'s libm rounding differs between
+    engines, while this rational idf is a fixed sequence of exact-
+    input double ops. Monotone in the classic log idf, so rankings
+    agree with BM25 wherever idf > 0 terms dominate."""
+    half = "CAST(0.5 AS DOUBLE)"
+    idf = (
+        f"((n_docs - CAST({df_col} AS DOUBLE) + {half})"
+        f" / (CAST({df_col} AS DOUBLE) + {half}))"
+    )
+    tfd = f"CAST({tf_col} AS DOUBLE)"
+    norm = (
+        f"({tfd} + {BM25_K1} * (CAST(1 AS DOUBLE) - {BM25_B}"
+        f" + {BM25_B} * (CAST({dl_col} AS DOUBLE) / avgdl)))"
+    )
+    return f"({idf} * ({tfd} * {BM25_K1P1}) / {norm})"
+
+
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the document corpus for the fixed
+    SEARCH_TERMS query — the IR scorer behind Lucene/Elasticsearch
+    defaults, with document-length normalization the plain-tf
+    `keyword_search_topk` lacks.
+
+    Bit-exact across engines by construction: (a) log-free rational
+    idf (see `_bm25_contrib_sql`); (b) the per-document score is NOT a
+    float SUM over an unordered group — each term's contribution is
+    pivoted into its own conditional-aggregate column and added in
+    FIXED literal order (c0 + c1 + c2 + c3), the engine-portable way
+    to sum a small known term set (double addition is not
+    associative, and groupBy SUM order is partition-dependent).
+
+    Scale shape: one corpus scan feeds both the length table and the
+    term postings (the filter to SEARCH_TERMS drops ~all tokens before
+    the only wide shuffle); df comes from a window over the already-
+    aggregated tf table, never a corpus re-scan; the two corpus
+    scalars (N, avgdl) ride a 1-row broadcast. Top-k is
+    TakeOrdered — no global sort shuffle."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    terms = [t.lower() for t in SEARCH_TERMS]
+    base = d.select(
+        "doc_id",
+        F.expr("split(trim(lower(text)), '\\\\s+')").alias("toks"),
+    )
+    from .. import caches
+
+    # lens feeds TWO branches (the scalar agg and the per-doc join) —
+    # left lazy each re-scans documents and re-splits text; claim-once
+    # above the size threshold, lazy below (claim_if_large policy)
+    lens = caches.claim_if_large(
+        "bm25_lens",
+        base.select(
+            "doc_id", F.size("toks").cast("long").alias("doc_len")
+        ),
+        source_paths=[f"{sf_dir}/documents.parquet"],
+    )
+    # corpus scalars: exact integer count/sum, ONE double division
+    scal = lens.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("doc_len").cast("double").alias("tot_tokens"),
+    ).select(
+        "n_docs", F.expr("tot_tokens / n_docs").alias("avgdl")
+    )
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("word"))
+        .where(F.col("word").isin(terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    tfd = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("word"))
+    )
+    contrib = (
+        tfd.join(lens, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            "word",
+            "doc_len",
+            F.expr(_bm25_contrib_sql("df", "tf", "doc_len")).alias("c"),
+        )
+    )
+    score = " + ".join(f"c{i}" for i in range(len(terms)))
+    agg = contrib.groupBy("doc_id").agg(
+        F.expr("max(doc_len)").alias("doc_len"),
+        F.expr("count(*)").alias("n_terms_matched"),
+        *[
+            F.expr(
+                f"coalesce(max(CASE WHEN word = '{t}' THEN c END),"
+                f" CAST(0 AS DOUBLE))"
+            ).alias(f"c{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    return (
+        agg.select(
+            "doc_id",
+            "doc_len",
+            "n_terms_matched",
+            F.expr(score).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(SEARCH_TOP_K)
+    )
+
+
+def _build_bm25_sql() -> str:
+    terms = [t.lower() for t in SEARCH_TERMS]
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    cases = ", ".join(
+        f"COALESCE(MAX(CASE WHEN word = '{t}' THEN c END),"
+        f" CAST(0 AS DOUBLE)) AS c{i}"
+        for i, t in enumerate(terms)
+    )
+    score = " + ".join(f"c{i}" for i in range(len(terms)))
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+lens AS MATERIALIZED (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS doc_len FROM base
+),
+scal AS (
+  SELECT n_docs, tot_tokens / n_docs AS avgdl
+  FROM (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               CAST(CAST(sum(doc_len) AS BIGINT) AS DOUBLE) AS tot_tokens
+        FROM lens)
+),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS word FROM base)
+  WHERE word IN ({in_list})
+  GROUP BY doc_id, word
+),
+tfd AS (
+  SELECT *, count(*) OVER (PARTITION BY word) AS df FROM tf
+),
+contrib AS (
+  SELECT t.doc_id, t.word, lens.doc_len,
+         {_bm25_contrib_sql("t.df", "t.tf", "lens.doc_len")} AS c
+  FROM tfd t JOIN lens USING (doc_id), scal
+),
+agg AS (
+  SELECT doc_id, MAX(doc_len) AS doc_len,
+         count(*) AS n_terms_matched, {cases}
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, doc_len, n_terms_matched, {score} AS score
+FROM agg
+ORDER BY score DESC, doc_id
+LIMIT {SEARCH_TOP_K}
+"""
+
+
+BM25_SEARCH_TOPK_SQL = _build_bm25_sql()
+
+
 # ---------------------------------------------------------------------------
 # Corpus curation: per-source caps; events value histogram.
 # ---------------------------------------------------------------------------

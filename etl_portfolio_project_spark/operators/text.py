@@ -431,6 +431,105 @@ def _build_doc_repetition_sql() -> str:
 DOC_REPETITION_PROFILE_SQL = _build_doc_repetition_sql()
 
 
+#: token-commonness flag denominators (integer cross-multiplied — the
+#: engine's float-free threshold idiom): boilerplate if mean token
+#: probability > 1/COMMON_TAU_DEN, jargon/noise if < 1/RARE_TAU_DEN.
+COMMON_TAU_DEN = 1500
+RARE_TAU_DEN = 20000
+
+
+def doc_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram corpus-frequency quality score — the log-free proxy for
+    CCNet-style LM scoring this engine can make bit-exact: each
+    document's tokens are weighted by their CORPUS-WIDE counts, giving
+    mean token frequency / probability per doc. High mean probability
+    = stopword/boilerplate-dominated text; very low = jargon, noise,
+    or non-language content. Both flags are integer cross-multiplied
+    (sum·DEN vs n_tokens·total) — no float threshold drift.
+
+    Everything hash-relevant is exact: the per-doc frequency sum and
+    token counts are BIGINT (order-free integer sums), and the two
+    double columns are each ONE division/multiplication chain from
+    exact integers, identical text in both dialects.
+
+    Scale shape: one corpus scan; per-token counts attach via a
+    count(*) window over the exploded rows (partitioned by word — the
+    same no-rescan trick as `tfidf_top_terms`), then one per-doc
+    aggregate; the corpus-total scalar rides a 1-row broadcast. Two
+    shuffles total at any SF; skew on hot words is count-only window
+    state, not a join fan-out."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("word")
+    )
+    wcnt = toks.select(
+        "doc_id",
+        F.count("*").over(Window.partitionBy("word")).alias("cnt"),
+    )
+    from .. import caches
+
+    # per feeds TWO branches (the result projection and the corpus
+    # total) — left lazy the scan→explode→window chain re-runs for
+    # the scalar; claim-once above the size threshold, lazy below
+    per = caches.claim_if_large(
+        "doc_token_commonness_per",
+        wcnt.groupBy("doc_id").agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("cnt").alias("sum_token_freq"),
+        ),
+        source_paths=[f"{sf_dir}/documents.parquet"],
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_token_freq",
+        F.expr(
+            "CAST(sum_token_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
+        ).alias("mean_token_freq"),
+        F.expr(
+            "CAST(sum_token_freq AS DOUBLE) / (CAST(n_tokens AS DOUBLE)"
+            " * CAST(total_tokens AS DOUBLE))"
+        ).alias("mean_token_prob"),
+        F.expr(
+            f"sum_token_freq * {COMMON_TAU_DEN} > n_tokens * total_tokens"
+        ).alias("boilerplate_flag"),
+        F.expr(
+            f"sum_token_freq * {RARE_TAU_DEN} < n_tokens * total_tokens"
+        ).alias("jargon_flag"),
+    )
+
+
+DOC_TOKEN_COMMONNESS_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+),
+wcnt AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY word) AS cnt FROM toks
+),
+per AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(cnt) AS BIGINT) AS sum_token_freq
+  FROM wcnt GROUP BY doc_id
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per
+)
+SELECT doc_id, n_tokens, sum_token_freq,
+       CAST(sum_token_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         AS mean_token_freq,
+       CAST(sum_token_freq AS DOUBLE) / (CAST(n_tokens AS DOUBLE)
+         * CAST(total_tokens AS DOUBLE)) AS mean_token_prob,
+       sum_token_freq * {COMMON_TAU_DEN} > n_tokens * total_tokens
+         AS boilerplate_flag,
+       sum_token_freq * {RARE_TAU_DEN} < n_tokens * total_tokens
+         AS jargon_flag
+FROM per, tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # Pretraining-corpus mechanics: sequence packing + bigram LM counts.
 # ---------------------------------------------------------------------------

@@ -50,6 +50,13 @@ SHUFFLE_BUDGET = {
     "monthly_revenue_incremental": 2,
     # term-filtered explode + doc agg (countDistinct two-phase) + top-k
     "keyword_search_topk": 3,
+    # lazy-below-threshold shape: balanced + word-window + tf agg +
+    # doc_len join on the postings side, plus the lens re-scan branch
+    # (claim_if_large collapses it above 256 MB of source)
+    "bm25_search_topk": 7,
+    # balanced + word-window + doc agg, plus the corpus-total re-scan
+    # branch (explode + per-doc count) — claimed away above threshold
+    "doc_token_commonness": 6,
     "dedup_exact": 1,
     "dedup_exact_prefix": 1,
     "corpus_preparation": 2,  # balanced exchange + fp window
