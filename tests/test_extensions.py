@@ -316,3 +316,92 @@ def test_source_lang_diversity_bounds(spark):
         assert 0.0 < r.dominant_share <= 1.0
         if r.n_langs == 1:
             assert r.gini_impurity == 0.0 and r.dominant_share == 1.0
+
+
+def test_bm25_matches_independent_reference(spark):
+    """Differential: re-derive every BM25 score in plain Python from
+    raw tokenized docs (rational idf, same constants) and compare the
+    engine's top-k rows value-for-value."""
+    import math
+
+    from etl_portfolio_project_spark.operators import analytics as A
+
+    docs = {
+        r.doc_id: str(r.text).lower().strip().split()
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    terms = [t.lower() for t in A.SEARCH_TERMS]
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n_docs
+    df = {
+        t: sum(1 for toks in docs.values() if t in toks) for t in terms
+    }
+
+    def score(doc_id):
+        toks = docs[doc_id]
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            idf = (n_docs - df[t] + 0.5) / (df[t] + 0.5)
+            s += (
+                idf
+                * (tf * 2.2)
+                / (tf + 1.2 * (1 - 0.75 + 0.75 * (len(toks) / avgdl)))
+            )
+        return s
+
+    rows = A.bm25_search_topk(spark, SF_SMALL).collect()
+    assert len(rows) == A.SEARCH_TOP_K
+    prev = None
+    for r in rows:
+        assert math.isclose(r.score, score(r.doc_id), rel_tol=1e-9), (
+            r.doc_id,
+            r.score,
+            score(r.doc_id),
+        )
+        assert r.doc_len == len(docs[r.doc_id])
+        if prev is not None:  # ranking is (score desc, doc_id asc)
+            assert (prev.score, -prev.doc_id) >= (r.score, -r.doc_id)
+        prev = r
+    # nothing outside the top-k beats the last returned score
+    kth = rows[-1].score
+    better = sorted((-score(d), d) for d in docs)[: A.SEARCH_TOP_K]
+    assert {d for _, d in better} == {r.doc_id for r in rows}
+    assert all(-s <= rows[0].score + 1e-12 for s, _ in better), kth
+
+
+def test_doc_token_commonness_brute_force(spark):
+    """Differential: recompute per-doc frequency sums from a Python
+    Counter over the whole corpus; flags must match the integer
+    cross-multiplication exactly."""
+    from collections import Counter
+
+    from etl_portfolio_project_spark.operators import text as T
+
+    docs = {
+        r.doc_id: str(r.text).strip().split()
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    # match the engines' split: splitting '' yields one empty token
+    docs = {d: (t if t else [""]) for d, t in docs.items()}
+    cnt = Counter(w for toks in docs.values() for w in toks)
+    total = sum(len(t) for t in docs.values())
+    rows = X.doc_token_commonness(spark, SF_SMALL).collect()
+    assert {r.doc_id for r in rows} == set(docs)
+    for r in rows:
+        toks = docs[r.doc_id]
+        sfreq = sum(cnt[w] for w in toks)
+        assert r.n_tokens == len(toks)
+        assert r.sum_token_freq == sfreq
+        assert r.boilerplate_flag == (
+            sfreq * T.COMMON_TAU_DEN > len(toks) * total
+        )
+        assert r.jargon_flag == (
+            sfreq * T.RARE_TAU_DEN < len(toks) * total
+        )
