@@ -1049,6 +1049,12 @@ FROM m
 SEARCH_TERMS = ["spark", "stream", "query", "fast"]
 SEARCH_TOP_K = 20
 
+#: ONE lowered-tokenization definition shared by every search scorer
+#: (keyword tf + BM25) and its oracle — rankings depend on identical
+#: token boundaries, so the expression must not fork per operator
+LOWER_TOKS_SPARK = "split(trim(lower(text)), '\\\\s+')"
+LOWER_TOKS_DUCK = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
 
 def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index keyword search: score = total term frequency of
@@ -1063,9 +1069,7 @@ def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = [t.lower() for t in SEARCH_TERMS]
     toks = d.select(
         "doc_id",
-        F.explode(
-            F.expr("split(trim(lower(text)), '\\\\s+')")
-        ).alias("word"),
+        F.explode(F.expr(LOWER_TOKS_SPARK)).alias("word"),
     ).where(F.col("word").isin(terms))
     return (
         toks.groupBy("doc_id")
@@ -1084,7 +1088,7 @@ SELECT doc_id,
        count(DISTINCT word) AS n_terms_matched
 FROM (
   SELECT doc_id,
-         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+         unnest({LOWER_TOKS_DUCK}) AS word
   FROM documents
 )
 WHERE word IN ({", ".join(f"'{t.lower()}'" for t in SEARCH_TERMS)})
@@ -1144,8 +1148,7 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = balanced(load_table(spark, sf_dir, "documents"))
     terms = [t.lower() for t in SEARCH_TERMS]
     base = d.select(
-        "doc_id",
-        F.expr("split(trim(lower(text)), '\\\\s+')").alias("toks"),
+        "doc_id", F.expr(LOWER_TOKS_SPARK).alias("toks")
     )
     from .. import caches
 
@@ -1220,7 +1223,7 @@ def _build_bm25_sql() -> str:
     score = " + ".join(f"c{i}" for i in range(len(terms)))
     return f"""
 WITH base AS MATERIALIZED (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  SELECT doc_id, {LOWER_TOKS_DUCK} AS toks
   FROM documents
 ),
 lens AS MATERIALIZED (

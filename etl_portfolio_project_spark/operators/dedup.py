@@ -1805,8 +1805,10 @@ FROM sid_sigs
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        for v in ("sid_sigs", "sid_idx"):
-            spark.catalog.dropTempView(v)
+    # no temp-view cleanup needed: sid_sigs/sid_idx live in the
+    # micro-batch execution's CLONED session catalog (foreachBatch
+    # isolation), which is discarded with the query — the outer
+    # session's catalog never sees them
     return spark.read.parquet(os.path.join(res_dir, "epoch_*"))
 
 

@@ -444,8 +444,10 @@ def doc_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's tokens are weighted by their CORPUS-WIDE counts, giving
     mean token frequency / probability per doc. High mean probability
     = stopword/boilerplate-dominated text; very low = jargon, noise,
-    or non-language content. Both flags are integer cross-multiplied
-    (sum·DEN vs n_tokens·total) — no float threshold drift.
+    or non-language content. Both flags cross-multiply exactly in
+    DECIMAL(38,0) (sum·DEN vs n_tokens·total) — no float threshold
+    drift, and no BIGINT overflow at design scale (the products pass
+    2^63 around total_tokens ~1e13).
 
     Everything hash-relevant is exact: the per-doc frequency sum and
     token counts are BIGINT (order-free integer sums), and the two
@@ -491,11 +493,18 @@ def doc_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum_token_freq AS DOUBLE) / (CAST(n_tokens AS DOUBLE)"
             " * CAST(total_tokens AS DOUBLE))"
         ).alias("mean_token_prob"),
+        # DECIMAL(38,0) cross-multiply: sum_token_freq scales as
+        # n_tokens x hot-word corpus count, so the BIGINT product
+        # overflows around total_tokens ~1e13 (far below the design
+        # scale); 38-digit decimals hold ~1e25 worst case exactly in
+        # both engines
         F.expr(
-            f"sum_token_freq * {COMMON_TAU_DEN} > n_tokens * total_tokens"
+            f"CAST(sum_token_freq AS DECIMAL(38,0)) * {COMMON_TAU_DEN}"
+            f" > CAST(n_tokens AS DECIMAL(38,0)) * total_tokens"
         ).alias("boilerplate_flag"),
         F.expr(
-            f"sum_token_freq * {RARE_TAU_DEN} < n_tokens * total_tokens"
+            f"CAST(sum_token_freq AS DECIMAL(38,0)) * {RARE_TAU_DEN}"
+            f" < CAST(n_tokens AS DECIMAL(38,0)) * total_tokens"
         ).alias("jargon_flag"),
     )
 
@@ -522,9 +531,11 @@ SELECT doc_id, n_tokens, sum_token_freq,
          AS mean_token_freq,
        CAST(sum_token_freq AS DOUBLE) / (CAST(n_tokens AS DOUBLE)
          * CAST(total_tokens AS DOUBLE)) AS mean_token_prob,
-       sum_token_freq * {COMMON_TAU_DEN} > n_tokens * total_tokens
+       CAST(sum_token_freq AS DECIMAL(38,0)) * {COMMON_TAU_DEN}
+         > CAST(n_tokens AS DECIMAL(38,0)) * total_tokens
          AS boilerplate_flag,
-       sum_token_freq * {RARE_TAU_DEN} < n_tokens * total_tokens
+       CAST(sum_token_freq AS DECIMAL(38,0)) * {RARE_TAU_DEN}
+         < CAST(n_tokens AS DECIMAL(38,0)) * total_tokens
          AS jargon_flag
 FROM per, tot
 """
