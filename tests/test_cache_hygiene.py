@@ -52,7 +52,9 @@ def test_tmpdir_generations_are_swapped_not_accumulated(spark):
     first = tmpdirs.live_count()
     events.stream_tumbling_5min(spark, SF_SMALL).count()
     second = tmpdirs.live_count()
-    assert first == keys_before + 1
+    # If another test already ran this stream, its key pre-exists and
+    # the claim swaps in place (+0); fresh key claims exactly once (+1).
+    assert keys_before <= first <= keys_before + 1
     assert second == first  # re-run swapped the generation in place
 
 
