@@ -471,6 +471,144 @@ def probe_r4_new(spark, sf_dir: str, label: str) -> dict:
     return r
 
 
+def probe_r5_new(spark, sf_dir: str, label: str) -> dict:
+    """r5 ladder rows for the round-5 operators whose scale behavior
+    is non-obvious:
+
+    - exact_substring_spans: the hot-gram cap (ES_HOT_CAP) is the
+      skew guard — measure how much pair fan-out it PREVENTS (sum of
+      C(occ,2) over dropped grams vs emitted pairs from kept grams).
+    - bm25_search_topk: posting selectivity — the SEARCH_TERMS filter
+      must drop ~all tokens BEFORE the only wide shuffle; measure
+      postings kept / corpus tokens across the ladder.
+    - doc_token_commonness: vocabulary growth (Heaps-law sublinear)
+      drives the word-window state; record distinct words vs tokens.
+    - minhash_tau_sweep: the sweep replicates SCORED CANDIDATES
+      only — record that base count (bounded by the banding).
+    - contrastive_hard_negatives: brute-force anchors×corpus rows —
+      recorded to quantify when the documented LSH swap is needed.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_portfolio_project_spark import caches
+    from etl_portfolio_project_spark.operators import analytics, dedup
+    from etl_portfolio_project_spark.operators import similarity, text
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    r = {"sf": label}
+
+    # --- exact_substring_spans: gram/fan-out accounting -------------
+    grams_expr = (
+        "transform(array(split(trim(lower(text)), '\\\\s+')), tk -> "
+        f"CASE WHEN size(tk) < {dedup.ES_K} THEN "
+        "CAST(array() AS array<struct<pos: bigint, h: bigint>>) ELSE "
+        f"transform(sequence(1, size(tk) - {dedup.ES_K - 1}), i -> "
+        "named_struct('pos', CAST(i AS BIGINT), 'h', "
+        "cast(conv(substring(md5(concat_ws(' ', "
+        f"slice(tk, i, {dedup.ES_K}))), 1, 15), 16, 10) as bigint))) "
+        "END)[0]"
+    )
+    occ_counts = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(grams_expr)).alias("g"))
+        .groupBy(F.col("g.h"))
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    pairs = F.col("occ") * (F.col("occ") - 1) / 2
+    stats, _ = timed(
+        lambda: occ_counts.agg(
+            F.count(F.lit(1)).alias("gram_keys"),
+            F.sum("occ").alias("grams_total"),
+            F.sum(F.when(F.col("occ") > dedup.ES_HOT_CAP, 1)).alias(
+                "hot_keys"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("occ") >= 2)
+                    & (F.col("occ") <= dedup.ES_HOT_CAP),
+                    pairs,
+                )
+            ).alias("pairs_kept"),
+            F.sum(F.when(F.col("occ") > dedup.ES_HOT_CAP, pairs)).alias(
+                "pairs_capped"
+            ),
+        ).collect()[0]
+    )
+    r["es_gram_keys"] = int(stats["gram_keys"])
+    r["es_grams_total"] = int(stats["grams_total"])
+    r["es_hot_keys"] = int(stats["hot_keys"] or 0)
+    r["es_pairs_kept"] = int(stats["pairs_kept"] or 0)
+    r["es_pairs_capped"] = int(stats["pairs_capped"] or 0)
+    out, r["es_secs"] = timed(
+        lambda: dedup.exact_substring_spans(spark, sf_dir)
+        .agg(
+            F.count(F.lit(1)).alias("runs"),
+            F.coalesce(F.max("span_tokens"), F.lit(0)).alias("max_span"),
+        )
+        .collect()[0]
+    )
+    r["es_runs"] = int(out["runs"])
+    r["es_max_span_tokens"] = int(out["max_span"])
+    caches.release_all()
+
+    # --- bm25: posting selectivity ----------------------------------
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.expr(analytics.LOWER_TOKS_SPARK)).alias("word")
+    )
+    terms = [t.lower() for t in analytics.SEARCH_TERMS]
+    agg, _ = timed(
+        lambda: toks.agg(
+            F.count(F.lit(1)).alias("tokens"),
+            F.sum(F.when(F.col("word").isin(terms), 1)).alias("kept"),
+        ).collect()[0]
+    )
+    r["bm25_corpus_tokens"] = int(agg["tokens"])
+    r["bm25_postings_kept"] = int(agg["kept"] or 0)
+    out, r["bm25_secs"] = timed(
+        lambda: analytics.bm25_search_topk(spark, sf_dir).count()
+    )
+    r["bm25_topk_rows"] = int(out)
+    caches.release_all()
+
+    # --- doc_token_commonness: vocabulary growth --------------------
+    vocab, _ = timed(
+        lambda: toks.agg(
+            F.countDistinct("word").alias("vocab")
+        ).collect()[0]
+    )
+    r["commonness_vocab"] = int(vocab["vocab"])
+    out, r["commonness_secs"] = timed(
+        lambda: text.doc_token_commonness(spark, sf_dir).count()
+    )
+    r["commonness_docs"] = int(out)
+    caches.release_all()
+
+    # --- minhash_tau_sweep: scored-candidate replication base -------
+    out, r["tau_sweep_secs"] = timed(
+        lambda: dedup.minhash_tau_sweep(spark, sf_dir)
+        .agg(
+            F.max("n_candidates").alias("cands"),
+            F.max("n_pairs").alias("pairs_at_min_tau"),
+        )
+        .collect()[0]
+    )
+    r["tau_sweep_candidates"] = int(out["cands"] or 0)
+    r["tau_sweep_pairs_min_tau"] = int(out["pairs_at_min_tau"] or 0)
+    caches.release_all()
+
+    # --- contrastive_hard_negatives: brute-force row budget ---------
+    nvec = load_table(spark, sf_dir, "embeddings").count()
+    out, r["hardneg_secs"] = timed(
+        lambda: similarity.contrastive_hard_negatives(
+            spark, sf_dir
+        ).count()
+    )
+    r["hardneg_anchors"] = int(out)
+    r["hardneg_scored_rows"] = int(out) * (nvec - 1)
+    caches.release_all()
+    return r
+
+
 def main() -> int:
     if "--skip-generate" not in sys.argv:
         need = not all(
@@ -486,6 +624,27 @@ def main() -> int:
 
     spark = get_spark(app_name="scaling_probe")
     spark.read.parquet(f"{SRC_SF}/orders.parquet").count()
+
+    if "--only-r5" in sys.argv:
+        # incremental mode: measure just the r5-new family and merge
+        # into the existing SCALING_RAW.json (other sections unchanged)
+        raw_path = os.path.join(_REPO, "SCALING_RAW.json")
+        with open(raw_path) as f:
+            raw = json.load(f)
+        r5_rows = []
+        for sf_dir, label in [
+            ("/root/testdata/sf0.01", "sf0.01"),
+            (SRC_SF, "sf0.1"),
+            (SCALE_DIR, "sf1e"),
+        ]:
+            print(f"--- r5-new operators at {label}")
+            r5_rows.append(probe_r5_new(spark, sf_dir, label))
+            print(json.dumps(r5_rows[-1]))
+        raw["r5_new"] = r5_rows
+        with open(raw_path, "w") as f:
+            json.dump(raw, f, indent=1)
+        print("merged r5_new into SCALING_RAW.json")
+        return 0
 
     rows = []
     for sf_dir, label in [
@@ -525,6 +684,16 @@ def main() -> int:
         r4_rows.append(probe_r4_new(spark, sf_dir, label))
         print(json.dumps(r4_rows[-1]))
 
+    r5_rows = []
+    for sf_dir, label in [
+        ("/root/testdata/sf0.01", "sf0.01"),
+        (SRC_SF, "sf0.1"),
+        (SCALE_DIR, "sf1e"),
+    ]:
+        print(f"--- r5-new operators at {label}")
+        r5_rows.append(probe_r5_new(spark, sf_dir, label))
+        print(json.dumps(r5_rows[-1]))
+
     print("--- high-diameter path graphs (star vs label-prop)")
     path_rows = probe_path_graphs(spark)
 
@@ -536,6 +705,7 @@ def main() -> int:
                 "stream": stream_rows,
                 "stream_family": sf_rows,
                 "r4_new": r4_rows,
+                "r5_new": r5_rows,
                 "path_graphs": path_rows,
             },
             f,
