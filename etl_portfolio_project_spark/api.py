@@ -506,6 +506,10 @@ _EXTENSIONS = [
      S.LABEL_CENTROID_COMPONENTS_SQL,
      "Per-label embedding centroids (mean pooling / K-means update), "
      "deterministic ordered float fold per (label, dim)."),
+    ("hybrid_rrf_search", S.hybrid_rrf_search, S.HYBRID_RRF_SEARCH_SQL,
+     "Hybrid retrieval: reciprocal-rank fusion (SIGIR'09) of the BM25 "
+     "keyword top-k and a dense cosine top-k — integer ranks, one "
+     "double division per term, fixed-order sum."),
     ("doc_chunking", X.doc_chunking, X.DOC_CHUNKING_SQL,
      "RAG/pretraining chunking: overlapping fixed-size token windows "
      "per doc, LET-bound tokenize + narrow explode, zero shuffle."),
@@ -521,6 +525,11 @@ _EXTENSIONS += [
      C.TRAIN_VAL_TEST_SPLIT_SQL,
      "Deterministic leak-proof dataset split: salted md5(doc_id) mod "
      "100 buckets, zero-shuffle assignment + per-split audit agg."),
+    ("split_leakage_audit", C.split_leakage_audit,
+     C.SPLIT_LEAKAGE_AUDIT_SQL,
+     "Eval-integrity audit: near-dup pairs straddling the train/val/"
+     "test split (corpus-wide shingle-MinHash banding + exact verify, "
+     "rolled up per split pair on a fixed 3-row spine)."),
     ("pii_scrub_profile", C.pii_scrub_profile, C.PII_SCRUB_PROFILE_SQL,
      "PII detect + redact audit: email/phone regex counts and "
      "scrubbed-text hashes over deterministically injected synthetic "

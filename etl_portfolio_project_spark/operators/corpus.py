@@ -413,3 +413,227 @@ SELECT CASE WHEN id1 IS NULL THEN 'added'
 FROM j
 GROUP BY 1
 """
+
+
+# --- split-leakage audit ----------------------------------------------------
+
+#: fixed split ordering for canonical (earlier, later) leak pairs
+_SPLIT_RANK_CASE = (
+    "CASE WHEN {c} = 'train' THEN 0 "
+    "WHEN {c} = 'validation' THEN 1 ELSE 2 END"
+)
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate LEAKAGE across the train/validation/test split —
+    the eval-integrity audit every LLM data pipeline needs after
+    splitting: a hash split is leak-proof at the DOCUMENT level
+    (membership is a pure function of doc_id, see
+    `train_val_test_split`), but near-COPIES of one document can still
+    land in different splits and quietly inflate eval metrics
+    (the GPT-3 appendix-C contamination mechanism, here *within* the
+    corpus rather than against an external benchmark).
+
+    Method: corpus-wide shingle-MinHash banding (the bimodal
+    representation — candidates ≈ true near-copies, never the
+    word-set O(n²) trap; same machinery as `cross_source_dup_audit`)
+    → exact shingle-Jaccard verification → pairs whose docs sit in
+    DIFFERENT splits → rollup per canonical (earlier, later) split
+    pair on a fixed 3-row spine:
+
+      split_a, split_b, n_docs_a, n_docs_b, n_leak_pairs,
+      n_docs_exposed (distinct docs on the LATER side — the eval docs
+      whose score is compromised), max_jaccard.
+
+    Scale shape: one band-key equi-join over the corpus-wide shingle
+    index + a verify join on candidates only; rollups are partial-
+    agg'd groupBys on the (tiny) leak set; the spine is 3 literal
+    rows. The signature table is claimed once (bands ×2 + verify ×2 +
+    the split-count scan would otherwise re-md5 the corpus)."""
+    from .. import caches
+    from .dedup import JACCARD_TAU, _band_rows, _shingle_sig_row_expr
+
+    row_expr = _shingle_sig_row_expr()
+    d = caches.claim(
+        "split_leak_sigs",
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            split_assignment_expr().alias("split"),
+            F.expr(row_expr).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "split",
+            F.col("s.items").alias("items"),
+            F.col("s.sig").alias("sig"),
+        ),
+    )
+    d.count()
+    bands = _band_rows(d.where(F.size("items") >= 1))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .distinct()
+    )
+    w1 = d.select(
+        F.col("doc_id").alias("id1"),
+        F.col("split").alias("sp1"),
+        F.col("items").alias("w1"),
+    )
+    w2 = d.select(
+        F.col("doc_id").alias("id2"),
+        F.col("split").alias("sp2"),
+        F.col("items").alias("w2"),
+    )
+    shared = F.size(F.array_intersect("w1", "w2")).cast("long")
+    n1 = F.size("w1").cast("long")
+    n2 = F.size("w2").cast("long")
+    r1 = F.expr(_SPLIT_RANK_CASE.format(c="sp1"))
+    r2 = F.expr(_SPLIT_RANK_CASE.format(c="sp2"))
+    leaks = (
+        cand.join(w1, "id1")
+        .join(w2, "id2")
+        .withColumn("jaccard", shared / (n1 + n2 - shared))
+        .where(
+            (F.col("jaccard") >= JACCARD_TAU) & (F.col("sp1") != F.col("sp2"))
+        )
+        .select(
+            F.when(r1 < r2, F.col("sp1")).otherwise(F.col("sp2")).alias(
+                "split_a"
+            ),
+            F.when(r1 < r2, F.col("sp2")).otherwise(F.col("sp1")).alias(
+                "split_b"
+            ),
+            F.when(r1 < r2, F.col("id2")).otherwise(F.col("id1")).alias(
+                "late_doc"
+            ),
+            "jaccard",
+        )
+    )
+    rollup = leaks.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_leak_pairs"),
+        F.countDistinct("late_doc").cast("long").alias("n_docs_exposed"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    counts = d.groupBy("split").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    spine = spark.sql(
+        "SELECT * FROM VALUES ('train', 'validation'), ('train', 'test'), "
+        "('validation', 'test') AS t(split_a, split_b)"
+    )
+    ca = counts.select(
+        F.col("split").alias("split_a"), F.col("n").alias("n_docs_a")
+    )
+    cb = counts.select(
+        F.col("split").alias("split_b"), F.col("n").alias("n_docs_b")
+    )
+    return (
+        spine.join(F.broadcast(ca), "split_a", "left")
+        .join(F.broadcast(cb), "split_b", "left")
+        .join(F.broadcast(rollup), ["split_a", "split_b"], "left")
+        .select(
+            "split_a",
+            "split_b",
+            F.coalesce("n_docs_a", F.lit(0)).cast("long").alias("n_docs_a"),
+            F.coalesce("n_docs_b", F.lit(0)).cast("long").alias("n_docs_b"),
+            F.coalesce("n_leak_pairs", F.lit(0))
+            .cast("long")
+            .alias("n_leak_pairs"),
+            F.coalesce("n_docs_exposed", F.lit(0))
+            .cast("long")
+            .alias("n_docs_exposed"),
+            F.coalesce("max_jaccard", F.expr("CAST(0 AS DOUBLE)")).alias(
+                "max_jaccard"
+            ),
+        )
+    )
+
+
+def _build_split_leakage_sql() -> str:
+    from .dedup import (
+        JACCARD_TAU,
+        MH_P,
+        _DUCK_ITEMS_JAC,
+        _duck_affine_sigs_sql,
+        _duck_bands_from_sql,
+        _shingle_hashes_duck_sql,
+    )
+
+    sigs = _duck_affine_sigs_sql()
+    bands_from = _duck_bands_from_sql()
+    jac = _DUCK_ITEMS_JAC
+    rank1 = _SPLIT_RANK_CASE.format(c="w1.split")
+    rank2 = _SPLIT_RANK_CASE.format(c="w2.split")
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, split, items, [{', '.join(sigs)}] AS sig
+  FROM (
+    SELECT doc_id, split, items,
+           list_transform(items, x -> x % {MH_P}) AS hs
+    FROM (SELECT doc_id, {_SPLIT_CASE_SQL} AS split,
+                 {_shingle_hashes_duck_sql()} AS items
+          FROM documents)
+  )
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, bk.band AS band, bk.band_key AS band_key
+  FROM d, {bands_from} WHERE len(items) >= 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+leaks AS (
+  SELECT CASE WHEN r1 < r2 THEN sp1 ELSE sp2 END AS split_a,
+         CASE WHEN r1 < r2 THEN sp2 ELSE sp1 END AS split_b,
+         CASE WHEN r1 < r2 THEN id2 ELSE id1 END AS late_doc,
+         jaccard
+  FROM (
+    SELECT w1.split AS sp1, w2.split AS sp2, id1, id2,
+           {rank1} AS r1, {rank2} AS r2,
+           {jac} AS jaccard
+    FROM cand
+    JOIN d w1 ON w1.doc_id = id1
+    JOIN d w2 ON w2.doc_id = id2
+    WHERE {jac} >= {JACCARD_TAU} AND w1.split <> w2.split
+  )
+),
+rollup AS (
+  SELECT split_a, split_b,
+         CAST(count(*) AS BIGINT) AS n_leak_pairs,
+         CAST(count(DISTINCT late_doc) AS BIGINT) AS n_docs_exposed,
+         max(jaccard) AS max_jaccard
+  FROM leaks GROUP BY split_a, split_b
+),
+counts AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY split
+),
+spine(split_a, split_b) AS (
+  VALUES ('train', 'validation'), ('train', 'test'),
+         ('validation', 'test')
+)
+SELECT spine.split_a AS split_a, spine.split_b AS split_b,
+       CAST(COALESCE(ca.n, 0) AS BIGINT) AS n_docs_a,
+       CAST(COALESCE(cb.n, 0) AS BIGINT) AS n_docs_b,
+       CAST(COALESCE(r.n_leak_pairs, 0) AS BIGINT) AS n_leak_pairs,
+       CAST(COALESCE(r.n_docs_exposed, 0) AS BIGINT) AS n_docs_exposed,
+       COALESCE(r.max_jaccard, CAST(0 AS DOUBLE)) AS max_jaccard
+FROM spine
+LEFT JOIN counts ca ON ca.split = spine.split_a
+LEFT JOIN counts cb ON cb.split = spine.split_b
+LEFT JOIN rollup r
+  ON r.split_a = spine.split_a AND r.split_b = spine.split_b
+"""
+
+
+SPLIT_LEAKAGE_AUDIT_SQL = _build_split_leakage_sql()

@@ -1323,3 +1323,133 @@ FROM base CROSS JOIN med
 WHERE nrm > CAST({NORM_OUT_HI} AS DOUBLE) * median_norm
    OR nrm < CAST({NORM_OUT_LO} AS DOUBLE) * median_norm
 """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of sparse (BM25) + dense
+# (embedding cosine) rankings — Cormack/Clarke/Buettcher SIGIR'09; the
+# hybrid-search default in Elasticsearch / Vespa / LanceDB.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the paper's constant; dampens rank-1 dominance
+DENSE_QUERY_ID = 0  # fixed dense query vector (vec_id 0)
+
+
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: fuse the BM25 keyword ranking
+    (`bm25_search_topk`, SEARCH_TERMS query) with a dense cosine
+    ranking (all embeddings vs the DENSE_QUERY_ID vector) via
+    reciprocal-rank fusion:
+
+      rrf(d) = 1/(RRF_K + r_sparse(d)) + 1/(RRF_K + r_dense(d))
+
+    summed only over the lists that retrieved d (absent list
+    contributes 0 — the standard convention). vec_id identifies the
+    embedded subset of doc_id, so the fusion join is doc_id = vec_id.
+
+    Bit-exact by construction: ranks are integers (each ranking's sort
+    key is itself bit-exact — BM25 by its fixed-order pivot sum, cosine
+    by the shared left-associative dot fold), each RRF term is ONE
+    double division of exact ints, and the two terms add in fixed
+    literal order (sparse + dense).
+
+    Scale shape: both input rankings are top-SEARCH_TOP_K lists
+    (TakeOrdered / window-pruned — never a global sort of the corpus),
+    so the fusion full-outer join touches ≤ 2·K rows regardless of
+    corpus size. The dense side is the brute-force scorer here; at
+    100 TB swap in `ann_lsh_topk`'s candidate stage — RRF only needs
+    the ranked ids."""
+    from .analytics import SEARCH_TOP_K, bm25_search_topk
+
+    sparse = bm25_search_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("long")
+        .alias("r_sparse"),
+    )
+    base = (
+        balanced(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", _dvec("embedding").alias("vec"))
+        .withColumn("norm", norm_expr("vec"))
+    )
+    q = base.where(F.col("vec_id") == DENSE_QUERY_ID).select(
+        F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject — per-
+    # partition partial top-k, no global sort and no full-corpus
+    # single-partition window), THEN rank the k-row result
+    topd = (
+        base.where(F.col("vec_id") != DENSE_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cosine", cosine_expr("qvec", "vec", "qnorm", "norm"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(SEARCH_TOP_K)
+    )
+    dense = topd.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), "vec_id"))
+        .cast("long")
+        .alias("r_dense"),
+    )
+    one = "CAST(1 AS DOUBLE)"
+    zero = "CAST(0 AS DOUBLE)"
+    fused = (
+        sparse.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_sparse",
+            "r_dense",
+            F.expr(
+                f"coalesce({one} / CAST({RRF_K} + r_sparse AS DOUBLE), {zero})"
+                f" + coalesce({one} / CAST({RRF_K} + r_dense AS DOUBLE), {zero})"
+            ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(
+        SEARCH_TOP_K
+    )
+
+
+def _build_hybrid_rrf_sql() -> str:
+    from .analytics import BM25_SEARCH_TOPK_SQL, SEARCH_TOP_K
+
+    return f"""
+WITH sparse AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS r_sparse
+  FROM ({BM25_SEARCH_TOPK_SQL})
+),
+dense_scored AS (
+  SELECT b.vec_id,
+         {dot_sql('q.qe', 'b.embedding')} / (q.qnrm * b.nrm) AS cosine
+  FROM (SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm
+        FROM embeddings) b,
+       (SELECT embedding AS qe, {norm_sql('embedding')} AS qnrm
+        FROM embeddings WHERE vec_id = {DENSE_QUERY_ID}) q
+  WHERE b.vec_id <> {DENSE_QUERY_ID}
+),
+dense AS (
+  SELECT vec_id AS doc_id, r_dense FROM (
+    SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT)
+             AS r_dense
+    FROM dense_scored
+  ) WHERE r_dense <= {SEARCH_TOP_K}
+),
+fused AS (
+  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id, s.r_sparse, d.r_dense,
+         COALESCE(CAST(1 AS DOUBLE) / CAST({RRF_K} + s.r_sparse AS DOUBLE),
+                  CAST(0 AS DOUBLE))
+         + COALESCE(CAST(1 AS DOUBLE) / CAST({RRF_K} + d.r_dense AS DOUBLE),
+                    CAST(0 AS DOUBLE)) AS rrf_score
+  FROM sparse s FULL JOIN dense d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, r_sparse, r_dense, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {SEARCH_TOP_K}
+"""
+
+
+HYBRID_RRF_SEARCH_SQL = _build_hybrid_rrf_sql()

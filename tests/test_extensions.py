@@ -415,3 +415,114 @@ def test_doc_token_commonness_brute_force(spark):
         assert r.jargon_flag == (
             sfreq * T.RARE_TAU_DEN < len(toks) * total
         )
+
+
+def test_hybrid_rrf_matches_independent_fusion(spark):
+    """Differential: take the two input rankings (engine-built), then
+    re-derive the FUSION — ranks, RRF terms, fixed-order sum, final
+    top-k ordering — in plain Python and compare row-for-row."""
+    from etl_portfolio_project_spark.operators import analytics as A
+
+    sparse_rows = A.bm25_search_topk(spark, SF_SMALL).collect()
+    sparse_rank = {
+        r.doc_id: i + 1
+        for i, r in enumerate(
+            sorted(sparse_rows, key=lambda r: (-r.score, r.doc_id))
+        )
+    }
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in e}
+    qv = vecs[S.DENSE_QUERY_ID]
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    qn = dot(qv, qv) ** 0.5
+    cos = {
+        vid: dot(qv, v) / (qn * dot(v, v) ** 0.5)
+        for vid, v in vecs.items()
+        if vid != S.DENSE_QUERY_ID
+    }
+    dense_ids = sorted(cos, key=lambda i: (-cos[i], i))[: A.SEARCH_TOP_K]
+    dense_rank = {vid: i + 1 for i, vid in enumerate(dense_ids)}
+
+    expected = {}
+    for d in set(sparse_rank) | set(dense_rank):
+        s = 0.0
+        if d in sparse_rank:
+            s += 1.0 / (S.RRF_K + sparse_rank[d])
+        if d in dense_rank:
+            s += 1.0 / (S.RRF_K + dense_rank[d])
+        expected[d] = s
+    top = sorted(expected, key=lambda d: (-expected[d], d))[
+        : A.SEARCH_TOP_K
+    ]
+
+    rows = S.hybrid_rrf_search(spark, SF_SMALL).collect()
+    assert [r.doc_id for r in rows] == top
+    for r in rows:
+        assert r.r_sparse == sparse_rank.get(r.doc_id)
+        assert r.r_dense == dense_rank.get(r.doc_id)
+        # same fixed-order float ops → exact equality is fair game
+        assert r.rrf_score == expected[r.doc_id]
+
+
+def test_split_leakage_audit_consistency(spark):
+    """Cross-operator differential: the audit's per-split doc counts
+    must equal train_val_test_split's, its canonical pair ordering
+    must hold, and cross-split EXACT duplicates (identical text —
+    identical signatures, so banding can never miss them) are a hard
+    lower bound on the reported leak pairs."""
+    from etl_portfolio_project_spark.operators import corpus as C
+
+    rows = {
+        (r.split_a, r.split_b): r
+        for r in C.split_leakage_audit(spark, SF_SMALL).collect()
+    }
+    assert set(rows) == {
+        ("train", "validation"),
+        ("train", "test"),
+        ("validation", "test"),
+    }
+    split_counts = {
+        r.split: r.n_docs
+        for r in C.train_val_test_split(spark, SF_SMALL).collect()
+    }
+    for (a, b), r in rows.items():
+        assert r.n_docs_a == split_counts.get(a, 0)
+        assert r.n_docs_b == split_counts.get(b, 0)
+        assert 0 <= r.n_docs_exposed <= r.n_leak_pairs
+        if r.n_leak_pairs:
+            assert 0.0 < r.max_jaccard <= 1.0
+
+    # exact-dup lower bound, re-derived independently
+    d = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select(
+            "doc_id",
+            C.split_assignment_expr().alias("split"),
+            F.md5("text").alias("h"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+    from itertools import combinations
+
+    by_hash = defaultdict(list)
+    for r in d:
+        by_hash[r.h].append((r.doc_id, r.split))
+    order = {"train": 0, "validation": 1, "test": 2}
+    exact_cross = defaultdict(int)
+    for docs in by_hash.values():
+        for (i1, s1), (i2, s2) in combinations(docs, 2):
+            if s1 != s2:
+                pair = tuple(sorted((s1, s2), key=order.get))
+                exact_cross[pair] += 1
+    for pair, n in exact_cross.items():
+        assert rows[pair].n_leak_pairs >= n, (
+            f"{pair}: audit reports {rows[pair].n_leak_pairs} leak "
+            f"pairs but {n} exact cross-split dups exist"
+        )

@@ -54,6 +54,11 @@ SHUFFLE_BUDGET = {
     # doc_len join on the postings side, plus the lens re-scan branch
     # (claim_if_large collapses it above 256 MB of source)
     "bm25_search_topk": 7,
+    # bm25's 7 + the two ≤k-row rank windows and the ≤2k-row fusion
+    # full-outer join + final TakeOrdered (all post-top-k, tiny rows);
+    # dense corpus top-k itself is a TakeOrderedAndProject, no global
+    # sort or full-corpus window
+    "hybrid_rrf_search": 9,
     # balanced + word-window + doc agg, plus the corpus-total re-scan
     # branch (explode + per-doc count) — claimed away above threshold
     "doc_token_commonness": 6,
@@ -91,6 +96,10 @@ SHUFFLE_BUDGET = {
     # (count + countDistinct two-phase) + per-source spine agg; the
     # spine join back broadcasts
     "cross_source_dup_audit": 5,
+    # same banding machinery keyed by split: band self-join + candidate
+    # distinct + leak rollup (count + countDistinct two-phase) +
+    # per-split count agg; spine/count joins broadcast (3-row sides)
+    "split_leakage_audit": 5,
     # one single-row agg exchange per read-back format (4 formats);
     # the writes execute eagerly inside the builder
     "format_roundtrip_audit": 4,
