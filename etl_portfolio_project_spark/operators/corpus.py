@@ -451,7 +451,11 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. The signature table is claimed once (bands ×2 + verify ×2 +
     the split-count scan would otherwise re-md5 the corpus)."""
     from .. import caches
-    from .dedup import JACCARD_TAU, _band_rows, _shingle_sig_row_expr
+    from .dedup import (
+        JACCARD_TAU,
+        _banded_candidate_pairs,
+        _shingle_sig_row_expr,
+    )
 
     row_expr = _shingle_sig_row_expr()
     d = caches.claim(
@@ -470,20 +474,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     d.count()
-    bands = _band_rows(d.where(F.size("items") >= 1))
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
-        )
-        .distinct()
-    )
+    cand = _banded_candidate_pairs(d)
     w1 = d.select(
         F.col("doc_id").alias("id1"),
         F.col("split").alias("sp1"),
@@ -502,10 +493,13 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaks = (
         cand.join(w1, "id1")
         .join(w2, "id2")
+        # cheap split filter FIRST: ~⅔ of true near-dup candidates are
+        # same-split under an 80/10/10 split, and the O(|items|)
+        # intersect below is the expensive part — don't compute it for
+        # pairs the audit discards anyway (values are unaffected)
+        .where(F.col("sp1") != F.col("sp2"))
         .withColumn("jaccard", shared / (n1 + n2 - shared))
-        .where(
-            (F.col("jaccard") >= JACCARD_TAU) & (F.col("sp1") != F.col("sp2"))
-        )
+        .where(F.col("jaccard") >= JACCARD_TAU)
         .select(
             F.when(r1 < r2, F.col("sp1")).otherwise(F.col("sp2")).alias(
                 "split_a"
@@ -558,41 +552,16 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_split_leakage_sql() -> str:
-    from .dedup import (
-        JACCARD_TAU,
-        MH_P,
-        _DUCK_ITEMS_JAC,
-        _duck_affine_sigs_sql,
-        _duck_bands_from_sql,
-        _shingle_hashes_duck_sql,
-    )
+    from .dedup import JACCARD_TAU, _DUCK_ITEMS_JAC, duck_sig_band_cand_ctes_sql
 
-    sigs = _duck_affine_sigs_sql()
-    bands_from = _duck_bands_from_sql()
     jac = _DUCK_ITEMS_JAC
     rank1 = _SPLIT_RANK_CASE.format(c="w1.split")
     rank2 = _SPLIT_RANK_CASE.format(c="w2.split")
+    ctes = duck_sig_band_cand_ctes_sql(
+        f"{_SPLIT_CASE_SQL} AS split", "split"
+    )
     return f"""
-WITH d AS MATERIALIZED (
-  SELECT doc_id, split, items, [{', '.join(sigs)}] AS sig
-  FROM (
-    SELECT doc_id, split, items,
-           list_transform(items, x -> x % {MH_P}) AS hs
-    FROM (SELECT doc_id, {_SPLIT_CASE_SQL} AS split,
-                 {_shingle_hashes_duck_sql()} AS items
-          FROM documents)
-  )
-),
-bands AS MATERIALIZED (
-  SELECT doc_id, bk.band AS band, bk.band_key AS band_key
-  FROM d, {bands_from} WHERE len(items) >= 1
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_key = b.band_key
-   AND a.doc_id < b.doc_id
-),
+WITH {ctes},
 leaks AS (
   SELECT CASE WHEN r1 < r2 THEN sp1 ELSE sp2 END AS split_a,
          CASE WHEN r1 < r2 THEN sp2 ELSE sp1 END AS split_b,
@@ -605,7 +574,7 @@ leaks AS (
     FROM cand
     JOIN d w1 ON w1.doc_id = id1
     JOIN d w2 ON w2.doc_id = id2
-    WHERE {jac} >= {JACCARD_TAU} AND w1.split <> w2.split
+    WHERE w1.split <> w2.split AND {jac} >= {JACCARD_TAU}
   )
 ),
 rollup AS (

@@ -2047,6 +2047,62 @@ def _cc_large_small_star(pairs: DataFrame) -> DataFrame:
 # --- cross-source duplication audit (data-governance surface) -------------
 
 
+def _banded_candidate_pairs(d: DataFrame) -> DataFrame:
+    """Corpus-wide shingle-band candidate pairs (distinct id1 < id2)
+    from a `doc_id/items/sig` table — the ONE Spark definition of the
+    banding collision rule, shared by `cross_source_dup_audit` and
+    `corpus.split_leakage_audit` (single-definition rationale of
+    `_duck_affine_sigs_sql`: a tweak to the collision rule must reach
+    every operator documented as 'the same machinery')."""
+    bands = _band_rows(d.where(F.size("items") >= 1))
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .distinct()
+    )
+
+
+def duck_sig_band_cand_ctes_sql(inner_col_sql: str, col_name: str) -> str:
+    """DuckDB mirror of `_banded_candidate_pairs`: the shared
+    `d`/`bands`/`cand` MATERIALIZED CTE prefix (signature projection →
+    band explode → distinct collision pairs) parameterized by the one
+    extra per-doc column the consumer carries (`source`, or a computed
+    `... AS split`). AS MATERIALIZED: DuckDB inlines plain CTEs per
+    reference — the md5-shingle + 16-sig projection would recompute
+    for bands (×2 via the self-join) and both verify joins (measured
+    403 s at sf0.1 inlined vs ~2 s materialized)."""
+    sigs = _duck_affine_sigs_sql()
+    bands_from = _duck_bands_from_sql()
+    return f"""d AS MATERIALIZED (
+  SELECT doc_id, {col_name}, items, [{', '.join(sigs)}] AS sig
+  FROM (
+    SELECT doc_id, {col_name}, items,
+           list_transform(items, x -> x % {MH_P}) AS hs
+    FROM (SELECT doc_id, {inner_col_sql},
+          {_shingle_hashes_duck_sql()} AS items
+          FROM documents)
+  )
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, bk.band AS band, bk.band_key AS band_key
+  FROM d, {bands_from} WHERE len(items) >= 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)"""
+
+
 def cross_source_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Which SOURCES duplicate each other — the data-governance audit
     a multi-source training corpus needs before mixture weighting
@@ -2080,20 +2136,7 @@ def cross_source_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     d.count()  # materialize: bands (×2) + verify (×2) + spine scans
-    bands = _band_rows(d.where(F.size("items") >= 1))
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
-        )
-        .distinct()
-    )
+    cand = _banded_candidate_pairs(d)
     w1 = d.select(
         F.col("doc_id").alias("id1"),
         F.col("source").alias("s1"),
@@ -2142,33 +2185,9 @@ def cross_source_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_cross_source_dup_audit_sql() -> str:
-    sigs = _duck_affine_sigs_sql()
-    bands_from = _duck_bands_from_sql()
     jac = _DUCK_ITEMS_JAC
-    # AS MATERIALIZED: DuckDB inlines plain CTEs per reference — the
-    # md5-shingle + 16-sig projection would recompute for bands (×2
-    # via the self-join), both verify joins, and the spine (measured
-    # 403 s at sf0.1 inlined vs ~2 s materialized)
     return f"""
-WITH d AS MATERIALIZED (
-  SELECT doc_id, source, items, [{', '.join(sigs)}] AS sig
-  FROM (
-    SELECT doc_id, source, items,
-           list_transform(items, x -> x % {MH_P}) AS hs
-    FROM (SELECT doc_id, source, {_shingle_hashes_duck_sql()} AS items
-          FROM documents)
-  )
-),
-bands AS MATERIALIZED (
-  SELECT doc_id, bk.band AS band, bk.band_key AS band_key
-  FROM d, {bands_from} WHERE len(items) >= 1
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_key = b.band_key
-   AND a.doc_id < b.doc_id
-),
+WITH {duck_sig_band_cand_ctes_sql("source", "source")},
 cross_pairs AS (
   SELECT w1.source AS s1, w2.source AS s2
   FROM cand

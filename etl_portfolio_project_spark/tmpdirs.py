@@ -44,6 +44,11 @@ def live_count() -> int:
     return len(_LIVE)
 
 
+def is_live(key: str) -> bool:
+    """Whether `key` currently holds a live generation (test hook)."""
+    return key in _LIVE
+
+
 @atexit.register
 def _cleanup() -> None:
     for d in _LIVE.values():

@@ -47,14 +47,20 @@ def test_repeated_runs_do_not_accumulate_persisted_rdds(spark):
 def test_tmpdir_generations_are_swapped_not_accumulated(spark):
     from etl_portfolio_project_spark.streaming import events
 
+    # If another test already ran this stream, its key pre-exists and
+    # the claim swaps in place (+0); a fresh key claims EXACTLY once.
+    # The key-aware expectation (not a relaxed range) keeps the test
+    # able to catch a bare-mkdtemp regression: an unregistered temp
+    # dir would leave live_count flat where +1 is required.
+    key = "stream_res_stream_tumbling_5min"
+    expected_delta = 0 if tmpdirs.is_live(key) else 1
     keys_before = tmpdirs.live_count()
     events.stream_tumbling_5min(spark, SF_SMALL).count()
     first = tmpdirs.live_count()
     events.stream_tumbling_5min(spark, SF_SMALL).count()
     second = tmpdirs.live_count()
-    # If another test already ran this stream, its key pre-exists and
-    # the claim swaps in place (+0); fresh key claims exactly once (+1).
-    assert keys_before <= first <= keys_before + 1
+    assert tmpdirs.is_live(key), "stream sink no longer claims its key"
+    assert first == keys_before + expected_delta
     assert second == first  # re-run swapped the generation in place
 
 

@@ -508,13 +508,23 @@ def probe_r5_new(spark, sf_dir: str, label: str) -> dict:
         f"slice(tk, i, {dedup.ES_K}))), 1, 15), 16, 10) as bigint))) "
         "END)[0]"
     )
+    # the operator pairs occurrences ACROSS documents only
+    # (o1.doc_id < o2.doc_id), so fan-out per gram is
+    # (tot² − Σ_doc k_doc²)/2, NOT C(tot, 2) — intra-doc repeats of a
+    # gram never emit pairs; the hot cap itself keys on tot (the
+    # collect_list length), matching the operator's size(occ) test
     occ_counts = (
         load_table(spark, sf_dir, "documents")
-        .select(F.explode(F.expr(grams_expr)).alias("g"))
-        .groupBy(F.col("g.h"))
-        .agg(F.count(F.lit(1)).alias("occ"))
+        .select("doc_id", F.explode(F.expr(grams_expr)).alias("g"))
+        .groupBy(F.col("g.h"), F.col("doc_id"))
+        .agg(F.count(F.lit(1)).alias("k"))
+        .groupBy("h")
+        .agg(
+            F.sum("k").alias("occ"),
+            F.sum(F.col("k") * F.col("k")).alias("sumsq"),
+        )
     )
-    pairs = F.col("occ") * (F.col("occ") - 1) / 2
+    pairs = (F.col("occ") * F.col("occ") - F.col("sumsq")) / 2
     stats, _ = timed(
         lambda: occ_counts.agg(
             F.count(F.lit(1)).alias("gram_keys"),
