@@ -506,6 +506,11 @@ _EXTENSIONS = [
      S.LABEL_CENTROID_COMPONENTS_SQL,
      "Per-label embedding centroids (mean pooling / K-means update), "
      "deterministic ordered float fold per (label, dim)."),
+    ("kmeans_assignment_step", S.kmeans_assignment_step,
+     S.KMEANS_ASSIGNMENT_STEP_SQL,
+     "One Lloyd assignment step from the label clustering: ordered-"
+     "fold centroids, squared-L2 nearest-centroid reassignment, "
+     "transition-matrix + deterministic inertia audit."),
     ("hybrid_rrf_search", S.hybrid_rrf_search, S.HYBRID_RRF_SEARCH_SQL,
      "Hybrid retrieval: reciprocal-rank fusion (SIGIR'09) of the BM25 "
      "keyword top-k and a dense cosine top-k — integer ranks, one "

@@ -1453,3 +1453,145 @@ FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {SEARCH_TOP_K}
 
 
 HYBRID_RRF_SEARCH_SQL = _build_hybrid_rrf_sql()
+
+
+# ---------------------------------------------------------------------------
+# K-means refinement: one Lloyd assignment step from the label
+# clustering — the iterative-clustering primitive behind SemDeDup /
+# cluster-balanced sampling, made bit-exact.
+# ---------------------------------------------------------------------------
+
+
+def _sqdist_spark_sql(a: str, b: str) -> str:
+    """Left-to-right squared-L2 fold, same accumulation order as the
+    oracle's unrolled left-associative chain (dot-fold rationale,
+    `_dot_spark_sql`)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _sqdist_duck_sql(a: str, b: str) -> str:
+    terms = [
+        f"(CAST({a}[{i}] AS DOUBLE) - {b}[{i}])"
+        f" * (CAST({a}[{i}] AS DOUBLE) - {b}[{i}])"
+        for i in range(1, DIM + 1)
+    ]
+    return "(0.0 + " + " + ".join(terms) + ")"
+
+
+def kmeans_assignment_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd/k-means ASSIGNMENT step seeded from the label
+    clustering: per-label centroids (deterministic vec_id-ordered
+    fold — `label_centroid_components`' exactness recipe), then every
+    vector reassigned to its nearest centroid by squared L2, and the
+    movement audited as a transition matrix:
+
+      old_label, new_label, n_vectors, inertia (ordered-fold sum of
+      the winning squared distances).
+
+    The diagonal is cluster stability; off-diagonal mass is how far
+    the label clustering sits from a k-means fixpoint; inertia is the
+    objective k-means descends. This is the building block SemDeDup
+    runs before per-cluster dedup and cluster-balanced sampling uses
+    for quota assignment.
+
+    Bit-exact by construction: centroid means are ordered folds ÷
+    exact counts; each distance is ONE left-associative fold over
+    dims against broadcast centroid literals; the winner picks by
+    (d2, clabel) row_number — no float aggregation anywhere except
+    the deterministic folds. Scale note: the ordered folds hold
+    per-group state ∝ group size (exactness-first variant; production
+    relaxes to order-free sums — same shuffle shape either way). The
+    k×n distance scan is the standard Lloyd cost; at 100 TB the
+    centroid side stays a broadcast (k·DIM doubles) and the scan is
+    one narrow map over the corpus."""
+    cent = (
+        label_centroid_components(spark, sf_dir)
+        .groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, "
+                "mean_component))), s -> s.mean_component)"
+            ).alias("cvec")
+        )
+    )
+    base = balanced(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", _dvec("embedding").alias("vec")
+    )
+    scored = base.crossJoin(F.broadcast(cent)).withColumn(
+        "d2", F.expr(_sqdist_spark_sql("vec", "cvec"))
+    )
+    # winner via min(struct(d2, clabel, …)) groupBy, NOT a vec_id
+    # window: the broadcast nest keeps a vector's k rows co-located,
+    # so map-side partial min reduces k→1 BEFORE the shuffle — the
+    # window form would shuffle all n·k rows unreduced. Lexicographic
+    # struct-min ≡ the oracle's row_number ORDER BY (d2, clabel)
+    # (old_label is constant within a vec_id group).
+    m = F.min(
+        F.struct(F.col("d2"), F.col("clabel"), F.col("label"))
+    ).alias("m")
+    best = (
+        scored.groupBy("vec_id")
+        .agg(m)
+        .select(
+            "vec_id",
+            F.col("m.label").alias("old_label"),
+            F.col("m.clabel").alias("new_label"),
+            F.col("m.d2").alias("d2"),
+        )
+    )
+    ordered_inertia = F.expr(
+        "aggregate(transform(array_sort(collect_list(struct(vec_id, d2))), "
+        "s -> s.d2), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    return (
+        best.groupBy("old_label", "new_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            ordered_inertia.alias("inertia"),
+        )
+    )
+
+
+KMEANS_ASSIGNMENT_STEP_SQL = f"""
+WITH pe AS (
+  SELECT vec_id, label,
+         CAST(g.i - 1 AS INTEGER) AS dim,
+         CAST(embedding[g.i] AS DOUBLE) AS v
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i) g
+),
+cent0 AS (
+  SELECT label, dim,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(v ORDER BY vec_id)),
+                     (a, b) -> a + b) / count(*) AS mean_component
+  FROM pe GROUP BY label, dim
+),
+cent AS (
+  SELECT label AS clabel,
+         list(mean_component ORDER BY dim) AS cvec
+  FROM cent0 GROUP BY label
+),
+scored AS (
+  SELECT b.vec_id, b.label, c.clabel,
+         {_sqdist_duck_sql('b.embedding', 'c.cvec')} AS d2
+  FROM embeddings b CROSS JOIN cent c
+),
+best AS (
+  SELECT vec_id, label AS old_label, clabel AS new_label, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, clabel) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT old_label, new_label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list(d2 ORDER BY vec_id)),
+                   (a, b) -> a + b) AS inertia
+FROM best
+GROUP BY old_label, new_label
+"""

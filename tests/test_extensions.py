@@ -526,3 +526,36 @@ def test_split_leakage_audit_consistency(spark):
             f"{pair}: audit reports {rows[pair].n_leak_pairs} leak "
             f"pairs but {n} exact cross-split dups exist"
         )
+
+
+def test_kmeans_assignment_step_matches_numpy(spark):
+    """Differential: recompute the Lloyd step in numpy (float64) —
+    per-label centroids, squared-L2 argmin with (d2, label) tie-break
+    — and compare the transition matrix. Random gaussian data keeps
+    centroid distances far from ties, so float-order noise between
+    numpy sums and the engine's ordered folds cannot flip an argmin."""
+    import numpy as np
+
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e}
+    labels = {r.vec_id: r.label for r in e}
+    labs = sorted(set(labels.values()))
+    cents = {
+        l: np.mean(
+            [vecs[v] for v in sorted(vecs) if labels[v] == l], axis=0
+        )
+        for l in labs
+    }
+    expected = {}
+    for v in vecs:
+        d2 = {l: float(np.sum((vecs[v] - cents[l]) ** 2)) for l in labs}
+        new = min(labs, key=lambda l: (d2[l], l))
+        key = (labels[v], new)
+        expected[key] = expected.get(key, 0) + 1
+
+    rows = S.kmeans_assignment_step(spark, SF_SMALL).collect()
+    got = {(r.old_label, r.new_label): r.n_vectors for r in rows}
+    assert got == expected
+    assert sum(got.values()) == len(vecs)
+    for r in rows:
+        assert r.inertia >= 0.0

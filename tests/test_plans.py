@@ -54,6 +54,10 @@ SHUFFLE_BUDGET = {
     # doc_len join on the postings side, plus the lens re-scan branch
     # (claim_if_large collapses it above 256 MB of source)
     "bm25_search_topk": 7,
+    # centroid (label,dim) agg + per-label array agg + balanced spread
+    # + vec_id winner agg (map-side struct-min combine, k→1 before the
+    # shuffle — never an unreduced n·k window) + transition agg
+    "kmeans_assignment_step": 6,
     # bm25's 7 + the two ≤k-row rank windows and the ≤2k-row fusion
     # full-outer join + final TakeOrdered (all post-top-k, tiny rows);
     # dense corpus top-k itself is a TakeOrderedAndProject, no global
