@@ -616,6 +616,46 @@ def probe_r5_new(spark, sf_dir: str, label: str) -> dict:
     r["hardneg_anchors"] = int(out)
     r["hardneg_scored_rows"] = int(out) * (nvec - 1)
     caches.release_all()
+
+    # --- kmeans assignment step: k×n scan + movement mass -----------
+    out, r["kmeans_secs"] = timed(
+        lambda: similarity.kmeans_assignment_step(spark, sf_dir)
+        .agg(
+            F.sum("n_vectors").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("old_label") != F.col("new_label"),
+                    F.col("n_vectors"),
+                )
+            ).alias("moved"),
+        )
+        .collect()[0]
+    )
+    r["kmeans_vectors"] = int(out["n"])
+    r["kmeans_moved"] = int(out["moved"] or 0)
+    caches.release_all()
+
+    # --- split leakage: cross-split near-dup yield at scale ---------
+    from etl_portfolio_project_spark.operators import corpus
+
+    out, r["leak_secs"] = timed(
+        lambda: corpus.split_leakage_audit(spark, sf_dir)
+        .agg(
+            F.sum("n_leak_pairs").alias("pairs"),
+            F.sum("n_docs_exposed").alias("exposed"),
+        )
+        .collect()[0]
+    )
+    r["leak_pairs"] = int(out["pairs"] or 0)
+    r["leak_docs_exposed"] = int(out["exposed"] or 0)
+    caches.release_all()
+
+    # --- hybrid RRF: constant-size fusion regardless of corpus ------
+    out, r["rrf_secs"] = timed(
+        lambda: similarity.hybrid_rrf_search(spark, sf_dir).count()
+    )
+    r["rrf_rows"] = int(out)
+    caches.release_all()
     return r
 
 
