@@ -403,6 +403,10 @@ _EXTENSIONS = [
      X.DOC_TOKEN_COMMONNESS_SQL,
      "Unigram corpus-frequency quality proxy: integer-exact per-doc "
      "frequency sums + cross-multiplied boilerplate/jargon flags."),
+    ("bpe_pair_stats", X.bpe_pair_stats, X.BPE_PAIR_STATS_SQL,
+     "BPE tokenizer-training statistics: adjacent symbol pairs "
+     "(chars + </w>) weighted by exact word counts, top first-merge "
+     "candidates; pair work runs on the vocabulary-sized word table."),
     ("decontaminate_ngrams", D.decontaminate_ngrams,
      D.DECONTAMINATE_NGRAMS_SQL,
      "Benchmark decontamination: 4-gram overlap vs held-out eval "

@@ -1470,3 +1470,81 @@ def _funnel_sql() -> str:
 
 
 CORPUS_QUALITY_FUNNEL_SQL = _funnel_sql()
+
+
+# --- BPE tokenizer-training statistics -------------------------------------
+
+BPE_TOP_PAIRS = 20  # first-merge candidates reported
+BPE_EOW = "</w>"  # end-of-word marker (Sennrich et al. 2016 convention)
+
+
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge-candidate statistics over the corpus — the
+    inner measurement of byte-pair-encoding tokenizer TRAINING
+    (Sennrich et al. 2016): split every word into characters plus the
+    end-of-word marker, count adjacent symbol pairs weighted by word
+    frequency, and report the top BPE_TOP_PAIRS candidates (the argmax
+    is the first merge a BPE trainer would perform).
+
+    All counts are exact integers (word counts × per-word pair
+    multiplicity), so the ranking is bit-free-of-floats; ties break on
+    the pair string.
+
+    Scale shape: ONE word-count aggregation over the corpus (the same
+    partial-agg'd word shuffle as `top_words` — hot words combine
+    map-side), then all pair work runs on the DISTINCT-WORD table
+    (vocabulary-sized, Heaps-law sublinear in the corpus) — the
+    standard BPE-training factorization: corpus statistics reduce to
+    (word, count) once, iterations never rescan the corpus. The pair
+    explode is a narrow Generate over that tiny table + one more
+    partial-agg'd shuffle on the pair key."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    words = (
+        d.select(F.explode(tokens_expr(F.col("text"))).alias("word"))
+        .where(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    )
+    # chars + end-of-word marker, then adjacent pairs; LET-bound so
+    # the char split runs once per word (interpreted-HOF rule)
+    pairs_expr = bind_once_sql(
+        "concat(transform(sequence(1, length(word)), "
+        f"i -> substring(word, i, 1)), array('{BPE_EOW}'))",
+        "t",
+        "transform(sequence(1, size(t) - 1), "
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))",
+    )
+    return (
+        words.select("n_w", F.explode(F.expr(pairs_expr)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("n_w").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+BPE_PAIR_STATS_SQL = f"""
+WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_w
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents)
+  WHERE length(word) >= 1
+  GROUP BY word
+),
+syms AS (
+  SELECT n_w,
+         list_append(list_transform(generate_series(1, length(word)),
+                                    i -> word[i:i]),
+                     '{BPE_EOW}') AS t
+  FROM words
+),
+pairs AS (
+  SELECT n_w, t[i] || ' ' || t[i + 1] AS pair
+  FROM syms, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+)
+SELECT pair, CAST(sum(n_w) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT {BPE_TOP_PAIRS}
+"""

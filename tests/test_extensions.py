@@ -559,3 +559,35 @@ def test_kmeans_assignment_step_matches_numpy(spark):
     assert sum(got.values()) == len(vecs)
     for r in rows:
         assert r.inertia >= 0.0
+
+
+def test_bpe_pair_stats_matches_python(spark):
+    """Differential: re-derive the weighted adjacent-pair counts with
+    a plain Python BPE-style loop (chars + </w>, counts weighted by
+    word frequency) and compare the engine's top-k exactly."""
+    import re
+    from collections import Counter
+
+    docs = [
+        str(r.text)
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    wc = Counter()
+    for t in docs:
+        stripped = t.strip("".join(chr(c) for c in range(0x21)))
+        for w in re.split(r"\s+", stripped, flags=re.ASCII):
+            if w:
+                wc[w] += 1
+    pc = Counter()
+    for w, n in wc.items():
+        syms = list(w) + [X.BPE_EOW]
+        for a, b in zip(syms, syms[1:]):
+            pc[f"{a} {b}"] += n
+    expected = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : X.BPE_TOP_PAIRS
+    ]
+
+    rows = X.bpe_pair_stats(spark, SF_SMALL).collect()
+    assert [(r.pair, r.pair_count) for r in rows] == expected

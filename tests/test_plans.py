@@ -54,6 +54,9 @@ SHUFFLE_BUDGET = {
     # doc_len join on the postings side, plus the lens re-scan branch
     # (claim_if_large collapses it above 256 MB of source)
     "bm25_search_topk": 7,
+    # balanced + word agg shuffle; pair explode + pair agg run on the
+    # vocabulary-sized word table + final TakeOrdered
+    "bpe_pair_stats": 3,
     # centroid (label,dim) agg + per-label array agg + balanced spread
     # + vec_id winner agg (map-side struct-min combine, k→1 before the
     # shuffle — never an unreduced n·k window) + transition agg
