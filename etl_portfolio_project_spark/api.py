@@ -868,6 +868,11 @@ _STREAMING_MM = [
      "scanline filters, zlib DEFLATE, CRC32 chunks) → binary column "
      "→ stdlib-zlib+numpy decode with CRC verify + filter "
      "reconstruction; position-weighted feature proves geometry."),
+    ("multimodal_resize", M.multimodal_resize, M.MULTIMODAL_RESIZE_SQL,
+     "Image RESIZE over the binary column: real BMP bytes → Arrow "
+     "nearest-neighbor downsample to a fixed thumbnail (integer floor "
+     "index map); oracle regenerates the sampled pixels — wrong "
+     "flip/stride/index map diverges the position-weighted sum."),
 ]
 
 from .operators import arrow_ops as AR  # noqa: E402

@@ -427,26 +427,13 @@ BMP_FEATURES_SCHEMA = T.StructType(
 BMP_H = 12  # fixed image height; width varies per doc (16..23)
 
 
-def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode without an image library: synthesize a
-    24-bit uncompressed BMP per doc (deterministic RGB gradient,
-    width 16 + doc_id % 8 so the 4-byte ROW PADDING actually varies),
-    carry it as a `binary` column, then parse the ACTUAL BMP bytes in
-    a second Arrow stage — magic check, pixel-offset from the file
-    header, dimensions from BITMAPINFOHEADER, stride-padded BGR rows
-    stored bottom-up — and emit integer features.
-
-    `pos_weighted_r` weights each red value by its top-down raster
-    position, so a decoder that forgot the bottom-up flip or misread
-    the stride produces different sums and the DuckDB oracle (which
-    regenerates the same pixels relationally) catches it: the
-    geometry of the decode is proven, not assumed.
-
-    Scale shape: two narrow Arrow map stages (encode, decode), binary
-    payloads streaming through record batches, zero shuffles — the
-    same plumbing a real image corpus uses, with the codec swapped
-    for PIL/libjpeg where available."""
-    d = balanced_docs(spark, sf_dir)
+def _bmp_synth_stage():
+    """Factory for the BMP-encode Arrow stage (shared by
+    `multimodal_bmp_decode` and `multimodal_resize`). Returns a
+    NESTED function so cloudpickle serializes it by value — the
+    grading driver imports `__spark_entry__.py` by file path, so a
+    module-level worker function would pickle by reference and fail
+    on the executors (CLAUDE.md worker-closure rule)."""
 
     def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct
@@ -482,6 +469,31 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "payload": pdf["doc_id"].map(make_bmp),
                 }
             )
+
+    return synth
+
+
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode without an image library: synthesize a
+    24-bit uncompressed BMP per doc (deterministic RGB gradient,
+    width 16 + doc_id % 8 so the 4-byte ROW PADDING actually varies),
+    carry it as a `binary` column, then parse the ACTUAL BMP bytes in
+    a second Arrow stage — magic check, pixel-offset from the file
+    header, dimensions from BITMAPINFOHEADER, stride-padded BGR rows
+    stored bottom-up — and emit integer features.
+
+    `pos_weighted_r` weights each red value by its top-down raster
+    position, so a decoder that forgot the bottom-up flip or misread
+    the stride produces different sums and the DuckDB oracle (which
+    regenerates the same pixels relationally) catches it: the
+    geometry of the decode is proven, not assumed.
+
+    Scale shape: two narrow Arrow map stages (encode, decode), binary
+    payloads streaming through record batches, zero shuffles — the
+    same plumbing a real image corpus uses, with the codec swapped
+    for PIL/libjpeg where available."""
+    d = balanced_docs(spark, sf_dir)
+    synth = _bmp_synth_stage()
 
     def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
@@ -833,5 +845,148 @@ SELECT doc_id,
        CAST(sum(b) AS BIGINT) AS sum_b,
        CAST(sum((y * w + x) * g) AS BIGINT) AS pos_weighted_g
 FROM px
+GROUP BY doc_id
+"""
+
+
+# --- image RESIZE over the binary column (nearest-neighbor) ----------------
+
+RS_W = 8  # fixed resize target; sources are (16..23) x 12
+RS_H = 6
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("pos_weighted_r", T.LongType()),
+    ]
+)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE over the binary column — the remaining named
+    member of the decode / feature-extract / resize / frame-sample
+    quartet: synthesize the same real 24-bit BMPs as
+    `multimodal_bmp_decode`, parse the actual bytes, and
+    nearest-neighbor downsample every image to a fixed RS_W×RS_H
+    thumbnail inside the Arrow stage (the CNN-preprocessing /
+    thumbnail-index shape).
+
+    The index map is the pure-integer floor rule
+    `src_x = tx·w // RS_W, src_y = ty·h // RS_H` — exact on both
+    engines, and the thumbnail's position-weighted red sum makes the
+    oracle (which regenerates the SAMPLED pixels relationally at the
+    same source coordinates) fail if the sampling geometry, the
+    bottom-up flip, or the stride handling were wrong. A production
+    swap to PIL/OpenCV keeps the identical Spark plumbing (binary in,
+    Arrow batch, fixed-size array out) and changes only `feats`.
+
+    Scale shape: two narrow Arrow map stages, zero shuffles; resized
+    payload is O(RS_W·RS_H) per image regardless of source size —
+    the property that makes thumbnailing at 100 TB a pure map."""
+    d = balanced_docs(spark, sf_dir)
+    synth = _bmp_synth_stage()
+
+    def decode_resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def feats(payload: bytes):
+            buf = bytes(payload)
+            assert buf[:2] == b"BM"
+            data_off = int.from_bytes(buf[10:14], "little")
+            w = int.from_bytes(buf[18:22], "little", signed=True)
+            h = int.from_bytes(buf[22:26], "little", signed=True)
+            stride = (3 * w + 3) // 4 * 4
+            rows = _np.frombuffer(
+                buf, dtype=_np.uint8, count=h * stride, offset=data_off
+            ).reshape(h, stride)
+            img = rows[::-1, : 3 * w].reshape(h, w, 3).astype(_np.int64)
+            # nearest-neighbor sample grid (floor rule, integer-exact)
+            sx = (_np.arange(RS_W, dtype=_np.int64) * w) // RS_W
+            sy = (_np.arange(RS_H, dtype=_np.int64) * h) // RS_H
+            thumb = img[sy[:, None], sx[None, :]]  # (RS_H, RS_W, 3)
+            b_ch, g_ch, r_ch = (
+                thumb[:, :, 0],
+                thumb[:, :, 1],
+                thumb[:, :, 2],
+            )
+            pos = (
+                _np.arange(RS_H, dtype=_np.int64)[:, None] * RS_W
+                + _np.arange(RS_W, dtype=_np.int64)[None, :]
+            )
+            return (
+                w,
+                h,
+                RS_W,
+                RS_H,
+                int(r_ch.sum()),
+                int(g_ch.sum()),
+                int(b_ch.sum()),
+                int((pos * r_ch).sum()),
+            )
+
+        for pdf in it:
+            rows = [
+                (int(doc_id),) + feats(payload)
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "src_width",
+                    "src_height",
+                    "out_width",
+                    "out_height",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                    "pos_weighted_r",
+                ],
+            )
+
+    bmps = d.mapInPandas(synth, BMP_SCHEMA)
+    return bmps.mapInPandas(decode_resize, RESIZE_SCHEMA)
+
+
+#: Oracle: regenerate the SAMPLED pixels relationally at the same
+#: integer source coordinates (sx = tx*w // RS_W, sy = ty*h // RS_H) —
+#: if the Spark side mishandled the flip/stride/index map, the
+#: position-weighted sum diverges.
+MULTIMODAL_RESIZE_SQL = f"""
+WITH grid AS (
+  SELECT doc_id,
+         16 + doc_id % 8 AS w,
+         tx, ty,
+         (tx * (16 + doc_id % 8)) // {RS_W} AS sx,
+         (ty * {BMP_H}) // {RS_H} AS sy
+  FROM documents,
+       generate_series(0, {RS_W - 1}) xs(tx),
+       generate_series(0, {RS_H - 1}) ys(ty)
+),
+sampled AS (
+  SELECT doc_id, w, tx, ty,
+         (doc_id + 7 * sx + 13 * sy) % 256 AS r,
+         (3 * doc_id + 5 * sx + sy) % 256 AS g,
+         (2 * doc_id + sx + 11 * sy) % 256 AS b
+  FROM grid
+)
+SELECT doc_id,
+       CAST(min(w) AS INTEGER) AS src_width,
+       CAST({BMP_H} AS INTEGER) AS src_height,
+       CAST({RS_W} AS INTEGER) AS out_width,
+       CAST({RS_H} AS INTEGER) AS out_height,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b,
+       CAST(sum((ty * {RS_W} + tx) * r) AS BIGINT) AS pos_weighted_r
+FROM sampled
 GROUP BY doc_id
 """

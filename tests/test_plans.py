@@ -96,6 +96,8 @@ SHUFFLE_BUDGET = {
     "gopher_quality_flags": 1,  # balanced spread only (pure narrow map)
     # two narrow Arrow map stages (encode → decode), balanced spread only
     "multimodal_png_decode": 1,
+    # same two-stage Arrow shape; resize is a pure per-image map
+    "multimodal_resize": 1,
     # all work happens inside the builder's foreachBatch stream; the
     # returned frame is a plain read of the appended result parquet
     "stream_incremental_dedup": 0,

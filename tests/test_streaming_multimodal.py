@@ -538,3 +538,43 @@ def test_stream_incremental_dedup_random_corpora_match_oracle(
             for r in con.execute(D.STREAM_INCREMENTAL_DEDUP_SQL).fetchall()
         }
         assert got == exp, f"seed {seed}"
+
+
+def test_multimodal_resize_matches_full_decode(spark):
+    """Differential: the thumbnail's channel sums must equal sampling
+    the FULL decoded image (bmp_decode's proven geometry) at the
+    integer floor grid — recomputed here in numpy from the real
+    payload bytes, independently of the operator's own decode."""
+    import numpy as np
+
+    rows = {r.doc_id: r for r in M.multimodal_resize(spark, SF_SMALL).collect()}
+    assert len(rows) == 500
+
+    synth = M._bmp_synth_stage()
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": list(range(0, 500, 50))})
+    payloads = dict(
+        zip(*(lambda d: (d["doc_id"], d["payload"]))(next(synth(iter([pdf])))))
+    )
+    for doc_id, payload in payloads.items():
+        buf = bytes(payload)
+        w = int.from_bytes(buf[18:22], "little", signed=True)
+        h = int.from_bytes(buf[22:26], "little", signed=True)
+        off = int.from_bytes(buf[10:14], "little")
+        stride = (3 * w + 3) // 4 * 4
+        img = (
+            np.frombuffer(buf, dtype=np.uint8, count=h * stride, offset=off)
+            .reshape(h, stride)[::-1, : 3 * w]
+            .reshape(h, w, 3)
+            .astype(np.int64)
+        )
+        sx = (np.arange(M.RS_W) * w) // M.RS_W
+        sy = (np.arange(M.RS_H) * h) // M.RS_H
+        thumb = img[sy[:, None], sx[None, :]]
+        r = rows[int(doc_id)]
+        assert r.src_width == w and r.src_height == h
+        assert (r.out_width, r.out_height) == (M.RS_W, M.RS_H)
+        assert r.sum_r == int(thumb[:, :, 2].sum())
+        assert r.sum_g == int(thumb[:, :, 1].sum())
+        assert r.sum_b == int(thumb[:, :, 0].sum())
