@@ -403,6 +403,12 @@ _EXTENSIONS = [
      X.DOC_TOKEN_COMMONNESS_SQL,
      "Unigram corpus-frequency quality proxy: integer-exact per-doc "
      "frequency sums + cross-multiplied boilerplate/jargon flags."),
+    ("hashed_ngram_quality_scores", X.hashed_ngram_quality_scores,
+     X.HASHED_NGRAM_QUALITY_SCORES_SQL,
+     "fastText-style quality-classifier inference: word uni+bigrams "
+     "-> hashing trick (md5 mod 4096) -> md5-derived integer weights; "
+     "exact BIGINT score fold, one double division, cross-multiplied "
+     "keep flag; zero-shuffle narrow map."),
     ("bpe_pair_stats", X.bpe_pair_stats, X.BPE_PAIR_STATS_SQL,
      "BPE tokenizer-training statistics: adjacent symbol pairs "
      "(chars + </w>) weighted by exact word counts, top first-merge "

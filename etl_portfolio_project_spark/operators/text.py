@@ -1548,3 +1548,120 @@ GROUP BY pair
 ORDER BY pair_count DESC, pair
 LIMIT {BPE_TOP_PAIRS}
 """
+
+
+# --- hashed-n-gram quality classifier (fastText-style inference) ------------
+
+QCLS_BUCKETS = 4096  # hashing-trick feature space (2^12)
+QCLS_KEEP_MUL = 20  # keep if score_int * 20 > n_feats * 1000 (i.e. > 0.05)
+
+
+def _qcls_w_spark(feat_sql: str) -> str:
+    """Spark-SQL integer weight in [-1000, 1000] for one feature:
+    hashing trick (md5 bucket mod QCLS_BUCKETS — collisions are the
+    point) then a deterministic md5-derived weight per bucket. Both
+    hashes ride `portable_hash60`, so DuckDB reproduces them exactly."""
+    salted = f"concat('qcls:', {feat_sql})"
+    bucket = f"{portable_hash60_spark_sql(salted)} % {QCLS_BUCKETS}"
+    w_hash = portable_hash60_spark_sql(
+        f"concat('qw:', CAST({bucket} AS STRING))"
+    )
+    return f"({w_hash} % 2001 - 1000)"
+
+
+def _qcls_w_duck(feat_sql: str) -> str:
+    salted = f"'qcls:' || {feat_sql}"
+    bucket = f"{portable_hash60_sql(salted)} % {QCLS_BUCKETS}"
+    w_hash = portable_hash60_sql(f"'qw:' || CAST({bucket} AS VARCHAR)")
+    return f"({w_hash} % 2001 - 1000)"
+
+
+def hashed_ngram_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality-classifier INFERENCE over raw text — the
+    CCNet / LLaMA-pipeline "keep what looks like reference text" gate
+    (Joulin et al. 2017 fastText: bag of word n-grams → hashing trick
+    → linear model). Features are word unigrams + adjacent bigrams,
+    bucketed to QCLS_BUCKETS via the hashing trick (collisions are the
+    design, exactly as fastText's `hash % bucket`); the per-bucket
+    weight is a deterministic md5-derived integer in [-1000, 1000]
+    standing in for trained parameters — swapping in real learned
+    weights changes a lookup table, not the plan.
+
+    Numeric portability: the score accumulates as an exact BIGINT
+    (bounded by 1000·n_feats, no overflow at any document length that
+    fits in memory), the normalized score is ONE double division, and
+    the keep flag cross-multiplies in integers — zero float drift.
+
+    Scale shape: a single narrow LET-bound projection riding the scan
+    (`balanced` spread only) — like `gopher_quality_flags`, a pure map
+    stage with zero shuffles; at 100 TB this is the cheapest possible
+    model-based filter (no Python boundary, no explode — the n-gram
+    fold runs inside the row)."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    w_uni = _qcls_w_spark("t")
+    w_bi = _qcls_w_spark(
+        "concat(element_at(tk, i), ' ', element_at(tk, i + 1))"
+    )
+    m_struct = (
+        "struct(CAST(size(tk) AS BIGINT) AS n_uni, "
+        "CAST(CASE WHEN size(tk) >= 2 THEN size(tk) - 1 ELSE 0 END "
+        "AS BIGINT) AS n_bi, "
+        f"aggregate(tk, CAST(0 AS BIGINT), (acc, t) -> acc + {w_uni}) "
+        "AS uni_sum, "
+        "CASE WHEN size(tk) < 2 THEN CAST(0 AS BIGINT) "
+        "ELSE aggregate(sequence(1, size(tk) - 1), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc + {w_bi}) END AS bi_sum)"
+    )
+    final_struct = (
+        "struct("
+        "(m.n_uni + m.n_bi) AS n_feats, "
+        "(m.uni_sum + m.bi_sum) AS score_int, "
+        "(CAST(m.uni_sum + m.bi_sum AS DOUBLE) "
+        "/ (CAST(1000 AS DOUBLE) * CAST(m.n_uni + m.n_bi AS DOUBLE))) "
+        "AS quality_score, "
+        f"((m.uni_sum + m.bi_sum) * {QCLS_KEEP_MUL} "
+        "> (m.n_uni + m.n_bi) * 1000) AS keep_flag)"
+    )
+    one = bind_once_sql(
+        "split(trim(text), '\\\\s+')",
+        "tk",
+        bind_once_sql(m_struct, "m", final_struct),
+    )
+    return d.select("doc_id", "source", F.expr(f"inline(array({one}))"))
+
+
+def _qcls_sql() -> str:
+    w_uni = _qcls_w_duck("t")
+    w_bi = _qcls_w_duck("tk[i] || ' ' || tk[i + 1]")
+    return f"""
+    WITH tks AS MATERIALIZED (
+      SELECT doc_id, source,
+             regexp_split_to_array(trim(text), '\\s+') AS tk
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source,
+             CAST(len(tk) AS BIGINT) AS n_uni,
+             CAST(CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END
+                  AS BIGINT) AS n_bi,
+             CAST(list_sum(list_transform(tk, t -> {w_uni}))
+                  AS BIGINT) AS uni_sum,
+             CAST(CASE WHEN len(tk) < 2 THEN 0
+                  ELSE list_sum(list_transform(
+                         generate_series(1, len(tk) - 1), i -> {w_bi}))
+                  END AS BIGINT) AS bi_sum
+      FROM tks
+    )
+    SELECT doc_id, source,
+           (n_uni + n_bi) AS n_feats,
+           (uni_sum + bi_sum) AS score_int,
+           CAST(uni_sum + bi_sum AS DOUBLE)
+             / (CAST(1000 AS DOUBLE) * CAST(n_uni + n_bi AS DOUBLE))
+             AS quality_score,
+           ((uni_sum + bi_sum) * {QCLS_KEEP_MUL} > (n_uni + n_bi) * 1000)
+             AS keep_flag
+    FROM m
+    """
+
+
+HASHED_NGRAM_QUALITY_SCORES_SQL = _qcls_sql()

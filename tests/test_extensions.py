@@ -591,3 +591,40 @@ def test_bpe_pair_stats_matches_python(spark):
 
     rows = X.bpe_pair_stats(spark, SF_SMALL).collect()
     assert [(r.pair, r.pair_count) for r in rows] == expected
+
+
+def test_hashed_ngram_quality_scores_matches_python(spark):
+    """Differential: re-derive the hashing-trick classifier (md5
+    bucket -> md5 weight, unigrams + adjacent bigrams) with plain
+    Python hashlib and compare score_int / n_feats / keep_flag
+    exactly for every document."""
+    import hashlib
+    import re
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def w(feat: str) -> int:
+        b = h60("qcls:" + feat) % X.QCLS_BUCKETS
+        return h60("qw:" + str(b)) % 2001 - 1000
+
+    docs = {
+        r.doc_id: str(r.text)
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = X.hashed_ngram_quality_scores(spark, SF_SMALL).collect()
+    assert {r.doc_id for r in rows} == set(docs)
+    for r in rows:
+        stripped = docs[r.doc_id].strip(
+            "".join(chr(c) for c in range(0x21))
+        )
+        toks = re.split(r"\s+", stripped, flags=re.ASCII) or [""]
+        n_feats = len(toks) + max(len(toks) - 1, 0)
+        score = sum(w(t) for t in toks) + sum(
+            w(f"{a} {b}") for a, b in zip(toks, toks[1:])
+        )
+        assert r.n_feats == n_feats
+        assert r.score_int == score
+        assert r.keep_flag == (score * X.QCLS_KEEP_MUL > n_feats * 1000)

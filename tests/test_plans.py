@@ -94,6 +94,8 @@ SHUFFLE_BUDGET = {
     # distinct-count companion column (harness verification only)
     "hll_distinct_users": 4,
     "gopher_quality_flags": 1,  # balanced spread only (pure narrow map)
+    # same shape: hashing-trick classifier fold rides the scan
+    "hashed_ngram_quality_scores": 1,
     # two narrow Arrow map stages (encode → decode), balanced spread only
     "multimodal_png_decode": 1,
     # same two-stage Arrow shape; resize is a pure per-image map
