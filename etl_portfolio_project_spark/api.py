@@ -545,6 +545,12 @@ _EXTENSIONS += [
      "Eval-integrity audit: near-dup pairs straddling the train/val/"
      "test split (corpus-wide shingle-MinHash banding + exact verify, "
      "rolled up per split pair on a fixed 3-row spine)."),
+    ("url_canonical_dedup", C.url_canonical_dedup,
+     C.URL_CANONICAL_DEDUP_SQL,
+     "Crawl URL canonicalization + dedup audit: strip case/www/port/"
+     "utm/fragment/trailing-slash noise (keeping meaningful params), "
+     "group by canonical URL, per-source dup + blocklist rollup over "
+     "deterministically synthesized messy URLs."),
     ("pii_scrub_profile", C.pii_scrub_profile, C.PII_SCRUB_PROFILE_SQL,
      "PII detect + redact audit: email/phone regex counts and "
      "scrubbed-text hashes over deterministically injected synthetic "

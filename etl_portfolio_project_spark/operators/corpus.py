@@ -606,3 +606,184 @@ LEFT JOIN rollup r
 
 
 SPLIT_LEAKAGE_AUDIT_SQL = _build_split_leakage_sql()
+
+
+# --- URL canonicalization + dedup audit ------------------------------------
+
+#: domain blocklist (robots/abuse gate) — canonical-host prefixes
+URL_BLOCKLIST = ("src3.example.com", "src7.example.com")
+
+
+def _url_synth_sql(h60, cast_str: str = "STRING") -> str:
+    """Synthesis of a messy crawl URL per doc: deterministic case/www/
+    port/tracking-param/fragment/trailing-slash NOISE around a stable
+    content identity. ~30% of docs are 'syndicated' (path collapses to
+    an md5-derived bucket — the same article crawled from many URLs);
+    the rest have unique paths. Syndication membership and bucket both
+    hash doc_id (via `h60`, the dialect's portable_hash60 renderer)
+    because every doc_id % k residue is CONSTANT within a source here
+    (source = doc_id % 20) — modulus-keyed grouping would make whole
+    sources collapse to one canonical URL. The `v` query param is
+    MEANINGFUL and must survive canonicalization; the utm_* params,
+    fragment, and all case/port/slash noise must not."""
+    syn_arg = f"concat('syn:', CAST(doc_id AS {cast_str}))"
+    bkt_arg = f"concat('bkt:', CAST(doc_id AS {cast_str}))"
+    syn = f"{h60(syn_arg)} % 10 < 3"
+    bkt = f"{h60(bkt_arg)} % 3"
+    return f"""concat(
+      'https://',
+      CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END,
+      CASE WHEN doc_id % 3 = 0 THEN concat(upper(source), '.Example.COM')
+           ELSE concat(source, '.example.com') END,
+      CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END,
+      '/docs/',
+      CAST(CASE WHEN {syn} THEN {bkt} ELSE doc_id END AS {cast_str}),
+      CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+      CASE WHEN doc_id % 2 = 0
+           THEN concat('?utm_source=feed&utm_campaign=c',
+                       CAST(doc_id AS {cast_str}),
+                       '&v=', CAST(CASE WHEN {syn} THEN 1 ELSE doc_id % 4 END
+                                   AS {cast_str}))
+           ELSE concat('?v=', CAST(CASE WHEN {syn} THEN 1 ELSE doc_id % 4 END
+                               AS {cast_str})) END,
+      CASE WHEN doc_id % 3 = 1
+           THEN concat('#sec', CAST(doc_id % 7 AS {cast_str}))
+           ELSE '' END)"""
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-style URL canonicalization + dedup audit — the first
+    dedup a web corpus runs (before any content hashing): normalize
+    each document's URL (lowercase scheme+host, strip `www.`, default
+    `:443` port, `utm_*` tracking params, fragments, and trailing
+    slashes — keeping MEANINGFUL query params like `v=`), then group
+    by canonical URL and roll up per source: how many raw URLs
+    collapse, the largest syndication group, and how many canonical
+    URLs fall on the domain blocklist (the robots/abuse gate).
+
+    The corpus has no URL column, so the op synthesizes a messy URL
+    deterministically per doc (synthesize → process → verify, the WAV/
+    PII strategy): six independent noise dimensions (case, www, port,
+    tracking params, fragment, trailing slash) keyed off doc_id
+    residues, wrapped around a stable content identity — a
+    canonicalizer that misses ANY dimension leaves extra distinct
+    canonical URLs and diverges from the oracle.
+
+    Scale shape: the synthesis + regex canonicalization is one narrow
+    LET-bound projection riding the scan; dedup grouping is a count
+    window on the canonical key and one per-source partial-agg'd
+    rollup — 2 keyed shuffles at any SF (canonical keys are
+    syndication-bounded, no skew beyond the largest dup group)."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    from .text import bind_once_sql
+
+    # strip fragment, tracking params, dangling separator
+    c3 = (
+        "regexp_replace(regexp_replace(regexp_replace("
+        "u, '#.*$', ''), 'utm_[a-z]+=[^&]*&?', ''), '[?&]$', '')"
+    )
+    # lowercase + de-noise the authority; tidy the path tail
+    canon = (
+        "concat("
+        "regexp_replace(regexp_replace(lower(h), ':443$', ''), "
+        "'^https://www\\\\.', 'https://'), "
+        "regexp_replace(replace(substring(c, length(h) + 1), '/?', '?'), "
+        "'/$', ''))"
+    )
+    from .text import portable_hash60_spark_sql
+
+    one = bind_once_sql(
+        _url_synth_sql(portable_hash60_spark_sql),
+        "u",
+        bind_once_sql(
+            c3,
+            "c",
+            bind_once_sql(
+                "regexp_extract(c, '^https://[^/]*', 0)", "h", canon
+            ),
+        ),
+    )
+    from pyspark.sql import Window
+
+    per = d.select(
+        "source", F.expr(one).alias("canonical_url")
+    ).select(
+        "source",
+        "canonical_url",
+        F.count("*")
+        .over(Window.partitionBy("canonical_url"))
+        .alias("grp"),
+    )
+    blocked = " OR ".join(
+        f"canonical_url LIKE 'https://{h}/%'" for h in URL_BLOCKLIST
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct("canonical_url").cast("long").alias("n_canonical"),
+            F.sum(F.when(F.col("grp") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_urls"),
+            F.max("grp").cast("long").alias("largest_group"),
+            F.sum(F.when(F.expr(blocked), 1).otherwise(0))
+            .cast("long")
+            .alias("n_blocked"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.expr("CAST(n_dup_urls AS DOUBLE) / CAST(n_urls AS DOUBLE)"),
+        )
+    )
+
+
+def _url_canonical_sql() -> str:
+    blocked = " OR ".join(
+        f"canonical_url LIKE 'https://{h}/%'" for h in URL_BLOCKLIST
+    )
+    return f"""
+    WITH raw AS MATERIALIZED (
+      SELECT source, {_url_synth_sql(portable_hash60_sql)} AS u FROM documents
+    ),
+    stripped AS MATERIALIZED (
+      SELECT source,
+             regexp_replace(regexp_replace(regexp_replace(
+               u, '#.*$', ''), 'utm_[a-z]+=[^&]*&?', '', 'g'),
+               '[?&]$', '') AS c
+      FROM raw
+    ),
+    split_head AS MATERIALIZED (
+      SELECT source, c, regexp_extract(c, '^https://[^/]*') AS h
+      FROM stripped
+    ),
+    canon AS MATERIALIZED (
+      SELECT source,
+             concat(
+               regexp_replace(regexp_replace(lower(h), ':443$', ''),
+                              '^https://www\\.', 'https://'),
+               regexp_replace(replace(substring(c, length(h) + 1),
+                                      '/?', '?'),
+                              '/$', '')) AS canonical_url
+      FROM split_head
+    ),
+    grp AS (
+      SELECT source, canonical_url,
+             count(*) OVER (PARTITION BY canonical_url) AS grp
+      FROM canon
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+           CAST(sum(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_urls,
+           CAST(max(grp) AS BIGINT) AS largest_group,
+           CAST(sum(CASE WHEN {blocked} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked,
+           CAST(sum(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS dup_rate
+    FROM grp
+    GROUP BY source
+    """
+
+
+URL_CANONICAL_DEDUP_SQL = _url_canonical_sql()

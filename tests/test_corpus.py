@@ -140,3 +140,53 @@ def test_keep_best_partitions_the_corpus(spark):
         )
         qmax = {r["cluster_id"]: r["qmax"] for r in joined}
         assert all(qmax[cid] == q for cid, q in best.items())
+
+
+def test_url_canonical_dedup_matches_python_identity(spark):
+    """Differential: build the CANONICAL identity directly in Python
+    (source host + syndication bucket + meaningful v param — skipping
+    every noise dimension the canonicalizer must strip) and re-derive
+    all six rollup columns per source; if the Spark canonicalizer
+    leaves ANY case/www/port/utm/fragment/slash residue, its group
+    structure fragments and the counts diverge."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from etl_portfolio_project_spark.operators import corpus as C
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    )
+    canon = {}
+    for r in docs:
+        syn = h60(f"syn:{r.doc_id}") % 10 < 3
+        pid = h60(f"bkt:{r.doc_id}") % 3 if syn else r.doc_id
+        v = 1 if syn else r.doc_id % 4
+        canon[r.doc_id] = (
+            r.source,
+            f"https://{r.source}.example.com/docs/{pid}?v={v}",
+        )
+    grp = Counter(u for _, u in canon.values())
+    per = defaultdict(lambda: [0, set(), 0, 0, 0])
+    for src, u in canon.values():
+        st = per[src]
+        st[0] += 1
+        st[1].add(u)
+        if grp[u] > 1:
+            st[2] += 1
+        st[3] = max(st[3], grp[u])
+        if any(u.startswith(f"https://{h}/") for h in C.URL_BLOCKLIST):
+            st[4] += 1
+
+    rows = C.url_canonical_dedup(spark, SF_SMALL).collect()
+    assert {r.source for r in rows} == set(per)
+    for r in rows:
+        n, uniq, dup, big, blk = per[r.source]
+        assert (r.n_urls, r.n_canonical, r.n_dup_urls) == (n, len(uniq), dup)
+        assert (r.largest_group, r.n_blocked) == (big, blk)
+        assert r.dup_rate == dup / n

@@ -96,6 +96,9 @@ SHUFFLE_BUDGET = {
     "gopher_quality_flags": 1,  # balanced spread only (pure narrow map)
     # same shape: hashing-trick classifier fold rides the scan
     "hashed_ngram_quality_scores": 1,
+    # balanced spread + canonical-key count window + per-source
+    # distinct-agg rollup (partial/final)
+    "url_canonical_dedup": 4,
     # two narrow Arrow map stages (encode → decode), balanced spread only
     "multimodal_png_decode": 1,
     # same two-stage Arrow shape; resize is a pure per-image map
