@@ -443,6 +443,11 @@ _EXTENSIONS = [
      S.CONTRASTIVE_HARD_NEGATIVES_SQL,
      "Hard positive/negative mining per anchor with cosine margin — "
      "the triplet/InfoNCE batch-building pass (r5)."),
+    ("embedding_dim_profile", S.embedding_dim_profile,
+     S.EMBEDDING_DIM_PROFILE_SQL,
+     "Per-dimension embedding QA: exact quantized moments (BIGINT/"
+     "DECIMAL(38,0)), min/max, dead-dim flag over two planted dead "
+     "dims; one partial-agg'd shuffle on the 64-value dim key."),
     ("embedding_norm_outliers", S.embedding_norm_outliers,
      S.EMBEDDING_NORM_OUTLIERS_SQL,
      "Embedding QA: norm outliers vs the rank-selected median norm "

@@ -1595,3 +1595,112 @@ SELECT old_label, new_label,
 FROM best
 GROUP BY old_label, new_label
 """
+
+
+# --- per-dimension embedding profile (dead-dim / anisotropy QA) -------------
+
+#: dims planted constant-zero in-query (synthesize → process → verify)
+DIM_DEAD_PLANTED = (7, 23)
+#: quantization step 1e-6; a dim is dead if its quantized spread < this
+DIM_DEAD_SPREAD_Q = 1000  # i.e. max-min < 0.001
+
+
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding corpus profile — the QA pass an
+    embedding store runs before training an ANN index or a linear
+    probe: per-dim mean, exact quantized moments, and a dead-dimension
+    flag (a dim whose values barely move carries no information and
+    breaks whitening/PQ codebooks). Complements the per-VECTOR audits
+    (`embedding_norm_outliers`, `embedding_int8_quant_profile`) with
+    the transposed, column-wise view.
+
+    The corpus has no degenerate dims, so the op PLANTS two (values
+    forced to 0.0 in-query for dims DIM_DEAD_PLANTED — the PII/WAV
+    synthesize→process→verify strategy), proving the detector fires.
+
+    Numeric portability: cross-row float sums are order-dependent, so
+    all accumulated moments are EXACT integers over q = floor(x·1e6 +
+    0.5): q_sum is BIGINT, q_sumsq is DECIMAL(38,0) (a BIGINT sum of
+    q² overflows ~1e9 rows at this amplitude), min/max are exact
+    selections, and the one double (mean_val) is a single division
+    chain from exact integers. The dead flag compares quantized
+    BIGINTs — no float threshold.
+
+    Scale shape: one narrow posexplode riding the scan + ONE
+    partial-agg'd shuffle on the 64-value dim key (map-side combine
+    collapses each partition to ≤64 rows before the exchange) — the
+    transpose never materializes."""
+    e = balanced(load_table(spark, sf_dir, "embeddings"))
+    dead = ", ".join(str(d) for d in DIM_DEAD_PLANTED)
+    planted = (
+        f"transform(vec, (v, i) -> CASE WHEN i IN ({dead}) "
+        "THEN CAST(0.0 AS DOUBLE) ELSE v END)"
+    )
+    px = e.select(_dvec("embedding").alias("vec")).select(
+        F.posexplode(F.expr(planted)).alias("dim", "x")
+    )
+    q = px.select(
+        "dim",
+        F.expr(
+            "CAST(floor(x * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT)"
+        ).alias("q"),
+    )
+    return (
+        q.groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("q").cast("long").alias("q_sum"),
+            F.sum(F.col("q").cast("decimal(38,0)") * F.col("q"))
+            .cast("decimal(38,0)")
+            .alias("q_sumsq"),
+            F.min("q").alias("q_min"),
+            F.max("q").alias("q_max"),
+        )
+        .select(
+            "dim",
+            "n_vecs",
+            "q_sum",
+            "q_sumsq",
+            "q_min",
+            "q_max",
+            F.expr(
+                "CAST(q_sum AS DOUBLE) / (CAST(1000000 AS DOUBLE) "
+                "* CAST(n_vecs AS DOUBLE))"
+            ).alias("mean_val"),
+            (F.col("q_max") - F.col("q_min") < DIM_DEAD_SPREAD_Q).alias(
+                "dead_flag"
+            ),
+        )
+    )
+
+
+EMBEDDING_DIM_PROFILE_SQL = f"""
+WITH px AS (
+  SELECT i - 1 AS dim,
+         CASE WHEN i - 1 IN {DIM_DEAD_PLANTED}
+              THEN CAST(0.0 AS DOUBLE)
+              ELSE CAST(embedding[i] AS DOUBLE) END AS x
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+),
+q AS (
+  SELECT dim,
+         CAST(floor(x * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS q
+  FROM px
+),
+agg AS (
+  SELECT CAST(dim AS INTEGER) AS dim,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(q) AS BIGINT) AS q_sum,
+         CAST(sum(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0))
+           AS q_sumsq,
+         min(q) AS q_min,
+         max(q) AS q_max
+  FROM q
+  GROUP BY dim
+)
+SELECT dim, n_vecs, q_sum, q_sumsq, q_min, q_max,
+       CAST(q_sum AS DOUBLE)
+         / (CAST(1000000 AS DOUBLE) * CAST(n_vecs AS DOUBLE)) AS mean_val,
+       (q_max - q_min < {DIM_DEAD_SPREAD_Q}) AS dead_flag
+FROM agg
+"""

@@ -628,3 +628,41 @@ def test_hashed_ngram_quality_scores_matches_python(spark):
         assert r.n_feats == n_feats
         assert r.score_int == score
         assert r.keep_flag == (score * X.QCLS_KEEP_MUL > n_feats * 1000)
+
+
+def test_embedding_dim_profile_matches_numpy(spark):
+    """Differential: recompute every per-dim quantized moment with
+    numpy over the raw vectors (including the two planted dead dims)
+    and compare all eight columns; exactly the planted dims may flag
+    dead."""
+    import math
+
+    import numpy as np
+
+    vecs = np.array(
+        [
+            [float(x) for x in r.embedding]
+            for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    vecs[:, list(S.DIM_DEAD_PLANTED)] = 0.0
+    q = np.floor(vecs * 1e6 + 0.5).astype(np.int64)
+
+    rows = {r.dim: r for r in S.embedding_dim_profile(spark, SF_SMALL).collect()}
+    assert set(rows) == set(range(vecs.shape[1]))
+    dead = set()
+    for d, r in rows.items():
+        col = q[:, d]
+        assert r.n_vecs == len(col)
+        assert r.q_sum == int(col.sum())
+        assert int(r.q_sumsq) == int((col.astype(object) ** 2).sum())
+        assert (r.q_min, r.q_max) == (int(col.min()), int(col.max()))
+        assert math.isclose(
+            r.mean_val, col.sum() / (1e6 * len(col)), rel_tol=0, abs_tol=0
+        )
+        if r.dead_flag:
+            dead.add(d)
+    assert dead == set(S.DIM_DEAD_PLANTED)

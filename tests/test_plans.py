@@ -99,6 +99,8 @@ SHUFFLE_BUDGET = {
     # balanced spread + canonical-key count window + per-source
     # distinct-agg rollup (partial/final)
     "url_canonical_dedup": 4,
+    # balanced spread + one partial-agg'd shuffle on the dim key
+    "embedding_dim_profile": 2,
     # two narrow Arrow map stages (encode → decode), balanced spread only
     "multimodal_png_decode": 1,
     # same two-stage Arrow shape; resize is a pure per-image map
