@@ -413,6 +413,11 @@ _EXTENSIONS = [
      "BPE tokenizer-training statistics: adjacent symbol pairs "
      "(chars + </w>) weighted by exact word counts, top first-merge "
      "candidates; pair work runs on the vocabulary-sized word table."),
+    ("bpe_merge_loop", X.bpe_merge_loop, X.BPE_MERGE_LOOP_SQL,
+     "BPE tokenizer TRAINING loop: first 3 merges learned end-to-end "
+     "(argmax pair -> greedy rewrite -> recount on merged symbols); "
+     "vocabulary-sized iterations, 1-row broadcast winners, exact "
+     "integer counts, float-free."),
     ("decontaminate_ngrams", D.decontaminate_ngrams,
      D.DECONTAMINATE_NGRAMS_SQL,
      "Benchmark decontamination: 4-gram overlap vs held-out eval "

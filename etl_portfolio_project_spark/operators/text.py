@@ -1665,3 +1665,163 @@ def _qcls_sql() -> str:
 
 
 HASHED_NGRAM_QUALITY_SCORES_SQL = _qcls_sql()
+
+
+# --- BPE merge LOOP (first K learned merges, end-to-end) --------------------
+
+BPE_MERGE_STEPS = 3
+
+
+def _bpe_fold_spark() -> str:
+    """Greedy left-to-right BPE merge of the winning pair (wa, wb)
+    over the symbol array `t`, as a string fold: walk the symbols,
+    and when the LAST EMITTED token equals `wa` and the current
+    symbol equals `wb`, append without a separator (the last token
+    becomes the merged symbol). Comparing the whole last token makes
+    this exactly Sennrich greedy: a token produced by a merge in this
+    pass can never equal `wa` again (wb is non-empty), so runs like
+    'a a a' merge to 'aa a', and 'a b a b' to 'ab ab'."""
+    return (
+        "split(aggregate(slice(t, 2, size(t) - 1), element_at(t, 1), "
+        "(acc, s) -> CASE WHEN regexp_extract(acc, '[^ ]*$', 0) = wa "
+        "AND s = wb THEN concat(acc, s) "
+        "ELSE concat(acc, ' ', s) END), ' ')"
+    )
+
+
+def bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE_MERGE_STEPS byte-pair-encoding merges LEARNED
+    end-to-end (Sennrich et al. 2016) — the actual tokenizer-training
+    loop, not just the first-merge statistics (`bpe_pair_stats`):
+    count weighted adjacent symbol pairs, take the argmax (ties break
+    on the pair string), apply the merge greedily left-to-right to
+    every word's symbol sequence, and repeat on the MERGED symbols —
+    so steps 2 and 3 genuinely depend on the rewritten vocabulary.
+    Emits one row per step: the merged pair, its count at selection
+    time, and the corpus-weighted symbol total after the merge (the
+    sequence-length payoff each merge buys).
+
+    Portability: the greedy merge is a string fold whose semantics
+    are proven identical in both engines (see `_bpe_fold_spark`);
+    counts are exact integers throughout — the whole loop is
+    float-free.
+
+    Scale shape: the corpus reduces ONCE to the (word, count) symbol
+    table (Heaps-law sublinear); every iteration is vocabulary-sized —
+    a pair partial-agg, a 1-row broadcast winner joined back (the
+    decorrelated-subquery shape), and a narrow fold. Each vocabulary
+    generation is claim-cached (2 consumers: the winner agg and the
+    next rewrite) so no iteration re-runs the corpus scan."""
+    from .. import caches
+
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    words = (
+        d.select(F.explode(tokens_expr(F.col("text"))).alias("word"))
+        .where(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    )
+    syms = (
+        "concat(transform(sequence(1, length(word)), "
+        f"i -> substring(word, i, 1)), array('{BPE_EOW}'))"
+    )
+    vocab = caches.claim(
+        "bpe_merge_v0", words.select("n_w", F.expr(syms).alias("t"))
+    )
+    pairs_expr = bind_once_sql(
+        "t",
+        "u",
+        "transform(sequence(1, size(u) - 1), "
+        "i -> concat(element_at(u, i), ' ', element_at(u, i + 1)))",
+    )
+    fold = _bpe_fold_spark()
+    step_rows = []
+    for step in range(1, BPE_MERGE_STEPS + 1):
+        win = (
+            vocab.select("n_w", F.explode(F.expr(pairs_expr)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("n_w").cast("long").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "pair")
+            .limit(1)
+            .select(
+                "pair",
+                "pair_count",
+                F.expr("split(pair, ' ')[0]").alias("wa"),
+                F.expr("split(pair, ' ')[1]").alias("wb"),
+            )
+        )
+        merged = vocab.crossJoin(F.broadcast(win.select("wa", "wb"))).select(
+            "n_w", F.expr(fold).alias("t")
+        )
+        if step < BPE_MERGE_STEPS:
+            merged = caches.claim(f"bpe_merge_v{step}", merged)
+        stats = merged.agg(
+            F.sum(F.expr("n_w * size(t)")).cast("long").alias(
+                "n_symbols_after"
+            )
+        )
+        step_rows.append(
+            win.crossJoin(F.broadcast(stats)).select(
+                F.lit(step).alias("step"),
+                F.col("pair").alias("merged_pair"),
+                "pair_count",
+                "n_symbols_after",
+            )
+        )
+        vocab = merged
+    out = step_rows[0]
+    for r in step_rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _bpe_merge_loop_sql() -> str:
+    words = f"""
+  SELECT word, CAST(count(*) AS BIGINT) AS n_w
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents)
+  WHERE length(word) >= 1
+  GROUP BY word"""
+    v0 = f"""
+  SELECT n_w,
+         list_append(list_transform(generate_series(1, length(word)),
+                                    i -> word[i:i]), '{BPE_EOW}') AS t
+  FROM words"""
+    ctes = [f"words AS MATERIALIZED ({words})", f"v0 AS MATERIALIZED ({v0})"]
+    selects = []
+    for s in range(1, BPE_MERGE_STEPS + 1):
+        prev = f"v{s - 1}"
+        ctes.append(
+            f"""p{s} AS (
+  SELECT t[i] || ' ' || t[i + 1] AS pair,
+         CAST(sum(n_w) AS BIGINT) AS pair_count
+  FROM {prev}, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+  GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""w{s} AS MATERIALIZED (
+  SELECT pair, pair_count,
+         string_split(pair, ' ')[1] AS wa, string_split(pair, ' ')[2] AS wb
+  FROM p{s} ORDER BY pair_count DESC, pair LIMIT 1)"""
+        )
+        ctes.append(
+            f"""v{s} AS MATERIALIZED (
+  SELECT n_w,
+         string_split(list_reduce(t,
+           (acc, s) -> CASE WHEN regexp_extract(acc, '[^ ]*$') = wa
+                       AND s = wb THEN acc || s
+                       ELSE acc || ' ' || s END), ' ') AS t
+  FROM {prev}, w{s})"""
+        )
+        ctes.append(
+            f"""s{s} AS (
+  SELECT CAST(sum(n_w * len(t)) AS BIGINT) AS n_symbols_after FROM v{s})"""
+        )
+        selects.append(
+            f"SELECT {s} AS step, pair AS merged_pair, pair_count, "
+            f"(SELECT n_symbols_after FROM s{s}) AS n_symbols_after FROM w{s}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+BPE_MERGE_LOOP_SQL = _bpe_merge_loop_sql()

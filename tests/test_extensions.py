@@ -666,3 +666,62 @@ def test_embedding_dim_profile_matches_numpy(spark):
         if r.dead_flag:
             dead.add(d)
     assert dead == set(S.DIM_DEAD_PLANTED)
+
+
+def test_bpe_merge_loop_matches_python_trainer(spark):
+    """Differential: run a plain-Python Sennrich BPE trainer (greedy
+    index-walk merge — independently implemented, not the engine's
+    last-token string fold) for BPE_MERGE_STEPS merges and compare
+    every step's pair, count, and post-merge symbol total."""
+    import re
+    from collections import Counter
+
+    docs = [
+        str(r.text)
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    wc = Counter()
+    for t in docs:
+        stripped = t.strip("".join(chr(c) for c in range(0x21)))
+        for w in re.split(r"\s+", stripped, flags=re.ASCII):
+            if w:
+                wc[w] += 1
+    vocab = {w: list(w) + [X.BPE_EOW] for w in wc}
+
+    def merge_word(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    expected = []
+    for _ in range(X.BPE_MERGE_STEPS):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[f"{a} {b}"] += wc[w]
+        pair, cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        a, b = pair.split(" ")
+        vocab = {w: merge_word(s, a, b) for w, s in vocab.items()}
+        n_after = sum(wc[w] * len(s) for w, s in vocab.items())
+        expected.append((pair, cnt, n_after))
+
+    try:
+        rows = sorted(X.bpe_merge_loop(spark, SF_SMALL).collect(),
+                      key=lambda r: r.step)
+        assert [
+            (r.merged_pair, r.pair_count, r.n_symbols_after) for r in rows
+        ] == expected
+    finally:
+        # same isolation as bench/verify between queries: don't leave
+        # the claimed vocab generations live for later tests
+        from etl_portfolio_project_spark import caches
+
+        caches.release_all()

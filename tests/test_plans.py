@@ -101,6 +101,11 @@ SHUFFLE_BUDGET = {
     "url_canonical_dedup": 4,
     # balanced spread + one partial-agg'd shuffle on the dim key
     "embedding_dim_profile": 2,
+    # balanced + corpus->vocab word agg, then 3 training iterations x
+    # (vocab pair agg + 1-row stats exchange); winners are broadcast,
+    # vocab generations are claim-cached so no iteration rescans the
+    # corpus (+1 headroom)
+    "bpe_merge_loop": 12,
     # two narrow Arrow map stages (encode → decode), balanced spread only
     "multimodal_png_decode": 1,
     # same two-stage Arrow shape; resize is a pure per-image map
