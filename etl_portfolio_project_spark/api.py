@@ -444,6 +444,11 @@ _EXTENSIONS = [
     ("embedding_pq_codes", S.embedding_pq_codes, S.EMBEDDING_PQ_CODES_SQL,
      "Product quantization: 4x16-dim codebook assignment + per-vector "
      "reconstruction error, codebook as broadcast literals (r5)."),
+    ("ann_pq_adc_topk", S.ann_pq_adc_topk, S.ANN_PQ_ADC_TOPK_SQL,
+     "PQ-index ANN search via asymmetric distance computation: "
+     "per-query LUT of exact subspace distances (broadcast), corpus "
+     "scanned as 4 codes -> 4 lookups + 3 adds, per-query top-k; "
+     "code assignment composes the graded embedding_pq_codes."),
     ("contrastive_hard_negatives", S.contrastive_hard_negatives,
      S.CONTRASTIVE_HARD_NEGATIVES_SQL,
      "Hard positive/negative mining per anchor with cosine margin — "

@@ -1704,3 +1704,132 @@ SELECT dim, n_vecs, q_sum, q_sumsq, q_min, q_max,
        (q_max - q_min < {DIM_DEAD_SPREAD_Q}) AS dead_flag
 FROM agg
 """
+
+
+# --- PQ ADC search (asymmetric distance computation over PQ codes) ----------
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-index ANN SEARCH via Asymmetric Distance Computation (Jégou
+    et al. 2011) — the retrieval step the `embedding_pq_codes`
+    compression exists for: the corpus is represented ONLY by its 4
+    PQ codes; each query precomputes a lookup table of exact
+    query-subvector → codebook-entry squared distances, and a corpus
+    vector's approximate distance is 4 table lookups + 3 adds — no
+    float vector is touched at scan time. This is the memory shape
+    that fits a 100 TB embedding corpus in RAM (codes are 4 small ids
+    per vector vs 64 floats).
+
+    Composition: the code assignment IS the graded `embedding_pq_codes`
+    builder (rules cannot drift — the funnel pattern); the LUT is
+    computed in-engine from the same parquet floats with the shared
+    fixed-order squared-L2 folds, so every distance is bit-identical
+    to the oracle's unrolled chains, and the final sum is one
+    left-associative 4-term add.
+
+    Scale shape: LUT = |queries| x |codebook| rows (tiny, broadcast);
+    the scan-side work is 4 broadcast hash joins + one per-query
+    top-k window — the fan-out is |corpus| x |queries| LUT-lookup
+    rows, which is ADC's true cost model (adds, not D-dim float
+    mults), and at scale the window becomes TakeOrdered per query."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = balanced(e).select("vec_id", _dvec("embedding").alias("vec"))
+    cents = base.where(F.col("vec_id") % PQ_MOD == PQ_OFF).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    q = base.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    lut_cols = [F.col("query_id"), F.col("cid")]
+    for m in range(PQ_M):
+        off = m * PQ_SUB + 1
+        lut_cols.append(
+            F.expr(
+                _sqdist_spark_sql(
+                    f"slice(qvec, {off}, {PQ_SUB})",
+                    f"slice(cvec, {off}, {PQ_SUB})",
+                )
+            ).alias(f"d{m + 1}")
+        )
+    lut = q.crossJoin(F.broadcast(cents)).select(*lut_cols)
+    from .. import caches
+
+    # the LUT feeds 4 join branches — claim so the q x cents distance
+    # grid computes once, not per subspace join
+    lut = caches.claim("pq_adc_lut", lut)
+
+    codes = embedding_pq_codes(spark, sf_dir).select(
+        "vec_id", "code_1", "code_2", "code_3", "code_4"
+    )
+    adc = codes.join(
+        F.broadcast(lut.select("query_id", F.col("cid").alias("c1"), "d1")),
+        F.col("code_1") == F.col("c1"),
+    )
+    for m in range(2, PQ_M + 1):
+        side = lut.select(
+            F.col("query_id").alias(f"q{m}"),
+            F.col("cid").alias(f"c{m}"),
+            f"d{m}",
+        )
+        adc = adc.join(
+            F.broadcast(side),
+            (F.col("query_id") == F.col(f"q{m}"))
+            & (F.col(f"code_{m}") == F.col(f"c{m}")),
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist"), F.col("vec_id")
+    )
+    return (
+        adc.where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr("((d1 + d2) + d3) + d4").alias("adc_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+def _build_pq_adc_sql() -> str:
+    d_terms = ", ".join(
+        _sqdist_sub_sql("q.qe", "c.ce", m * PQ_SUB + 1, PQ_SUB)
+        + f" AS d{m + 1}"
+        for m in range(PQ_M)
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  WHERE vec_id % {PQ_MOD} = {PQ_OFF}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+lut AS MATERIALIZED (
+  SELECT q.query_id, c.cid, {d_terms}
+  FROM q CROSS JOIN cents c
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, code_1, code_2, code_3, code_4
+  FROM ({EMBEDDING_PQ_CODES_SQL})
+),
+adc AS (
+  SELECT codes.vec_id, l1.query_id,
+         ((l1.d1 + l2.d2) + l3.d3) + l4.d4 AS adc_dist
+  FROM codes
+  JOIN lut l1 ON l1.cid = codes.code_1
+  JOIN lut l2 ON l2.query_id = l1.query_id AND l2.cid = codes.code_2
+  JOIN lut l3 ON l3.query_id = l1.query_id AND l3.cid = codes.code_3
+  JOIN lut l4 ON l4.query_id = l1.query_id AND l4.cid = codes.code_4
+  WHERE codes.vec_id <> l1.query_id
+)
+SELECT query_id, vec_id, adc_dist, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+  FROM adc
+) WHERE rank <= {TOP_K}
+"""
+
+
+ANN_PQ_ADC_TOPK_SQL = _build_pq_adc_sql()

@@ -725,3 +725,58 @@ def test_bpe_merge_loop_matches_python_trainer(spark):
         from etl_portfolio_project_spark import caches
 
         caches.release_all()
+
+
+def test_ann_pq_adc_topk_matches_numpy(spark):
+    """Differential: recompute PQ codes, the per-query LUT, ADC
+    distances, and the top-k ranking with numpy (same tie-breaks) and
+    compare the full (query, rank) -> (vec_id, dist) mapping."""
+    import numpy as np
+
+    try:
+        rows = sorted(
+            S.ann_pq_adc_topk(spark, SF_SMALL).collect(),
+            key=lambda r: (r.query_id, r.rank),
+        )
+    finally:
+        from etl_portfolio_project_spark import caches
+
+        caches.release_all()
+
+    recs = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in recs])
+    vecs = np.array([[float(x) for x in r.embedding] for r in recs])
+    cent_mask = ids % S.PQ_MOD == S.PQ_OFF
+    cids, cvecs = ids[cent_mask], vecs[cent_mask]
+    m_codes = []
+    for m in range(S.PQ_M):
+        sl = slice(m * S.PQ_SUB, (m + 1) * S.PQ_SUB)
+        d = ((vecs[:, None, sl] - cvecs[None, :, sl]) ** 2).sum(axis=2)
+        # tie -> smaller codebook vec_id: argsort by (d, cid)
+        order = np.lexsort((cids[None, :].repeat(len(ids), 0), d), axis=1)
+        m_codes.append(cids[order[:, 0]])
+
+    expected = {}
+    for qi in np.where(ids % S.QUERY_MOD == 0)[0]:
+        q = vecs[qi]
+        lut = {}
+        for m in range(S.PQ_M):
+            sl = slice(m * S.PQ_SUB, (m + 1) * S.PQ_SUB)
+            for ci, cid in enumerate(cids):
+                lut[(m, cid)] = float(((q[sl] - cvecs[ci, sl]) ** 2).sum())
+        cand = []
+        for xi in range(len(ids)):
+            if ids[xi] == ids[qi]:
+                continue
+            dist = sum(lut[(m, m_codes[m][xi])] for m in range(S.PQ_M))
+            cand.append((dist, int(ids[xi])))
+        cand.sort()
+        for rank, (dist, vid) in enumerate(cand[: S.TOP_K], 1):
+            expected[(int(ids[qi]), rank)] = vid
+
+    got = {(r.query_id, r.rank): r.vec_id for r in rows}
+    assert got == expected

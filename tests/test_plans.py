@@ -101,6 +101,9 @@ SHUFFLE_BUDGET = {
     "url_canonical_dedup": 4,
     # balanced spread + one partial-agg'd shuffle on the dim key
     "embedding_dim_profile": 2,
+    # LUT crossJoin is a broadcast of the tiny codebook (intentional
+    # BNLJ); 4 code joins broadcast; 1 per-query top-k window
+    "ann_pq_adc_topk": 5,
     # balanced + corpus->vocab word agg, then 3 training iterations x
     # (vocab pair agg + 1-row stats exchange); winners are broadcast,
     # vocab generations are claim-cached so no iteration rescans the
