@@ -560,6 +560,12 @@ _EXTENSIONS += [
      "Eval-integrity audit: near-dup pairs straddling the train/val/"
      "test split (corpus-wide shingle-MinHash banding + exact verify, "
      "rolled up per split pair on a fixed 3-row spine)."),
+    ("dsir_importance_weights", C.dsir_importance_weights,
+     C.DSIR_IMPORTANCE_WEIGHTS_SQL,
+     "DSIR-style data selection: hashed uni+bigram bucket counts for "
+     "target (lang='en') vs raw corpus with +1 smoothing; exact "
+     "BIGINT per-doc frequency sums, one-division affinity ratio, "
+     "DECIMAL(38,0) cross-multiplied target_leaning flag."),
     ("url_canonical_dedup", C.url_canonical_dedup,
      C.URL_CANONICAL_DEDUP_SQL,
      "Crawl URL canonicalization + dedup audit: strip case/www/port/"

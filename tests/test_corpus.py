@@ -190,3 +190,61 @@ def test_url_canonical_dedup_matches_python_identity(spark):
         assert (r.n_urls, r.n_canonical, r.n_dup_urls) == (n, len(uniq), dup)
         assert (r.largest_group, r.n_blocked) == (big, blk)
         assert r.dup_rate == dup / n
+
+
+def test_dsir_importance_weights_matches_python(spark):
+    """Differential: recompute the bucket counts (+1 smoothing), the
+    per-doc frequency sums, the totals arithmetic, and the
+    cross-multiplied flag with plain Python hashlib/Counter."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from etl_portfolio_project_spark.operators import corpus as C
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = {
+        r.doc_id: (str(r.text), r.lang)
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text", "lang")
+        .collect()
+    }
+
+    def feats(text: str) -> list[int]:
+        stripped = text.strip("".join(chr(c) for c in range(0x21)))
+        tk = re.split(r"\s+", stripped, flags=re.ASCII) or [""]
+        fs = tk + [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+        return [h60("dsir:" + f) % C.DSIR_BUCKETS for f in fs]
+
+    s_cnt, t_cnt = Counter(), Counter()
+    doc_feats = {}
+    for d, (text, lang) in docs.items():
+        bs = feats(text)
+        doc_feats[d] = bs
+        s_cnt.update(bs)
+        if lang == C.DSIR_TARGET_LANG:
+            t_cnt.update(bs)
+    S_tot = sum(s_cnt.values()) + C.DSIR_BUCKETS
+    T_tot = sum(t_cnt.values()) + C.DSIR_BUCKETS
+
+    rows = C.dsir_importance_weights(spark, SF_SMALL).collect()
+    assert {r.doc_id for r in rows} == set(docs)
+    leaning = 0
+    for r in rows:
+        bs = doc_feats[r.doc_id]
+        st = sum(t_cnt[b] + 1 for b in bs)
+        ss = sum(s_cnt[b] + 1 for b in bs)
+        assert (r.n_feats, r.sum_target_freq, r.sum_corpus_freq) == (
+            len(bs), st, ss,
+        )
+        assert r.is_target == (docs[r.doc_id][1] == C.DSIR_TARGET_LANG)
+        assert r.target_affinity == (st * S_tot) / (ss * T_tot)
+        assert r.target_leaning == (st * S_tot > ss * T_tot)
+        leaning += bool(r.target_leaning)
+    # at sf0.001 no doc clears the ratio>1 gate (affinities concentrate
+    # near 1.0 on the word-salad corpus — docstring caveat); require
+    # the gate non-saturated and the affinities non-constant instead
+    assert leaning < len(rows)
+    assert len({r.target_affinity for r in rows}) > 1

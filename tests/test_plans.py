@@ -104,6 +104,10 @@ SHUFFLE_BUDGET = {
     # LUT crossJoin is a broadcast of the tiny codebook (intentional
     # BNLJ); 4 code joins broadcast; 1 per-query top-k window
     "ann_pq_adc_topk": 5,
+    # lazy-below-threshold shape (doc_token_commonness twin): the
+    # totals branch re-runs spread + bucket window + per-doc agg;
+    # claim_if_large collapses it above 256 MB of source
+    "dsir_importance_weights": 6,
     # balanced + corpus->vocab word agg, then 3 training iterations x
     # (vocab pair agg + 1-row stats exchange); winners are broadcast,
     # vocab generations are claim-cached so no iteration rescans the
