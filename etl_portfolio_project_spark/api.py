@@ -901,6 +901,12 @@ _STREAMING_MM = [
      "scanline filters, zlib DEFLATE, CRC32 chunks) → binary column "
      "→ stdlib-zlib+numpy decode with CRC verify + filter "
      "reconstruction; position-weighted feature proves geometry."),
+    ("multimodal_audio_resample", M.multimodal_audio_resample,
+     M.MULTIMODAL_AUDIO_RESAMPLE_SQL,
+     "Audio RESAMPLE over the binary column: real WAV bytes -> "
+     "decimate 8000->4000 Hz -> re-encode a real 4000 Hz WAV -> "
+     "decode THAT file; position-weighted sample sum proves the "
+     "phase/stride/count; exact int64 PCM math."),
     ("multimodal_resize", M.multimodal_resize, M.MULTIMODAL_RESIZE_SQL,
      "Image RESIZE over the binary column: real BMP bytes → Arrow "
      "nearest-neighbor downsample to a fixed thumbnail (integer floor "

@@ -286,35 +286,7 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads stream through Arrow record batches, constant memory per
     task; zero shuffles."""
     d = balanced_docs(spark, sf_dir)
-
-    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io as _io
-        import wave as _wave
-
-        import pandas as _pd
-
-        def make_wav(doc_id: int) -> bytes:
-            n = 100 + doc_id % 50
-            buf = _io.BytesIO()
-            w = _wave.open(buf, "wb")
-            w.setnchannels(1)
-            w.setsampwidth(2)
-            w.setframerate(8000)
-            frames = bytearray()
-            for i in range(n):
-                s = ((doc_id * 31 + i * 17) % 65536) - 32768
-                frames += int(s).to_bytes(2, "little", signed=True)
-            w.writeframes(bytes(frames))
-            w.close()
-            return buf.getvalue()
-
-        for pdf in it:
-            yield _pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": pdf["doc_id"].map(make_wav),
-                }
-            )
+    synth = _wav_synth_stage()
 
     def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io as _io
@@ -988,5 +960,172 @@ SELECT doc_id,
        CAST(sum(b) AS BIGINT) AS sum_b,
        CAST(sum((ty * {RS_W} + tx) * r) AS BIGINT) AS pos_weighted_r
 FROM sampled
+GROUP BY doc_id
+"""
+
+
+# --- audio RESAMPLE over the binary column (decimation + re-encode) ---------
+
+RSMP_FACTOR = 2  # 8000 Hz -> 4000 Hz
+
+RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames_in", T.LongType()),
+        T.StructField("n_frames_out", T.LongType()),
+        T.StructField("sample_rate_out", T.IntegerType()),
+        T.StructField("n_payload_bytes_out", T.LongType()),
+        T.StructField("sum_sq_out", T.LongType()),
+        T.StructField("peak_abs_out", T.LongType()),
+        T.StructField("pos_weighted_out", T.LongType()),
+    ]
+)
+
+
+def _wav_synth_stage():
+    """Factory for the WAV-encode Arrow stage (the same synthesis as
+    `multimodal_wav_decode`, factored for reuse by the resample op).
+    NESTED so cloudpickle serializes by value (worker-closure rule)."""
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import wave as _wave
+
+        import pandas as _pd
+
+        def make_wav(doc_id: int) -> bytes:
+            n = 100 + doc_id % 50
+            buf = _io.BytesIO()
+            w = _wave.open(buf, "wb")
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            frames = bytearray()
+            for i in range(n):
+                s = ((doc_id * 31 + i * 17) % 65536) - 32768
+                frames += int(s).to_bytes(2, "little", signed=True)
+            w.writeframes(bytes(frames))
+            w.close()
+            return buf.getvalue()
+
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(make_wav),
+                }
+            )
+
+    return synth
+
+
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio RESAMPLE over the binary column — the audio twin of
+    `multimodal_resize`: decode the REAL WAV bytes, decimate 8000 Hz →
+    4000 Hz (every RSMP_FACTOR-th sample, phase 0 — the integer-exact
+    choice; a production resampler swaps in a polyphase anti-alias
+    filter inside the same Arrow stage), RE-ENCODE the result as a
+    real 4000 Hz WAV with the stdlib codec, then decode THAT file and
+    emit its features — so the full decode → transform → encode →
+    decode round trip of the resampled audio is what the oracle
+    checks, not an in-memory shortcut.
+
+    `pos_weighted_out` weights each output sample by its index: a
+    resampler with the wrong phase, stride, or frame count diverges.
+    All features are exact integers over int64 PCM math.
+
+    Scale shape: two narrow Arrow map stages, zero shuffles; output
+    payload is n/RSMP_FACTOR samples — at 100 TB this is a pure map
+    that SHRINKS the data, the cheapest possible media transform."""
+    d = balanced_docs(spark, sf_dir)
+    synth = _wav_synth_stage()
+
+    def resample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import wave as _wave
+
+        import numpy as _np
+        import pandas as _pd
+
+        RSMP_FACTOR_W = 2  # == RSMP_FACTOR, kept in the worker closure
+
+        def feats(payload: bytes):
+            r = _wave.open(_io.BytesIO(bytes(payload)), "rb")
+            assert r.getnchannels() == 1 and r.getsampwidth() == 2
+            n_in = r.getnframes()
+            raw = r.readframes(n_in)
+            r.close()
+            samples = _np.frombuffer(raw, dtype="<i2")
+            out = samples[::RSMP_FACTOR_W]
+            buf = _io.BytesIO()
+            w = _wave.open(buf, "wb")
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000 // RSMP_FACTOR_W)
+            w.writeframes(out.tobytes())
+            w.close()
+            enc = buf.getvalue()
+            # decode the re-encoded file: features come from ITS bytes
+            r2 = _wave.open(_io.BytesIO(enc), "rb")
+            rate2, n2 = r2.getframerate(), r2.getnframes()
+            s2 = _np.frombuffer(
+                r2.readframes(n2), dtype="<i2"
+            ).astype(_np.int64)
+            r2.close()
+            idx = _np.arange(len(s2), dtype=_np.int64)
+            return (
+                n_in,
+                n2,
+                rate2,
+                len(enc),
+                int((s2 * s2).sum()),
+                int(_np.abs(s2).max()) if len(s2) else 0,
+                int((idx * s2).sum()),
+            )
+
+        for pdf in it:
+            rows = [
+                (int(doc_id),) + feats(payload)
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_frames_in",
+                    "n_frames_out",
+                    "sample_rate_out",
+                    "n_payload_bytes_out",
+                    "sum_sq_out",
+                    "peak_abs_out",
+                    "pos_weighted_out",
+                ],
+            )
+
+    wavs = d.mapInPandas(synth, WAV_SCHEMA)
+    return wavs.mapInPandas(resample, RESAMPLE_SCHEMA)
+
+
+#: Oracle: regenerate the DECIMATED samples relationally (j-th output
+#: = source sample at index j*RSMP_FACTOR) — wrong phase/stride/count
+#: diverges the position-weighted sum. n_out = ceil(n/2); the WAV
+#: container adds the fixed 44-byte header.
+MULTIMODAL_AUDIO_RESAMPLE_SQL = f"""
+SELECT doc_id,
+       CAST(100 + doc_id % 50 AS BIGINT) AS n_frames_in,
+       CAST((100 + doc_id % 50 + {RSMP_FACTOR - 1}) // {RSMP_FACTOR}
+            AS BIGINT) AS n_frames_out,
+       {8000 // RSMP_FACTOR} AS sample_rate_out,
+       CAST(44 + 2 * ((100 + doc_id % 50 + {RSMP_FACTOR - 1})
+            // {RSMP_FACTOR}) AS BIGINT) AS n_payload_bytes_out,
+       CAST(sum(s * s) AS BIGINT) AS sum_sq_out,
+       CAST(max(abs(s)) AS BIGINT) AS peak_abs_out,
+       CAST(sum(j * s) AS BIGINT) AS pos_weighted_out
+FROM (
+  SELECT doc_id, j,
+         ((doc_id * 31 + (j * {RSMP_FACTOR}) * 17) % 65536) - 32768 AS s
+  FROM documents, generate_series(0, 148) t(j)
+  WHERE j * {RSMP_FACTOR} < 100 + doc_id % 50
+)
 GROUP BY doc_id
 """

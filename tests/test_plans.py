@@ -117,6 +117,8 @@ SHUFFLE_BUDGET = {
     "multimodal_png_decode": 1,
     # same two-stage Arrow shape; resize is a pure per-image map
     "multimodal_resize": 1,
+    # audio twin: synth -> decimate/re-encode/decode, pure per-doc map
+    "multimodal_audio_resample": 1,
     # all work happens inside the builder's foreachBatch stream; the
     # returned frame is a plain read of the appended result parquet
     "stream_incremental_dedup": 0,

@@ -578,3 +578,44 @@ def test_multimodal_resize_matches_full_decode(spark):
         assert r.sum_r == int(thumb[:, :, 2].sum())
         assert r.sum_g == int(thumb[:, :, 1].sum())
         assert r.sum_b == int(thumb[:, :, 0].sum())
+
+
+def test_multimodal_audio_resample_matches_full_decode(spark):
+    """Differential: the resampled features must equal decimating the
+    FULL decoded waveform (recomputed here with the wave module from
+    the real payload bytes, independently of the operator's chain),
+    and the payload byte count must match a real 44-byte-header WAV
+    of the decimated length."""
+    import io
+    import wave
+
+    import numpy as np
+
+    rows = {
+        r.doc_id: r
+        for r in M.multimodal_audio_resample(spark, SF_SMALL).collect()
+    }
+    assert len(rows) == 500
+
+    synth = M._wav_synth_stage()
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": list(range(0, 500, 50))})
+    payloads = dict(
+        zip(*(lambda d: (d["doc_id"], d["payload"]))(next(synth(iter([pdf])))))
+    )
+    for doc_id, payload in payloads.items():
+        w = wave.open(io.BytesIO(bytes(payload)), "rb")
+        n = w.getnframes()
+        s = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.int64)
+        w.close()
+        out = s[:: M.RSMP_FACTOR]
+        r = rows[int(doc_id)]
+        assert (r.n_frames_in, r.n_frames_out) == (n, len(out))
+        assert r.sample_rate_out == 8000 // M.RSMP_FACTOR
+        assert r.n_payload_bytes_out == 44 + 2 * len(out)
+        assert r.sum_sq_out == int((out * out).sum())
+        assert r.peak_abs_out == int(np.abs(out).max())
+        assert r.pos_weighted_out == int(
+            (np.arange(len(out)) * out).sum()
+        )
