@@ -917,6 +917,13 @@ _STREAMING_MM = [
 from .operators import arrow_ops as AR  # noqa: E402
 
 _STREAMING_MM += [
+    ("udtf_token_runs", AR.udtf_token_runs, AR.UDTF_TOKEN_RUNS_SQL,
+     "Spark 4 Python UDTF joined LATERALLY per row: maximal repeated-"
+     "token runs per doc (1 row -> 0..n rows); oracle is the classic "
+     "gaps-and-islands grouping. Completes the UDF/UDAF/UDTF trio."),
+]
+
+_STREAMING_MM += [
     ("arrow_group_median", AR.arrow_group_median, AR.ARROW_GROUP_MEDIAN_SQL,
      "applyInArrow grouped exact median (Arrow kernels, no pandas)."),
     ("udaf_cents_total", AR.udaf_cents_total, AR.UDAF_CENTS_TOTAL_SQL,

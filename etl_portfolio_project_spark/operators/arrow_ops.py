@@ -141,3 +141,88 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+# --- UDTF: token-run expansion (the UDF/UDAF/UDTF trio completed) -----------
+
+RUN_MIN_LEN = 2
+
+
+def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal runs of a repeated adjacent token per document, emitted
+    through a Spark 4 Python USER-DEFINED TABLE FUNCTION joined
+    LATERALLY per row — one input row fans out to 0..n output rows.
+    Completes the Python-extensibility trio this engine demonstrates:
+    scalar pandas_udf (WRatio), grouped-agg UDAF (`udaf_cents_total`),
+    applyInArrow (`arrow_group_median`), and now a UDTF.
+
+    The run-length semantics themselves ARE SQL-expressible (the
+    oracle is the classic gaps-and-islands `pos - row_number()`
+    grouping) — that is deliberate: like `arrow_group_median`, the
+    operator exists to prove the worker path end-to-end against a
+    relational oracle, so a real corpus op with no SQL form (a parser,
+    a sentence splitter) can drop into the same plumbing. Built-in
+    HOFs remain the hot path for anything expressible (CLAUDE.md).
+
+    Scale shape: the UDTF is a narrow per-row expansion riding the
+    scan (zero shuffles; `balanced` spread only) — the same fan-out
+    cost model as explode, paying the Python boundary only where
+    extensibility demands it."""
+    from pyspark.sql.functions import udtf
+
+    from ..sources.registry import balanced
+
+    @udtf(returnType="start_pos: int, run_len: int, token: string")
+    class _Runs:
+        def eval(self, doc_id, text):  # noqa: ANN001 (worker closure)
+            import re as _re
+
+            stripped = (text or "").strip(
+                "".join(chr(c) for c in range(0x21))
+            )
+            toks = _re.split(r"\s+", stripped, flags=_re.ASCII)
+            i, n = 0, len(toks)
+            while i < n:
+                j = i
+                while j < n and toks[j] == toks[i]:
+                    j += 1
+                if j - i >= 2:
+                    yield (i, j - i, toks[i])
+                i = j
+
+    spark.udtf.register("token_runs_udtf", _Runs)
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, u.start_pos, u.run_len, u.token
+        FROM _udtf_docs d, LATERAL token_runs_udtf(d.doc_id, d.text) u
+        """
+    )
+
+
+#: Oracle: gaps-and-islands — a run is a maximal group where
+#: pos - row_number() (per doc & token) is constant. 0-based pos
+#: matches the UDTF's token indexing.
+UDTF_TOKEN_RUNS_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos, tk[i] AS token
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS tk
+        FROM documents),
+       UNNEST(generate_series(1, len(tk))) AS g(i)
+),
+isl AS (
+  SELECT doc_id, token, pos,
+         pos - row_number() OVER (PARTITION BY doc_id, token
+                                  ORDER BY pos) AS grp
+  FROM toks
+)
+SELECT doc_id,
+       CAST(min(pos) AS INTEGER) AS start_pos,
+       CAST(count(*) AS INTEGER) AS run_len,
+       token
+FROM isl
+GROUP BY doc_id, token, grp
+HAVING count(*) >= {RUN_MIN_LEN}
+"""

@@ -780,3 +780,45 @@ def test_ann_pq_adc_topk_matches_numpy(spark):
 
     got = {(r.query_id, r.rank): r.vec_id for r in rows}
     assert got == expected
+
+
+def test_udtf_token_runs_properties_and_sample(spark):
+    """The UDTF's runs must tile correctly: per (doc, token) run
+    positions are disjoint and in-bounds, every run really repeats in
+    the raw text (recomputed with an independent Python walk on a
+    sample), and the total run coverage equals the independent
+    count."""
+    import re
+
+    from etl_portfolio_project_spark.operators import arrow_ops as AR
+
+    rows = AR.udtf_token_runs(spark, SF_SMALL).collect()
+    assert rows, "degenerate: no repeated-token runs at sf0.001"
+    docs = {
+        r.doc_id: str(r.text)
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def runs_of(text):
+        toks = re.split(
+            r"\s+", text.strip("".join(chr(c) for c in range(0x21))),
+            flags=re.ASCII,
+        )
+        out, i = [], 0
+        while i < len(toks):
+            j = i
+            while j < len(toks) and toks[j] == toks[i]:
+                j += 1
+            if j - i >= AR.RUN_MIN_LEN:
+                out.append((i, j - i, toks[i]))
+            i = j
+        return out
+
+    expected = {
+        (d, s, n, t) for d, text in docs.items()
+        for (s, n, t) in runs_of(text)
+    }
+    got = {(r.doc_id, r.start_pos, r.run_len, r.token) for r in rows}
+    assert got == expected

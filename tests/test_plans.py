@@ -119,6 +119,8 @@ SHUFFLE_BUDGET = {
     "multimodal_resize": 1,
     # audio twin: synth -> decimate/re-encode/decode, pure per-doc map
     "multimodal_audio_resample": 1,
+    # LATERAL Python UDTF is a narrow per-row expansion; balanced only
+    "udtf_token_runs": 1,
     # all work happens inside the builder's foreachBatch stream; the
     # returned frame is a plain read of the appended result parquet
     "stream_incremental_dedup": 0,
