@@ -923,6 +923,17 @@ _STREAMING_MM += [
      "gaps-and-islands grouping. Completes the UDF/UDAF/UDTF trio."),
 ]
 
+from .sources import pyds as PYDS  # noqa: E402
+
+_STREAMING_MM += [
+    ("python_datasource_scan", PYDS.python_datasource_scan,
+     PYDS.PYTHON_DATASOURCE_SCAN_SQL,
+     "Spark 4 custom Python DataSource (connector extensibility): "
+     "partition-parallel reader (one InputPartition per task), "
+     "md5-derived content values so the oracle proves real data "
+     "flowed through the Python reader; one partial-agg'd rollup."),
+]
+
 _STREAMING_MM += [
     ("arrow_group_median", AR.arrow_group_median, AR.ARROW_GROUP_MEDIAN_SQL,
      "applyInArrow grouped exact median (Arrow kernels, no pandas)."),

@@ -121,6 +121,8 @@ SHUFFLE_BUDGET = {
     "multimodal_audio_resample": 1,
     # LATERAL Python UDTF is a narrow per-row expansion; balanced only
     "udtf_token_runs": 1,
+    # 8 Python-reader partitions -> one partial-agg'd pid rollup
+    "python_datasource_scan": 1,
     # all work happens inside the builder's foreachBatch stream; the
     # returned frame is a plain read of the appended result parquet
     "stream_incremental_dedup": 0,
