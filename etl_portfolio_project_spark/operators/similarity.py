@@ -1731,7 +1731,12 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan-side work is 4 broadcast hash joins + one per-query
     top-k window — the fan-out is |corpus| x |queries| LUT-lookup
     rows, which is ADC's true cost model (adds, not D-dim float
-    mults), and at scale the window becomes TakeOrdered per query."""
+    mults), and at scale the window becomes TakeOrdered per query.
+    CAVEAT (measured, SCALING.md r5_late): the harness derives the
+    query set FROM the corpus (|Q| = n/25), which makes the fan-out
+    quadratic — 16M rows / 89 s at the 10x probe. A deployment pins
+    an EXTERNAL fixed query set (the normal ANN-serving shape),
+    making the scan linear with a constant-size LUT."""
     e = load_table(spark, sf_dir, "embeddings")
     base = balanced(e).select("vec_id", _dvec("embedding").alias("vec"))
     cents = base.where(F.col("vec_id") % PQ_MOD == PQ_OFF).select(

@@ -659,6 +659,71 @@ def probe_r5_new(spark, sf_dir: str, label: str) -> dict:
     return r
 
 
+def probe_r5_late(spark, sf_dir: str, label: str) -> dict:
+    """Ladder rows for the late-round-5 operators whose scale behavior
+    is non-obvious:
+
+    - bpe_merge_loop: the claim is that iterations are VOCABULARY-
+      sized (Heaps-law sublinear in corpus tokens) — record distinct
+      words vs corpus tokens and the 3-merge loop wall time.
+    - url_canonical_dedup: syndication groups are the count-window
+      hot keys — record canonical-key counts and the largest group
+      across the ladder (grows ∝ corpus by design: the same article
+      crawled more often; count-only window state, not a join fan-out).
+    - ann_pq_adc_topk: the scan-side fan-out is |corpus| x |queries|
+      LUT-lookup rows; with the harness's corpus-derived query set
+      (|Q| = n/25) that grows quadratically — recorded to quantify
+      when a deployment must pin an EXTERNAL query set (the normal
+      case: |Q| fixed → linear scan).
+    """
+    from pyspark.sql import functions as F
+
+    from etl_portfolio_project_spark import caches
+    from etl_portfolio_project_spark.operators import corpus as C
+    from etl_portfolio_project_spark.operators import similarity, text
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    r = {"sf": label}
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(text.tokens_expr(F.col("text"))).alias("w"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("tokens"),
+        F.countDistinct("w").alias("vocab"),
+    ).collect()[0]
+    r["bpe_corpus_tokens"] = int(stats["tokens"])
+    r["bpe_vocab_words"] = int(stats["vocab"])
+    out, r["bpe_loop_secs"] = timed(
+        lambda: text.bpe_merge_loop(spark, sf_dir).collect()
+    )
+    r["bpe_merges"] = [(row.merged_pair, int(row.pair_count)) for row in out]
+    caches.release_all()
+
+    rows, r["url_secs"] = timed(
+        lambda: C.url_canonical_dedup(spark, sf_dir).collect()
+    )
+    r["url_n"] = int(sum(x.n_urls for x in rows))
+    r["url_canonical"] = int(sum(x.n_canonical for x in rows))
+    r["url_largest_group"] = int(max(x.largest_group for x in rows))
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_vec = e.count()
+    n_q = e.where(F.col("vec_id") % similarity.QUERY_MOD == 0).count()
+    n_c = e.where(
+        F.col("vec_id") % similarity.PQ_MOD == similarity.PQ_OFF
+    ).count()
+    r["adc_corpus"] = int(n_vec)
+    r["adc_queries"] = int(n_q)
+    r["adc_cents"] = int(n_c)
+    r["adc_lut_rows"] = int(n_q * n_c)
+    r["adc_scan_rows"] = int(n_vec * n_q)
+    _, r["adc_secs"] = timed(
+        lambda: similarity.ann_pq_adc_topk(spark, sf_dir).count()
+    )
+    caches.release_all()
+    return r
+
+
 def main() -> int:
     if "--skip-generate" not in sys.argv:
         need = not all(
@@ -674,6 +739,25 @@ def main() -> int:
 
     spark = get_spark(app_name="scaling_probe")
     spark.read.parquet(f"{SRC_SF}/orders.parquet").count()
+
+    if "--only-r5-late" in sys.argv:
+        raw_path = os.path.join(_REPO, "SCALING_RAW.json")
+        with open(raw_path) as f:
+            raw = json.load(f)
+        late_rows = []
+        for sf_dir, label in [
+            ("/root/testdata/sf0.01", "sf0.01"),
+            (SRC_SF, "sf0.1"),
+            (SCALE_DIR, "sf1e"),
+        ]:
+            print(f"--- late-r5 operators at {label}")
+            late_rows.append(probe_r5_late(spark, sf_dir, label))
+            print(json.dumps(late_rows[-1]))
+        raw["r5_late"] = late_rows
+        with open(raw_path, "w") as f:
+            json.dump(raw, f, indent=1)
+        print("merged r5_late into SCALING_RAW.json")
+        return 0
 
     if "--only-r5" in sys.argv:
         # incremental mode: measure just the r5-new family and merge

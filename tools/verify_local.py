@@ -105,6 +105,13 @@ def main() -> int:
 
     from etl_portfolio_project_spark import api
 
+    # a typo'd name would otherwise verify NOTHING and print the
+    # vacuous "all queries match" — fail fast instead
+    unknown = only - set(api.REGISTRY)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        return 2
+
     if vanilla:
         # the grading driver's conditions: a PLAIN session (default
         # shuffle partitions, no tuned confs) — api.register() must pin
