@@ -318,6 +318,12 @@ _RELATIONAL = [
     ("price_quartiles_by_priority", R.price_quartiles_by_priority,
      R.PRICE_QUARTILES_BY_PRIORITY_SQL,
      "Exact rank-based quartiles (engine-portable, no interpolation)."),
+    ("variant_schema_on_read", R.variant_schema_on_read,
+     R.VARIANT_SCHEMA_ON_READ_SQL,
+     "Spark 4 VARIANT round trip: nested JSON built from typed "
+     "columns -> parse_json ONCE -> typed variant_get paths (object/"
+     "array/conditional/absent) recover every original scalar; "
+     "oracle recomputes from the raw columns."),
     ("json_props_rollup", R.json_props_rollup, R.JSON_PROPS_ROLLUP_SQL,
      "Semi-structured: from_json with declared schema + aggregation."),
     ("events_multi_granularity_rollup", R.events_multi_granularity_rollup,

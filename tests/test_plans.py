@@ -123,6 +123,8 @@ SHUFFLE_BUDGET = {
     "udtf_token_runs": 1,
     # 8 Python-reader partitions -> one partial-agg'd pid rollup
     "python_datasource_scan": 1,
+    # narrow parse_json + variant_get projection + one type-key agg
+    "variant_schema_on_read": 1,
     # all work happens inside the builder's foreachBatch stream; the
     # returned frame is a plain read of the appended result parquet
     "stream_incremental_dedup": 0,
