@@ -938,6 +938,13 @@ _STREAMING_MM += [
      "partition-parallel reader (one InputPartition per task), "
      "md5-derived content values so the oracle proves real data "
      "flowed through the Python reader; one partial-agg'd rollup."),
+    ("stream_python_datasource_ingest",
+     PYDS.stream_python_datasource_ingest,
+     PYDS.STREAM_PYTHON_DATASOURCE_INGEST_SQL,
+     "STREAMING Python data source: offset-tracked epochs via "
+     "SimpleDataSourceStreamReader, checkpoint-committed exactly-once "
+     "ingestion into a parquet sink; oracle regenerates every epoch's "
+     "md5 content, so a re-read or skipped epoch diverges."),
 ]
 
 _STREAMING_MM += [

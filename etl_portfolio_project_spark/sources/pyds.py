@@ -105,3 +105,137 @@ SELECT CAST(pid AS INTEGER) AS pid,
 FROM rows
 GROUP BY pid
 """
+
+
+# --- STREAMING Python data source (offset-tracked ingestion) ---------------
+
+SS_EPOCHS = 3
+SS_ROWS = 64
+
+
+def stream_python_datasource_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING Python data source (Spark 4
+    `SimpleDataSourceStreamReader`) — the streaming half of the
+    connector-extensibility story: the source tracks its own OFFSET
+    (an epoch counter), each micro-batch pulls `read(start_offset)`
+    and advances it, and the checkpoint commits offsets so every
+    epoch is ingested EXACTLY ONCE into the parquet sink. After
+    SS_EPOCHS the reader reports no new data (same offset back) and
+    the bounded run drains via `processAllAvailable`.
+
+    Values are md5-derived from (epoch, i) — the oracle regenerates
+    them relationally, so exact per-epoch counts and content sums
+    prove the offset bookkeeping: a re-read epoch doubles a count, a
+    skipped one zeroes it, and either diverges.
+
+    Scale shape: this is the incremental-ingest pattern for systems
+    with no JVM streaming connector (a REST cursor, an internal log
+    service): offsets in the checkpoint, one reader pull per
+    micro-batch, a file sink — `stream_checkpoint_restart_ingest`'s
+    semantics with the SOURCE side in Python. The returned frame is a
+    plain read of the sink + one partial-agg'd epoch rollup."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    from .. import tmpdirs
+
+    class _SynthStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"epoch": 0}
+
+        def read(self, start):
+            import hashlib as _hashlib
+
+            e = start["epoch"]
+            if e >= SS_EPOCHS:
+                return iter([]), start
+            rows = [
+                (
+                    e,
+                    i,
+                    int(
+                        _hashlib.md5(
+                            f"ssrc:{e}:{i}".encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    % PYDS_VAL_MOD,
+                )
+                for i in range(SS_ROWS)
+            ]
+            return iter(rows), {"epoch": e + 1}
+
+    class _SynthStream(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthstream"
+
+        def schema(self):
+            return "epoch int, i int, val bigint"
+
+        def simpleStreamReader(self, schema):
+            return _SynthStreamReader()
+
+    spark.dataSource.register(_SynthStream)
+    out = tmpdirs.claim("stream_pyds_out", "stream_pyds_out_")
+    ckpt = tmpdirs.claim("stream_pyds_ckpt", "stream_pyds_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndm = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        q = (
+            spark.readStream.format("synthstream")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndm
+        )
+    return (
+        spark.read.parquet(out)
+        .groupBy("epoch")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("val").cast("long").alias("sum_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+            F.sum(F.expr("val * CAST(i + 1 AS BIGINT)"))
+            .cast("long")
+            .alias("pos_weighted_val"),
+        )
+    )
+
+
+STREAM_PYTHON_DATASOURCE_INGEST_SQL = f"""
+WITH rows AS (
+  SELECT e.epoch, g.i,
+         CAST('0x' || substring(
+           md5('ssrc:' || CAST(e.epoch AS VARCHAR) || ':'
+               || CAST(g.i AS VARCHAR)), 1, 15) AS BIGINT)
+           % {PYDS_VAL_MOD} AS val
+  FROM generate_series(0, {SS_EPOCHS - 1}) e(epoch),
+       generate_series(0, {SS_ROWS - 1}) g(i)
+)
+SELECT CAST(epoch AS INTEGER) AS epoch,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(val) AS BIGINT) AS sum_val,
+       min(val) AS min_val,
+       max(val) AS max_val,
+       CAST(sum(val * CAST(i + 1 AS BIGINT)) AS BIGINT)
+         AS pos_weighted_val
+FROM rows
+GROUP BY epoch
+"""

@@ -125,6 +125,9 @@ SHUFFLE_BUDGET = {
     "python_datasource_scan": 1,
     # narrow parse_json + variant_get projection + one type-key agg
     "variant_schema_on_read": 1,
+    # stream runs inside the builder; returned frame = sink read +
+    # one epoch rollup
+    "stream_python_datasource_ingest": 1,
     # all work happens inside the builder's foreachBatch stream; the
     # returned frame is a plain read of the appended result parquet
     "stream_incremental_dedup": 0,

@@ -207,3 +207,36 @@ def test_python_datasource_partition_parallelism(spark):
             16,
         )
         assert r.val == h % pyds.PYDS_VAL_MOD
+
+
+def test_stream_python_datasource_exactly_once(spark):
+    """The offset-tracked streaming source must ingest each epoch
+    exactly once (counts exact per epoch) and the re-run must swap
+    the sink generation, not append to it (tmpdirs.claim contract) —
+    a duplicated epoch would double a count."""
+    import hashlib
+
+    from etl_portfolio_project_spark.sources import pyds
+
+    for _ in range(2):  # second run must NOT accumulate
+        rows = {
+            r.epoch: r
+            for r in pyds.stream_python_datasource_ingest(
+                spark, "unused"
+            ).collect()
+        }
+        assert set(rows) == set(range(pyds.SS_EPOCHS))
+        for e, r in rows.items():
+            vals = [
+                int(
+                    hashlib.md5(f"ssrc:{e}:{i}".encode()).hexdigest()[:15],
+                    16,
+                )
+                % pyds.PYDS_VAL_MOD
+                for i in range(pyds.SS_ROWS)
+            ]
+            assert r.n_rows == pyds.SS_ROWS
+            assert r.sum_val == sum(vals)
+            assert r.pos_weighted_val == sum(
+                v * (i + 1) for i, v in enumerate(vals)
+            )
