@@ -172,21 +172,27 @@ def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.registry import balanced
 
+    # bind CONSTANTS into the closure cells: a hardcoded copy inside
+    # eval would silently drift from the oracle's interpolated value
+    min_len = RUN_MIN_LEN
+
     @udtf(returnType="start_pos: int, run_len: int, token: string")
     class _Runs:
         def eval(self, doc_id, text):  # noqa: ANN001 (worker closure)
             import re as _re
 
-            stripped = (text or "").strip(
-                "".join(chr(c) for c in range(0x21))
-            )
+            # mirror the oracle EXACTLY: SQL trim() strips SPACES
+            # only (a leading tab yields a '' first token on both
+            # sides), then \s+ split — ASCII flag because Java/RE2
+            # \s is ASCII-only, Python's default is Unicode
+            stripped = (text or "").strip(" ")
             toks = _re.split(r"\s+", stripped, flags=_re.ASCII)
             i, n = 0, len(toks)
             while i < n:
                 j = i
                 while j < n and toks[j] == toks[i]:
                     j += 1
-                if j - i >= 2:
+                if j - i >= min_len:
                     yield (i, j - i, toks[i])
                 i = j
 

@@ -1039,6 +1039,10 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     that SHRINKS the data, the cheapest possible media transform."""
     d = balanced_docs(spark, sf_dir)
     synth = _wav_synth_stage()
+    # bind the module constant into a closure CELL (an int pickles by
+    # value) — a hardcoded copy inside the worker would silently
+    # drift from the oracle if RSMP_FACTOR ever changes
+    factor = RSMP_FACTOR
 
     def resample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io as _io
@@ -1047,7 +1051,7 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as _np
         import pandas as _pd
 
-        RSMP_FACTOR_W = 2  # == RSMP_FACTOR, kept in the worker closure
+        RSMP_FACTOR_W = factor
 
         def feats(payload: bytes):
             r = _wave.open(_io.BytesIO(bytes(payload)), "rb")

@@ -1216,6 +1216,27 @@ GROUP BY status
 # --- VARIANT (Spark 4 semi-structured type) schema-on-read ------------------
 
 
+def variant_js_expr() -> str:
+    """The nested-JSON construction over the events columns, shared
+    by the operator and its row-level test so the two cannot drift.
+
+    Escape-safe: to_json(named_struct(...)) quotes and escapes
+    strings properly and degrades nulls by dropping the field (a raw
+    concat would produce malformed JSON for a quote in event_type and
+    a NULL document for any NULL column). The conditional `extra`
+    field needs two shapes, hence the CASE over two to_json calls."""
+    base_fields = (
+        "'src', from_json(props, 'k BIGINT'), "
+        "'meta', named_struct('t', event_type, 'u', user_id), "
+        "'tags', array(event_id % 7, event_id % 3)"
+    )
+    return (
+        f"CASE WHEN event_id % 3 = 0 THEN to_json(named_struct("
+        f"{base_fields}, 'extra', event_id % 100)) "
+        f"ELSE to_json(named_struct({base_fields})) END"
+    )
+
+
 def variant_schema_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT round trip — the open-schema semi-structured
     path (`from_json` with a declared schema, `json_props_rollup`,
@@ -1237,16 +1258,7 @@ def variant_schema_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the win is parse-once: N downstream path extractions
     share one binary-encoded parse instead of N string re-parses."""
     e = load_table(spark, sf_dir, "events")
-    js = (
-        "concat('{\"src\":', props, "
-        "',\"meta\":{\"t\":\"', event_type, '\",\"u\":', "
-        "CAST(user_id AS STRING), '},\"tags\":[', "
-        "CAST(event_id % 7 AS STRING), ',', "
-        "CAST(event_id % 3 AS STRING), ']', "
-        "CASE WHEN event_id % 3 = 0 "
-        "THEN concat(',\"extra\":', CAST(event_id % 100 AS STRING)) "
-        "ELSE '' END, '}')"
-    )
+    js = variant_js_expr()
     v = e.select(
         "event_type",
         F.expr(f"parse_json({js})").alias("v"),

@@ -1728,11 +1728,16 @@ def bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = caches.claim(
         "bpe_merge_v0", words.select("n_w", F.expr(syms).alias("t"))
     )
+    # size-1 guard: a merged word CAN collapse to one symbol (its
+    # whole sequence was the winning pair) — Spark's sequence(1, 0)
+    # auto-DESCENDS to [1, 0] and element_at(u, 0) throws, while the
+    # oracle's generate_series(1, 0) is silently empty
     pairs_expr = bind_once_sql(
         "t",
         "u",
-        "transform(sequence(1, size(u) - 1), "
-        "i -> concat(element_at(u, i), ' ', element_at(u, i + 1)))",
+        "CASE WHEN size(u) < 2 THEN CAST(array() AS ARRAY<STRING>) "
+        "ELSE transform(sequence(1, size(u) - 1), "
+        "i -> concat(element_at(u, i), ' ', element_at(u, i + 1))) END",
     )
     fold = _bpe_fold_spark()
     step_rows = []
@@ -1750,6 +1755,9 @@ def bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("split(pair, ' ')[1]").alias("wb"),
             )
         )
+        # `win` feeds TWO branches (the merge rewrite and the step
+        # row) — claim so the vocab-wide pair agg runs once per step
+        win = caches.claim(f"bpe_merge_win_{step}", win)
         merged = vocab.crossJoin(F.broadcast(win.select("wa", "wb"))).select(
             "n_w", F.expr(fold).alias("t")
         )

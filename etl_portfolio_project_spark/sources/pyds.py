@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.text import portable_hash60_sql
+
 PYDS_PARTS = 8
 PYDS_ROWS = 256
 PYDS_VAL_MOD = 1_000_003
@@ -85,13 +87,14 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Oracle: regenerate the synthetic log relationally — same md5
 #: recipe, constant series bounds (PYDS is fixed-size by design).
+_PYDS_H = portable_hash60_sql(
+    "'pyds:' || CAST(p.pid AS VARCHAR) || ':' || CAST(g.i AS VARCHAR)"
+)
+
 PYTHON_DATASOURCE_SCAN_SQL = f"""
 WITH rows AS (
   SELECT p.pid, g.i,
-         CAST('0x' || substring(
-           md5('pyds:' || CAST(p.pid AS VARCHAR) || ':'
-               || CAST(g.i AS VARCHAR)), 1, 15) AS BIGINT)
-           % {PYDS_VAL_MOD} AS val
+         {_PYDS_H} % {PYDS_VAL_MOD} AS val
   FROM generate_series(0, {PYDS_PARTS - 1}) p(pid),
        generate_series(0, {PYDS_ROWS - 1}) g(i)
 )
@@ -219,13 +222,14 @@ def stream_python_datasource_ingest(
     )
 
 
+_SS_H = portable_hash60_sql(
+    "'ssrc:' || CAST(e.epoch AS VARCHAR) || ':' || CAST(g.i AS VARCHAR)"
+)
+
 STREAM_PYTHON_DATASOURCE_INGEST_SQL = f"""
 WITH rows AS (
   SELECT e.epoch, g.i,
-         CAST('0x' || substring(
-           md5('ssrc:' || CAST(e.epoch AS VARCHAR) || ':'
-               || CAST(g.i AS VARCHAR)), 1, 15) AS BIGINT)
-           % {PYDS_VAL_MOD} AS val
+         {_SS_H} % {PYDS_VAL_MOD} AS val
   FROM generate_series(0, {SS_EPOCHS - 1}) e(epoch),
        generate_series(0, {SS_ROWS - 1}) g(i)
 )

@@ -802,10 +802,8 @@ def test_udtf_token_runs_properties_and_sample(spark):
     }
 
     def runs_of(text):
-        toks = re.split(
-            r"\s+", text.strip("".join(chr(c) for c in range(0x21))),
-            flags=re.ASCII,
-        )
+        # SQL-trim semantics: spaces only, then ASCII \s+ split
+        toks = re.split(r"\s+", text.strip(" "), flags=re.ASCII)
         out, i = [], 0
         while i < len(toks):
             j = i
@@ -839,7 +837,28 @@ def test_variant_round_trip_recovers_scalars(spark):
     base = load_table(spark, SF_SMALL, "events").select(
         "event_id", "user_id", "event_type", "props"
     )
-    rows = base.orderBy("event_id").limit(200).collect()
+    # ROW-LEVEL round trip on a deterministic sample, via the SAME
+    # shared construction expression the operator uses (aggregates
+    # alone could hide cancelling per-row errors)
+    js = R.variant_js_expr()
+    sample = (
+        base.orderBy("event_id")
+        .limit(200)
+        .selectExpr(
+            "event_id",
+            "user_id",
+            "props",
+            f"variant_get(parse_json({js}), '$.src.k', 'bigint') AS k_back",
+            f"variant_get(parse_json({js}), '$.meta.u', 'bigint') AS u_back",
+            f"variant_get(parse_json({js}), '$.extra', 'bigint') AS e_back",
+        )
+        .collect()
+    )
+    for r in sample:
+        assert r.k_back == json.loads(r.props)["k"]
+        assert r.u_back == r.user_id
+        expected_extra = r.event_id % 100 if r.event_id % 3 == 0 else None
+        assert r.e_back == expected_extra
     out = {
         r.event_type: r
         for r in R.variant_schema_on_read(spark, SF_SMALL).collect()
@@ -866,4 +885,3 @@ def test_variant_round_trip_recovers_scalars(spark):
         )
         assert o.n_absent_path == 0
         assert o.n_type_roundtrip_ok == a["n"]
-    assert rows  # sample materialized (sanity that the table is non-empty)
