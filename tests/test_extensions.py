@@ -885,3 +885,50 @@ def test_variant_round_trip_recovers_scalars(spark):
         )
         assert o.n_absent_path == 0
         assert o.n_type_roundtrip_ok == a["n"]
+
+
+def test_bpe_fold_equivalent_to_index_walk_exhaustive(spark):
+    """EXHAUSTIVE equivalence of the engine's greedy-merge string
+    fold (_bpe_fold_spark) with the canonical index-walk merge, over
+    every symbol sequence of length 1..6 from {'a','b'} x every
+    relevant pair — including multi-char pairs that arise after a
+    first merge and the overlapping-run cases ('a a a', 'a b a b').
+    One Spark job evaluates the fold for all (sequence, pair) combos."""
+    from itertools import product
+
+    from etl_portfolio_project_spark.operators.text import _bpe_fold_spark
+
+    def merge_word(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    pairs = [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"),
+             ("ab", "a"), ("ab", "ab"), ("a", "ab")]
+    cases = []
+    for n in range(1, 7):
+        for seq in product("ab", repeat=n):
+            for a, b in pairs:
+                cases.append((list(seq), a, b))
+    # multi-char-symbol inputs (post-first-merge vocab shapes)
+    for seq in ([["ab", "a", "b"]], [["ab", "ab", "ab"]],
+                [["a", "ab", "ab", "a"]]):
+        for a, b in pairs:
+            cases.append((seq[0], a, b))
+
+    df = spark.createDataFrame(
+        [(i, t, a, b) for i, (t, a, b) in enumerate(cases)],
+        "id long, t array<string>, wa string, wb string",
+    )
+    got = {
+        r.id: r.m
+        for r in df.selectExpr("id", f"{_bpe_fold_spark()} AS m").collect()
+    }
+    for i, (t, a, b) in enumerate(cases):
+        assert got[i] == merge_word(t, a, b), (t, a, b, got[i])
