@@ -240,3 +240,93 @@ def test_stream_python_datasource_exactly_once(spark):
             assert r.pos_weighted_val == sum(
                 v * (i + 1) for i, v in enumerate(vals)
             )
+
+
+def test_stream_python_datasource_restart_resumes_offsets(spark, tmp_path):
+    """The committed offset must survive a STOP + RESTART against the
+    same checkpoint: a first bounded run ingests epochs 0..1, then the
+    epoch cap is raised and a second query (same checkpoint, same
+    sink) must ingest ONLY epoch 2 — a re-read of epochs 0/1 would
+    double their counts, a reset would miss them."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def make_source(cap: int):
+        class _Rdr(SimpleDataSourceStreamReader):
+            def initialOffset(self):
+                return {"epoch": 0}
+
+            def read(self, start):
+                import hashlib as _hashlib
+
+                e = start["epoch"]
+                if e >= cap:
+                    return iter([]), start
+                rows = [
+                    (
+                        e,
+                        i,
+                        int(
+                            _hashlib.md5(
+                                f"restart:{e}:{i}".encode()
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        % 1009,
+                    )
+                    for i in range(8)
+                ]
+                return iter(rows), {"epoch": e + 1}
+
+        class _Src(DataSource):
+            @classmethod
+            def name(cls):
+                return "synthstream_restart"
+
+            def schema(self):
+                return "epoch int, i int, val bigint"
+
+            def simpleStreamReader(self, schema):
+                return _Rdr()
+
+        return _Src
+
+    def run(cap: int):
+        spark.dataSource.register(make_source(cap))
+        q = (
+            spark.readStream.format("synthstream_restart")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    run(2)
+    first = {
+        r.epoch: r.cnt
+        for r in spark.read.parquet(out)
+        .groupBy("epoch")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert first == {0: 8, 1: 8}
+
+    run(3)  # restart: offsets say epoch 2 is next — ONLY it may arrive
+    second = {
+        r.epoch: r.cnt
+        for r in spark.read.parquet(out)
+        .groupBy("epoch")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert second == {0: 8, 1: 8, 2: 8}
