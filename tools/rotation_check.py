@@ -143,6 +143,74 @@ def module_importers(changed_module: str) -> set[str]:
     return out
 
 
+def _strip_docstrings(node) -> None:
+    import ast
+
+    for sub in ast.walk(node):
+        if isinstance(
+            sub,
+            (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef, ast.Module),
+        ):
+            body = getattr(sub, "body", [])
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                sub.body = body[1:] or [ast.Pass()]
+
+
+def material_names(base: str, path: str, names: set[str]) -> set[str]:
+    """Subset of changed top-level `names` whose AST — docstrings
+    stripped, comments never in the AST — actually differs from the
+    base commit. A docstring/comment-only edit is COSMETIC: its
+    regrades rank after material ones, so a refactored execution path
+    never loses its window slot to a reworded docstring. Unparseable
+    versions degrade to 'everything material' (conservative)."""
+    import ast
+    import subprocess
+
+    def spans(src: str) -> dict[str, str] | None:
+        try:
+            tree = ast.parse(src)
+        except SyntaxError:
+            return None
+        out: dict[str, str] = {}
+        for node in tree.body:
+            keys: list[str] = []
+            if isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ):
+                keys = [node.name]
+            elif isinstance(node, ast.Assign):
+                keys = [
+                    t.id for t in node.targets if isinstance(t, ast.Name)
+                ]
+            if not keys:
+                continue
+            _strip_docstrings(node)
+            dumped = ast.dump(node)
+            for k in keys:
+                out[k] = dumped
+        return out
+
+    old = subprocess.run(
+        ["git", "show", f"{base}:{path}"],
+        capture_output=True,
+        text=True,
+        cwd=_REPO,
+    ).stdout
+    try:
+        new = open(os.path.join(_REPO, path)).read()
+    except OSError:
+        return set(names)
+    so, sn = spans(old), spans(new)
+    if so is None or sn is None:
+        return set(names)
+    return {n for n in names if so.get(n) != sn.get(n)}
+
+
 def emit_regrade(base: str | None) -> int:
     import inspect
     import re as _re
@@ -216,20 +284,36 @@ def emit_regrade(base: str | None) -> int:
     }
 
     queries: set[str] = set()
+    material: set[str] = set()
+    direct: set[str] = set()
     for f in code_files:
         mod = file_to_module(f)
         names = changed_toplevel_names(base, f)
         if names is None:
-            # can't localize → whole-module fallback
-            queries.update(
+            # can't localize → whole-module fallback (material:
+            # conservative)
+            whole = {
                 n for n, s in api.REGISTRY.items() if s.module == mod
-            )
+            }
+            queries |= whole
+            material |= whole
             continue
         if not names:
             continue
+        mat_seed = material_names(base, f, names)
         names = _expand_within_module(f, names)
+        mat_exp = (
+            _expand_within_module(f, mat_seed) if mat_seed else set()
+        )
         name_pat = _re.compile(
             r"\b(" + "|".join(map(_re.escape, sorted(names))) + r")\b"
+        )
+        mat_pat = (
+            _re.compile(
+                r"\b(" + "|".join(map(_re.escape, sorted(mat_exp))) + r")\b"
+            )
+            if mat_exp
+            else None
         )
         # direct: queries of the changed module whose builder is itself
         # changed or references a changed top-level name
@@ -237,12 +321,23 @@ def emit_regrade(base: str | None) -> int:
             if s.module != mod:
                 continue
             fn_name = getattr(s.raw, "__name__", "")
+            src = _builder_src(s)
             if (
                 fn_name in names
                 or oracle_const.get(n) in names
-                or name_pat.search(_builder_src(s))
+                or name_pat.search(src)
             ):
                 queries.add(n)
+                if fn_name in mat_seed or oracle_const.get(n) in mat_seed:
+                    # the builder/oracle ITSELF was edited (not just a
+                    # helper it references) — highest regrade priority
+                    direct.add(n)
+                if mat_pat and (
+                    fn_name in mat_exp
+                    or oracle_const.get(n) in mat_exp
+                    or mat_pat.search(src)
+                ):
+                    material.add(n)
         # cross-module: modules importing the changed one — their
         # builders regrade when they reference a changed name (e.g.
         # streaming.stateful using events._run_to_table)
@@ -250,17 +345,40 @@ def emit_regrade(base: str | None) -> int:
             for n, s in api.REGISTRY.items():
                 if s.module != dep or n in queries:
                     continue
-                if name_pat.search(_builder_src(s)):
+                src = _builder_src(s)
+                if name_pat.search(src):
                     queries.add(n)
+                    if mat_pat and mat_pat.search(src):
+                        material.add(n)
 
-    # registration order, not window order, for a stable committed file
+    # Priority tiers when the window overflows: (1) builders/oracles
+    # EDITED IN PLACE with a material (docstring-stripped) AST change,
+    # (2) other material changes (helper propagation, whole-module
+    # fallbacks), (3) cosmetic-only (docstring/comment edits) — each
+    # tier in registration order. A refactored execution path never
+    # loses its window slot to a reworded docstring or to a query that
+    # merely imports a changed helper.
     order = {n: i for i, n in enumerate(api.REGISTRY)}
-    queries = sorted(queries, key=order.__getitem__)
+
+    def tier(n: str) -> int:
+        if n in direct and n in material:
+            return 0
+        if n in material:
+            return 1
+        return 2
+
+    queries = sorted(queries, key=lambda n: (tier(n), order[n]))
     payload = {
         "base": base,
         "changed_files": files,
         "infra_changed": infra,
         "queries": queries,
+        "direct_material": sorted(
+            (direct & material), key=order.__getitem__
+        ),
+        "cosmetic_only": sorted(
+            (set(queries) - material), key=order.__getitem__
+        ),
     }
     out = os.path.join(_REPO, "REGRADE.json")
     with open(out, "w") as f:
