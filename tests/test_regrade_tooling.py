@@ -97,3 +97,41 @@ def test_unparseable_file_falls_back_to_module(tmp_path, monkeypatch):
     f.write_text("def broken(:\n")
     monkeypatch.setattr(rc, "_REPO", str(repo))
     assert rc.changed_toplevel_names(base, "bad.py") is None
+
+
+def test_material_from_sources_classifies_docstring_vs_code():
+    """Docstring-only and comment-only edits are cosmetic; a changed
+    expression, a changed SQL constant, and a renamed-away name are
+    material."""
+    from tools.rotation_check import material_from_sources
+
+    old = '''
+def f(x):
+    """old words."""
+    return x + 1  # comment
+
+Q_SQL = "SELECT 1"
+
+def g(y):
+    return y * 2
+'''
+    new = '''
+def f(x):
+    """completely reworded docstring."""
+    return x + 1  # different comment
+
+Q_SQL = "SELECT 2"
+
+def g(y):
+    return y * 3
+'''
+    names = {"f", "Q_SQL", "g"}
+    got = material_from_sources(old, new, names)
+    assert got == {"Q_SQL", "g"}  # f is docstring/comment-only
+
+    # a REMOVED top-level name (present in old, absent in new) is
+    # material — its consumers must regrade
+    assert "g" in material_from_sources(old, "f = 1", {"g"})
+
+    # unparseable old source degrades to all-material (conservative)
+    assert material_from_sources("def (", new, {"f"}) == {"f"}

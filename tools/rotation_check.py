@@ -161,15 +161,14 @@ def _strip_docstrings(node) -> None:
                 sub.body = body[1:] or [ast.Pass()]
 
 
-def material_names(base: str, path: str, names: set[str]) -> set[str]:
-    """Subset of changed top-level `names` whose AST — docstrings
-    stripped, comments never in the AST — actually differs from the
-    base commit. A docstring/comment-only edit is COSMETIC: its
-    regrades rank after material ones, so a refactored execution path
-    never loses its window slot to a reworded docstring. Unparseable
-    versions degrade to 'everything material' (conservative)."""
+def material_from_sources(
+    old_src: str, new_src: str, names: set[str]
+) -> set[str]:
+    """Pure core of `material_names` (unit-testable): the subset of
+    `names` whose top-level AST — docstrings stripped, comments never
+    in the AST — differs between the two sources. Unparseable versions
+    degrade to 'everything material' (conservative)."""
     import ast
-    import subprocess
 
     def spans(src: str) -> dict[str, str] | None:
         try:
@@ -195,6 +194,20 @@ def material_names(base: str, path: str, names: set[str]) -> set[str]:
                 out[k] = dumped
         return out
 
+    so, sn = spans(old_src), spans(new_src)
+    if so is None or sn is None:
+        return set(names)
+    return {n for n in names if so.get(n) != sn.get(n)}
+
+
+def material_names(base: str, path: str, names: set[str]) -> set[str]:
+    """Subset of changed top-level `names` whose AST actually differs
+    from the base commit (see `material_from_sources`). A docstring/
+    comment-only edit is COSMETIC: its regrades rank after material
+    ones, so a refactored execution path never loses its window slot
+    to a reworded docstring."""
+    import subprocess
+
     old = subprocess.run(
         ["git", "show", f"{base}:{path}"],
         capture_output=True,
@@ -205,10 +218,7 @@ def material_names(base: str, path: str, names: set[str]) -> set[str]:
         new = open(os.path.join(_REPO, path)).read()
     except OSError:
         return set(names)
-    so, sn = spans(old), spans(new)
-    if so is None or sn is None:
-        return set(names)
-    return {n for n in names if so.get(n) != sn.get(n)}
+    return material_from_sources(old, new, names)
 
 
 def emit_regrade(base: str | None) -> int:
