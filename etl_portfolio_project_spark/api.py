@@ -623,6 +623,12 @@ _EXTENSIONS += [
      "Hive-partitioned write + partition-pruned read: the year filter "
      "binds to directories (PartitionFilters pinned by plan test); "
      "layout is semantically invisible vs the source-table oracle."),
+    ("small_file_compaction", IO.small_file_compaction,
+     IO.SMALL_FILE_COMPACTION_SQL,
+     "Lakehouse OPTIMIZE: over-partitioned ingest (32 files) -> "
+     "narrow coalesce rewrite (4 files); losslessness proven by "
+     "count/cents/md5-content checksums vs the source table, file "
+     "counts deterministic."),
     ("schema_evolution_read", IO.schema_evolution_read,
      IO.SCHEMA_EVOLUTION_READ_SQL,
      "mergeSchema read across parquet generations (v1 lacks a column "

@@ -259,3 +259,96 @@ SELECT o_year,
 FROM evolved
 GROUP BY o_year
 """
+
+
+# --- small-file compaction (the lakehouse OPTIMIZE primitive) ---------------
+
+SMALL_FILES = 32  # deliberately over-partitioned ingest
+COMPACT_FILES = 4  # target layout
+_CKSUM_MOD = 1_000_000_007
+
+
+def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table-maintenance pass every lakehouse runs (Delta
+    OPTIMIZE / Iceberg rewrite_data_files): streaming and per-task
+    ingest produce thousands of small files whose per-file open/footer
+    cost eventually dominates scans; compaction rewrites them into few
+    large files WITHOUT changing a single row. The op ingests the
+    events slice deliberately over-partitioned (SMALL_FILES part
+    files), compacts via a narrow `coalesce` rewrite (no shuffle — the
+    whole point of coalesce over repartition here), and audits BOTH
+    layouts: actual part-file counts plus content checksums computed
+    from the COMPACTED read.
+
+    Losslessness is oracle-proven: the checksums (row count, exact
+    cents total, an order-free md5-based content hash sum folded in
+    DECIMAL(38,0)) are recomputed by DuckDB from the ORIGINAL events
+    table — a compaction that drops, duplicates, or mutates any row
+    diverges. File counts are deterministic (every one of the 32
+    ingest partitions is non-empty at every harness SF; coalesce(4)
+    of a 32-partition scan yields exactly 4 tasks), so the oracle
+    pins them as literals.
+
+    Scale shape: ingest = one repartition exchange; compaction = a
+    pure narrow rewrite reading SMALL_FILES files and writing
+    COMPACT_FILES; audit = one single-row aggregate. At 100 TB the
+    same pass runs per partition-directory with
+    `spark.sql.files.maxRecordsPerFile` bounding output sizes."""
+    import glob
+    import os
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = tmpdirs.claim("compaction", "compaction_")
+    small, compact = f"{root}/small", f"{root}/compacted"
+    e.repartition(SMALL_FILES).write.mode("overwrite").parquet(small)
+    spark.read.parquet(small).coalesce(COMPACT_FILES).write.mode(
+        "overwrite"
+    ).parquet(compact)
+
+    def _nfiles(d: str) -> int:
+        return len(glob.glob(os.path.join(d, "part-*.parquet")))
+
+    n_before, n_after = _nfiles(small), _nfiles(compact)
+    cents = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+    row_hash = portable_hash60(
+        F.expr(
+            "concat('cmp:', CAST(event_id AS STRING), ':', event_type, "
+            f"':', CAST({cents} AS STRING))"
+        )
+    )
+    return (
+        spark.read.parquet(compact)
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.expr(cents)).cast("long").alias("value_cents_total"),
+            F.sum((row_hash % _CKSUM_MOD).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("content_hash_sum"),
+        )
+        .select(
+            F.lit(n_before).alias("n_files_before"),
+            F.lit(n_after).alias("n_files_after"),
+            "n_events",
+            "value_cents_total",
+            "content_hash_sum",
+        )
+    )
+
+
+_CMP_HASH = portable_hash60_sql(
+    "'cmp:' || CAST(event_id AS VARCHAR) || ':' || event_type || ':' "
+    "|| CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)"
+)
+
+SMALL_FILE_COMPACTION_SQL = f"""
+SELECT CAST({SMALL_FILES} AS INTEGER) AS n_files_before,
+       CAST({COMPACT_FILES} AS INTEGER) AS n_files_after,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents_total,
+       CAST(sum(CAST({_CMP_HASH} % {_CKSUM_MOD} AS DECIMAL(38,0)))
+            AS DECIMAL(38,0)) AS content_hash_sum
+FROM events
+"""

@@ -49,6 +49,13 @@ def is_live(key: str) -> bool:
     return key in _LIVE
 
 
+def live_path(key: str) -> str:
+    """The CURRENT generation's dir for `key` (test/inspection hook —
+    raises KeyError if the key has no live generation). Callers must
+    not outlive the next claim() on the same key."""
+    return _LIVE[key]
+
+
 @atexit.register
 def _cleanup() -> None:
     for d in _LIVE.values():

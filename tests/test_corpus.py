@@ -248,3 +248,32 @@ def test_dsir_importance_weights_matches_python(spark):
     # the gate non-saturated and the affinities non-constant instead
     assert leaning < len(rows)
     assert len({r.target_affinity for r in rows}) > 1
+
+
+def test_small_file_compaction_layout_and_losslessness(spark):
+    """The compacted directory must physically hold COMPACT_FILES
+    part files (vs SMALL_FILES before), and the compacted content
+    must equal the source table row-for-row (count + exact cents +
+    per-row content hashes as a SET, stronger than the operator's
+    summed checksum)."""
+    from etl_portfolio_project_spark.operators import io_ops as IO
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    r = IO.small_file_compaction(spark, SF_SMALL).collect()[0]
+    assert (r.n_files_before, r.n_files_after) == (
+        IO.SMALL_FILES, IO.COMPACT_FILES,
+    )
+    src = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "value"
+    )
+    assert r.n_events == src.count()
+    # set-equality of the compacted rows vs source (losslessness)
+    from etl_portfolio_project_spark import tmpdirs
+
+    compact = tmpdirs.live_path("compaction") + "/compacted"
+    got = {
+        (x.event_id, x.event_type, x.value)
+        for x in spark.read.parquet(compact).collect()
+    }
+    exp = {(x.event_id, x.event_type, x.value) for x in src.collect()}
+    assert got == exp

@@ -128,6 +128,9 @@ SHUFFLE_BUDGET = {
     # stream runs inside the builder; returned frame = sink read +
     # one epoch rollup
     "stream_python_datasource_ingest": 1,
+    # writes run eagerly in the builder (repartition + narrow
+    # coalesce); returned frame = compacted read + 1-row audit agg
+    "small_file_compaction": 1,
     # all work happens inside the builder's foreachBatch stream; the
     # returned frame is a plain read of the appended result parquet
     "stream_incremental_dedup": 0,
