@@ -1732,11 +1732,16 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k window — the fan-out is |corpus| x |queries| LUT-lookup
     rows, which is ADC's true cost model (adds, not D-dim float
     mults), and at scale the window becomes TakeOrdered per query.
-    CAVEAT (measured, SCALING.md r5_late): the harness derives the
-    query set FROM the corpus (|Q| = n/25), which makes the fan-out
-    quadratic — 16M rows / 89 s at the 10x probe. A deployment pins
-    an EXTERNAL fixed query set (the normal ANN-serving shape),
-    making the scan linear with a constant-size LUT."""
+    CAVEAT (measured + isolated, SCALING.md r5_late): the harness
+    derives BOTH the query set (|Q| = n/25) and the codebook
+    (k = n/100) from the corpus. At the 10x probe: 112 s; pinning
+    |Q| = 20 alone → 93 s (the quadratic fan-out is not the
+    bottleneck at this size); pinning k = 20 as well → 13.9 s. The
+    dominant cost is the corpus-scaled codebook inflating the
+    literal-unrolled assignment expression and the LUT. Production
+    PQ pins k (256 regardless of corpus) and an external query set;
+    at k >= 256 the codebook moves from plan literals to a broadcast
+    table."""
     e = load_table(spark, sf_dir, "embeddings")
     base = balanced(e).select("vec_id", _dvec("embedding").alias("vec"))
     cents = base.where(F.col("vec_id") % PQ_MOD == PQ_OFF).select(

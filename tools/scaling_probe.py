@@ -721,6 +721,21 @@ def probe_r5_late(spark, sf_dir: str, label: str) -> dict:
         lambda: similarity.ann_pq_adc_topk(spark, sf_dir).count()
     )
     caches.release_all()
+    # the documented fix for the quadratic corpus-derived query set:
+    # pin an EXTERNAL fixed |Q| (~20, the sf0.01 size) and measure the
+    # restored-linear scan — QUERY_MOD scaled so n/QUERY_MOD ≈ 20
+    fixed_mod = max(25, int(n_vec // 20))
+    orig = similarity.QUERY_MOD
+    try:
+        similarity.QUERY_MOD = fixed_mod
+        nq_fixed = e.where(F.col("vec_id") % fixed_mod == 0).count()
+        r["adc_fixedq_queries"] = int(nq_fixed)
+        _, r["adc_fixedq_secs"] = timed(
+            lambda: similarity.ann_pq_adc_topk(spark, sf_dir).count()
+        )
+    finally:
+        similarity.QUERY_MOD = orig
+        caches.release_all()
     return r
 
 
