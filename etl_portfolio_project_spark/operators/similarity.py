@@ -989,6 +989,7 @@ PQ_M = 4  # subspaces (DIM/PQ_M dims each)
 PQ_SUB = DIM // PQ_M
 PQ_MOD = 100  # codebook: sub-vectors of vecs with vec_id % PQ_MOD ==
 PQ_OFF = 3  # PQ_OFF — deterministic data-derived sample (IVF pattern)
+PQ_LITERAL_MAX = 64  # codebook entries embedded as plan literals up to here
 
 
 def _sqdist_spark_sql(a: str, b: str) -> str:
@@ -1029,6 +1030,16 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap (the assignment plumbing is identical; the sample IS
     k-means||'s init step).
 
+    TWO-PATH codebook carriage (measured, SCALING.md r5_late): up to
+    PQ_LITERAL_MAX entries the codebook embeds as plan literals
+    (codegen-friendly, the ann_ivf_topk idiom); beyond it the SAME
+    arithmetic runs with the codebook as DATA — one broadcast row
+    holding an array<struct<cid, cvec>> — so the plan stays
+    constant-size at any k (a corpus-scaled k = 200 at the 10x probe
+    cost ~8x pure plan overhead under literals). Both paths are
+    bit-identical (same folds, same array_min tie-break) and
+    property-tested equal.
+
     Output: vec_id, code_1..code_4 (codebook vec_ids), sq_error
     (left-to-right sum of the 4 subspace minima — bit-identical to
     the oracle's unrolled chain)."""
@@ -1039,28 +1050,66 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     base = balanced(e).select("vec_id", _dvec("embedding").alias("vec"))
-    cols = [F.col("vec_id")]
-    err_terms = []
-    for m in range(PQ_M):
-        off = m * PQ_SUB + 1  # 1-based slice start
-        entries = ", ".join(
-            "named_struct('d', "
-            + _sqdist_spark_sql(
-                f"slice(vec, {off}, {PQ_SUB})",
-                "array("
-                + ", ".join(f"{v!r}D" for v in r.vec[off - 1 : off - 1 + PQ_SUB])
-                + ")",
+    if len(cents) <= PQ_LITERAL_MAX:
+        cols = [F.col("vec_id")]
+        err_terms = []
+        for m in range(PQ_M):
+            off = m * PQ_SUB + 1  # 1-based slice start
+            entries = ", ".join(
+                "named_struct('d', "
+                + _sqdist_spark_sql(
+                    f"slice(vec, {off}, {PQ_SUB})",
+                    "array("
+                    + ", ".join(
+                        f"{v!r}D" for v in r.vec[off - 1 : off - 1 + PQ_SUB]
+                    )
+                    + ")",
+                )
+                + f", 'cid', CAST({r.vec_id} AS BIGINT))"
+                for r in cents
             )
-            + f", 'cid', CAST({r.vec_id} AS BIGINT))"
-            for r in cents
+            best = f"array_min(array({entries}))"
+            cols.append(F.expr(f"{best}.cid").alias(f"code_{m + 1}"))
+            err_terms.append(f"{best}.d")
+        # left-to-right sum of subspace minima (parser is left-assoc
+        # in both engines)
+        cols.append(F.expr(" + ".join(err_terms)).alias("sq_error"))
+        return base.select(*cols)
+
+    # broadcast-array path: codebook as one broadcast DATA row
+    # (collect_list order is irrelevant — array_min's struct ordering
+    # is total, so the winner is order-free)
+    from .text import bind_once_sql
+
+    cb = e.where(F.col("vec_id") % PQ_MOD == PQ_OFF).agg(
+        F.collect_list(
+            F.struct(
+                F.col("vec_id").cast("long").alias("cid"),
+                _dvec("embedding").alias("cvec"),
+            )
+        ).alias("cb")
+    )
+    bests = []
+    for m in range(PQ_M):
+        off = m * PQ_SUB + 1
+        d = _sqdist_spark_sql(
+            f"slice(vec, {off}, {PQ_SUB})", f"slice(c.cvec, {off}, {PQ_SUB})"
         )
-        best = f"array_min(array({entries}))"
-        cols.append(F.expr(f"{best}.cid").alias(f"code_{m + 1}"))
-        err_terms.append(f"{best}.d")
-    # left-to-right sum of subspace minima (parser is left-assoc in
-    # both engines)
-    cols.append(F.expr(" + ".join(err_terms)).alias("sq_error"))
-    return base.select(*cols)
+        bests.append(
+            f"array_min(transform(cb, c -> named_struct('d', {d}, "
+            "'cid', c.cid)))"
+        )
+    final = (
+        "struct("
+        + ", ".join(f"b{m + 1}.cid AS code_{m + 1}" for m in range(PQ_M))
+        + ", ((b1.d + b2.d) + b3.d) + b4.d AS sq_error)"
+    )
+    one = final
+    for m in range(PQ_M, 0, -1):
+        one = bind_once_sql(bests[m - 1], f"b{m}", one)
+    return base.crossJoin(F.broadcast(cb)).select(
+        "vec_id", F.expr(f"inline(array({one}))")
+    )
 
 
 def _build_pq_sql() -> str:

@@ -932,3 +932,21 @@ def test_bpe_fold_equivalent_to_index_walk_exhaustive(spark):
     }
     for i, (t, a, b) in enumerate(cases):
         assert got[i] == merge_word(t, a, b), (t, a, b, got[i])
+
+
+def test_pq_codes_literal_and_broadcast_paths_identical(spark):
+    """embedding_pq_codes' two codebook carriages (plan literals below
+    PQ_LITERAL_MAX, broadcast data row above) must produce the
+    IDENTICAL table — same folds, same array_min tie-break."""
+    lit_rows = sorted(
+        map(tuple, S.embedding_pq_codes(spark, SF_SMALL).collect())
+    )
+    orig = S.PQ_LITERAL_MAX
+    try:
+        S.PQ_LITERAL_MAX = 0  # force the broadcast-array path
+        arr_rows = sorted(
+            map(tuple, S.embedding_pq_codes(spark, SF_SMALL).collect())
+        )
+    finally:
+        S.PQ_LITERAL_MAX = orig
+    assert lit_rows == arr_rows and len(lit_rows) > 0
