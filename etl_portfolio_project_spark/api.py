@@ -623,6 +623,13 @@ _EXTENSIONS += [
      "Hive-partitioned write + partition-pruned read: the year filter "
      "binds to directories (PartitionFilters pinned by plan test); "
      "layout is semantically invisible vs the source-table oracle."),
+    ("dq_quarantine_split", IO.dq_quarantine_split,
+     IO.DQ_QUARANTINE_SPLIT_SQL,
+     "DQ expectations + dead-letter split: typed rules route rows to "
+     "valid/quarantine parquet sinks (DLT-expectations shape) over "
+     "deterministically injected violations; per-rule counts + "
+     "md5-content checksums of BOTH written sides prove the split is "
+     "a partition."),
     ("small_file_compaction", IO.small_file_compaction,
      IO.SMALL_FILE_COMPACTION_SQL,
      "Lakehouse OPTIMIZE: over-partitioned ingest (32 files) -> "

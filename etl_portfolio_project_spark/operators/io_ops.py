@@ -352,3 +352,126 @@ SELECT CAST({SMALL_FILES} AS INTEGER) AS n_files_before,
             AS DECIMAL(38,0)) AS content_hash_sum
 FROM events
 """
+
+
+# --- DQ expectations + dead-letter quarantine split -------------------------
+
+DQ_BAD_ROWS = 40  # injected violations (synthesize → process → verify)
+DQ_BAD_ID_OFFSET = 900_000_000
+DQ_KNOWN_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality EXPECTATIONS with a dead-letter split — the
+    operational extension of `data_quality_audit` (which only
+    measures): every row is validated against typed rules
+    (non-negative value, event_type in the known enum), VALID rows are
+    written to the publish path and violations to a quarantine path
+    (the DLT-expectations / Delta-constraints / dead-letter-queue
+    shape), and the audit proves the split is a PARTITION: per-rule
+    violation counts plus md5-content checksums of both written sides
+    whose sum must equal the input's — a row lost, duplicated, or
+    routed to both sides diverges from the oracle.
+
+    The harness corpus has no violations, so the op INJECTS
+    DQ_BAD_ROWS deterministic bad rows first (negative values on even
+    ids, an unknown event_type on odd — the PII/WAV synthesize →
+    process → verify strategy), making both sinks non-empty.
+
+    Scale shape: one narrow validation projection riding the scan; the
+    two writes partition the data in a single pass each
+    (filter + write — Spark has no multi-sink split, so at 100 TB
+    this is two scans or one pass via foreachBatch/DataFrame.cache;
+    the harness uses the two-filter form and the audit reads both
+    sinks back); the audit is two single-row aggregates unioned."""
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("value").cast("double")
+    )
+    bad = spark.range(DQ_BAD_ROWS).select(
+        (F.col("id") + DQ_BAD_ID_OFFSET).alias("event_id"),
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 2 == 1, F.lit("corrupt"))
+        .otherwise(F.lit("click"))
+        .alias("event_type"),
+        F.when(
+            F.col("id") % 2 == 0, (-1.0 - F.col("id")).cast("double")
+        )
+        .otherwise(F.lit(1.5))
+        .alias("value"),
+    )
+    data = base.unionByName(bad)
+    types = ", ".join(f"'{t}'" for t in DQ_KNOWN_TYPES)
+    ok_value = "value >= 0"
+    ok_type = f"event_type IN ({types})"
+    valid_pred = f"({ok_value}) AND ({ok_type})"
+    root = tmpdirs.claim("dq_split", "dq_split_")
+    vdir, qdir = f"{root}/valid", f"{root}/quarantine"
+    data.where(F.expr(valid_pred)).write.mode("overwrite").parquet(vdir)
+    data.where(~F.expr(valid_pred)).write.mode("overwrite").parquet(qdir)
+
+    hash_arg = "concat(CAST(event_id AS STRING), ':', event_type)"
+    row_hash = _ph60_spark(hash_arg)
+
+    def audit(path: str, side: str):
+        return (
+            spark.read.parquet(path)
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(
+                    F.expr(f"CASE WHEN NOT ({ok_value}) THEN 1 ELSE 0 END")
+                )
+                .cast("long")
+                .alias("n_bad_value"),
+                F.sum(
+                    F.expr(f"CASE WHEN NOT ({ok_type}) THEN 1 ELSE 0 END")
+                )
+                .cast("long")
+                .alias("n_bad_type"),
+                F.sum(F.expr(f"({row_hash}) % {_CKSUM_MOD}"))
+                .cast("decimal(38,0)")
+                .alias("content_hash_sum"),
+            )
+            .select(F.lit(side).alias("side"), "*")
+        )
+
+    return audit(vdir, "valid").unionByName(audit(qdir, "quarantine"))
+
+
+_DQ_TYPES_SQL = ", ".join(f"'{t}'" for t in DQ_KNOWN_TYPES)
+_DQ_HASH = portable_hash60_sql(
+    "CAST(event_id AS VARCHAR) || ':' || event_type"
+)
+
+DQ_QUARANTINE_SPLIT_SQL = f"""
+WITH bad AS (
+  SELECT {DQ_BAD_ID_OFFSET} + i AS event_id,
+         i AS user_id,
+         CASE WHEN i % 2 = 1 THEN 'corrupt' ELSE 'click' END AS event_type,
+         CASE WHEN i % 2 = 0 THEN CAST(-1.0 - i AS DOUBLE)
+              ELSE CAST(1.5 AS DOUBLE) END AS value
+  FROM generate_series(0, {DQ_BAD_ROWS - 1}) t(i)
+),
+data AS (
+  SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+  FROM events
+  UNION ALL
+  SELECT * FROM bad
+),
+tagged AS (
+  SELECT *,
+         CASE WHEN (value >= 0)
+               AND (event_type IN ({_DQ_TYPES_SQL}))
+              THEN 'valid' ELSE 'quarantine' END AS side
+  FROM data
+)
+SELECT side,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bad_value,
+       CAST(sum(CASE WHEN NOT (event_type IN ({_DQ_TYPES_SQL}))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_type,
+       CAST(sum(CAST({_DQ_HASH} % {_CKSUM_MOD} AS DECIMAL(38,0)))
+            AS DECIMAL(38,0)) AS content_hash_sum
+FROM tagged
+GROUP BY side
+"""

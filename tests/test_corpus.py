@@ -277,3 +277,54 @@ def test_small_file_compaction_layout_and_losslessness(spark):
     }
     exp = {(x.event_id, x.event_type, x.value) for x in src.collect()}
     assert got == exp
+
+
+def test_dq_quarantine_split_is_a_partition(spark):
+    """The two written sides must exactly partition (input ∪ injected
+    bad rows): row-set equality side-by-side, the quarantine side
+    holds every violation and ONLY violations, per-rule counts match
+    an independent recount."""
+    from etl_portfolio_project_spark import tmpdirs
+    from etl_portfolio_project_spark.operators import io_ops as IO
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    out = {r.side: r for r in IO.dq_quarantine_split(spark, SF_SMALL).collect()}
+    assert set(out) == {"valid", "quarantine"}
+    root = tmpdirs.live_path("dq_split")
+    valid = {
+        (r.event_id, r.event_type, r.value)
+        for r in spark.read.parquet(f"{root}/valid").collect()
+    }
+    quar = {
+        (r.event_id, r.event_type, r.value)
+        for r in spark.read.parquet(f"{root}/quarantine").collect()
+    }
+    assert valid and quar and not (valid & quar)
+
+    src = {
+        (r.event_id, r.event_type, float(r.value))
+        for r in load_table(spark, SF_SMALL, "events")
+        .select("event_id", "event_type", "value")
+        .collect()
+    }
+    injected = set()
+    for i in range(IO.DQ_BAD_ROWS):
+        et = "corrupt" if i % 2 == 1 else "click"
+        v = float(-1.0 - i) if i % 2 == 0 else 1.5
+        injected.add((IO.DQ_BAD_ID_OFFSET + i, et, v))
+    assert valid | quar == src | injected
+
+    def bad(row):
+        _, et, v = row
+        return v < 0 or et not in IO.DQ_KNOWN_TYPES
+
+    assert all(bad(r) for r in quar)
+    assert not any(bad(r) for r in valid)
+    assert out["quarantine"].n_rows == len(quar) == IO.DQ_BAD_ROWS
+    assert out["quarantine"].n_bad_value == sum(
+        1 for _, _, v in quar if v < 0
+    )
+    assert out["quarantine"].n_bad_type == sum(
+        1 for _, et, _ in quar if et not in IO.DQ_KNOWN_TYPES
+    )
+    assert out["valid"].n_bad_value == 0 and out["valid"].n_bad_type == 0

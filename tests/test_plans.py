@@ -131,6 +131,8 @@ SHUFFLE_BUDGET = {
     # writes run eagerly in the builder (repartition + narrow
     # coalesce); returned frame = compacted read + 1-row audit agg
     "small_file_compaction": 1,
+    # two written sides read back, one single-row agg each + union
+    "dq_quarantine_split": 2,
     # all work happens inside the builder's foreachBatch stream; the
     # returned frame is a plain read of the appended result parquet
     "stream_incremental_dedup": 0,
