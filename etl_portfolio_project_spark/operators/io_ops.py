@@ -284,21 +284,30 @@ def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents total, an order-free md5-based content hash sum folded in
     DECIMAL(38,0)) are recomputed by DuckDB from the ORIGINAL events
     table — a compaction that drops, duplicates, or mutates any row
-    diverges. File counts are deterministic (every one of the 32
-    ingest partitions is non-empty at every harness SF; coalesce(4)
-    of a 32-partition scan yields exactly 4 tasks), so the oracle
-    pins them as literals.
+    diverges. File-count grading (the r5 driver-red): `n_files_before`
+    is deterministic (a round-robin repartition of ≥ SMALL_FILES rows
+    leaves no partition empty, so the write emits exactly SMALL_FILES
+    files in any session), but the EXACT post-coalesce count is NOT —
+    it equals min(COMPACT_FILES, read splits), and how many splits a
+    32-small-file scan gets is session file bin-packing config
+    (`maxPartitionBytes` / `openCostInBytes` / default parallelism),
+    which the grading session controls, not this builder. The graded
+    contract is therefore the boolean every OPTIMIZE actually
+    promises — `1 ≤ n_files_after ≤ COMPACT_FILES` — not the split
+    count of one session. `value` is cast to DOUBLE at load so a
+    physical-type drift in the testdata (the `events.ts` lesson)
+    cannot change the cents quantization on one engine only.
 
     Scale shape: ingest = one repartition exchange; compaction = a
     pure narrow rewrite reading SMALL_FILES files and writing
-    COMPACT_FILES; audit = one single-row aggregate. At 100 TB the
+    ≤ COMPACT_FILES; audit = one single-row aggregate. At 100 TB the
     same pass runs per partition-directory with
     `spark.sql.files.maxRecordsPerFile` bounding output sizes."""
     import glob
     import os
 
     e = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "value"
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
     )
     root = tmpdirs.claim("compaction", "compaction_")
     small, compact = f"{root}/small", f"{root}/compacted"
@@ -311,7 +320,7 @@ def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         return len(glob.glob(os.path.join(d, "part-*.parquet")))
 
     n_before, n_after = _nfiles(small), _nfiles(compact)
-    cents = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+    cents = "CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)"
     row_hash = portable_hash60(
         F.expr(
             "concat('cmp:', CAST(event_id AS STRING), ':', event_type, "
@@ -329,7 +338,7 @@ def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.lit(n_before).alias("n_files_before"),
-            F.lit(n_after).alias("n_files_after"),
+            F.lit(1 <= n_after <= COMPACT_FILES).alias("compacted_to_target"),
             "n_events",
             "value_cents_total",
             "content_hash_sum",
@@ -339,15 +348,16 @@ def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CMP_HASH = portable_hash60_sql(
     "'cmp:' || CAST(event_id AS VARCHAR) || ':' || event_type || ':' "
-    "|| CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)"
+    "|| CAST(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) "
+    "AS VARCHAR)"
 )
 
 SMALL_FILE_COMPACTION_SQL = f"""
 SELECT CAST({SMALL_FILES} AS INTEGER) AS n_files_before,
-       CAST({COMPACT_FILES} AS INTEGER) AS n_files_after,
+       TRUE AS compacted_to_target,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-         AS value_cents_total,
+       CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS value_cents_total,
        CAST(sum(CAST({_CMP_HASH} % {_CKSUM_MOD} AS DECIMAL(38,0)))
             AS DECIMAL(38,0)) AS content_hash_sum
 FROM events
@@ -373,10 +383,20 @@ def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose sum must equal the input's — a row lost, duplicated, or
     routed to both sides diverges from the oracle.
 
+    NULL fidelity (the r5 driver-red): a rule predicate evaluating
+    NULL must route to QUARANTINE, not vanish — `where(pred)` and
+    `where(NOT pred)` both reject NULL, silently dropping the row
+    from BOTH sinks. Routing is therefore on `coalesce(pred, false)`
+    (exactly the oracle's `CASE WHEN pred THEN valid ELSE quarantine`
+    semantics), the per-rule counters treat NULL as a violation, and
+    the content hash NULL-safes every field so no row hashes to NULL.
+
     The harness corpus has no violations, so the op INJECTS
-    DQ_BAD_ROWS deterministic bad rows first (negative values on even
-    ids, an unknown event_type on odd — the PII/WAV synthesize →
-    process → verify strategy), making both sinks non-empty.
+    DQ_BAD_ROWS deterministic bad rows first — negative values,
+    unknown event_types, NULL values, and NULL event_types in a 4-way
+    rotation (the PII/WAV synthesize → process → verify strategy) —
+    making both sinks non-empty and EXERCISING the NULL-predicate
+    path at every SF, so a routing regression diverges on any corpus.
 
     Scale shape: one narrow validation projection riding the scan; the
     two writes partition the data in a single pass each
@@ -390,26 +410,34 @@ def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = spark.range(DQ_BAD_ROWS).select(
         (F.col("id") + DQ_BAD_ID_OFFSET).alias("event_id"),
         F.col("id").alias("user_id"),
-        F.when(F.col("id") % 2 == 1, F.lit("corrupt"))
-        .otherwise(F.lit("click"))
-        .alias("event_type"),
-        F.when(
-            F.col("id") % 2 == 0, (-1.0 - F.col("id")).cast("double")
-        )
-        .otherwise(F.lit(1.5))
-        .alias("value"),
+        F.expr(
+            "CASE WHEN id % 4 = 1 THEN 'corrupt' "
+            "WHEN id % 4 = 3 THEN CAST(NULL AS STRING) "
+            "ELSE 'click' END"
+        ).alias("event_type"),
+        F.expr(
+            "CASE WHEN id % 4 = 0 THEN CAST(-1.0 - id AS DOUBLE) "
+            "WHEN id % 4 = 2 THEN CAST(NULL AS DOUBLE) "
+            "ELSE CAST(1.5 AS DOUBLE) END"
+        ).alias("value"),
     )
     data = base.unionByName(bad)
     types = ", ".join(f"'{t}'" for t in DQ_KNOWN_TYPES)
     ok_value = "value >= 0"
     ok_type = f"event_type IN ({types})"
-    valid_pred = f"({ok_value}) AND ({ok_type})"
+    # NULL-safe: rows where either rule evaluates NULL are NOT valid
+    route_valid = f"coalesce(({ok_value}) AND ({ok_type}), false)"
     root = tmpdirs.claim("dq_split", "dq_split_")
     vdir, qdir = f"{root}/valid", f"{root}/quarantine"
-    data.where(F.expr(valid_pred)).write.mode("overwrite").parquet(vdir)
-    data.where(~F.expr(valid_pred)).write.mode("overwrite").parquet(qdir)
+    data.where(F.expr(route_valid)).write.mode("overwrite").parquet(vdir)
+    data.where(~F.expr(route_valid)).write.mode("overwrite").parquet(qdir)
 
-    hash_arg = "concat(CAST(event_id AS STRING), ':', event_type)"
+    hash_arg = (
+        "concat('dq:', coalesce(CAST(event_id AS STRING), 'null'), ':', "
+        "coalesce(event_type, 'null'), ':', "
+        "coalesce(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) "
+        "AS STRING), 'null'))"
+    )
     row_hash = _ph60_spark(hash_arg)
 
     def audit(path: str, side: str):
@@ -418,12 +446,18 @@ def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.count("*").cast("long").alias("n_rows"),
                 F.sum(
-                    F.expr(f"CASE WHEN NOT ({ok_value}) THEN 1 ELSE 0 END")
+                    F.expr(
+                        f"CASE WHEN coalesce({ok_value}, false) "
+                        "THEN 0 ELSE 1 END"
+                    )
                 )
                 .cast("long")
                 .alias("n_bad_value"),
                 F.sum(
-                    F.expr(f"CASE WHEN NOT ({ok_type}) THEN 1 ELSE 0 END")
+                    F.expr(
+                        f"CASE WHEN coalesce({ok_type}, false) "
+                        "THEN 0 ELSE 1 END"
+                    )
                 )
                 .cast("long")
                 .alias("n_bad_type"),
@@ -439,15 +473,21 @@ def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DQ_TYPES_SQL = ", ".join(f"'{t}'" for t in DQ_KNOWN_TYPES)
 _DQ_HASH = portable_hash60_sql(
-    "CAST(event_id AS VARCHAR) || ':' || event_type"
+    "'dq:' || COALESCE(CAST(event_id AS VARCHAR), 'null') || ':' || "
+    "COALESCE(event_type, 'null') || ':' || "
+    "COALESCE(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR), "
+    "'null')"
 )
 
 DQ_QUARANTINE_SPLIT_SQL = f"""
 WITH bad AS (
   SELECT {DQ_BAD_ID_OFFSET} + i AS event_id,
          i AS user_id,
-         CASE WHEN i % 2 = 1 THEN 'corrupt' ELSE 'click' END AS event_type,
-         CASE WHEN i % 2 = 0 THEN CAST(-1.0 - i AS DOUBLE)
+         CASE WHEN i % 4 = 1 THEN 'corrupt'
+              WHEN i % 4 = 3 THEN CAST(NULL AS VARCHAR)
+              ELSE 'click' END AS event_type,
+         CASE WHEN i % 4 = 0 THEN CAST(-1.0 - i AS DOUBLE)
+              WHEN i % 4 = 2 THEN CAST(NULL AS DOUBLE)
               ELSE CAST(1.5 AS DOUBLE) END AS value
   FROM generate_series(0, {DQ_BAD_ROWS - 1}) t(i)
 ),
@@ -466,10 +506,10 @@ tagged AS (
 )
 SELECT side,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_bad_value,
-       CAST(sum(CASE WHEN NOT (event_type IN ({_DQ_TYPES_SQL}))
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_type,
+       CAST(sum(CASE WHEN COALESCE(value >= 0, false) THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_bad_value,
+       CAST(sum(CASE WHEN COALESCE(event_type IN ({_DQ_TYPES_SQL}), false)
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_bad_type,
        CAST(sum(CAST({_DQ_HASH} % {_CKSUM_MOD} AS DECIMAL(38,0)))
             AS DECIMAL(38,0)) AS content_hash_sum
 FROM tagged
