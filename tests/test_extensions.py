@@ -761,7 +761,7 @@ def test_ann_pq_adc_topk_matches_numpy(spark):
         m_codes.append(cids[order[:, 0]])
 
     expected = {}
-    for qi in np.where(ids % S.QUERY_MOD == 0)[0]:
+    for qi in np.where((ids % S.QUERY_MOD == 0) & (ids < S.QUERY_ID_BOUND))[0]:
         q = vecs[qi]
         lut = {}
         for m in range(S.PQ_M):
@@ -950,3 +950,50 @@ def test_pq_codes_literal_and_broadcast_paths_identical(spark):
     finally:
         S.PQ_LITERAL_MAX = orig
     assert lit_rows == arr_rows and len(lit_rows) > 0
+
+
+def test_ivf_literal_and_broadcast_paths_identical(spark):
+    """ann_ivf_topk's two centroid carriages (plan literals below
+    IVF_LITERAL_MAX, broadcast data row above) must produce the
+    IDENTICAL table — same folds, same array_sort tie-break (the
+    embedding_pq_codes two-path contract, applied per r5 verdict #3)."""
+    from etl_portfolio_project_spark import caches
+
+    try:
+        lit_rows = sorted(
+            map(tuple, S.ann_ivf_topk(spark, SF_SMALL).collect())
+        )
+        orig = S.IVF_LITERAL_MAX
+        try:
+            S.IVF_LITERAL_MAX = 0  # force the broadcast-array path
+            arr_rows = sorted(
+                map(tuple, S.ann_ivf_topk(spark, SF_SMALL).collect())
+            )
+        finally:
+            S.IVF_LITERAL_MAX = orig
+        assert lit_rows == arr_rows and len(lit_rows) > 0
+    finally:
+        caches.release_all()
+
+
+def test_query_subset_is_fixed_size_and_prefix_stable(spark):
+    """The query/anchor/centroid sets must be FIXED-SIZE at any corpus
+    size (r5 verdict #3: corpus-proportional sample sets are the last
+    100 TB scale-killer): the id bound admits at most QUERY_CAP /
+    IVF_CAP members no matter how many rows exist, and on a corpus
+    that fits under the bound (every harness SF) it admits exactly the
+    uncapped mod-sample — so harness results are bit-identical to the
+    pre-cap forms."""
+    n_big = 10 * S.QUERY_ID_BOUND  # simulate a 10x-beyond-bound corpus
+    ids = list(range(n_big))
+    q = [i for i in ids if i % S.QUERY_MOD == 0 and i < S.QUERY_ID_BOUND]
+    assert len(q) == S.QUERY_CAP  # capped, not n_big / QUERY_MOD
+    c = [
+        i
+        for i in ids
+        if i % S.IVF_MOD == S.IVF_OFF and i < S.IVF_ID_BOUND
+    ]
+    assert len(c) == S.IVF_CAP
+    # harness SFs sit under the bound → the cap is a no-op there
+    n_harness = 2000  # sf0.1 embeddings row count
+    assert n_harness <= S.QUERY_ID_BOUND and n_harness <= S.IVF_ID_BOUND

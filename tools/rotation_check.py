@@ -38,14 +38,19 @@ sys.path.insert(0, _REPO)
 _PKG = "etl_portfolio_project_spark"
 
 #: Package files whose changes can affect EVERY query (shared infra) —
-#: mapping them to "all 148 regrade" would be useless with a 50-slot
+#: mapping them to "all 180 regrade" would be useless with a 50-slot
 #: window, so they are reported as a warning for manual judgement
-#: instead of expanding the regrade list.
+#: instead of expanding the regrade list. Listed EXPLICITLY (r5 advice:
+#: a blanket `sources/` prefix exempted sources/pyds.py — which OWNS
+#: two registered queries — from the changed-code regrade map).
 _INFRA_PREFIXES = (
     f"{_PKG}/session.py",
     f"{_PKG}/caches.py",
     f"{_PKG}/tmpdirs.py",
-    f"{_PKG}/sources/",
+    f"{_PKG}/sources/registry.py",
+    f"{_PKG}/sources/files.py",
+    f"{_PKG}/sources/views.py",
+    f"{_PKG}/sources/__init__.py",
 )
 
 

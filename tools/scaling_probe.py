@@ -739,6 +739,47 @@ def probe_r5_late(spark, sf_dir: str, label: str) -> dict:
     return r
 
 
+
+def probe_r6_caps(spark, sf_dir: str, label: str) -> dict:
+    """Ladder rows for the r6 fixed-size sample-set fix (r5 verdict
+    #3 — the last corpus-PROPORTIONAL sample sets): the query/anchor
+    set (`query_subset_pred`) and the IVF centroid set are id-bounded,
+    so their sizes must be CONSTANT once the corpus outgrows the bound
+    (sf1e = 10x sf0.1) while each query's wall time stays sub-
+    quadratic (cost |Q|·n with constant |Q|, vs the old n²/25)."""
+    from pyspark.sql import functions as F
+
+    from etl_portfolio_project_spark import caches
+    from etl_portfolio_project_spark.operators import similarity
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    r = {"sf": label}
+    e = load_table(spark, sf_dir, "embeddings")
+    r["n_vec"] = int(e.count())
+    r["n_queries"] = int(
+        e.where(F.expr(similarity.query_subset_pred())).count()
+    )
+    r["n_ivf_cents"] = int(
+        e.where(
+            F.expr(
+                f"(vec_id % {similarity.IVF_MOD} = {similarity.IVF_OFF} "
+                f"AND vec_id < {similarity.IVF_ID_BOUND})"
+            )
+        ).count()
+    )
+    for name, fn in [
+        ("brute", similarity.ann_brute_force_topk),
+        ("lsh", similarity.ann_lsh_topk),
+        ("ivf", similarity.ann_ivf_topk),
+        ("hardneg", similarity.contrastive_hard_negatives),
+        ("recall_audit", similarity.ann_lsh_recall_audit),
+        ("adc", similarity.ann_pq_adc_topk),
+    ]:
+        _, r[f"{name}_secs"] = timed(lambda fn=fn: fn(spark, sf_dir).count())
+        caches.release_all()
+    return r
+
+
 def main() -> int:
     if "--skip-generate" not in sys.argv:
         need = not all(
@@ -754,6 +795,25 @@ def main() -> int:
 
     spark = get_spark(app_name="scaling_probe")
     spark.read.parquet(f"{SRC_SF}/orders.parquet").count()
+
+    if "--only-r6" in sys.argv:
+        raw_path = os.path.join(_REPO, "SCALING_RAW.json")
+        with open(raw_path) as f:
+            raw = json.load(f)
+        r6_rows = []
+        for sf_dir, label in [
+            ("/root/testdata/sf0.01", "sf0.01"),
+            (SRC_SF, "sf0.1"),
+            (SCALE_DIR, "sf1e"),
+        ]:
+            print(f"--- r6 fixed-size sample sets at {label}")
+            r6_rows.append(probe_r6_caps(spark, sf_dir, label))
+            print(json.dumps(r6_rows[-1]))
+        raw["r6_caps"] = r6_rows
+        with open(raw_path, "w") as f:
+            json.dump(raw, f, indent=1)
+        print("merged r6_caps into SCALING_RAW.json")
+        return 0
 
     if "--only-r5-late" in sys.argv:
         raw_path = os.path.join(_REPO, "SCALING_RAW.json")
