@@ -1617,10 +1617,20 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     harness run (SD_COMPACT < SD_NBATCH) and the bit-exact oracle
     proves it changes nothing. At production scale the same layout is
     a bucketed table on band_key with periodic compaction (or a
-    Delta/Iceberg MERGE). All writes are per-epoch overwrite paths,
-    so an epoch replay under a future checkpointed variant is
-    idempotent (r4 ADVICE #1); the generation list lives in driver
-    memory, matching this run's no-checkpoint/no-restart scope.
+    Delta/Iceberg MERGE).
+
+    RESTART/REPLAY SAFETY (r5 verdict #5): every write is a per-epoch
+    overwrite path, AND the generation list itself is disk-derived —
+    epoch k reads its index membership from `manifest_k.json` (written
+    atomically at the end of epoch k-1), never from driver memory. A
+    checkpointed restart therefore resumes with the exact pre-epoch
+    index (no index reset), and a replay of epoch k recomputes from
+    manifest_k's state and overwrites the same artifact byte-for-byte
+    (no duplicate results). Superseded compacted generations are NOT
+    deleted mid-run — a replay of the compacting epoch must still be
+    able to read them (production defers that GC until the stream
+    checkpoint commits past the epoch). Proven by
+    `test_stream_inc_dedup_checkpoint_restart`.
 
     Per batch: shingle-MinHash signatures → band-collision join
     against the index bands → exact-Jaccard verification of candidates
@@ -1641,10 +1651,6 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only, and at production scale is a bucketed table on band_key
     (here a plain parquet generation per epoch)."""
     import os
-    import shutil
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from .. import tmpdirs
 
@@ -1653,20 +1659,58 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     res_dir = os.path.join(root, "res")
     idx_root = os.path.join(root, "idx")
     os.makedirs(in_dir)
+    _sid_write_batches(sf_dir, in_dir, range(SD_NBATCH))
+    _sid_run_stream(spark, in_dir, res_dir, idx_root)
+    return spark.read.parquet(os.path.join(res_dir, "epoch_*")).select(
+        "doc_id", "batch_id", "n_candidates", "n_dups", "is_dup"
+    )
 
-    # split by doc_id % SD_NBATCH via pyarrow (keeps the physical
-    # schema exact); force strictly increasing mtimes = arrival order
+
+def _sid_write_batches(sf_dir: str, in_dir: str, batches) -> None:
+    """Write the doc_id % SD_NBATCH input splits via pyarrow (keeps
+    the physical schema exact) with strictly increasing mtimes =
+    arrival order. Callable incrementally (the restart test writes
+    batches in two phases): later calls stamp mtimes above anything
+    already present in `in_dir`."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    existing = [
+        os.stat(os.path.join(in_dir, f)).st_mtime
+        for f in os.listdir(in_dir)
+        if f.endswith("_docs.parquet")
+    ]
+    base = max(existing) if existing else None
     tbl = pq.read_table(f"{sf_dir}/documents.parquet")
     ids = tbl["doc_id"].to_numpy()
-    base = None
-    for k in range(SD_NBATCH):
+    for j, k in enumerate(batches):
         path = os.path.join(in_dir, f"{k}_docs.parquet")
         pq.write_table(tbl.filter(pa.array(ids % SD_NBATCH == k)), path)
         if base is None:
             base = os.stat(path).st_mtime
-        os.utime(path, (base + 2 * k, base + 2 * k))
+        os.utime(path, (base + 2 * (j + 1), base + 2 * (j + 1)))
 
-    schema = spark.read.parquet(os.path.join(in_dir, "0_docs.parquet")).schema
+
+def _sid_run_stream(
+    spark: SparkSession,
+    in_dir: str,
+    res_dir: str,
+    idx_root: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Run the incremental-dedup stream over `in_dir` to completion.
+    With `checkpoint_dir`, offsets persist — a second call with the
+    same checkpoint RESUMES (the restart test's phase 2) and must
+    recover the index membership from the on-disk manifests."""
+    import json
+    import os
+
+    first = sorted(
+        f for f in os.listdir(in_dir) if f.endswith("_docs.parquet")
+    )[0]
+    schema = spark.read.parquet(os.path.join(in_dir, first)).schema
     src = (
         spark.readStream.schema(schema)
         .format("parquet")
@@ -1677,7 +1721,32 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     row_expr = _shingle_sig_row_expr()
-    gens: list[str] = []  # live index generation dirs, oldest first
+
+    def manifest_path(epoch_id: int) -> str:
+        return os.path.join(res_dir, f"manifest_{epoch_id}.json")
+
+    def load_gens(epoch_id: int) -> list[str]:
+        """Index membership for THIS epoch — disk-derived (r5 verdict
+        #5): manifest_k is written atomically at the end of epoch k-1,
+        so a restarted/replayed epoch always sees the exact pre-epoch
+        generation list, never stale driver memory."""
+        mp = manifest_path(epoch_id)
+        if os.path.exists(mp):
+            with open(mp) as f:
+                return json.load(f)
+        if epoch_id == 0:
+            return []
+        raise RuntimeError(
+            f"epoch {epoch_id} has no manifest — predecessor epoch "
+            "incomplete (gap in the decision log)"
+        )
+
+    def save_gens(epoch_id: int, gens: list[str]) -> None:
+        mp = manifest_path(epoch_id)
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(gens, f)
+        os.replace(tmp, mp)  # atomic: a crash never leaves a torn manifest
 
     # the WHOLE per-epoch decision query as ONE generated SQL string
     # over two temp views — the DataFrame version of this body spent
@@ -1748,6 +1817,7 @@ FROM sid_sigs
         # foreachBatch bodies run in the DRIVER process (module
         # references are safe; nothing here is pickled to workers)
         s = batch_df.sparkSession
+        gens = load_gens(epoch_id)  # disk-derived, restart/replay-safe
         # the batch arrives as ONE file split (1 partition at harness
         # scale) — spread the md5-shingle/minhash compute across the
         # machine before the heavy expression, same rationale as
@@ -1780,27 +1850,29 @@ FROM sid_sigs
         # log (doc_id..is_dup) and the next index generation (items/
         # sig, read back filtered to kept rows — parquet pushes the
         # is_dup filter and prunes to 3 columns). Per-epoch overwrite
-        # keeps replay idempotent under a future checkpointed variant.
+        # keeps replay idempotent: a replayed epoch recomputes from
+        # manifest_k's pre-epoch state and rewrites the same artifact.
         epoch_path = os.path.join(res_dir, f"epoch_{epoch_id}")
         per.write.mode("overwrite").parquet(epoch_path)
-        gens.append(epoch_path)
+        gens = gens + [epoch_path]
         if len(gens) >= SD_COMPACT:
             # bound generation-count growth: fold the live generations
             # into one compacted kept-only dir (contents identical —
             # proven by the bit-exact oracle, which fires because
             # SD_COMPACT < SD_NBATCH triggers this mid-run). Epoch
             # result files are retained — compaction rewrites only the
-            # INDEX view of them, never the decision log.
+            # INDEX view of them, never the decision log. Superseded
+            # compacted dirs are NOT deleted: a replay of THIS epoch
+            # reads them via manifest_k (production GCs them after the
+            # stream checkpoint commits past the epoch).
             compact_path = os.path.join(idx_root, f"gen_{epoch_id}_c")
             cparts = [read_gen(s, g) for g in gens]
             cu = cparts[0]
             for p in cparts[1:]:
                 cu = cu.unionByName(p)
             cu.write.mode("overwrite").parquet(compact_path)
-            old_compacts = [g for g in gens if g.startswith(idx_root)]
-            gens[:] = [compact_path]
-            for g in old_compacts:
-                shutil.rmtree(g, ignore_errors=True)
+            gens = [compact_path]
+        save_gens(epoch_id + 1, gens)
 
     # scope shuffle partitions to the stream: per-batch band joins
     # move ~1/SD_NBATCH of the corpus — tiny shuffles are task-overhead
@@ -1811,7 +1883,10 @@ FROM sid_sigs
         "spark.sql.shuffle.partitions", str(min(4, int(prev_parts)))
     )
     try:
-        q = src.writeStream.foreachBatch(process).start()
+        writer = src.writeStream.foreachBatch(process)
+        if checkpoint_dir is not None:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        q = writer.start()
         try:
             q.processAllAvailable()
         finally:
@@ -1822,9 +1897,6 @@ FROM sid_sigs
     # micro-batch execution's CLONED session catalog (foreachBatch
     # isolation), which is discarded with the query — the outer
     # session's catalog never sees them
-    return spark.read.parquet(os.path.join(res_dir, "epoch_*")).select(
-        "doc_id", "batch_id", "n_candidates", "n_dups", "is_dup"
-    )
 
 
 def _build_stream_incremental_dedup_sql() -> str:
@@ -2377,14 +2449,18 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode from the bounded lists; one window over per-(pair,
     diagonal) partitions whose size is bounded by doc length. The
     oracle mirrors the cap with a HAVING frequency filter."""
+    # gram hash via the shared 60-bit recipe helper (r5 advice: an
+    # inlined copy here would silently miss a future recipe change)
+    from .text import portable_hash60_spark_sql as _ph60
+
+    gram_h = _ph60(f"concat_ws(' ', slice(tk, i, {ES_K}))")
     grams_expr = (
         "transform(array(split(trim(lower(text)), '\\\\s+')), tk -> "
         f"CASE WHEN size(tk) < {ES_K} THEN "
         "CAST(array() AS array<struct<pos: bigint, h: bigint>>) ELSE "
         f"transform(sequence(1, size(tk) - {ES_K - 1}), i -> "
         "named_struct('pos', CAST(i AS BIGINT), 'h', "
-        "cast(conv(substring(md5(concat_ws(' ', "
-        f"slice(tk, i, {ES_K}))), 1, 15), 16, 10) as bigint))) END)[0]"
+        f"{gram_h})) END)[0]"
     )
     g = (
         load_table(spark, sf_dir, "documents")

@@ -619,3 +619,84 @@ def test_multimodal_audio_resample_matches_full_decode(spark):
         assert r.pos_weighted_out == int(
             (np.arange(len(out)) * out).sum()
         )
+
+
+def test_stream_inc_dedup_checkpoint_restart(spark, tmp_path):
+    """Restart-under-checkpoint proof (r5 verdict #5): run the stream
+    over batches 0-1 WITH a checkpoint, stop, add batches 2-3, and
+    resume with the SAME checkpoint in a fresh query (fresh driver
+    state — the restart). The resumed run must (a) produce each doc's
+    decision exactly ONCE (no duplicate results: per-epoch overwrite +
+    checkpointed offsets), and (b) judge post-restart batches against
+    the PRE-restart index recovered from the on-disk manifests (no
+    index reset) — doc C is a near-dup of phase-1's A and must be
+    dropped WITH candidates; a reset index would keep it with zero
+    candidates. Epoch 2 also triggers compaction ACROSS the restart
+    boundary (SD_COMPACT=3), so the manifest chain through a compacted
+    generation is exercised too."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_portfolio_project_spark.operators import dedup as D
+
+    base = ["w%02d" % i for i in range(20)]
+    a_text = " ".join(base)                 # doc 0 → batch 0: kept
+    b_text = a_text + " zz1"                # doc 1 → batch 1: dup of A
+    c_text = a_text + " zz9"                # doc 2 → batch 2: dup of A
+    e_text = " ".join("q%02d" % i for i in range(20))  # doc 3: unique
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    texts = [a_text, b_text, c_text, e_text]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 4, pa.string()),
+                "source": pa.array(["src0"] * 4, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(corpus / "documents.parquet"),
+    )
+
+    run = tmp_path / "run"
+    in_dir, res_dir = run / "in", run / "res"
+    idx_root, ck = run / "idx", run / "ck"
+    in_dir.mkdir(parents=True)
+
+    # phase 1: batches 0 and 1 only, checkpointed
+    D._sid_write_batches(str(corpus), str(in_dir), [0, 1])
+    D._sid_run_stream(
+        spark, str(in_dir), str(res_dir), str(idx_root), str(ck)
+    )
+    phase1 = spark.read.parquet(str(res_dir / "epoch_*")).collect()
+    assert sorted(r.doc_id for r in phase1) == [0, 1]
+
+    # phase 2: two more batches arrive; RESTART from the checkpoint
+    # (fresh query, fresh driver state — only disk survives)
+    D._sid_write_batches(str(corpus), str(in_dir), [2, 3])
+    D._sid_run_stream(
+        spark, str(in_dir), str(res_dir), str(idx_root), str(ck)
+    )
+
+    rows = spark.read.parquet(str(res_dir / "epoch_*")).select(
+        "doc_id", "batch_id", "n_candidates", "n_dups", "is_dup"
+    ).collect()
+    # (a) no duplicate results across the restart
+    assert sorted(r.doc_id for r in rows) == [0, 1, 2, 3]
+    out = {r.doc_id: r for r in rows}
+    assert not out[0].is_dup          # A: empty index
+    assert out[1].is_dup              # B: dup of surviving A
+    # (b) no index reset: C collides with phase-1's A via the
+    # manifest-recovered index and is dropped; a reset index would
+    # have kept it with n_candidates == 0
+    assert out[2].is_dup and out[2].n_candidates >= 1
+    assert not out[3].is_dup          # unique doc stays kept
+    # the restart's epoch 2 compacted generations 0-2: the live
+    # manifest must point INTO idx_root, not at raw epoch artifacts
+    import json as _json
+
+    with open(str(res_dir / "manifest_3.json")) as f:
+        gens = _json.load(f)
+    assert gens == [str(idx_root / "gen_2_c")]
