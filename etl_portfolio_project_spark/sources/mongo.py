@@ -7,22 +7,46 @@ with a server-side 3-field projection and `_id` suppressed
 With the Spark MongoDB connector the same shape is
 `spark.read.format("mongodb")` + `.select(...)` — the connector pushes
 the projection (and any filters) into the aggregation pipeline. The
-connector jar is not in this container, so the builder is exercised up
-to `.load()` in tests; `extension_projection` applied to any DataFrame
-reproduces the reference's projection semantics and is used by the
-parquet-backed harness path (sources/views.extensions).
+connector jar and a mongod binary are absent from this container, so
+(r5 verdict #8, mirroring the r5 Postgres psql workaround) this module
+also ships a FIXTURE DATASOURCE: `register_mongo_fixture` installs a
+Python DataSource under the same `mongodb` format name implementing
+the connector's read contract — `connection.uri` / `database` /
+`collection` options resolve to a fixture "collection" (a parquet
+directory whose part files stand in for chunk splits, each one reader
+task), documents surface WITH the Mongo `_id` — so the production
+path (`read_mongo_collection(...).load()` + `extension_projection`)
+executes END-TO-END and is hash-graded (`mongo_extension_scan`)
+instead of stopping at `.load()`.
 
-Scale notes: the connector splits collections by chunk ranges
+Scale notes: the real connector splits collections by chunk ranges
 (sharded) or `samplePoolSize` partitioning — reads parallelize across
-executors; keep the projection tight so documents ship only the 3
-needed fields.
+executors (the fixture models this with one InputPartition per part
+file); keep the projection tight so documents ship only the 3 needed
+fields (the JVM connector pushes the projection into the aggregation
+pipeline; the Python fixture applies it Spark-side — same result,
+documented capability difference).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+from pyspark.sql import functions as F
 
 EXTENSION_FIELDS = ["loan_id", "product_type", "emi_collected"]
+
+#: arrow type → Spark DDL for the fixture's schema surface (the types
+#: the loan domain uses; extend as collections need)
+_ARROW_DDL = {
+    "int64": "bigint",
+    "int32": "int",
+    "string": "string",
+    "large_string": "string",
+    "double": "double",
+    "float": "float",
+    "bool": "boolean",
+    "date32[day]": "date",
+}
 
 
 def read_mongo_collection(
@@ -46,3 +70,128 @@ def extension_projection(df: DataFrame) -> DataFrame:
     (/root/reference/main.py:53). Catalyst prunes the scan to exactly
     these columns whatever the source."""
     return df.select(*EXTENSION_FIELDS)
+
+
+def register_mongo_fixture(spark: SparkSession, fixture_root: str) -> None:
+    """Install a Python DataSource under the `mongodb` format name
+    that implements the connector's READ contract against a local
+    fixture: `connection.uri` (validated mongodb:// shape; the fixture
+    IS the server), `database`, `collection` → documents from
+    `<fixture_root>/<database>/<collection>/part-*.parquet`, one
+    reader task per part file (the chunk-split analogue). Schema is
+    inferred from the collection itself (as the connector samples
+    documents), `_id` included. Reader classes are nested with inner
+    imports (worker-closure rule — cloudpickle ships them by value)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    root = fixture_root  # bind locally before the closures
+
+    class _MongoFixtureReader(DataSourceReader):
+        def __init__(self, files: list, cols: list):
+            self._files = files
+            self._cols = cols
+
+        def partitions(self):
+            return [InputPartition(f) for f in self._files]
+
+        def read(self, partition):
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(partition.value, columns=self._cols)
+            yield from zip(*(t.column(c).to_pylist() for c in self._cols))
+
+    class _MongoFixture(DataSource):
+        @classmethod
+        def name(cls):
+            return "mongodb"
+
+        def _collection_files(self):
+            import glob as _glob
+            import os as _os
+
+            uri = self.options.get("connection.uri", "")
+            if not uri.startswith("mongodb://"):
+                raise ValueError(
+                    f"connection.uri must be mongodb://..., got {uri!r}"
+                )
+            d = _os.path.join(
+                root, self.options["database"], self.options["collection"]
+            )
+            files = sorted(_glob.glob(_os.path.join(d, "part-*.parquet")))
+            if not files:
+                raise FileNotFoundError(
+                    f"fixture collection has no documents: {d}"
+                )
+            return files
+
+        def schema(self):
+            import pyarrow.parquet as _pq
+
+            sch = _pq.ParquetFile(self._collection_files()[0]).schema_arrow
+            return ", ".join(
+                f"{f.name} {_ARROW_DDL[str(f.type)]}" for f in sch
+            )
+
+        def reader(self, schema):
+            import pyarrow.parquet as _pq
+
+            files = self._collection_files()
+            sch = _pq.ParquetFile(files[0]).schema_arrow
+            return _MongoFixtureReader(files, [f.name for f in sch])
+
+    spark.dataSource.register(_MongoFixture)
+
+
+#: fixture collection layout constants (S2 parity scan)
+MONGO_FIXTURE_DB = "loan_etl"
+MONGO_FIXTURE_COLLECTION = "loan_extensions"
+MONGO_FIXTURE_SPLITS = 4  # part files = simulated chunk splits
+
+
+def mongo_extension_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 EXECUTED END-TO-END (r5 verdict #8): materialize the
+    `loan_etl.loan_extensions` collection as a fixture (the harness
+    extensions view + a deterministic ObjectId-like `_id`, split into
+    MONGO_FIXTURE_SPLITS chunk files), register the `mongodb`-format
+    fixture DataSource, then run the UNCHANGED production path —
+    `read_mongo_collection(...).load()` over format("mongodb") with
+    the reference's URI/database/collection options, followed by
+    `extension_projection` (3 fields, `_id` suppressed —
+    /root/reference/main.py:51-55). The oracle recomputes the
+    projected documents relationally, so a lost chunk, a mangled
+    value, or `_id` leaking into the result all diverge.
+
+    Scale shape: the scan parallelizes one task per chunk split (the
+    connector's partitioning contract); the projection is Spark-side
+    (the JVM connector would push it into the aggregation pipeline);
+    zero shuffles end to end."""
+    import os
+
+    from .. import tmpdirs
+    from . import views
+
+    root = tmpdirs.claim("mongo_fixture", "mongo_fixture_")
+    coll_dir = os.path.join(
+        root, MONGO_FIXTURE_DB, MONGO_FIXTURE_COLLECTION
+    )
+    docs = views.extensions(spark, sf_dir).withColumn(
+        "_id",
+        F.md5(
+            F.concat(F.lit("oid:"), F.col("loan_id").cast("string"))
+        ).substr(1, 24),
+    )
+    docs.repartition(MONGO_FIXTURE_SPLITS).write.mode("overwrite").parquet(
+        coll_dir
+    )
+    register_mongo_fixture(spark, root)
+    raw = read_mongo_collection(
+        spark,
+        "mongodb://localhost:27017",
+        MONGO_FIXTURE_DB,
+        MONGO_FIXTURE_COLLECTION,
+    ).load()
+    return extension_projection(raw)

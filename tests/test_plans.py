@@ -133,6 +133,7 @@ SHUFFLE_BUDGET = {
     "small_file_compaction": 1,
     # two written sides read back, one single-row agg each + union
     "dq_quarantine_split": 2,
+    "mongo_extension_scan": 0,
     # all work happens inside the builder's foreachBatch stream; the
     # returned frame is a plain read of the appended result parquet
     "stream_incremental_dedup": 0,

@@ -330,3 +330,43 @@ def test_stream_python_datasource_restart_resumes_offsets(spark, tmp_path):
         .collect()
     }
     assert second == {0: 8, 1: 8, 2: 8}
+
+
+def test_mongo_fixture_end_to_end(spark):
+    """S2 live-path parity (r5 verdict #8): the UNCHANGED production
+    reader — format('mongodb') + URI/database/collection options →
+    .load() — must execute end-to-end against the fixture DataSource:
+    one task per chunk split, `_id` present on the raw read (as the
+    connector surfaces it), suppressed by `extension_projection`, and
+    the projected rows identical to the extensions view they
+    materialize."""
+    from etl_portfolio_project_spark import tmpdirs
+    from etl_portfolio_project_spark.sources import views
+
+    out = mongo.mongo_extension_scan(spark, SF_SMALL)
+    # raw read (re-issued through the registered fixture): _id present
+    raw = mongo.read_mongo_collection(
+        spark,
+        "mongodb://localhost:27017",
+        mongo.MONGO_FIXTURE_DB,
+        mongo.MONGO_FIXTURE_COLLECTION,
+    ).load()
+    assert "_id" in raw.columns
+    assert raw.rdd.getNumPartitions() == mongo.MONGO_FIXTURE_SPLITS
+    ids = [r._id for r in raw.select("_id").limit(5).collect()]
+    assert all(len(x) == 24 for x in ids)  # ObjectId-shaped
+    # projection suppresses _id and matches the source view exactly
+    assert out.columns == mongo.EXTENSION_FIELDS
+    got = sorted(map(tuple, out.collect()))
+    exp = sorted(map(tuple, views.extensions(spark, SF_SMALL).collect()))
+    assert got == exp and len(got) > 0
+    # a bad URI must be rejected by the contract check
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with _pytest.raises((Py4JJavaError, PySparkException, Exception)):
+        mongo.read_mongo_collection(
+            spark, "http://wrong", mongo.MONGO_FIXTURE_DB,
+            mongo.MONGO_FIXTURE_COLLECTION,
+        ).load().collect()
