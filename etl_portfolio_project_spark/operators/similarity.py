@@ -242,7 +242,16 @@ WHERE {dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {NEARDUP_TAU}
 #: smaller buckets → candidate pairs ∝ Σ|bucket|² stays bounded);
 #: 2 tables give a second chance to pairs split by one table's planes
 NEARDUP_LSH_TABLES = 2
-NEARDUP_LSH_BITS = 10
+NEARDUP_LSH_BITS = 10  # code-length FLOOR (the harness-SF value)
+#: ADAPTIVE code length (r6, SCALING.md finding 4): with a fixed bit
+#: count, per-bucket occupancy E|bucket| = n/2^bits grows ∝ n and
+#: candidates ∝ Σ|bucket|² grow ∝ n² (measured 103× at 10× vecs).
+#: The code length therefore follows an INTEGER LADDER of the corpus
+#: size — bits = the smallest b ≥ 10 with 2^(b+1) ≥ n, capped at
+#: MAX_BITS — keeping E|bucket| ∈ (1, 2] and candidates ∝ n. At
+#: harness SFs (n ≤ 2048) the ladder sits at the floor, so results
+#: are bit-identical to the fixed-10-bit form.
+NEARDUP_LSH_MAX_BITS = 20
 _rng_nd = random.Random(43)
 NEARDUP_LSH_PLANES: list[list[list[float]]] = [
     [
@@ -251,27 +260,63 @@ NEARDUP_LSH_PLANES: list[list[list[float]]] = [
     ]
     for _ in range(NEARDUP_LSH_TABLES)
 ]
+# extension planes (bits 10..19) drawn from a SEPARATE seed so the
+# first 10 planes per table stay bit-identical to the pre-adaptive
+# form (the original rng sequence allocated exactly 2×10×64 draws)
+_rng_nd_ext = random.Random(44)
+for _t in NEARDUP_LSH_PLANES:
+    _t.extend(
+        [_rng_nd_ext.uniform(-1.0, 1.0) for _ in range(DIM)]
+        for _ in range(NEARDUP_LSH_MAX_BITS - NEARDUP_LSH_BITS)
+    )
+
+
+def neardup_lsh_bits(n: int) -> int:
+    """Code length for an n-vector corpus: the smallest b ≥
+    NEARDUP_LSH_BITS with 2^(b+1) ≥ n (capped at MAX_BITS) — an
+    integer ladder (no floor(log2): CLAUDE.md portability rule), the
+    same thresholds the oracle's generated CASE uses."""
+    bits = NEARDUP_LSH_BITS
+    while bits < NEARDUP_LSH_MAX_BITS and (1 << (bits + 1)) < n:
+        bits += 1
+    return bits
+
+
+#: the oracle's mirror of `neardup_lsh_bits` as a generated CASE over
+#: count(*) — identical thresholds, so both engines pick the same b
+NEARDUP_BITS_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN count(*) > {1 << b} THEN {b}"
+        for b in range(NEARDUP_LSH_MAX_BITS, NEARDUP_LSH_BITS, -1)
+    )
+    + f" ELSE {NEARDUP_LSH_BITS} END"
+)
 
 
 def embedding_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, LSH-BUCKETED — the 100 TB-safe form
     of `embedding_neardup_pairs`: candidate pairs must share a full
-    10-sign-bit bucket in one of 2 hyperplane tables (so the pair
-    space is Σ_buckets |bucket|² with E|bucket| = n/1024 per table,
-    vs the label-blocked variant's O(n²/|labels|)). With a FIXED code
-    length the per-bucket occupancy still grows ∝ n (measured 103×
-    candidates at 10× vecs — SCALING.md #4); at production scale the
-    bit count grows with log₂(n) (keeps E|bucket| constant) and/or
-    bucketing runs within coarse IVF cells. Exact
-    cosine then verifies candidates at the same τ. Deterministic
-    seeded hyperplanes → reproducible output; recall vs the exact
-    variant is the documented LSH trade-off (sign-LSH collision
-    probability 1−θ/π per bit).
+    sign-bit bucket in one of 2 hyperplane tables, with the code
+    length ADAPTIVE to the corpus (`neardup_lsh_bits`: the log₂(n)
+    ladder, floor 10, cap 20 — r6, closing SCALING.md finding 4).
+    E|bucket| = n/2^bits stays in (1, 2], so candidates ∝ Σ|bucket|²
+    grow ∝ n instead of the measured 103× at 10× under a fixed code;
+    at harness SFs the ladder sits at the floor and results are
+    bit-identical to the fixed-10-bit form. Exact cosine then
+    verifies candidates at the same τ. Deterministic seeded
+    hyperplanes → reproducible output; recall vs the exact variant is
+    the documented LSH trade-off (sign-LSH collision probability
+    1−θ/π per bit, so deeper codes also lower recall — the dial every
+    production near-dup index exposes).
 
     Scale shape: bucketing is a narrow map over the scan (planes are
-    literals = broadcast), candidates come from one equi-join on the
-    short (tbl, bucket) key, verification touches candidates only."""
+    literals = broadcast; only the ladder's bits are in the plan),
+    candidates come from one equi-join on the short (tbl, bucket)
+    key, verification touches candidates only."""
     e = load_table(spark, sf_dir, "embeddings")
+    bits = neardup_lsh_bits(e.count())
+    planes = [t[:bits] for t in NEARDUP_LSH_PLANES]
     base = (
         balanced(e)
         .select("vec_id", _dvec("embedding").alias("vec"))
@@ -279,10 +324,10 @@ def embedding_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # claim + materialize the bucket table: it feeds BOTH sides of the
     # candidate self-join (same rationale as ann_lsh_topk's claimed
-    # index — the 2x10 hyperplane folds otherwise run once per branch)
+    # index — the 2×bits hyperplane folds otherwise run once per branch)
     bb = caches.claim(
         "neardup_lsh_bb",
-        _with_buckets(base, "vec", "vec_id", NEARDUP_LSH_PLANES),
+        _with_buckets(base, "vec", "vec_id", planes),
     )
     bb.count()
     a = bb.select(
@@ -656,13 +701,47 @@ SELECT query_id, vec_id, cosine, rank FROM (
 """
 
 
+def _table_bucket_msb_sql(vec: str, table: int, planes: list) -> str:
+    """Full MAX_BITS sign code of `vec` in `table`, MSB-FIRST (plane i
+    contributes 2^(len-1-i)) — so `code >> (MAX_BITS - b)` keeps
+    exactly the first b planes' bits. The bucket is a join key only
+    (never output), so its encoding need not match the Spark side's
+    LSB-first sum — both are bijections of the same sign vector and
+    partition rows identically."""
+    n = len(planes[table])
+    terms = []
+    for i in range(n):
+        plane = planes[table][i]
+        prods = [
+            f"CAST({vec}[{j + 1}] AS DOUBLE) * CAST('{plane[j]!r}' AS DOUBLE)"
+            for j in range(DIM)
+        ]
+        proj = "(0.0 + " + " + ".join(prods) + ")"
+        terms.append(
+            f"CASE WHEN {proj} >= 0 THEN CAST({2 ** (n - 1 - i)} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_ND_BUCKETS_FROM = "UNNEST([" + ", ".join(
+    f"{{'tbl': {t}, 'bucket': "
+    + _table_bucket_msb_sql("embedding", t, NEARDUP_LSH_PLANES)
+    + "}"
+    for t in range(NEARDUP_LSH_TABLES)
+) + "]) AS u(tb)"
+
 EMBEDDING_LSH_NEARDUP_PAIRS_SQL = f"""
 WITH base AS (
   SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm FROM embeddings
 ),
+nb AS (
+  SELECT {NEARDUP_BITS_CASE_SQL} AS b FROM embeddings
+),
 bb AS (
-  SELECT vec_id, tb.tbl AS tbl, tb.bucket AS bucket
-  FROM embeddings, {_buckets_cte_sql('embedding', NEARDUP_LSH_PLANES)}
+  SELECT vec_id, tb.tbl AS tbl,
+         tb.bucket >> ({NEARDUP_LSH_MAX_BITS} - nb.b) AS bucket
+  FROM embeddings, nb, {_ND_BUCKETS_FROM}
 ),
 candidates AS (
   SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
@@ -935,10 +1014,13 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ε-ball around its representative — a chain can never glue two
     far points into one cluster — and members that fall outside the
     ball revert to KEPT (SemDeDup re-clusters them recursively; one
-    level is the documented approximation). Measured at sf1e: max
-    cluster 474 / 20,000 (2.4 % — the rep's ball) vs 19,550 / 98 %
-    unguarded; at harness densities the guard is a no-op (29 / 255
-    clusters at sf0.01 / sf0.1, identical to the unguarded form).
+    level is the documented approximation). Measured at sf1e: the
+    ε-ball alone caps the max cluster at 474 / 20,000 (2.4 %) vs
+    19,550 / 98 % unguarded; composed with the adaptive LSH code
+    length (`neardup_lsh_bits`, r6) the sf1e output is 2,822
+    clusters with max size 8. At harness densities both guards are
+    no-ops (29 / 255 clusters at sf0.01 / sf0.1, identical to the
+    unguarded form).
 
     Scale shape: inherits the LSH-bucketed candidate bound (pair space
     = Σ_buckets |bucket|², never n²) and the counted CC finish
