@@ -481,6 +481,21 @@ _EXTENSIONS = [
      S.EMBEDDING_NORM_OUTLIERS_SQL,
      "Embedding QA: norm outliers vs the rank-selected median norm "
      "(degenerate-vector gate before cosine pipelines) (r5)."),
+    ("embedding_covariance_stats", S.embedding_covariance_stats,
+     S.EMBEDDING_COVARIANCE_STATS_SQL,
+     "Cross-dimension exact quantized second moments (upper triangle) "
+     "— the whitening/PCA/ZCA sufficient statistics; narrow pair "
+     "expansion + ONE shuffle on the 2,080-value (d1,d2) key (r6)."),
+    ("embedding_matryoshka_recall", S.embedding_matryoshka_recall,
+     S.EMBEDDING_MATRYOSHKA_RECALL_SQL,
+     "Matryoshka truncation audit: per-query overlap@K between full-"
+     "and prefix-dim exact top-K — the recall number behind serving "
+     "truncated embeddings (r6)."),
+    ("ann_ivfpq_topk", S.ann_ivfpq_topk, S.ANN_IVFPQ_TOPK_SQL,
+     "IVF-PQ search (FAISS IndexIVFPQ shape): coarse-cell probe routes "
+     "each query to NPROBE cells, ADC over PQ codes scores only the "
+     "probed slice — composes _ivf_quantized + embedding_pq_codes "
+     "(r6)."),
     ("simhash_pairs", D.simhash_pairs, D.SIMHASH_PAIRS_SQL,
      "48-bit SimHash signatures + Hamming-distance pairs."),
     ("winnow_neardup", D.winnow_neardup, D.WINNOW_NEARDUP_SQL,

@@ -997,3 +997,133 @@ def test_query_subset_is_fixed_size_and_prefix_stable(spark):
     # harness SFs sit under the bound → the cap is a no-op there
     n_harness = 2000  # sf0.1 embeddings row count
     assert n_harness <= S.QUERY_ID_BOUND and n_harness <= S.IVF_ID_BOUND
+
+
+def test_embedding_covariance_stats_matches_numpy(spark):
+    """Independent recompute: quantized per-pair sums and the derived
+    covariance must equal a numpy re-derivation over the raw vectors."""
+    import numpy as np
+
+    rows = {
+        (r.d1, r.d2): r
+        for r in S.embedding_covariance_stats(spark, SF_SMALL).collect()
+    }
+    vecs = np.array(
+        [
+            [float(x) for x in r.embedding]
+            for r in spark.read.parquet(
+                f"{SF_SMALL}/embeddings.parquet"
+            ).collect()
+        ]
+    )
+    q = np.floor(vecs * S.COV_Q + 0.5).astype(np.int64)
+    n, dim = q.shape
+    assert len(rows) == dim * (dim + 1) // 2
+    for d1, d2 in [(0, 0), (0, 1), (7, 23), (13, 13), (62, 63)]:
+        r = rows[(d1, d2)]
+        assert r.n_vecs == n
+        assert r.q1_sum == int(q[:, d1].sum())
+        assert r.q2_sum == int(q[:, d2].sum())
+        assert r.qprod_sum == int((q[:, d1] * q[:, d2]).sum())
+        exp_cov = (
+            r.qprod_sum / n - (r.q1_sum / n) * (r.q2_sum / n)
+        ) / (S.COV_Q * S.COV_Q)
+        assert r.cov == exp_cov
+    # sanity: diagonal entries are variances (non-negative)
+    for d in range(dim):
+        r = rows[(d, d)]
+        assert r.cov >= -1e-12
+
+
+def test_embedding_matryoshka_recall_matches_numpy(spark):
+    """Independent recompute: full-dim and prefix-dim exact top-K
+    overlap per query, with the operator's (cos desc, vec_id) ties."""
+    import numpy as np
+
+    got = {
+        r.query_id: (r.n_overlap, r.recall_at_k)
+        for r in S.embedding_matryoshka_recall(spark, SF_SMALL).collect()
+    }
+    recs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in recs])
+    vecs = np.array([[float(x) for x in r.embedding] for r in recs])
+
+    def topk(qi, d):
+        v = vecs[:, :d]
+        nr = v / np.linalg.norm(v, axis=1, keepdims=True)
+        cos = nr @ nr[qi]
+        cand = [
+            (-cos[x], int(ids[x])) for x in range(len(ids)) if x != qi
+        ]
+        cand.sort()
+        return {vid for _, vid in cand[: S.TOP_K]}
+
+    qids = [
+        i
+        for i in range(len(ids))
+        if ids[i] % S.QUERY_MOD == 0 and ids[i] < S.QUERY_ID_BOUND
+    ]
+    assert set(got) == {int(ids[i]) for i in qids}
+    for qi in qids:
+        full = topk(qi, vecs.shape[1])
+        trunc = topk(qi, S.MRL_DIM)
+        overlap = len(full & trunc)
+        n_ov, rec = got[int(ids[qi])]
+        assert n_ov == overlap and rec == overlap / S.TOP_K
+
+
+def test_ann_ivfpq_matches_ivf_route_plus_adc(spark):
+    """Composition check: IVF-PQ's result per query must equal
+    'restrict ADC scoring to the IVF-probed cells' recomputed with
+    numpy (cells by exact cosine argmax, codes by exact subspace
+    argmin — the same rules the two graded sources implement)."""
+    import numpy as np
+
+    from etl_portfolio_project_spark import caches
+
+    try:
+        got = {
+            (r.query_id, r.rank): (r.vec_id, r.adc_dist)
+            for r in S.ann_ivfpq_topk(spark, SF_SMALL).collect()
+        }
+    finally:
+        caches.release_all()
+    recs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in recs])
+    vecs = np.array([[float(x) for x in r.embedding] for r in recs])
+    nr = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cent_mask = (ids % S.IVF_MOD == S.IVF_OFF) & (ids < S.IVF_ID_BOUND)
+    cids, cvecs = ids[cent_mask], nr[cent_mask]
+    sims = nr @ cvecs.T  # cosine to each cell centroid
+    order = np.lexsort((cids[None, :].repeat(len(ids), 0), -sims), axis=1)
+    assigned = cids[order[:, 0]]
+    pq_mask = ids % S.PQ_MOD == S.PQ_OFF
+    pqids, pqvecs = ids[pq_mask], vecs[pq_mask]
+    m_codes = []
+    for m in range(S.PQ_M):
+        sl = slice(m * S.PQ_SUB, (m + 1) * S.PQ_SUB)
+        d = ((vecs[:, None, sl] - pqvecs[None, :, sl]) ** 2).sum(axis=2)
+        o = np.lexsort((pqids[None, :].repeat(len(ids), 0), d), axis=1)
+        m_codes.append(pqids[o[:, 0]])
+    expected = {}
+    for qi in range(len(ids)):
+        if not (ids[qi] % S.QUERY_MOD == 0 and ids[qi] < S.QUERY_ID_BOUND):
+            continue
+        probed = set(cids[order[qi, : S.IVF_NPROBE]])
+        lut = {}
+        for m in range(S.PQ_M):
+            sl = slice(m * S.PQ_SUB, (m + 1) * S.PQ_SUB)
+            for ci, cid in enumerate(pqids):
+                lut[(m, cid)] = float(
+                    ((vecs[qi, sl] - pqvecs[ci, sl]) ** 2).sum()
+                )
+        cand = []
+        for xi in range(len(ids)):
+            if ids[xi] == ids[qi] or assigned[xi] not in probed:
+                continue
+            dist = sum(lut[(m, m_codes[m][xi])] for m in range(S.PQ_M))
+            cand.append((dist, int(ids[xi])))
+        cand.sort()
+        for rank, (dist, vid) in enumerate(cand[: S.TOP_K], 1):
+            expected[(int(ids[qi]), rank)] = vid
+    assert {k: v[0] for k, v in got.items()} == expected

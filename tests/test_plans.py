@@ -134,6 +134,9 @@ SHUFFLE_BUDGET = {
     # two written sides read back, one single-row agg each + union
     "dq_quarantine_split": 2,
     "mongo_extension_scan": 0,
+    "embedding_covariance_stats": 2,
+    "embedding_matryoshka_recall": 3,
+    "ann_ivfpq_topk": 5,
     # all work happens inside the builder's foreachBatch stream; the
     # returned frame is a plain read of the appended result parquet
     "stream_incremental_dedup": 0,
