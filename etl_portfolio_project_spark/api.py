@@ -496,6 +496,10 @@ _EXTENSIONS = [
      "each query to NPROBE cells, ADC over PQ codes scores only the "
      "probed slice — composes _ivf_quantized + embedding_pq_codes "
      "(r6)."),
+    ("kmeans_lloyd_loop", S.kmeans_lloyd_loop, S.KMEANS_LLOYD_LOOP_SQL,
+     "Counted 2-iteration Lloyd loop (assign + centroid update) from "
+     "the label seed: per-iteration n_changed, exact order-free "
+     "quantized inertia, live-cluster count (r6)."),
     ("simhash_pairs", D.simhash_pairs, D.SIMHASH_PAIRS_SQL,
      "48-bit SimHash signatures + Hamming-distance pairs."),
     ("winnow_neardup", D.winnow_neardup, D.WINNOW_NEARDUP_SQL,

@@ -1856,6 +1856,194 @@ GROUP BY old_label, new_label
 """
 
 
+# --- full Lloyd loop (assign + update, KM_ITERS iterations) -----------------
+
+KM_ITERS = 2  # counted driver loop (the bpe_merge_loop pattern)
+#: inertia quantization: q = floor(d2·1e6 + 0.5) — an ORDER-FREE exact
+#: BIGINT sum (unlike the per-group ordered fold, whose state grows
+#: with group size); d2 ≤ ~10² ⇒ q ≤ 10⁸ ⇒ holds ~10¹⁰ rows in BIGINT
+KM_INERTIA_Q = 1_000_000
+
+
+def kmeans_lloyd_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL Lloyd iterations — the iterative-clustering loop that
+    `kmeans_assignment_step` is one step of (the `bpe_merge_loop`
+    pattern: a real counted driver loop, each round's output feeding
+    the next round's model): starting from the label seed, each of
+    KM_ITERS iterations recomputes centroids from the CURRENT
+    assignment (deterministic vec_id-ordered component folds) and
+    reassigns every vector by squared L2 (ties → smaller centroid
+    label). Output: one row per iteration — n_changed (vectors that
+    switched cluster), exact quantized inertia (BIGINT, order-free),
+    its double view, and the live-cluster count; n_changed falling
+    and inertia non-increasing per iteration is Lloyd's convergence
+    signature, asserted in tests.
+
+    Numeric portability: centroid components are vec_id-ordered folds
+    ÷ exact counts (bit-identical to the oracle's list_reduce); each
+    distance is one left-associative fold; global inertia is an
+    ORDER-FREE exact-integer sum over q = floor(d2·1e6 + 0.5) —
+    unlike a per-group ordered fold, it carries no per-group state,
+    so the loop summary is 100 TB-safe.
+
+    Scale shape per iteration: one posexplode + (k·DIM)-key partial
+    agg for centroids, one broadcast of k·DIM doubles, one narrow
+    k-way distance map, one vec_id-keyed struct-min groupBy (map-side
+    k→1 reduction — kmeans_assignment_step's rationale), one
+    single-row stats agg. The assignment is cache-claimed per
+    iteration so the chain never replans upstream."""
+    base = balanced(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _dvec("embedding").alias("vec"), "label"
+    )
+    cur = caches.claim(
+        "km_loop_0",
+        base.select(
+            "vec_id", "vec", F.col("label").cast("long").alias("cur")
+        ),
+    )
+    stats = []
+    for it in range(1, KM_ITERS + 1):
+        pe = cur.select(
+            "vec_id", "cur", F.posexplode("vec").alias("dim", "v")
+        )
+        ordered_mean = F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(vec_id, "
+            "v))), s -> s.v), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ) / F.count(F.lit(1))
+        cent = (
+            pe.groupBy("cur", "dim")
+            .agg(ordered_mean.alias("mc"))
+            .groupBy(F.col("cur").alias("clabel"))
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, mc))), "
+                    "s -> s.mc)"
+                ).alias("cvec")
+            )
+        )
+        scored = cur.crossJoin(F.broadcast(cent)).withColumn(
+            "d2", F.expr(_sqdist_spark_sql("vec", "cvec"))
+        )
+        m = F.min(
+            F.struct(
+                F.col("d2"), F.col("clabel"), F.col("cur"), F.col("vec")
+            )
+        ).alias("m")
+        nxt = caches.claim(
+            f"km_loop_{it}",
+            scored.groupBy("vec_id")
+            .agg(m)
+            .select(
+                "vec_id",
+                F.col("m.vec").alias("vec"),
+                F.col("m.clabel").alias("cur"),
+                F.col("m.cur").alias("prev"),
+                F.col("m.d2").alias("d2"),
+            ),
+        )
+        stats.append(
+            nxt.agg(
+                F.lit(it).cast("int").alias("iter"),
+                F.sum(
+                    F.expr("CASE WHEN cur <> prev THEN 1 ELSE 0 END")
+                )
+                .cast("long")
+                .alias("n_changed"),
+                F.sum(
+                    F.expr(
+                        "CAST(floor(d2 * CAST("
+                        f"{KM_INERTIA_Q} AS DOUBLE) + 0.5) AS BIGINT)"
+                    )
+                )
+                .cast("long")
+                .alias("inertia_q"),
+                F.countDistinct("cur").cast("long").alias("n_clusters"),
+            ).select(
+                "iter",
+                "n_changed",
+                "inertia_q",
+                F.expr(
+                    "CAST(inertia_q AS DOUBLE) / CAST("
+                    f"{KM_INERTIA_Q} AS DOUBLE)"
+                ).alias("inertia"),
+                "n_clusters",
+            )
+        )
+        cur = nxt.select("vec_id", "vec", "cur")
+    out = stats[0]
+    for s_df in stats[1:]:
+        out = out.unionByName(s_df)
+    return out
+
+
+def _build_kmeans_loop_sql() -> str:
+    """Unrolled Lloyd chain: assign0 = label; per iteration,
+    centroids from assign{i-1}, argmin reassignment, one stats
+    row (UNION ALL of the per-iteration summaries)."""
+    ctes = [
+        f"""pe AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(g.i - 1 AS INTEGER) AS dim,
+         CAST(embedding[g.i] AS DOUBLE) AS v
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i) g
+)""",
+        "a0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cur "
+        "FROM embeddings)",
+    ]
+    d2 = _sqdist_duck_sql("b.embedding", "c.cvec")
+    for it in range(1, KM_ITERS + 1):
+        p = it - 1
+        ctes.append(
+            f"""cent{it} AS MATERIALIZED (
+  SELECT cur AS clabel, list(mc ORDER BY dim) AS cvec FROM (
+    SELECT a.cur, pe.dim,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(pe.v ORDER BY pe.vec_id)),
+                       (x, y) -> x + y) / count(*) AS mc
+    FROM pe JOIN a{p} a ON a.vec_id = pe.vec_id
+    GROUP BY a.cur, pe.dim
+  ) GROUP BY cur
+)"""
+        )
+        ctes.append(
+            f"""s{it} AS MATERIALIZED (
+  SELECT vec_id, prev, clabel, d2 FROM (
+    SELECT a.vec_id, a.cur AS prev, c.clabel, {d2} AS d2,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {d2}, c.clabel) AS rn
+    FROM a{p} a
+    JOIN embeddings b ON b.vec_id = a.vec_id
+    CROSS JOIN cent{it} c
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, clabel AS cur FROM s{it})"
+        )
+        ctes.append(
+            f"""st{it} AS (
+  SELECT CAST({it} AS INTEGER) AS iter,
+         CAST(sum(CASE WHEN clabel <> prev THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changed,
+         CAST(sum(CAST(floor(d2 * CAST({KM_INERTIA_Q} AS DOUBLE) + 0.5)
+                       AS BIGINT)) AS BIGINT) AS inertia_q,
+         CAST(count(DISTINCT clabel) AS BIGINT) AS n_clusters
+  FROM s{it}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT iter, n_changed, inertia_q, "
+        f"CAST(inertia_q AS DOUBLE) / CAST({KM_INERTIA_Q} AS DOUBLE) "
+        f"AS inertia, n_clusters FROM st{it}"
+        for it in range(1, KM_ITERS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+KMEANS_LLOYD_LOOP_SQL = _build_kmeans_loop_sql()
+
+
 # --- per-dimension embedding profile (dead-dim / anisotropy QA) -------------
 
 #: dims planted constant-zero in-query (synthesize → process → verify)

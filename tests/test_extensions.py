@@ -1127,3 +1127,53 @@ def test_ann_ivfpq_matches_ivf_route_plus_adc(spark):
         for rank, (dist, vid) in enumerate(cand[: S.TOP_K], 1):
             expected[(int(ids[qi]), rank)] = vid
     assert {k: v[0] for k, v in got.items()} == expected
+
+
+def test_kmeans_lloyd_loop_descends(spark):
+    """Lloyd's convergence signature: across the counted iterations,
+    quantized inertia is non-increasing and n_changed non-increasing;
+    iteration 1 must equal an independent numpy Lloyd step from the
+    label seed (same ordered-mean centroids, same (d2, label) ties)."""
+    import numpy as np
+
+    from etl_portfolio_project_spark import caches
+
+    try:
+        rows = sorted(
+            S.kmeans_lloyd_loop(spark, SF_SMALL).collect(),
+            key=lambda r: r.iter,
+        )
+    finally:
+        caches.release_all()
+    assert [r.iter for r in rows] == list(range(1, S.KM_ITERS + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert b.inertia_q <= a.inertia_q
+        assert b.n_changed <= a.n_changed
+    for r in rows:
+        assert r.inertia == r.inertia_q / S.KM_INERTIA_Q
+
+    recs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in recs])
+    order = np.argsort(ids)
+    vecs = np.array([[float(x) for x in r.embedding] for r in recs])[order]
+    labs = np.array([r.label for r in recs])[order]
+    cents = {}
+    for lb in np.unique(labs):
+        m = vecs[labs == lb]
+        # vec_id-ordered left fold per component (rows already sorted)
+        acc = np.zeros(vecs.shape[1])
+        for row in m:
+            acc = acc + row
+        cents[int(lb)] = acc / len(m)
+    n_changed = 0
+    inertia_q = 0
+    for xi in range(len(ids)):
+        best = min(
+            (float(((vecs[xi] - c) ** 2).sum()), lb)
+            for lb, c in sorted(cents.items())
+        )
+        d2, new_lb = best
+        n_changed += int(new_lb != labs[xi])
+        inertia_q += int(np.floor(d2 * S.KM_INERTIA_Q + 0.5))
+    assert rows[0].n_changed == n_changed
+    assert rows[0].inertia_q == inertia_q

@@ -137,6 +137,7 @@ SHUFFLE_BUDGET = {
     "embedding_covariance_stats": 2,
     "embedding_matryoshka_recall": 3,
     "ann_ivfpq_topk": 5,
+    "kmeans_lloyd_loop": 11,
     # all work happens inside the builder's foreachBatch stream; the
     # returned frame is a plain read of the appended result parquet
     "stream_incremental_dedup": 0,
