@@ -774,9 +774,20 @@ def probe_r6_caps(spark, sf_dir: str, label: str) -> dict:
         ("hardneg", similarity.contrastive_hard_negatives),
         ("recall_audit", similarity.ann_lsh_recall_audit),
         ("adc", similarity.ann_pq_adc_topk),
+        # r6-new operators (fixed-size sets / constant output by design)
+        ("ivfpq", similarity.ann_ivfpq_topk),
+        ("covariance", similarity.embedding_covariance_stats),
+        ("matryoshka", similarity.embedding_matryoshka_recall),
+        ("lloyd_loop", similarity.kmeans_lloyd_loop),
     ]:
         _, r[f"{name}_secs"] = timed(lambda fn=fn: fn(spark, sf_dir).count())
         caches.release_all()
+    # adaptive near-dup code length (finding 4 fix): bits + candidates
+    r["nd_bits"] = similarity.neardup_lsh_bits(r["n_vec"])
+    _, r["nd_pairs_secs"] = timed(
+        lambda: similarity.embedding_lsh_neardup_pairs(spark, sf_dir).count()
+    )
+    caches.release_all()
     return r
 
 
