@@ -383,16 +383,48 @@ def emit_regrade(base: str | None) -> int:
         return 2
 
     queries = sorted(queries, key=lambda n: (tier(n), order[n]))
+    carried: list[str] = []
+    if "--carry-prior" in sys.argv:
+        # Union in the PRIOR round's regrade queue minus what the
+        # latest grading actually covered: the 50-slot window can
+        # leave queued regrades ungraded for a round, and a fresh
+        # --emit-regrade (whose base is the newest grading commit)
+        # would silently DROP them — their greens would stay stale
+        # forever. The leftovers rank after this round's own changes
+        # (they have waited a round already and their code is older).
+        prior_commit = last_grading_commit()
+        try:
+            prior = json.loads(
+                _git("show", f"{prior_commit}:REGRADE.json")
+            ).get("queries", [])
+        except subprocess.CalledProcessError:
+            prior = []
+        latest = sorted(
+            glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))
+        )
+        graded_latest: set[str] = set()
+        if latest:
+            with open(latest[-1]) as f:
+                graded_latest = set(json.load(f))
+        carried = [
+            n for n in prior
+            if n in api.REGISTRY
+            and n not in graded_latest
+            and n not in queries
+        ]
+        queries = queries + carried
     payload = {
         "base": base,
         "changed_files": files,
         "infra_changed": infra,
         "queries": queries,
+        "carried_from_prior": carried,
         "direct_material": sorted(
             (direct & material), key=order.__getitem__
         ),
         "cosmetic_only": sorted(
-            (set(queries) - material), key=order.__getitem__
+            (set(queries) - material - set(carried)),
+            key=order.__getitem__,
         ),
     }
     out = os.path.join(_REPO, "REGRADE.json")
