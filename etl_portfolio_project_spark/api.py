@@ -276,6 +276,15 @@ def connectivity_diagnostics(spark: SparkSession) -> DataFrame:
 
 
 register(
+    "entity_resolution_parts",
+    fuzzy.ENTITY_RESOLUTION_PARTS_SQL,
+    doc="Entity resolution (record linkage): synthesized noisy catalog "
+    "entries resolved to canonical parts via prefix/suffix blocking + "
+    "levenshtein verify + per-entry best match — the F1 fuzzy theme "
+    "re-expressed as a blocked JOIN (r6).",
+)(fuzzy.entity_resolution_parts)
+
+register(
     "mongo_extension_scan",
     "SELECT loan_id, product_type, emi_collected FROM ("
     + views.EXTENSIONS_SQL

@@ -288,3 +288,184 @@ def clean_region_wratio_via_distinct(
     Python-side cost is O(|distinct|) — the fact table never reaches a
     Python worker."""
     return clean_region_via_distinct(df, col, out, cleaner=_wratio_udf())
+
+
+# --- entity resolution: blocked fuzzy record-linkage join -------------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from ..sources.registry import load_table  # noqa: E402
+
+#: dirty-entry noise rotation is keyed by p_partkey; entries with
+#: key % 8 >= ER_DIRTY_MOD are not extracted (the dirty side is a
+#: subset, as an external catalog would be)
+ER_DIRTY_MOD = 4
+ER_MAX_ED = 2  # match threshold (levenshtein)
+ER_BLOCK = 4  # blocking prefix/suffix length
+ER_ID_OFFSET = 700_000_000
+
+
+def _er_dirty_name_sql(n: str, k: str) -> str:
+    """Deterministic noise over the part name, identical text in Spark
+    SQL and DuckDB: 4-way rotation on the source key — one char
+    substitution (ed ≤ 1), two substitutions (ed ≤ 2), first-word drop
+    (ed > threshold → must stay UNMATCHED), exact copy (ed = 0).
+    Positions are length-guarded (p1 ∈ [2, 6] ≤ min name length; p2
+    may exceed the length, where both engines' substr degrade to an
+    append — same string either way)."""
+    p1 = f"(2 + CAST({k} % 5 AS INT))"
+    p2 = f"greatest({p1} + 2, length({n}) - CAST({k} % 5 AS INT))"
+    one = (
+        f"concat(substr({n}, 1, {p1} - 1), 'x', substr({n}, {p1} + 1))"
+    )
+    two = (
+        f"concat(substr({one}, 1, {p2} - 1), 'x', substr({one}, {p2} + 1))"
+    )
+    drop = f"substr({n}, instr({n}, ' ') + 1)"
+    return (
+        f"CASE WHEN {k} % 4 = 0 THEN {one} "
+        f"WHEN {k} % 4 = 1 THEN {two} "
+        f"WHEN {k} % 4 = 2 THEN {drop} "
+        f"ELSE {n} END"
+    )
+
+
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION (record linkage) — the dedup-adjacent join
+    every multi-source pipeline needs: noisy external catalog entries
+    are resolved to canonical parts by BLOCKED fuzzy matching. The
+    harness has no dirty catalog, so the op SYNTHESIZES one from the
+    part table (the PII/WAV synthesize → process → verify strategy):
+    a 4-way deterministic noise rotation produces typo'd (ed ≤ 2),
+    heavily-mangled (first word dropped — must stay unmatched), and
+    exact entries, so the threshold provably gates in BOTH directions
+    on any corpus.
+
+    Matching runs against the DISTINCT canonical name side (the F1
+    `clean_region_via_distinct` lever — name cardinality ≪ rows):
+    candidates must share a 4-char name PREFIX or SUFFIX block (two
+    OR'd equi-joins, the AND-OR LSH idea on strings — never a
+    cartesian product), are verified by `levenshtein ≤ ER_MAX_ED`
+    (built-in, JVM-side in Spark — the reference's rapidfuzz concern
+    F1 re-expressed as a JOIN), and each dirty entry keeps its best
+    match by (edit_distance, canonical name, part key).
+
+    Blocking recall is the documented trade-off: an entry whose noise
+    breaks BOTH blocks is not matched — the oracle applies the same
+    blocks, so the output is still bit-exact (precision is gated by
+    the verify, recall by the blocks — exactly like the LSH dedup
+    family).
+
+    Scale shape: the distinct-name canonical side is tiny (≪ corpus)
+    and broadcast; the two block joins are narrow broadcast hash
+    joins riding the dirty scan; verification touches candidates
+    only; one per-entry top-1 reduction via struct-min groupBy
+    (map-side k→1, the kmeans_assignment_step rationale)."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    dirty = p.where(F.col("p_partkey") % 8 < ER_DIRTY_MOD).select(
+        (F.col("p_partkey") + ER_ID_OFFSET).alias("entry_id"),
+        F.expr(_er_dirty_name_sql("p_name", "p_partkey")).alias(
+            "entry_name"
+        ),
+    )
+    canon = p.groupBy("p_name").agg(
+        F.min("p_partkey").alias("canon_partkey")
+    )
+
+    def blocks(df: DataFrame, col: str, pre: str, suf: str) -> DataFrame:
+        return df.withColumn(
+            pre, F.expr(f"substr({col}, 1, {ER_BLOCK})")
+        ).withColumn(
+            suf,
+            F.expr(f"substr({col}, length({col}) - {ER_BLOCK - 1}, "
+                   f"{ER_BLOCK})"),
+        )
+
+    d = blocks(dirty, "entry_name", "d_pre", "d_suf")
+    c = blocks(canon, "p_name", "c_pre", "c_suf")
+    cand = (
+        d.join(F.broadcast(c), F.col("d_pre") == F.col("c_pre"))
+        .select("entry_id", "entry_name", "p_name", "canon_partkey")
+        .unionByName(
+            d.join(F.broadcast(c), F.col("d_suf") == F.col("c_suf")).select(
+                "entry_id", "entry_name", "p_name", "canon_partkey"
+            )
+        )
+        .distinct()
+    )
+    verified = cand.withColumn(
+        "edit_distance",
+        F.levenshtein(F.col("entry_name"), F.col("p_name")).cast("long"),
+    ).where(F.col("edit_distance") <= ER_MAX_ED)
+    best = (
+        verified.groupBy("entry_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("edit_distance"),
+                    F.col("p_name"),
+                    F.col("canon_partkey"),
+                    F.col("entry_name"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "entry_id",
+            F.col("m.entry_name").alias("entry_name"),
+            F.col("m.canon_partkey").alias("canon_partkey"),
+            F.col("m.p_name").alias("canonical_name"),
+            F.col("m.edit_distance").alias("edit_distance"),
+        )
+    )
+    return best
+
+
+ENTITY_RESOLUTION_PARTS_SQL = f"""
+WITH dirty AS (
+  SELECT p_partkey + {ER_ID_OFFSET} AS entry_id,
+         {_er_dirty_name_sql('p_name', 'p_partkey')} AS entry_name
+  FROM part WHERE p_partkey % 8 < {ER_DIRTY_MOD}
+),
+canon AS (
+  SELECT p_name, min(p_partkey) AS canon_partkey
+  FROM part GROUP BY p_name
+),
+d AS (
+  SELECT *, substr(entry_name, 1, {ER_BLOCK}) AS d_pre,
+         substr(entry_name, length(entry_name) - {ER_BLOCK - 1},
+                {ER_BLOCK}) AS d_suf
+  FROM dirty
+),
+c AS (
+  SELECT *, substr(p_name, 1, {ER_BLOCK}) AS c_pre,
+         substr(p_name, length(p_name) - {ER_BLOCK - 1}, {ER_BLOCK})
+           AS c_suf
+  FROM canon
+),
+cand AS (
+  SELECT entry_id, entry_name, p_name, canon_partkey
+  FROM d JOIN c ON d.d_pre = c.c_pre
+  UNION
+  SELECT entry_id, entry_name, p_name, canon_partkey
+  FROM d JOIN c ON d.d_suf = c.c_suf
+),
+verified AS (
+  SELECT *, CAST(levenshtein(entry_name, p_name) AS BIGINT)
+            AS edit_distance
+  FROM cand
+  WHERE levenshtein(entry_name, p_name) <= {ER_MAX_ED}
+),
+best AS (
+  SELECT entry_id, entry_name, canon_partkey,
+         p_name AS canonical_name, edit_distance
+  FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY entry_id
+        ORDER BY edit_distance, p_name, canon_partkey) AS rn
+    FROM verified
+  ) WHERE rn = 1
+)
+SELECT entry_id, entry_name, canon_partkey, canonical_name,
+       edit_distance
+FROM best
+"""

@@ -1177,3 +1177,33 @@ def test_kmeans_lloyd_loop_descends(spark):
         inertia_q += int(np.floor(d2 * S.KM_INERTIA_Q + 0.5))
     assert rows[0].n_changed == n_changed
     assert rows[0].inertia_q == inertia_q
+
+
+def test_entity_resolution_threshold_gates_both_ways(spark):
+    """The verify threshold must gate in BOTH directions on the
+    synthesized noise rotation: single/double-typo and exact entries
+    match their own source name with the designed edit distance; every
+    first-word-drop entry stays UNMATCHED; no match exceeds the
+    threshold; each entry resolves at most once."""
+    from etl_portfolio_project_spark.operators import fuzzy as FZ
+
+    rows = FZ.entity_resolution_parts(spark, SF_SMALL).collect()
+    assert rows
+    assert len({r.entry_id for r in rows}) == len(rows)  # top-1 per entry
+    src = {
+        r.p_partkey: r.p_name
+        for r in spark.read.parquet(f"{SF_SMALL}/part.parquet").collect()
+    }
+    for r in rows:
+        key = r.entry_id - FZ.ER_ID_OFFSET
+        assert r.edit_distance <= FZ.ER_MAX_ED
+        assert key % 4 != 2, "word-drop entry must stay unmatched"
+        if key % 4 == 3:  # exact copies resolve at distance 0 to their name
+            assert r.edit_distance == 0
+            assert r.canonical_name == src[key]
+    # independent recount of the unmatched class
+    drop_keys = {
+        k for k in src if k % 8 < FZ.ER_DIRTY_MOD and k % 4 == 2
+    }
+    matched_keys = {r.entry_id - FZ.ER_ID_OFFSET for r in rows}
+    assert not (drop_keys & matched_keys) and drop_keys

@@ -138,6 +138,7 @@ SHUFFLE_BUDGET = {
     "embedding_matryoshka_recall": 3,
     "ann_ivfpq_topk": 5,
     "kmeans_lloyd_loop": 11,
+    "entity_resolution_parts": 3,
     # all work happens inside the builder's foreachBatch stream; the
     # returned frame is a plain read of the appended result parquet
     "stream_incremental_dedup": 0,
