@@ -1204,6 +1204,15 @@ PQ_M = 4  # subspaces (DIM/PQ_M dims each)
 PQ_SUB = DIM // PQ_M
 PQ_MOD = 100  # codebook: sub-vectors of vecs with vec_id % PQ_MOD ==
 PQ_OFF = 3  # PQ_OFF — deterministic data-derived sample (IVF pattern)
+#: fixed-size codebook (the QUERY_CAP / IVF_CAP pattern, closing the
+#: r5 "production pins k" caveat): without the id bound the codebook
+#: has k = n/PQ_MOD entries, so the per-vector assignment cost n·k is
+#: quadratic in the corpus. The bound admits ≤ PQ_CAP entries — a
+#: no-op at harness SFs (n ≤ PQ_ID_BOUND), constant beyond; production
+#: raises PQ_CAP toward 256 and the two-path carriage below keeps the
+#: PLAN constant-size at any k.
+PQ_CAP = 20
+PQ_ID_BOUND = PQ_MOD * PQ_CAP
 PQ_LITERAL_MAX = 64  # codebook entries embedded as plan literals up to here
 
 
@@ -1260,7 +1269,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's unrolled chain)."""
     e = load_table(spark, sf_dir, "embeddings")
     cents = (
-        e.where(F.col("vec_id") % PQ_MOD == PQ_OFF)
+        e.where(F.expr(f"(vec_id % {PQ_MOD} = {PQ_OFF} AND vec_id < {PQ_ID_BOUND})"))
         .select("vec_id", _dvec("embedding").alias("vec"))
         .collect()
     )
@@ -1296,7 +1305,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is total, so the winner is order-free)
     from .text import bind_once_sql
 
-    cb = e.where(F.col("vec_id") % PQ_MOD == PQ_OFF).agg(
+    cb = e.where(F.expr(f"(vec_id % {PQ_MOD} = {PQ_OFF} AND vec_id < {PQ_ID_BOUND})")).agg(
         F.collect_list(
             F.struct(
                 F.col("vec_id").cast("long").alias("cid"),
@@ -1347,7 +1356,7 @@ WITH base AS (
 ),
 cents AS (
   SELECT vec_id, embedding FROM base
-  WHERE vec_id % {PQ_MOD} = {PQ_OFF}
+  WHERE vec_id % {PQ_MOD} = {PQ_OFF} AND vec_id < {PQ_ID_BOUND}
 ),{','.join(sub_assignments)}
 SELECT base.vec_id AS vec_id,
        sub0.code AS code_1, sub1.code AS code_2,
@@ -2411,19 +2420,19 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k window — the fan-out is |corpus| x |queries| LUT-lookup
     rows, which is ADC's true cost model (adds, not D-dim float
     mults), and at scale the window becomes TakeOrdered per query.
-    CAVEAT (measured + isolated, SCALING.md r5_late): the harness
-    derives BOTH the query set (|Q| = n/25) and the codebook
-    (k = n/100) from the corpus. At the 10x probe: 112 s; pinning
-    |Q| = 20 alone → 93 s (the quadratic fan-out is not the
-    bottleneck at this size); pinning k = 20 as well → 13.9 s. The
-    dominant cost is the corpus-scaled codebook inflating the
-    literal-unrolled assignment expression and the LUT. Production
-    PQ pins k (256 regardless of corpus) and an external query set;
-    at k >= 256 the codebook moves from plan literals to a broadcast
-    table."""
+    HISTORY (measured + isolated, SCALING.md r5_late): the harness
+    originally derived BOTH the query set (|Q| = n/25) and the
+    codebook (k = n/100) from the corpus — 112 s at the 10× probe,
+    isolated to the corpus-scaled codebook. BOTH are now fixed-size
+    (r6: `query_subset_pred` caps |Q| at 80, PQ_ID_BOUND caps k at
+    PQ_CAP=20 — bit-identical at harness SFs), measured 7.8–9.9 s
+    warm at the 10× probe; the residual IS the |corpus| × |Q|
+    LUT-lookup fan-out, i.e. ADC's true cost model. Production raises
+    PQ_CAP toward 256 and the two-path carriage keeps the plan
+    constant-size."""
     e = load_table(spark, sf_dir, "embeddings")
     base = balanced(e).select("vec_id", _dvec("embedding").alias("vec"))
-    cents = base.where(F.col("vec_id") % PQ_MOD == PQ_OFF).select(
+    cents = base.where(F.expr(f"(vec_id % {PQ_MOD} = {PQ_OFF} AND vec_id < {PQ_ID_BOUND})")).select(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
     )
     q = base.where(F.expr(query_subset_pred())).select(
@@ -2489,7 +2498,7 @@ def _build_pq_adc_sql() -> str:
     return f"""
 WITH cents AS (
   SELECT vec_id AS cid, embedding AS ce FROM embeddings
-  WHERE vec_id % {PQ_MOD} = {PQ_OFF}
+  WHERE vec_id % {PQ_MOD} = {PQ_OFF} AND vec_id < {PQ_ID_BOUND}
 ),
 q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings
@@ -2566,7 +2575,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     base = balanced(e).select("vec_id", _dvec("embedding").alias("vec"))
-    pq_cents = base.where(F.col("vec_id") % PQ_MOD == PQ_OFF).select(
+    pq_cents = base.where(F.expr(f"(vec_id % {PQ_MOD} = {PQ_OFF} AND vec_id < {PQ_ID_BOUND})")).select(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
     )
     q = base.where(F.expr(query_subset_pred())).select(
@@ -2665,7 +2674,7 @@ cand AS (
 ),
 pq_cents AS (
   SELECT vec_id AS cid, embedding AS ce FROM embeddings
-  WHERE vec_id % {PQ_MOD} = {PQ_OFF}
+  WHERE vec_id % {PQ_MOD} = {PQ_OFF} AND vec_id < {PQ_ID_BOUND}
 ),
 q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings

@@ -238,7 +238,8 @@ def test_embedding_pq_codes_properties(spark):
     sf = "/root/testdata/sf0.01"
     rows = S.embedding_pq_codes(spark, sf).collect()
     valid_cids = {
-        r.vec_id for r in rows if r.vec_id % S.PQ_MOD == S.PQ_OFF
+        r.vec_id for r in rows
+        if r.vec_id % S.PQ_MOD == S.PQ_OFF and r.vec_id < S.PQ_ID_BOUND
     }
     assert valid_cids
     for r in rows:
@@ -750,7 +751,7 @@ def test_ann_pq_adc_topk_matches_numpy(spark):
     )
     ids = np.array([r.vec_id for r in recs])
     vecs = np.array([[float(x) for x in r.embedding] for r in recs])
-    cent_mask = ids % S.PQ_MOD == S.PQ_OFF
+    cent_mask = (ids % S.PQ_MOD == S.PQ_OFF) & (ids < S.PQ_ID_BOUND)
     cids, cvecs = ids[cent_mask], vecs[cent_mask]
     m_codes = []
     for m in range(S.PQ_M):
@@ -1097,7 +1098,7 @@ def test_ann_ivfpq_matches_ivf_route_plus_adc(spark):
     sims = nr @ cvecs.T  # cosine to each cell centroid
     order = np.lexsort((cids[None, :].repeat(len(ids), 0), -sims), axis=1)
     assigned = cids[order[:, 0]]
-    pq_mask = ids % S.PQ_MOD == S.PQ_OFF
+    pq_mask = (ids % S.PQ_MOD == S.PQ_OFF) & (ids < S.PQ_ID_BOUND)
     pqids, pqvecs = ids[pq_mask], vecs[pq_mask]
     m_codes = []
     for m in range(S.PQ_M):

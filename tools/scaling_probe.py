@@ -710,7 +710,7 @@ def probe_r5_late(spark, sf_dir: str, label: str) -> dict:
     n_vec = e.count()
     n_q = e.where(F.col("vec_id") % similarity.QUERY_MOD == 0).count()
     n_c = e.where(
-        F.col("vec_id") % similarity.PQ_MOD == similarity.PQ_OFF
+        F.expr(f"(vec_id % {similarity.PQ_MOD} = {similarity.PQ_OFF} AND vec_id < {similarity.PQ_ID_BOUND})")
     ).count()
     r["adc_corpus"] = int(n_vec)
     r["adc_queries"] = int(n_q)
