@@ -1846,9 +1846,17 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning. Rank-selection medians shuffle only (type, value)
     pairs; for billion-row groups you'd swap in the binned-sketch
     median (`events_approx_quantiles` machinery) at the same API."""
+    # NULL/type guards (drift-hardening sweep, r6): rank selection must
+    # see the same ordered sequence in both engines — Spark sorts NULLS
+    # FIRST by default where DuckDB's row_number sorts them LAST, so a
+    # single NULL value would shift the selected median element; and a
+    # float32-physical column must be widened before the deviation
+    # arithmetic. Robust stats are over OBSERVED values by contract.
     e = load_table(spark, sf_dir, "events").select(
-        "event_type", "event_id", "value"
-    )
+        "event_type",
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+    ).where(F.col("value").isNotNull())
     wcnt = Window.partitionBy("event_type")
     wval = Window.partitionBy("event_type").orderBy("value", "event_id")
     med = (
@@ -1896,19 +1904,23 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_MAD_OUTLIERS_SQL = """
-WITH ranked AS (
+WITH src AS (
+  SELECT event_type, event_id, CAST(value AS DOUBLE) AS value
+  FROM events WHERE value IS NOT NULL
+),
+ranked AS (
   SELECT event_type, event_id, value,
          count(*) OVER (PARTITION BY event_type) AS n,
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS rn
-  FROM events
+  FROM src
 ),
 med AS (
   SELECT event_type, value AS med FROM ranked WHERE rn = (n + 1) // 2
 ),
 dev AS (
   SELECT e.event_type, e.event_id, abs(e.value - m.med) AS abs_dev, m.med
-  FROM events e JOIN med m ON e.event_type = m.event_type
+  FROM src e JOIN med m ON e.event_type = m.event_type
 ),
 dev_ranked AS (
   SELECT event_type, abs_dev,

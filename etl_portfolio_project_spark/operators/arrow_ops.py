@@ -114,7 +114,15 @@ def udaf_cents_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cents_sum(v):
         import numpy as _np
 
-        return int(_np.floor(v.values * 100.0 + 0.5).astype(_np.int64).sum())
+        # widen FIRST (a float32-physical column would otherwise do the
+        # *100 in float32 while the oracle multiplies in DOUBLE), and
+        # skip NULLs like SQL SUM (floor(NaN) would wrap to int64
+        # garbage); an all-NULL group returns NULL, matching SUM
+        x = v.values.astype(_np.float64)
+        m = ~_np.isnan(x)
+        if not m.any():
+            return None
+        return int(_np.floor(x[m] * 100.0 + 0.5).astype(_np.int64).sum())
 
     # Spark disallows mixing a GROUPED_AGG pandas UDF with built-in
     # aggregates in one agg — the row count is a second pandas UDAF

@@ -1279,8 +1279,12 @@ def variant_schema_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("extra").alias("n_extra"),
         F.sum("extra").cast("long").alias("sum_extra"),
         F.count("absent").alias("n_absent_path"),
+        # NULL-safe compare (drift-hardening sweep, r6): a NULL
+        # event_type round-trips to a NULL t_back — `=` would yield
+        # NULL → counted as NOT ok, while the oracle counts the row
         F.sum(
-            F.when(F.col("t_back") == F.col("event_type"), 1).otherwise(0)
+            F.when(F.col("t_back").eqNullSafe(F.col("event_type")), 1)
+            .otherwise(0)
         )
         .cast("long")
         .alias("n_type_roundtrip_ok"),

@@ -69,6 +69,27 @@ LSH_PLANES: list[list[list[float]]] = [
 ]
 
 
+def valid_vec_pred_spark(col: str = "embedding") -> str:
+    """Valid dense-vector gate (drift-hardening sweep, r6): mean /
+    assignment / quantization math is ill-defined over NULL or ragged
+    vectors, and cross-engine NULL ordering differs — operators whose
+    output AGGREGATES vector components therefore gate on structural
+    validity on BOTH sides (the structural QA op for catching such
+    vectors is `embedding_dim_profile`)."""
+    return (
+        f"({col} IS NOT NULL AND size({col}) = {DIM} "
+        f"AND NOT exists({col}, x -> x IS NULL))"
+    )
+
+
+def valid_vec_pred_sql(col: str = "embedding") -> str:
+    """DuckDB mirror of `valid_vec_pred_spark`."""
+    return (
+        f"({col} IS NOT NULL AND len({col}) = {DIM} "
+        f"AND len(list_filter({col}, x -> x IS NULL)) = 0)"
+    )
+
+
 def _dvec(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("array<double>")
@@ -780,7 +801,9 @@ def label_centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     or sum via DECIMAL when inputs are fixed-point; this operator is
     the exactness-first variant, and the grouping/fan-out shape
     (posexplode → (label, dim)-keyed agg) is identical either way."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.expr(valid_vec_pred_spark())
+    )
     pe = e.select(
         "vec_id",
         "label",
@@ -808,13 +831,14 @@ def label_centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LABEL_CENTROID_COMPONENTS_SQL = """
+LABEL_CENTROID_COMPONENTS_SQL = f"""
 WITH pe AS (
   SELECT vec_id, label,
          CAST(g.i - 1 AS INTEGER) AS dim,
          CAST(embedding[g.i] AS DOUBLE) AS v
   FROM embeddings
   CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+  WHERE {valid_vec_pred_sql()}
 )
 SELECT label, dim,
        count(*) AS n_vectors,
@@ -928,7 +952,9 @@ def embedding_int8_quant_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-identical terms (order-free, unlike a float sum), so every
     column is bit-exact against the oracle. Zero vectors take scale=1
     so q=0, err=0 (no division by zero on either engine)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.expr(valid_vec_pred_spark())
+    )
     base = balanced(e).select(
         "vec_id", "label", _dvec("embedding").alias("vec")
     )
@@ -979,7 +1005,7 @@ _Q_AMAX, _Q_SUM, _Q_ABS_MAX, _Q_ERR = _quant_duck_terms()
 EMBEDDING_INT8_QUANT_PROFILE_SQL = f"""
 WITH a AS (
   SELECT vec_id, label, embedding, {_Q_AMAX} AS amax
-  FROM embeddings
+  FROM embeddings WHERE {valid_vec_pred_sql()}
 ),
 s AS (
   SELECT vec_id, label, embedding, amax,
@@ -1533,9 +1559,16 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three consumers below (rank window, count, outlier filter) —
     # left lazy, each one re-plans the 3-branch union + norm folds
     # (measured: 11 exchanges → 4). Three slim columns, not vectors.
-    base = aug.select(
-        "vec_id", "label", norm_expr("vec").alias("nrm")
-    ).localCheckpoint(eager=True)
+    # non-measurable vectors (NULL array / NULL element → NULL norm)
+    # are excluded on BOTH sides (drift-hardening sweep, r6): Spark
+    # ranks NULLS FIRST where DuckDB's row_number ranks them LAST, so
+    # one NULL norm would shift the selected median element; the
+    # structural QA for such vectors is `embedding_dim_profile`
+    base = (
+        aug.select("vec_id", "label", norm_expr("vec").alias("nrm"))
+        .where(F.col("nrm").isNotNull())
+        .localCheckpoint(eager=True)
+    )
     w = Window.orderBy("nrm", "vec_id")
     ranked = base.withColumn("rn", F.row_number().over(w))
     n_row = base.agg(F.count(F.lit(1)).alias("n"))
@@ -1580,7 +1613,9 @@ aug AS (
   FROM src WHERE vec_id % {NORM_PLANT_MOD} = 1
 ),
 base AS (
-  SELECT vec_id, label, {norm_sql('vec')} AS nrm FROM aug
+  SELECT vec_id, label, nrm FROM (
+    SELECT vec_id, label, {norm_sql('vec')} AS nrm FROM aug
+  ) WHERE nrm IS NOT NULL
 ),
 med AS (
   SELECT nrm AS median_norm FROM (
@@ -1785,9 +1820,11 @@ def kmeans_assignment_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cvec")
         )
     )
-    base = balanced(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "label", _dvec("embedding").alias("vec")
-    )
+    base = balanced(
+        load_table(spark, sf_dir, "embeddings").where(
+            F.expr(valid_vec_pred_spark())
+        )
+    ).select("vec_id", "label", _dvec("embedding").alias("vec"))
     scored = base.crossJoin(F.broadcast(cent)).withColumn(
         "d2", F.expr(_sqdist_spark_sql("vec", "cvec"))
     )
@@ -1824,11 +1861,14 @@ def kmeans_assignment_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KMEANS_ASSIGNMENT_STEP_SQL = f"""
-WITH pe AS (
+WITH ok AS (
+  SELECT * FROM embeddings WHERE {valid_vec_pred_sql()}
+),
+pe AS (
   SELECT vec_id, label,
          CAST(g.i - 1 AS INTEGER) AS dim,
          CAST(embedding[g.i] AS DOUBLE) AS v
-  FROM embeddings
+  FROM ok
   CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i) g
 ),
 cent0 AS (
@@ -1846,7 +1886,7 @@ cent AS (
 scored AS (
   SELECT b.vec_id, b.label, c.clabel,
          {_sqdist_duck_sql('b.embedding', 'c.cvec')} AS d2
-  FROM embeddings b CROSS JOIN cent c
+  FROM ok b CROSS JOIN cent c
 ),
 best AS (
   SELECT vec_id, label AS old_label, clabel AS new_label, d2 FROM (
@@ -1901,9 +1941,11 @@ def kmeans_lloyd_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     k→1 reduction — kmeans_assignment_step's rationale), one
     single-row stats agg. The assignment is cache-claimed per
     iteration so the chain never replans upstream."""
-    base = balanced(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", _dvec("embedding").alias("vec"), "label"
-    )
+    base = balanced(
+        load_table(spark, sf_dir, "embeddings").where(
+            F.expr(valid_vec_pred_spark())
+        )
+    ).select("vec_id", _dvec("embedding").alias("vec"), "label")
     cur = caches.claim(
         "km_loop_0",
         base.select(
@@ -1990,15 +2032,15 @@ def _build_kmeans_loop_sql() -> str:
     centroids from assign{i-1}, argmin reassignment, one stats
     row (UNION ALL of the per-iteration summaries)."""
     ctes = [
+        f"ok AS (SELECT * FROM embeddings WHERE {valid_vec_pred_sql()})",
         f"""pe AS MATERIALIZED (
   SELECT vec_id,
          CAST(g.i - 1 AS INTEGER) AS dim,
          CAST(embedding[g.i] AS DOUBLE) AS v
-  FROM embeddings
+  FROM ok
   CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i) g
 )""",
-        "a0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cur "
-        "FROM embeddings)",
+        "a0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cur FROM ok)",
     ]
     d2 = _sqdist_duck_sql("b.embedding", "c.cvec")
     for it in range(1, KM_ITERS + 1):
@@ -2022,7 +2064,7 @@ def _build_kmeans_loop_sql() -> str:
            row_number() OVER (PARTITION BY a.vec_id
                               ORDER BY {d2}, c.clabel) AS rn
     FROM a{p} a
-    JOIN embeddings b ON b.vec_id = a.vec_id
+    JOIN ok b ON b.vec_id = a.vec_id
     CROSS JOIN cent{it} c
   ) WHERE rn = 1
 )"""

@@ -1,0 +1,119 @@
+"""Testdata-generation drift sweep: run the FULL registry against an
+adversarially drifted copy of the harness tables and report every
+query whose Spark and DuckDB results stop matching EACH OTHER.
+
+Motivation (r5 → r6): the grading driver regenerates testdata per
+round, and three r5 queries red-graded on a generation that local
+copies could no longer reproduce. Both engines always read the SAME
+files, so content changes alone cannot cause a red — only a genuine
+cross-engine behavioral divergence triggered by the new data can
+(NULL ordering, float32 vs double arithmetic promotion, NULL
+propagation through folds/predicates). This tool SYNTHESIZES those
+triggers deliberately:
+
+- events: `value` narrowed to float32 (arithmetic-promotion trap),
+  plus appended rows with NULL `value` and NULL `event_type`
+  (predicate-routing, rank-selection and UDF NULL traps).
+- embeddings: element type widened to float64, plus one NULL array
+  and one vector with a NULL element (fold/ordering traps).
+- all other tables copied unchanged.
+
+The r6 sweep found 8 latent divergences (NULL-rank median selection,
+a NULL-unsafe UDAF, a non-null-safe equality, and vector-mean math
+over NULL elements) — all fixed and now regression-guarded by
+running this before each round's close.
+
+Usage: python tools/drift_sweep.py [src_sf_dir] [query ...]
+       (default src /root/testdata/sf0.01; default = all queries)
+Drifted copy is rebuilt under /tmp/spark_graft_driftdata each run.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+DRIFT_DIR = "/tmp/spark_graft_driftdata"
+
+_COPY_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "documents",
+]
+
+
+def synthesize(src: str, dst: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    for t in _COPY_TABLES:
+        shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+
+    # events: float32 value + NULL value / NULL event_type rows
+    ev = pq.read_table(f"{src}/events.parquet")
+    cols = {n: ev.column(n) for n in ev.column_names}
+    cols["value"] = cols["value"].cast(pa.float32())
+    base = pa.table(cols)
+    extra = pa.table(
+        {
+            "event_id": pa.array(
+                [888000001, 888000002, 888000003], pa.int64()
+            ),
+            "ts": pa.array(
+                [ev.column("ts")[0].as_py()] * 3,
+                base.schema.field("ts").type,
+            ),
+            "user_id": pa.array([1, 2, 3], pa.int64()),
+            "event_type": pa.array(["click", None, "view"], pa.string()),
+            "value": pa.array([None, 2.5, None], pa.float32()),
+            "props": pa.array(["{}", "{}", "{}"], pa.string()),
+        }
+    )
+    pq.write_table(pa.concat_tables([base, extra]), f"{dst}/events.parquet")
+
+    # embeddings: float64 elements + NULL array + NULL element
+    em = pq.read_table(f"{src}/embeddings.parquet")
+    vecs = em.column("embedding").cast(pa.list_(pa.float64())).to_pylist()
+    vid = em.column("vec_id").to_pylist()
+    lab = em.column("label").to_pylist()
+    vecs.append(None)
+    vid.append(777001)
+    lab.append(0)
+    v2 = list(vecs[0])
+    v2[5] = None
+    vecs.append(v2)
+    vid.append(777002)
+    lab.append(1)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(vid, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float64())),
+                "label": pa.array(lab, pa.int32()),
+            }
+        ),
+        f"{dst}/embeddings.parquet",
+    )
+    print(f"drifted copy of {src} -> {dst}")
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    src = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    names = args[1:] if args and os.path.isdir(args[0]) else args
+    if os.path.isdir(DRIFT_DIR):
+        shutil.rmtree(DRIFT_DIR)
+    synthesize(src, DRIFT_DIR)
+    # delegate the differential run to the standard verifier
+    cmd = [sys.executable, os.path.join(_REPO, "tools", "verify_local.py"),
+           DRIFT_DIR, *names]
+    return subprocess.call(cmd)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
