@@ -281,8 +281,11 @@ def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the COMPACTED read.
 
     Losslessness is oracle-proven: the checksums (row count, exact
-    cents total, an order-free md5-based content hash sum folded in
-    DECIMAL(38,0)) are recomputed by DuckDB from the ORIGINAL events
+    cents total, an order-free md5-based content hash sum accumulated
+    exactly in DECIMAL(38,0) then folded by an outer `% 1e9+7` into
+    the graded BIGINT — graded schemas must never carry >18-precision
+    decimals, the r5/r6 HUGEINT-conversion driver-red class) are
+    recomputed by DuckDB from the ORIGINAL events
     table — a compaction that drops, duplicates, or mutates any row
     diverges. File-count grading (the r5 driver-red): `n_files_before`
     is deterministic (a round-robin repartition of ≥ SMALL_FILES rows
@@ -332,8 +335,11 @@ def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_events"),
             F.sum(F.expr(cents)).cast("long").alias("value_cents_total"),
-            F.sum((row_hash % _CKSUM_MOD).cast("decimal(38,0)"))
-            .cast("decimal(38,0)")
+            (
+                F.sum((row_hash % _CKSUM_MOD).cast("decimal(38,0)"))
+                % F.lit(_CKSUM_MOD)
+            )
+            .cast("long")
             .alias("content_hash_sum"),
         )
         .select(
@@ -359,7 +365,7 @@ SELECT CAST({SMALL_FILES} AS INTEGER) AS n_files_before,
        CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT))
             AS BIGINT) AS value_cents_total,
        CAST(sum(CAST({_CMP_HASH} % {_CKSUM_MOD} AS DECIMAL(38,0)))
-            AS DECIMAL(38,0)) AS content_hash_sum
+            % {_CKSUM_MOD} AS BIGINT) AS content_hash_sum
 FROM events
 """
 
@@ -461,8 +467,15 @@ def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .cast("long")
                 .alias("n_bad_type"),
-                F.sum(F.expr(f"({row_hash}) % {_CKSUM_MOD}"))
-                .cast("decimal(38,0)")
+                (
+                    F.sum(
+                        F.expr(f"({row_hash}) % {_CKSUM_MOD}").cast(
+                            "decimal(38,0)"
+                        )
+                    )
+                    % F.lit(_CKSUM_MOD)
+                )
+                .cast("long")
                 .alias("content_hash_sum"),
             )
             .select(F.lit(side).alias("side"), "*")
@@ -511,7 +524,7 @@ SELECT side,
        CAST(sum(CASE WHEN COALESCE(event_type IN ({_DQ_TYPES_SQL}), false)
                 THEN 0 ELSE 1 END) AS BIGINT) AS n_bad_type,
        CAST(sum(CAST({_DQ_HASH} % {_CKSUM_MOD} AS DECIMAL(38,0)))
-            AS DECIMAL(38,0)) AS content_hash_sum
+            % {_CKSUM_MOD} AS BIGINT) AS content_hash_sum
 FROM tagged
 GROUP BY side
 """

@@ -28,7 +28,12 @@ def test_repeated_runs_do_not_accumulate_persisted_rdds(spark):
         dedup.neardup_clusters(spark, SF_SMALL).count()
         similarity.ann_lsh_topk(spark, SF_SMALL).count()
         similarity.ann_ivf_topk(spark, SF_SMALL).count()
-    assert caches.live_count() == 3  # one generation per claimed key
+    # neardup's bucket table is per-query claimed (1 generation); the
+    # LSH bucket index and the IVF quantized index moved to the
+    # session-lifetime shared tier (r7) — memoized, one entry each,
+    # NOT rebuilt on the second loop iteration.
+    assert caches.live_count() == 1  # one generation per claimed key
+    assert caches.shared_live_count() == 2  # lsh bb + ivf quantized
 
     # JVM-side: the only persistent RDDs beyond the claimed generations
     # are localCheckpoint RDDs awaiting ContextCleaner GC; a second
@@ -94,6 +99,36 @@ def test_reclaim_of_identical_plan_stays_cached(spark):
         f"second build planned {n} exchanges — the re-claim evicted "
         "the shared cache entry"
     )
+
+
+def test_shared_index_memoizes_and_survives_release_all(spark):
+    """shared_index: (a) a repeat call returns the SAME DataFrame
+    without re-running the build fn, (b) release_all() skips the
+    shared tier (per-query bench isolation must not evict the
+    session-lifetime index), (c) release_shared_all() drops it."""
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(7)
+
+    a = caches.shared_index("__test_shared", build)
+    b = caches.shared_index("__test_shared", build)
+    assert a is b and calls["n"] == 1
+    a.count()
+    assert a.storageLevel.useMemory
+
+    caches.release_all()
+    c = caches.shared_index("__test_shared", build)
+    assert c is a and calls["n"] == 1  # survived release_all
+
+    caches.release_shared_all()
+    assert caches.shared_live_count() == 0
+    assert not a.storageLevel.useMemory
+    d = caches.shared_index("__test_shared", build)
+    assert calls["n"] == 2  # rebuilt after shared release
+    caches.release_shared_all()
+    assert d is not a
 
 
 def test_claim_unpersists_previous_generation(spark):

@@ -659,7 +659,9 @@ def test_embedding_dim_profile_matches_numpy(spark):
         col = q[:, d]
         assert r.n_vecs == len(col)
         assert r.q_sum == int(col.sum())
-        assert int(r.q_sumsq) == int((col.astype(object) ** 2).sum())
+        assert r.q_sumsq_mod == (
+            int((col.astype(object) ** 2).sum()) % S.MOMENT_FOLD_MOD
+        )
         assert (r.q_min, r.q_max) == (int(col.min()), int(col.max()))
         assert math.isclose(
             r.mean_val, col.sum() / (1e6 * len(col)), rel_tol=0, abs_tol=0

@@ -42,6 +42,32 @@ def test_oracle_no_hugeint(con, name):
 
 
 @pytest.mark.parametrize("name", _names())
+def test_oracle_no_wide_decimal(con, name):
+    """DECIMAL(precision>18) graded outputs are the r5/r6 driver-red
+    class: DuckDB backs them with HUGEINT, whose pandas/Arrow
+    conversion diverges from Spark's decimal.Decimal under the
+    driver's hash canonicalization (q_sumsq lost bits past 2^53) even
+    when both engines agree on the VALUE. Exact wide-decimal
+    accumulation is fine as an INTERMEDIATE — fold the final graded
+    column into BIGINT (outer % 1e9+7, exact in both engines) or emit
+    STRING. Spark-side twin lives in tools/dtype_check.py."""
+    spec = api.REGISTRY[name]
+    if spec.oracle is None:
+        pytest.skip("rows-only query")
+    types = con.execute(f"DESCRIBE ({spec.oracle})").df()
+    bad = [
+        (r.column_name, r.column_type)
+        for r in types.itertuples()
+        if str(r.column_type).upper().startswith("DECIMAL(")
+        and int(str(r.column_type).split("(")[1].split(",")[0]) > 18
+    ]
+    assert not bad, (
+        f"{name}: graded DECIMAL(>18) columns {bad} — fold into BIGINT "
+        "via an outer %% 1000000007 (see CLAUDE.md numeric rules)"
+    )
+
+
+@pytest.mark.parametrize("name", _names())
 def test_query_matches_oracle(spark, con, name):
     spec = api.REGISTRY[name]
     sdf = spec.builder(spark, SF_SMALL).toPandas()

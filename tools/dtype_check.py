@@ -76,6 +76,18 @@ def main() -> int:
             ot = odt.get(c, "<missing>")
             base = ot.split("(")[0]
             om = _MAP.get(base, ot.lower())
+            if st.startswith("decimal("):
+                # graded DECIMAL(p>18) is the r5/r6 driver-red class
+                # (HUGEINT-backed conversion drift) — ban outright;
+                # oracle-side twin: tests/test_oracle_parity.py::
+                # test_oracle_no_wide_decimal
+                prec = int(st.split("(")[1].split(",")[0])
+                if prec > 18:
+                    mismatches.append(
+                        (name, c, f"graded {st}: precision>18 banned — "
+                         "fold into BIGINT (outer % 1000000007)")
+                    )
+                    continue
             if st.startswith("decimal") and base == "DECIMAL":
                 # equivalent only at matching precision/scale
                 if st.replace("decimal", "").replace(" ", "") == ot[
