@@ -132,9 +132,17 @@ def register_mongo_fixture(spark: SparkSession, fixture_root: str) -> None:
             import pyarrow.parquet as _pq
 
             sch = _pq.ParquetFile(self._collection_files()[0]).schema_arrow
-            return ", ".join(
-                f"{f.name} {_ARROW_DDL[str(f.type)]}" for f in sch
-            )
+            ddl = []
+            for f in sch:
+                try:
+                    ddl.append(f"{f.name} {_ARROW_DDL[str(f.type)]}")
+                except KeyError:
+                    raise TypeError(
+                        f"mongodb fixture: field {f.name!r} has arrow "
+                        f"type {f.type!s} with no DDL mapping — extend "
+                        "_ARROW_DDL in sources/mongo.py"
+                    ) from None
+            return ", ".join(ddl)
 
         def reader(self, schema):
             import pyarrow.parquet as _pq

@@ -116,6 +116,26 @@ def test_harness_table_schemas_smoke(spark):
     assert got == EXPECTED_DTYPES
 
 
+def test_embeddings_rowcount_within_graded_id_bounds(spark):
+    """Drift tripwire for the fixed-size sample-set caps: the
+    'bit-identical at harness SFs' claim in query_subset_pred /
+    IVF_ID_BOUND / PQ_ID_BOUND holds only while the embeddings corpus
+    has ≤ bound rows (dense vec_ids from 0). A testdata regeneration
+    with MORE vectors would silently shrink every graded query /
+    centroid / codebook set — still cross-engine green, so nothing
+    else fails loudly. Checked at the LARGEST harness SF (sf0.1)."""
+    from etl_portfolio_project_spark.operators import similarity as S
+
+    n = load_table(spark, "/root/testdata/sf0.1", "embeddings").count()
+    for bound_name in ("QUERY_ID_BOUND", "IVF_ID_BOUND", "PQ_ID_BOUND"):
+        bound = getattr(S, bound_name)
+        assert n <= bound, (
+            f"embeddings sf0.1 rowcount {n} exceeds {bound_name}={bound}: "
+            "graded sample sets are now capped BELOW the corpus — "
+            "re-derive the bounds and expect graded-output changes"
+        )
+
+
 def test_csv_round_trip_with_declared_schema(spark):
     nation = load_table(spark, SF_SMALL, "nation")
     with tempfile.TemporaryDirectory() as d:
@@ -360,12 +380,16 @@ def test_mongo_fixture_end_to_end(spark):
     got = sorted(map(tuple, out.collect()))
     exp = sorted(map(tuple, views.extensions(spark, SF_SMALL).collect()))
     assert got == exp and len(got) > 0
-    # a bad URI must be rejected by the contract check
+    # a bad URI must be rejected by the contract check SPECIFICALLY
+    # (no bare Exception: an unrelated failure must not pass this)
     import pytest as _pytest
     from py4j.protocol import Py4JJavaError
     from pyspark.errors import PySparkException
 
-    with _pytest.raises((Py4JJavaError, PySparkException, Exception)):
+    with _pytest.raises(
+        (Py4JJavaError, PySparkException),
+        match="connection.uri must be mongodb",
+    ):
         mongo.read_mongo_collection(
             spark, "http://wrong", mongo.MONGO_FIXTURE_DB,
             mongo.MONGO_FIXTURE_COLLECTION,

@@ -104,8 +104,16 @@ def synthesize(src: str, dst: str) -> None:
 
 def main() -> int:
     args = sys.argv[1:]
-    src = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
-    names = args[1:] if args and os.path.isdir(args[0]) else args
+    if args and os.path.isdir(args[0]):
+        src, names = args[0], args[1:]
+    elif args and os.sep in args[0]:
+        # a path-shaped first arg that is NOT a directory is a typo,
+        # not a query name — silently falling back to the default
+        # sf0.01 would report results for the wrong dataset
+        print(f"error: source dir does not exist: {args[0]}", file=sys.stderr)
+        return 2
+    else:
+        src, names = "/root/testdata/sf0.01", args
     if os.path.isdir(DRIFT_DIR):
         shutil.rmtree(DRIFT_DIR)
     synthesize(src, DRIFT_DIR)
