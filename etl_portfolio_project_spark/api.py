@@ -509,6 +509,12 @@ _EXTENSIONS = [
      "Counted 2-iteration Lloyd loop (assign + centroid update) from "
      "the label seed: per-iteration n_changed, exact order-free "
      "quantized inertia, live-cluster count (r6)."),
+    ("multivector_maxsim_topk", S.multivector_maxsim_topk,
+     S.MULTIVECTOR_MAXSIM_TOPK_SQL,
+     "ColBERT-style late-interaction retrieval: MaxSim over sliced "
+     "sub-vectors (sum of per-sub-vector best cosines), fixed query "
+     "set broadcast vs corpus, partial top-k; one generated scoring "
+     "expression (r7)."),
     ("simhash_pairs", D.simhash_pairs, D.SIMHASH_PAIRS_SQL,
      "48-bit SimHash signatures + Hamming-distance pairs."),
     ("winnow_neardup", D.winnow_neardup, D.WINNOW_NEARDUP_SQL,
@@ -700,6 +706,28 @@ _EXTENSIONS += [
      "Per-source survival funnel through Gopher + C4 + language gates "
      "with final survival rate — composed from the graded per-doc "
      "builders (zero rule drift)."),
+    ("bpe_apply_encode", X.bpe_apply_encode, X.BPE_APPLY_ENCODE_SQL,
+     "Tokenizer ENCODE with the bpe_merge_loop-learned merges "
+     "(shared learning chain, zero drift): vocabulary-sized encode "
+     "folds broadcast-joined to the corpus explode; per-doc raw vs "
+     "BPE token counts + compression ratio."),
+    ("boilerplate_ngram_fraction", X.boilerplate_ngram_fraction,
+     X.BOILERPLATE_NGRAM_FRACTION_SQL,
+     "RefinedWeb-style cross-doc boilerplate: per-doc fraction of "
+     "3-gram occurrences duplicated across >= 2 documents (window-"
+     "attached document frequency, no corpus re-scan), integer-exact "
+     "counts + cross-multiplied reject flag."),
+    ("mojibake_encoding_audit", X.mojibake_encoding_audit,
+     X.MOJIBAKE_ENCODING_AUDIT_SQL,
+     "Encoding-artifact audit per source (UTF-8 replacement char, "
+     "latin-1/cp1252 mojibake) with planted corrupted copies so the "
+     "positive path is exercised at every SF; narrow map + one "
+     "source-key aggregate."),
+    ("source_lexical_stats", X.source_lexical_stats,
+     X.SOURCE_LEXICAL_STATS_SQL,
+     "Per-source lexical diversity: type-token ratio, hapax fraction, "
+     "mean word length — exact BIGINT counts, one double division "
+     "each."),
 ]
 
 for _name, _fn, _sql, _doc in _EXTENSIONS:

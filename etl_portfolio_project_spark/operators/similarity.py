@@ -2780,3 +2780,134 @@ SELECT query_id, vec_id, adc_dist, rank FROM (
 
 
 ANN_IVFPQ_TOPK_SQL = _build_ivfpq_sql()
+
+
+# ---------------------------------------------------------------------------
+# Multi-vector late-interaction retrieval (MaxSim) — ColBERT (Khattab &
+# Zaharia, SIGIR'20): score(q, d) = Σ_m max_k cos(q_m, d_k). Token-level
+# vectors are derived here by slicing the single 64-dim embedding into
+# MAXSIM_M contiguous sub-vectors (the PQ subspace decomposition reused
+# as a multi-vector stand-in — swapping in real per-token vectors
+# changes the source projection, not the plan).
+# ---------------------------------------------------------------------------
+
+MAXSIM_M = PQ_M  # sub-vectors per document/query (4 × 16 dims)
+
+
+def _sub_dot_spark(a: str, ao: int, b: str, bo: int, n: int) -> str:
+    """Left-to-right fold of the n-term dot product between a[ao..]
+    and b[bo..] (1-based offsets) — same accumulation order as the
+    oracle's unrolled left-associative chain."""
+    return (
+        f"aggregate(zip_with(slice({a}, {ao}, {n}), slice({b}, {bo}, {n}), "
+        "(x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _sub_dot_duck(a: str, ao: int, b: str, bo: int, n: int) -> str:
+    terms = [
+        f"CAST({a}[{ao + j}] AS DOUBLE) * CAST({b}[{bo + j}] AS DOUBLE)"
+        for j in range(n)
+    ]
+    return "(0.0 + " + " + ".join(terms) + ")"
+
+
+def multivector_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction top-K retrieval: for each query in the fixed
+    query subset, the TOP_K documents by MaxSim score — the sum over
+    the query's MAXSIM_M sub-vectors of the best cosine against any of
+    the document's sub-vectors. Late interaction keeps per-token
+    granularity that single-vector cosine collapses; this is the
+    retrieval model behind ColBERT/PLAID-class systems, expressed as
+    ONE generated Spark-SQL scoring expression (no Python, no UDF).
+
+    Bit-exact by construction: each of the M×M sub-cosines is a fixed
+    left-to-right fold divided by a product of two sqrt() norms (sqrt
+    is IEEE-correctly-rounded in both engines), max-of-4 is an exact
+    selection (greatest), and the M maxes add in fixed literal order.
+
+    Scale shape: identical to `ann_brute_force_topk` — the ≤ QUERY_CAP
+    query rows broadcast against the corpus scan (|Q|·n·M² sub-dots,
+    constant |Q|), then a per-query partial top-k window. At 100 TB
+    the candidate stage swaps to an ANN index (`ann_ivf_topk`'s
+    routing); MaxSim only rescores the candidate set."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sub = PQ_SUB
+    base_cols = [F.col("vec_id"), _dvec("embedding").alias("vec")]
+    base = balanced(e).select(*base_cols)
+    norm_cols = [
+        F.expr(
+            f"sqrt({_sub_dot_spark('vec', m * sub + 1, 'vec', m * sub + 1, sub)})"
+        ).alias(f"n{m + 1}")
+        for m in range(MAXSIM_M)
+    ]
+    base = base.select("vec_id", "vec", *norm_cols)
+    q = base.where(F.expr(query_subset_pred())).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        *[F.col(f"n{m + 1}").alias(f"qn{m + 1}") for m in range(MAXSIM_M)],
+    )
+    # one generated scoring expression: sum_m greatest_k(subcos(m, k))
+    per_m = []
+    for m in range(MAXSIM_M):
+        cosines = [
+            f"({_sub_dot_spark('qvec', m * sub + 1, 'vec', k * sub + 1, sub)}"
+            f" / (qn{m + 1} * n{k + 1}))"
+            for k in range(MAXSIM_M)
+        ]
+        per_m.append("greatest(" + ", ".join(cosines) + ")")
+    score_sql = "(" + " + ".join(per_m) + ")"
+    joined = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("vec_id")
+    )
+    return (
+        joined.withColumn("maxsim", F.expr(score_sql))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "maxsim", "rank")
+    )
+
+
+def _build_maxsim_sql() -> str:
+    sub = PQ_SUB
+    norm_cols = ",\n         ".join(
+        f"sqrt({_sub_dot_duck('embedding', m * sub + 1, 'embedding', m * sub + 1, sub)})"
+        f" AS n{m + 1}"
+        for m in range(MAXSIM_M)
+    )
+    per_m = []
+    for m in range(MAXSIM_M):
+        cosines = [
+            f"({_sub_dot_duck('q.qe', m * sub + 1, 'b.embedding', k * sub + 1, sub)}"
+            f" / (q.qn{m + 1} * b.n{k + 1}))"
+            for k in range(MAXSIM_M)
+        ]
+        per_m.append("greatest(" + ", ".join(cosines) + ")")
+    score = "(" + " + ".join(per_m) + ")"
+    qn_cols = ", ".join(
+        f"n{m + 1} AS qn{m + 1}" for m in range(MAXSIM_M)
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         {norm_cols}
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe, {qn_cols}
+  FROM base WHERE {query_subset_pred()}
+),
+scored AS (
+  SELECT q.query_id, b.vec_id, {score} AS maxsim
+  FROM base b JOIN q ON b.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, maxsim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY maxsim DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+MULTIVECTOR_MAXSIM_TOPK_SQL = _build_maxsim_sql()

@@ -1689,6 +1689,40 @@ def _bpe_fold_spark() -> str:
     )
 
 
+def _bpe_words_spark(d: DataFrame) -> DataFrame:
+    """(word, occurrence count) vocabulary — the Spark twin of
+    `_bpe_words_sql`, shared by training and encoding."""
+    return (
+        d.select(F.explode(tokens_expr(F.col("text"))).alias("word"))
+        .where(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    )
+
+
+def _bpe_syms_spark() -> str:
+    """char-symbol + end-of-word array from column `word`."""
+    return (
+        "concat(transform(sequence(1, length(word)), "
+        f"i -> substring(word, i, 1)), array('{BPE_EOW}'))"
+    )
+
+
+def _bpe_pairs_expr_spark() -> str:
+    """Adjacent symbol pairs of array column `t`. size-1 guard: a
+    merged word CAN collapse to one symbol (its whole sequence was
+    the winning pair) — Spark's sequence(1, 0) auto-DESCENDS to
+    [1, 0] and element_at(u, 0) throws, while the oracle's
+    generate_series(1, 0) is silently empty."""
+    return bind_once_sql(
+        "t",
+        "u",
+        "CASE WHEN size(u) < 2 THEN CAST(array() AS ARRAY<STRING>) "
+        "ELSE transform(sequence(1, size(u) - 1), "
+        "i -> concat(element_at(u, i), ' ', element_at(u, i + 1))) END",
+    )
+
+
 def bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first BPE_MERGE_STEPS byte-pair-encoding merges LEARNED
     end-to-end (Sennrich et al. 2016) — the actual tokenizer-training
@@ -1715,30 +1749,12 @@ def bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import caches
 
     d = balanced(load_table(spark, sf_dir, "documents"))
-    words = (
-        d.select(F.explode(tokens_expr(F.col("text"))).alias("word"))
-        .where(F.length("word") >= 1)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
-    )
-    syms = (
-        "concat(transform(sequence(1, length(word)), "
-        f"i -> substring(word, i, 1)), array('{BPE_EOW}'))"
-    )
+    words = _bpe_words_spark(d)
     vocab = caches.claim(
-        "bpe_merge_v0", words.select("n_w", F.expr(syms).alias("t"))
+        "bpe_merge_v0",
+        words.select("n_w", F.expr(_bpe_syms_spark()).alias("t")),
     )
-    # size-1 guard: a merged word CAN collapse to one symbol (its
-    # whole sequence was the winning pair) — Spark's sequence(1, 0)
-    # auto-DESCENDS to [1, 0] and element_at(u, 0) throws, while the
-    # oracle's generate_series(1, 0) is silently empty
-    pairs_expr = bind_once_sql(
-        "t",
-        "u",
-        "CASE WHEN size(u) < 2 THEN CAST(array() AS ARRAY<STRING>) "
-        "ELSE transform(sequence(1, size(u) - 1), "
-        "i -> concat(element_at(u, i), ' ', element_at(u, i + 1))) END",
-    )
+    pairs_expr = _bpe_pairs_expr_spark()
     fold = _bpe_fold_spark()
     step_rows = []
     for step in range(1, BPE_MERGE_STEPS + 1):
@@ -1783,21 +1799,52 @@ def bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _bpe_merge_loop_sql() -> str:
-    words = f"""
+def _bpe_words_sql() -> str:
+    """The (word, count) vocabulary CTE body — shared by the merge
+    loop and the encoder so the learned merges can never drift from
+    the vocabulary they are applied to."""
+    return f"""
   SELECT word, CAST(count(*) AS BIGINT) AS n_w
   FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
         FROM documents)
   WHERE length(word) >= 1
   GROUP BY word"""
-    v0 = f"""
-  SELECT n_w,
+
+
+def _bpe_duck_syms(key_cols: str) -> str:
+    """char-symbol + end-of-word array projection over `words`."""
+    return f"""
+  SELECT {key_cols},
          list_append(list_transform(generate_series(1, length(word)),
                                     i -> word[i:i]), '{BPE_EOW}') AS t
   FROM words"""
-    ctes = [f"words AS MATERIALIZED ({words})", f"v0 AS MATERIALIZED ({v0})"]
-    selects = []
-    for s in range(1, BPE_MERGE_STEPS + 1):
+
+
+def _bpe_duck_fold(key_cols: str, prev: str, win: str) -> str:
+    """One greedy merge pass of `win`'s (wa, wb) over `prev.t` —
+    list_reduce without an initial uses the first element as the
+    accumulator, matching `_bpe_fold_spark`'s aggregate(slice(t, 2,
+    ...), element_at(t, 1), ...) exactly."""
+    return f"""
+  SELECT {key_cols},
+         string_split(list_reduce(t,
+           (acc, s) -> CASE WHEN regexp_extract(acc, '[^ ]*$') = wa
+                       AND s = wb THEN acc || s
+                       ELSE acc || ' ' || s END), ' ') AS t
+  FROM {prev}, {win}"""
+
+
+def _bpe_learning_ctes(steps: int) -> list[str]:
+    """The shared BPE TRAINING chain as DuckDB CTE definitions:
+    words → v0 → (p_s pair counts → w_s argmax winner → v_s rewritten
+    vocabulary) per step. Both `bpe_merge_loop`'s and
+    `bpe_apply_encode`'s oracles are built from THIS text, so the
+    learned merges are definitionally identical."""
+    ctes = [
+        f"words AS MATERIALIZED ({_bpe_words_sql()})",
+        f"v0 AS MATERIALIZED ({_bpe_duck_syms('n_w')})",
+    ]
+    for s in range(1, steps + 1):
         prev = f"v{s - 1}"
         ctes.append(
             f"""p{s} AS (
@@ -1812,15 +1859,23 @@ def _bpe_merge_loop_sql() -> str:
          string_split(pair, ' ')[1] AS wa, string_split(pair, ' ')[2] AS wb
   FROM p{s} ORDER BY pair_count DESC, pair LIMIT 1)"""
         )
-        ctes.append(
-            f"""v{s} AS MATERIALIZED (
-  SELECT n_w,
-         string_split(list_reduce(t,
-           (acc, s) -> CASE WHEN regexp_extract(acc, '[^ ]*$') = wa
-                       AND s = wb THEN acc || s
-                       ELSE acc || ' ' || s END), ' ') AS t
-  FROM {prev}, w{s})"""
-        )
+        if s < steps:
+            ctes.append(
+                f"v{s} AS MATERIALIZED ({_bpe_duck_fold('n_w', prev, f'w{s}')})"
+            )
+    return ctes
+
+
+def _bpe_merge_loop_sql() -> str:
+    ctes = _bpe_learning_ctes(BPE_MERGE_STEPS)
+    # the merge loop also reports the post-merge symbol total, so it
+    # needs the FINAL rewritten vocabulary (v{N}) + a stats CTE per step
+    ctes.append(
+        f"v{BPE_MERGE_STEPS} AS MATERIALIZED "
+        f"({_bpe_duck_fold('n_w', f'v{BPE_MERGE_STEPS - 1}', f'w{BPE_MERGE_STEPS}')})"
+    )
+    selects = []
+    for s in range(1, BPE_MERGE_STEPS + 1):
         ctes.append(
             f"""s{s} AS (
   SELECT CAST(sum(n_w * len(t)) AS BIGINT) AS n_symbols_after FROM v{s})"""
@@ -1833,3 +1888,452 @@ def _bpe_merge_loop_sql() -> str:
 
 
 BPE_MERGE_LOOP_SQL = _bpe_merge_loop_sql()
+
+
+# --- cross-document boilerplate: duplicated n-gram fraction -----------------
+
+#: n-gram order for the cross-doc duplication signal. 3 is the harness
+#: choice (the synthetic corpus draws from a ~40-word vocabulary, so
+#: 3-grams give a 42% duplicated-gram rate — real dynamic range);
+#: RefinedWeb-class pipelines run the same statistic at n ∈ [5, 10].
+BOILER_N = 3
+#: a gram is "boilerplate" when it appears in at least this many docs
+BOILER_DF = 2
+#: reject flag threshold: n_dup_grams / n_grams > 1/2, cross-multiplied
+BOILER_FLAG_MUL = 2
+
+
+def boilerplate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-n-gram fraction per document — the
+    RefinedWeb / CCNet boilerplate signal (Penedo et al. 2023 §4.2
+    "fraction of characters in duplicated n-grams"): grams that occur
+    in ≥ BOILER_DF DISTINCT documents are boilerplate (headers,
+    footers, templated spans), and a document dominated by them is
+    flagged. Distinct from `doc_repetition_profile` (WITHIN-doc
+    repetition) and `doc_token_commonness` (unigram frequency): this
+    is the cross-doc n-gram-level statistic.
+
+    Numeric portability: occurrence counts and document frequencies
+    are exact BIGINTs; `dup_frac` is ONE double division of two
+    BIGINTs and the reject flag cross-multiplies in integers.
+
+    Scale shape: explode → (doc, gram) partial-agg'd count → the
+    document frequency attaches as a count(*) window over the already
+    distinct-per-doc (doc, gram) rows (the `tfidf_top_terms`
+    no-rescan trick — NOT a groupBy+join that would re-explode the
+    corpus) → one per-doc aggregate. Gram-key skew (hot boilerplate
+    grams) is count-only window state, never a join fan-out."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", "source", tokens_expr(F.col("text")).alias("t")
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr(_ngrams_spark_sql("t", BOILER_N))).alias("gram"),
+    )
+    dg = grams.groupBy("doc_id", "source", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    # rows are distinct per (doc, gram) → count(*) over gram = exact
+    # document frequency, riding the existing aggregation
+    dfd = dg.withColumn(
+        "df_docs", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    )
+    agged = dfd.groupBy("doc_id", "source").agg(
+        F.sum("n_occ").cast("long").alias("n_grams"),
+        F.sum(
+            F.when(F.col("df_docs") >= BOILER_DF, F.col("n_occ")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_dup_grams"),
+    )
+    return agged.select(
+        "doc_id",
+        "source",
+        "n_grams",
+        "n_dup_grams",
+        F.expr(
+            "CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)"
+        ).alias("dup_frac"),
+        F.expr(
+            f"n_dup_grams * {BOILER_FLAG_MUL} > n_grams"
+        ).alias("boiler_flag"),
+    )
+
+
+BOILERPLATE_NGRAM_FRACTION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest({_ngrams_duck_sql('t', BOILER_N)}) AS gram
+  FROM toks
+),
+dg AS (
+  SELECT doc_id, source, gram, CAST(count(*) AS BIGINT) AS n_occ
+  FROM grams GROUP BY doc_id, source, gram
+),
+dfd AS (
+  SELECT *, count(*) OVER (PARTITION BY gram) AS df_docs FROM dg
+),
+agged AS (
+  SELECT doc_id, source,
+         CAST(sum(n_occ) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN df_docs >= {BOILER_DF} THEN n_occ ELSE 0 END)
+              AS BIGINT) AS n_dup_grams
+  FROM dfd GROUP BY doc_id, source
+)
+SELECT doc_id, source, n_grams, n_dup_grams,
+       CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac,
+       n_dup_grams * {BOILER_FLAG_MUL} > n_grams AS boiler_flag
+FROM agged
+"""
+
+
+# --- encoding-artifact (mojibake) audit -------------------------------------
+
+#: plant a corrupted copy of every MOJI_PLANT_MOD-th doc under offset
+#: ids — the corpus itself is clean ASCII, so (NULL-routing rule) the
+#: artifact paths must be exercised at every SF by injected rows, the
+#: same pattern as `embedding_norm_outliers`' planted outliers.
+MOJI_PLANT_MOD = 10
+MOJI_PLANT_OFFSET = 5_000_000
+#: the three artifact classes scanned for (each a literal substring):
+#: UTF-8 replacement char, latin-1 mojibake 'Ã©' (é read as latin-1),
+#: windows-1252 mojibake 'â€™' (right single quote read as cp1252)
+MOJI_REPL = "�"
+MOJI_LATIN1 = "Ã©"
+MOJI_WIN1252 = "â€™"
+
+
+def _moji_count(text_sql: str, marker: str) -> str:
+    """Occurrence count of `marker` in `text_sql` via length
+    difference — identical SQL text in both dialects (length() counts
+    CHARACTERS in both; the division is exact, every operand being a
+    small multiple of len(marker))."""
+    return (
+        f"CAST((length({text_sql}) - "
+        f"length(replace({text_sql}, '{marker}', ''))) "
+        f"/ {len(marker)} AS BIGINT)"
+    )
+
+
+def mojibake_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding-quality rollup — the CCNet/C4 ingest gate
+    that catches double-decoded text before it poisons a training
+    corpus: counts of UTF-8 replacement characters, latin-1 mojibake
+    ('Ã©'), and windows-1252 mojibake ('â€™') per document, rolled up
+    to source granularity with a clean-document ratio.
+
+    The harness corpus is clean ASCII, so corrupted copies of every
+    MOJI_PLANT_MOD-th document are INJECTED under offset doc_ids
+    (deterministic artifact multiplicities derived from doc_id) — the
+    planted-row rule: a detector whose positive path never runs at
+    harness SFs is ungraded code.
+
+    Numeric portability: artifact counts are exact character-count
+    differences (BIGINT); `clean_ratio` is ONE double division.
+
+    Scale shape: the scan + artifact counting is a narrow map (no
+    explode — three replace() passes per row), then one partial-agg'd
+    shuffle on the ~constant source key."""
+    d = balanced(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "source"
+    )
+    planted = d.where(F.col("doc_id") % MOJI_PLANT_MOD == 3).select(
+        (F.col("doc_id") + MOJI_PLANT_OFFSET).alias("doc_id"),
+        F.expr(
+            f"concat(text, ' {MOJI_LATIN1}',"
+            f" repeat(' {MOJI_WIN1252}', CAST(doc_id % 3 AS INT)),"
+            f" ' {MOJI_REPL}')"
+        ).alias("text"),
+        "source",
+    )
+    aug = d.unionByName(planted)
+    counted = aug.select(
+        "source",
+        F.expr(_moji_count("text", MOJI_REPL)).alias("n_repl"),
+        F.expr(_moji_count("text", MOJI_LATIN1)).alias("n_latin1"),
+        F.expr(_moji_count("text", MOJI_WIN1252)).alias("n_win1252"),
+    )
+    agged = counted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(
+                (F.col("n_repl") > 0)
+                | (F.col("n_latin1") > 0)
+                | (F.col("n_win1252") > 0),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum("n_repl").cast("long").alias("repl_total"),
+        F.sum("n_latin1").cast("long").alias("latin1_total"),
+        F.sum("n_win1252").cast("long").alias("win1252_total"),
+    )
+    return agged.select(
+        "source",
+        "n_docs",
+        "n_flagged",
+        "repl_total",
+        "latin1_total",
+        "win1252_total",
+        F.expr(
+            "CAST(n_docs - n_flagged AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+        ).alias("clean_ratio"),
+    )
+
+
+MOJIBAKE_ENCODING_AUDIT_SQL = f"""
+WITH src AS (
+  SELECT doc_id, text, source FROM documents
+),
+aug AS (
+  SELECT doc_id, text, source FROM src
+  UNION ALL
+  SELECT doc_id + {MOJI_PLANT_OFFSET},
+         concat(text, ' {MOJI_LATIN1}',
+                repeat(' {MOJI_WIN1252}', CAST(doc_id % 3 AS INT)),
+                ' {MOJI_REPL}'),
+         source
+  FROM src WHERE doc_id % {MOJI_PLANT_MOD} = 3
+),
+counted AS (
+  SELECT source,
+         {_moji_count('text', MOJI_REPL)} AS n_repl,
+         {_moji_count('text', MOJI_LATIN1)} AS n_latin1,
+         {_moji_count('text', MOJI_WIN1252)} AS n_win1252
+  FROM aug
+),
+agged AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN n_repl > 0 OR n_latin1 > 0 OR n_win1252 > 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         CAST(sum(n_repl) AS BIGINT) AS repl_total,
+         CAST(sum(n_latin1) AS BIGINT) AS latin1_total,
+         CAST(sum(n_win1252) AS BIGINT) AS win1252_total
+  FROM counted GROUP BY source
+)
+SELECT source, n_docs, n_flagged, repl_total, latin1_total, win1252_total,
+       CAST(n_docs - n_flagged AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         AS clean_ratio
+FROM agged
+"""
+
+
+# --- per-source lexical statistics ------------------------------------------
+
+
+def source_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity profile — type-token ratio, hapax
+    fraction, and mean word length. The corpus-QA dashboard that
+    catches a source gone degenerate (templated spam → TTR collapses;
+    OCR noise → hapax fraction and word length explode) before it
+    enters a training mix.
+
+    Numeric portability: token/type/hapax counts and the character
+    sum are exact BIGINTs; the three ratios are each ONE double
+    division of exact integers.
+
+    Scale shape: explode → (source, word) partial-agg'd count (the
+    map-side combine absorbs hot words) → one aggregate on the
+    ~constant source key. Two shuffles at any SF."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    words = d.select(
+        "source", F.explode(tokens_expr(F.col("text"))).alias("word")
+    )
+    per_word = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    agged = per_word.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("cnt") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_hapax"),
+        F.sum(F.length("word").cast("long") * F.col("cnt"))
+        .cast("long")
+        .alias("char_sum"),
+    )
+    return agged.select(
+        "source",
+        "n_types",
+        "n_tokens",
+        "n_hapax",
+        "char_sum",
+        F.expr("CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)").alias(
+            "ttr"
+        ),
+        F.expr("CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)").alias(
+            "hapax_ratio"
+        ),
+        F.expr("CAST(char_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE)").alias(
+            "mean_word_len"
+        ),
+    )
+
+
+SOURCE_LEXICAL_STATS_SQL = """
+WITH words AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+),
+per_word AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+  FROM words GROUP BY source, word
+),
+agged AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax,
+         CAST(sum(CAST(length(word) AS BIGINT) * cnt) AS BIGINT)
+           AS char_sum
+  FROM per_word GROUP BY source
+)
+SELECT source, n_types, n_tokens, n_hapax, char_sum,
+       CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+       CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_ratio,
+       CAST(char_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         AS mean_word_len
+FROM agged
+"""
+
+
+# --- BPE APPLY: encode the corpus with the learned merges -------------------
+
+
+def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ENCODE over the corpus with the merges learned by the
+    `bpe_merge_loop` chain — the other half of shipping a tokenizer:
+    training produces a merge list; this applies it. Per document:
+    word count, raw symbol count (chars + end-of-word), encoded BPE
+    token count, and the compression ratio the merges bought.
+
+    The merges are re-derived from the SAME shared learning chain
+    (`_bpe_words_spark` + `_bpe_pairs_expr_spark` + `_bpe_fold_spark`
+    on the Spark side, `_bpe_learning_ctes` in the oracle), so the
+    applied merge table is definitionally the trained one — no
+    side-channel merge list that could drift.
+
+    Encoding runs on the VOCABULARY (Heaps-law sublinear in corpus
+    size), never per occurrence: each distinct word is encoded once
+    through the 3 merge folds, then the corpus explode joins the
+    BROADCAST encoded lengths (a plain word equi-join would shuffle
+    the corpus on a hot-word-skewed key). Integer counts throughout;
+    the ratio is ONE double division per doc."""
+    from .. import caches
+
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    # feeds the weighted learning chain AND the keyed encode chain
+    words = caches.claim("bpe_apply_words", _bpe_words_spark(d))
+    syms = _bpe_syms_spark()
+    pairs_expr = _bpe_pairs_expr_spark()
+    fold = _bpe_fold_spark()
+    vocab = caches.claim(
+        "bpe_apply_v0", words.select("n_w", F.expr(syms).alias("t"))
+    )
+    enc = words.select("word", F.expr(syms).alias("t"))
+    for step in range(1, BPE_MERGE_STEPS + 1):
+        win = (
+            vocab.select("n_w", F.explode(F.expr(pairs_expr)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("n_w").cast("long").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "pair")
+            .limit(1)
+            .select(
+                F.expr("split(pair, ' ')[0]").alias("wa"),
+                F.expr("split(pair, ' ')[1]").alias("wb"),
+            )
+        )
+        # two consumers per winner (vocab rewrite + encode rewrite)
+        win = caches.claim(f"bpe_apply_win_{step}", win)
+        if step < BPE_MERGE_STEPS:
+            vocab = caches.claim(
+                f"bpe_apply_v{step}",
+                vocab.crossJoin(F.broadcast(win)).select(
+                    "n_w", F.expr(fold).alias("t")
+                ),
+            )
+        enc = enc.crossJoin(F.broadcast(win)).select(
+            "word", F.expr(fold).alias("t")
+        )
+    enc_len = enc.select("word", F.size("t").cast("long").alias("n_sym"))
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(tokens_expr(F.col("text"))).alias("word"),
+    ).where(F.length("word") >= 1)
+    agged = toks.join(F.broadcast(enc_len), "word").groupBy(
+        "doc_id", "source"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum((F.length("word") + 1).cast("long"))
+        .cast("long")
+        .alias("n_symbols_raw"),
+        F.sum("n_sym").cast("long").alias("n_tokens_bpe"),
+    )
+    return agged.select(
+        "doc_id",
+        "source",
+        "n_words",
+        "n_symbols_raw",
+        "n_tokens_bpe",
+        F.expr(
+            "CAST(n_symbols_raw AS DOUBLE) / CAST(n_tokens_bpe AS DOUBLE)"
+        ).alias("compression"),
+    )
+
+
+def _bpe_apply_encode_sql() -> str:
+    ctes = _bpe_learning_ctes(BPE_MERGE_STEPS)
+    ctes.append(f"e0 AS ({_bpe_duck_syms('word')})")
+    for s in range(1, BPE_MERGE_STEPS + 1):
+        ctes.append(
+            f"e{s} AS MATERIALIZED "
+            f"({_bpe_duck_fold('word', f'e{s - 1}', f'w{s}')})"
+        )
+    ctes.append(
+        f"""enc AS (
+  SELECT word, CAST(len(t) AS BIGINT) AS n_sym FROM e{BPE_MERGE_STEPS})"""
+    )
+    ctes.append(
+        """toks AS (
+  SELECT doc_id, source, word FROM (
+    SELECT doc_id, source,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+    FROM documents)
+  WHERE length(word) >= 1)"""
+    )
+    ctes.append(
+        """agged AS (
+  SELECT doc_id, source,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(CAST(length(word) + 1 AS BIGINT)) AS BIGINT)
+           AS n_symbols_raw,
+         CAST(sum(n_sym) AS BIGINT) AS n_tokens_bpe
+  FROM toks JOIN enc USING (word)
+  GROUP BY doc_id, source)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT doc_id, source, n_words, n_symbols_raw, n_tokens_bpe,
+       CAST(n_symbols_raw AS DOUBLE) / CAST(n_tokens_bpe AS DOUBLE)
+         AS compression
+FROM agged
+"""
+    )
+
+
+BPE_APPLY_ENCODE_SQL = _bpe_apply_encode_sql()

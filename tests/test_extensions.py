@@ -1210,3 +1210,211 @@ def test_entity_resolution_threshold_gates_both_ways(spark):
     }
     matched_keys = {r.entry_id - FZ.ER_ID_OFFSET for r in rows}
     assert not (drop_keys & matched_keys) and drop_keys
+
+
+# --- r7 additions ------------------------------------------------------------
+
+
+def test_boilerplate_ngram_fraction_brute_force(spark):
+    """Differential: recompute cross-doc 3-gram document frequencies
+    and per-doc duplicated fractions with a Python Counter."""
+    from collections import Counter
+
+    from etl_portfolio_project_spark.operators import text as T
+
+    docs = {
+        r.doc_id: str(r.text).strip().split()
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    grams = {
+        d: [" ".join(t[i:i + T.BOILER_N])
+            for i in range(len(t) - T.BOILER_N + 1)]
+        for d, t in docs.items()
+    }
+    df_docs = Counter(g for gs in grams.values() for g in set(gs))
+    rows = X.boilerplate_ngram_fraction(spark, SF_SMALL).collect()
+    assert {r.doc_id for r in rows} == {
+        d for d, gs in grams.items() if gs
+    }
+    for r in rows:
+        gs = grams[r.doc_id]
+        dup = sum(1 for g in gs if df_docs[g] >= T.BOILER_DF)
+        assert r.n_grams == len(gs)
+        assert r.n_dup_grams == dup
+        assert r.dup_frac == dup / len(gs)
+        assert r.boiler_flag == (dup * T.BOILER_FLAG_MUL > len(gs))
+    # the signal must actually fire at harness SFs
+    assert any(r.n_dup_grams > 0 for r in rows)
+
+
+def test_mojibake_audit_counts_planted_artifacts(spark):
+    """The corpus is clean ASCII, so every artifact found must come
+    from the planted corrupted copies — recompute the per-source
+    totals from the plant rule directly."""
+    from collections import defaultdict
+
+    from etl_portfolio_project_spark.operators import text as T
+
+    base = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    )
+    exp = defaultdict(lambda: [0, 0, 0, 0, 0])  # docs, flag, repl, l1, w1252
+    for r in base:
+        exp[r.source][0] += 1
+        if r.doc_id % T.MOJI_PLANT_MOD == 3:
+            exp[r.source][0] += 1  # the planted copy
+            exp[r.source][1] += 1  # it is flagged
+            exp[r.source][2] += 1  # one replacement char
+            exp[r.source][3] += 1  # one 'Ã©'
+            exp[r.source][4] += r.doc_id % 3  # repeated 'â€™'
+    rows = X.mojibake_encoding_audit(spark, SF_SMALL).collect()
+    assert {r.source for r in rows} == set(exp)
+    for r in rows:
+        docs, flag, repl, l1, w12 = exp[r.source]
+        assert (r.n_docs, r.n_flagged) == (docs, flag)
+        assert (r.repl_total, r.latin1_total, r.win1252_total) == (
+            repl, l1, w12,
+        )
+        assert r.clean_ratio == (docs - flag) / docs
+    assert any(r.n_flagged > 0 for r in rows)  # positive path exercised
+
+
+def test_source_lexical_stats_brute_force(spark):
+    from collections import Counter, defaultdict
+
+    per_source = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    ):
+        toks = str(r.text).strip().split()
+        per_source[r.source].extend(toks if toks else [""])
+    rows = X.source_lexical_stats(spark, SF_SMALL).collect()
+    assert {r.source for r in rows} == set(per_source)
+    for r in rows:
+        cnt = Counter(per_source[r.source])
+        n_tokens = sum(cnt.values())
+        hapax = sum(1 for v in cnt.values() if v == 1)
+        char_sum = sum(len(w) * v for w, v in cnt.items())
+        assert r.n_types == len(cnt)
+        assert r.n_tokens == n_tokens
+        assert r.n_hapax == hapax
+        assert r.char_sum == char_sum
+        assert r.ttr == len(cnt) / n_tokens
+        assert r.hapax_ratio == hapax / len(cnt)
+        assert r.mean_word_len == char_sum / n_tokens
+
+
+def test_multivector_maxsim_matches_numpy(spark):
+    """Differential: numpy MaxSim (sum over query sub-vectors of the
+    best sub-cosine) reproduces the top-k sets and ranks; scores match
+    to float tolerance (numpy's dot order differs from the engines'
+    shared left-to-right fold, so bitwise equality is not expected
+    here — the ORACLE check covers bit-exactness)."""
+    import math
+
+    import numpy as np
+
+    from etl_portfolio_project_spark.operators import similarity as S
+
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    sub = S.PQ_SUB
+
+    def subs(v):
+        return [v[m * sub:(m + 1) * sub] for m in range(S.MAXSIM_M)]
+
+    def maxsim(q, d):
+        qs, ds = subs(q), subs(d)
+        return sum(
+            max(
+                float(np.dot(a, b))
+                / (math.sqrt(float(np.dot(a, a)))
+                   * math.sqrt(float(np.dot(b, b))))
+                for b in ds
+            )
+            for a in qs
+        )
+
+    rows = S.multivector_maxsim_topk(spark, SF_SMALL).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    qids = [
+        v for v in vecs
+        if v % S.QUERY_MOD == 0 and v < S.QUERY_ID_BOUND
+    ]
+    assert set(by_q) == set(qids)
+    for qid in qids:
+        scored = sorted(
+            ((maxsim(vecs[qid], v), vid) for vid, v in vecs.items()
+             if vid != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[: S.TOP_K]
+        got = sorted(by_q[qid], key=lambda r: r.rank)
+        assert [r.vec_id for r in got] == [vid for _, vid in scored]
+        for r, (s, _) in zip(got, scored):
+            assert math.isclose(r.maxsim, s, rel_tol=1e-12)
+
+
+def test_bpe_apply_encode_matches_python_bpe(spark):
+    """Differential: train 3 BPE merges with an independent Python
+    implementation (greedy left-to-right application, argmax pair with
+    lexicographic tie-break) and re-encode every doc."""
+    from collections import Counter
+
+    from etl_portfolio_project_spark.operators import text as T
+
+    docs = {
+        (r.doc_id, r.source): [
+            w for w in str(r.text).strip().split() if len(w) >= 1
+        ]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    }
+    word_counts = Counter(w for t in docs.values() for w in t)
+    enc = {w: list(w) + [T.BPE_EOW] for w in word_counts}
+
+    def merge(seq, wa, wb):
+        out = []
+        for s in seq:
+            if out and out[-1] == wa and s == wb:
+                out[-1] = wa + wb
+            else:
+                out.append(s)
+        return out
+
+    for _ in range(T.BPE_MERGE_STEPS):
+        pairs = Counter()
+        for w, n in word_counts.items():
+            t = enc[w]
+            for i in range(len(t) - 1):
+                pairs[(t[i], t[i + 1])] += n
+        (wa, wb), _n = min(
+            pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        enc = {w: merge(t, wa, wb) for w, t in enc.items()}
+
+    rows = X.bpe_apply_encode(spark, SF_SMALL).collect()
+    assert {(r.doc_id, r.source) for r in rows} == {
+        k for k, t in docs.items() if t
+    }
+    for r in rows:
+        toks = docs[(r.doc_id, r.source)]
+        raw = sum(len(w) + 1 for w in toks)
+        bpe = sum(len(enc[w]) for w in toks)
+        assert r.n_words == len(toks)
+        assert r.n_symbols_raw == raw
+        assert r.n_tokens_bpe == bpe
+        assert r.compression == raw / bpe
+        assert r.n_tokens_bpe < r.n_symbols_raw  # the merges bought length

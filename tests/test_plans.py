@@ -217,6 +217,20 @@ SHUFFLE_BUDGET = {
     # df + N broadcast back, one doc_id window
     "tfidf_top_terms": 5,
     "source_capped_docs": 1,  # one source-keyed window
+    # balanced + (doc,gram) agg + gram-df window + per-doc agg (the
+    # tfidf no-rescan shape at the n-gram level)
+    "boilerplate_ngram_fraction": 4,
+    # 2 balanced branches (base + planted copies) + one source agg
+    "mojibake_encoding_audit": 3,
+    # balanced + (source,word) agg + source agg
+    "source_lexical_stats": 3,
+    # query-subset broadcast vs narrow corpus scan + 1 top-k window
+    # (ann_brute_force_topk twin; 3 = 2 balanced branches + window)
+    "multivector_maxsim_topk": 3,
+    # balanced + vocab word agg + 3 training pair aggs + the corpus
+    # explode joins the BROADCAST encoded vocab + final per-doc agg
+    # (+1 headroom, the bpe_merge_loop convention)
+    "bpe_apply_encode": 8,
     # (user, week) distinct + user window + tiny cell agg
     "cohort_retention": 3,
     "events_value_histogram": 1,  # ≤20-key map-side-combining agg
@@ -372,6 +386,7 @@ def test_interval_join_is_never_nested_loop(spark):
         "tpch_q3_shipping_priority",  # filtered customer dim broadcast
         "tpch_q5_local_volume",  # all four dims broadcast
         "ann_brute_force_topk",  # query subset broadcast, big side narrow
+        "multivector_maxsim_topk",  # same shape, M² sub-cosine scoring
         "tpch_q8_market_share",  # 7-way star: every dim broadcast
         "tpch_q19_disjunctive_revenue",  # part dim broadcast
     ],
