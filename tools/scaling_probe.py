@@ -791,6 +791,146 @@ def probe_r6_caps(spark, sf_dir: str, label: str) -> dict:
     return r
 
 
+def probe_r7(spark, sf_dir: str, label: str) -> dict:
+    """Ladder rows for the r7 additions + the shared-index tier:
+
+    - the five new operators' wall times (boilerplate fraction should
+      track gram volume ~linearly; maxsim is |Q|·n with constant |Q|;
+      bpe encode is corpus-scan + VOCABULARY-sized folds — the vocab
+      size column is the Heaps-law sublinearity evidence),
+    - IVF-PQ probe-slice selectivity: candidate pairs / (|Q|·n) — the
+      fraction of the corpus each query actually scores (verdict r6
+      #6), reproduced from the op's own routing blocks,
+    - shared-index cold/warm A/B: the same IVF-PQ query with a cold
+      vs session-warm shared index (the r7 `caches.shared_index`
+      claim, measured),
+    - entity_resolution_parts (harness SFs only — the synthetic sf1e
+      has no part table): candidate pairs after blocking vs matches,
+      the blocking recall/precision dials."""
+    from pyspark.sql import functions as F
+
+    from etl_portfolio_project_spark import caches
+    from etl_portfolio_project_spark.operators import (
+        fuzzy,
+        similarity,
+        text,
+    )
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    r = {"sf": label}
+    r["n_docs"] = int(load_table(spark, sf_dir, "documents").count())
+    r["n_vec"] = int(load_table(spark, sf_dir, "embeddings").count())
+
+    # --- the five r7 operators
+    boiler = text.boilerplate_ngram_fraction(spark, sf_dir)
+    agg, r["boiler_secs"] = timed(
+        lambda: boiler.agg(
+            F.sum("n_grams").alias("g"), F.sum("n_dup_grams").alias("d")
+        ).collect()[0]
+    )
+    r["boiler_grams"] = int(agg["g"])
+    r["boiler_dup_frac"] = round(int(agg["d"]) / int(agg["g"]), 4)
+    caches.release_all()
+    for name, fn in [
+        ("mojibake", text.mojibake_encoding_audit),
+        ("lexical", text.source_lexical_stats),
+        ("maxsim", similarity.multivector_maxsim_topk),
+        ("bpe_apply", text.bpe_apply_encode),
+    ]:
+        _, r[f"{name}_secs"] = timed(lambda fn=fn: fn(spark, sf_dir).count())
+        caches.release_all()
+    r["bpe_vocab"] = int(
+        text._bpe_words_spark(
+            load_table(spark, sf_dir, "documents")
+        ).count()
+    )
+
+    # --- IVF-PQ probe-slice selectivity (the op's own routing blocks)
+    caches.release_shared_all()
+    quantized = similarity._ivf_quantized(spark, sf_dir)
+    assigned = quantized.select(
+        "vec_id", F.col("near")[0]["cid"].alias("list_id")
+    )
+    probes = quantized.where(
+        F.expr(similarity.query_subset_pred())
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.expr("transform(near, s -> s.cid)")).alias("list_id"),
+    )
+    n_q = int(quantized.where(
+        F.expr(similarity.query_subset_pred())).count())
+    cand = assigned.join(
+        F.broadcast(probes),
+        (assigned["list_id"] == probes["list_id"])
+        & (assigned["vec_id"] != probes["query_id"]),
+    )
+    r["ivfpq_cand_pairs"] = int(cand.count())
+    r["ivfpq_selectivity"] = round(
+        r["ivfpq_cand_pairs"] / (n_q * r["n_vec"]), 4
+    )
+
+    # --- shared-index cold vs warm (index already built by the
+    # selectivity probe above -> warm; then rebuild cold)
+    _, r["ivfpq_warm_secs"] = timed(
+        lambda: similarity.ann_ivfpq_topk(spark, sf_dir).count()
+    )
+    caches.release_all()
+    caches.release_shared_all()
+    _, r["ivfpq_cold_secs"] = timed(
+        lambda: similarity.ann_ivfpq_topk(spark, sf_dir).count()
+    )
+    caches.release_all()
+    caches.release_shared_all()
+
+    # --- entity resolution (needs the part table: harness SFs only)
+    if os.path.exists(f"{sf_dir}/part.parquet"):
+        p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+        dirty = p.where(
+            F.col("p_partkey") % 8 < fuzzy.ER_DIRTY_MOD
+        ).select(
+            (F.col("p_partkey") + fuzzy.ER_ID_OFFSET).alias("entry_id"),
+            F.expr(
+                fuzzy._er_dirty_name_sql("p_name", "p_partkey")
+            ).alias("entry_name"),
+        )
+        canon = p.groupBy("p_name").agg(
+            F.min("p_partkey").alias("canon_partkey")
+        )
+        B = fuzzy.ER_BLOCK
+        d = dirty.withColumn(
+            "d_pre", F.expr(f"substr(entry_name, 1, {B})")
+        ).withColumn(
+            "d_suf",
+            F.expr(
+                f"substr(entry_name, length(entry_name) - {B - 1}, {B})"
+            ),
+        )
+        c = canon.withColumn(
+            "c_pre", F.expr(f"substr(p_name, 1, {B})")
+        ).withColumn(
+            "c_suf",
+            F.expr(f"substr(p_name, length(p_name) - {B - 1}, {B})"),
+        )
+        cand_er = (
+            d.join(F.broadcast(c), F.col("d_pre") == F.col("c_pre"))
+            .select("entry_id", "p_name")
+            .unionByName(
+                d.join(
+                    F.broadcast(c), F.col("d_suf") == F.col("c_suf")
+                ).select("entry_id", "p_name")
+            )
+            .distinct()
+        )
+        r["er_dirty"] = int(dirty.count())
+        r["er_cand_pairs"] = int(cand_er.count())
+        out, r["er_secs"] = timed(
+            lambda: fuzzy.entity_resolution_parts(spark, sf_dir).count()
+        )
+        r["er_matched"] = int(out)
+        caches.release_all()
+    return r
+
+
 def main() -> int:
     if "--skip-generate" not in sys.argv:
         need = not all(
@@ -806,6 +946,25 @@ def main() -> int:
 
     spark = get_spark(app_name="scaling_probe")
     spark.read.parquet(f"{SRC_SF}/orders.parquet").count()
+
+    if "--only-r7" in sys.argv:
+        raw_path = os.path.join(_REPO, "SCALING_RAW.json")
+        with open(raw_path) as f:
+            raw = json.load(f)
+        r7_rows = []
+        for sf_dir, label in [
+            ("/root/testdata/sf0.01", "sf0.01"),
+            (SRC_SF, "sf0.1"),
+            (SCALE_DIR, "sf1e"),
+        ]:
+            print(f"--- r7 operators at {label}")
+            r7_rows.append(probe_r7(spark, sf_dir, label))
+            print(json.dumps(r7_rows[-1]))
+        raw["r7_new"] = r7_rows
+        with open(raw_path, "w") as f:
+            json.dump(raw, f, indent=1)
+        print("merged r7_new into SCALING_RAW.json")
+        return 0
 
     if "--only-r6" in sys.argv:
         raw_path = os.path.join(_REPO, "SCALING_RAW.json")
