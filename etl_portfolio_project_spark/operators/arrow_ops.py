@@ -47,23 +47,32 @@ def arrow_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        # SQL aggregate NULL semantics (the oracle's median/max skip
+        # NULLs; count(*) does not) — and the NULL-source group must
+        # emit a TYPED null, or Arrow infers null-type and the worker
+        # rejects the string schema (r7 drift-sweep NULL-doc finding)
         n = tbl.num_rows
-        chars = pc.array_sort_indices(tbl.column("n_chars"))
-        sorted_chars = pc.take(tbl.column("n_chars"), chars)
-        if n % 2 == 1:
-            med = float(sorted_chars[n // 2].as_py())
+        vals = tbl.column("n_chars").drop_null()
+        k = len(vals)
+        if k == 0:
+            med, mx = None, None
         else:
-            lo = sorted_chars[n // 2 - 1].as_py()
-            hi = sorted_chars[n // 2].as_py()
-            med = (lo + hi) / 2.0
+            sorted_chars = pc.take(vals, pc.array_sort_indices(vals))
+            if k % 2 == 1:
+                med = float(sorted_chars[k // 2].as_py())
+            else:
+                lo = sorted_chars[k // 2 - 1].as_py()
+                hi = sorted_chars[k // 2].as_py()
+                med = (lo + hi) / 2.0
+            mx = pc.max(vals).as_py()
         return pa.table(
             {
-                "source": pa.array([tbl.column("source")[0].as_py()]),
+                "source": pa.array(
+                    [tbl.column("source")[0].as_py()], pa.string()
+                ),
                 "n_docs": pa.array([n], pa.int64()),
                 "median_chars": pa.array([med], pa.float64()),
-                "max_chars": pa.array(
-                    [pc.max(tbl.column("n_chars")).as_py()], pa.int64()
-                ),
+                "max_chars": pa.array([mx], pa.int64()),
             }
         )
 

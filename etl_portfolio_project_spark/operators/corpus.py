@@ -630,25 +630,29 @@ def _url_synth_sql(h60, cast_str: str = "STRING") -> str:
     bkt_arg = f"concat('bkt:', CAST(doc_id AS {cast_str}))"
     syn = f"{h60(syn_arg)} % 10 < 3"
     bkt = f"{h60(bkt_arg)} % 3"
-    return f"""concat(
-      'https://',
-      CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END,
-      CASE WHEN doc_id % 3 = 0 THEN concat(upper(source), '.Example.COM')
-           ELSE concat(source, '.example.com') END,
-      CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END,
-      '/docs/',
-      CAST(CASE WHEN {syn} THEN {bkt} ELSE doc_id END AS {cast_str}),
-      CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
-      CASE WHEN doc_id % 2 = 0
-           THEN concat('?utm_source=feed&utm_campaign=c',
-                       CAST(doc_id AS {cast_str}),
-                       '&v=', CAST(CASE WHEN {syn} THEN 1 ELSE doc_id % 4 END
-                                   AS {cast_str}))
-           ELSE concat('?v=', CAST(CASE WHEN {syn} THEN 1 ELSE doc_id % 4 END
-                               AS {cast_str})) END,
-      CASE WHEN doc_id % 3 = 1
-           THEN concat('#sec', CAST(doc_id % 7 AS {cast_str}))
-           ELSE '' END)"""
+    # || not concat for everything the nullable `source` reaches:
+    # DuckDB's concat() treats NULL as '' (a half-built URL) while
+    # Spark's propagates NULL — || propagates in BOTH, so a NULL
+    # source yields a NULL URL in both engines (r7 drift-sweep fix)
+    return f"""(
+      'https://'
+      || CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END
+      || CASE WHEN doc_id % 3 = 0 THEN (upper(source) || '.Example.COM')
+              ELSE (source || '.example.com') END
+      || CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END
+      || '/docs/'
+      || CAST(CASE WHEN {syn} THEN {bkt} ELSE doc_id END AS {cast_str})
+      || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+      || CASE WHEN doc_id % 2 = 0
+              THEN concat('?utm_source=feed&utm_campaign=c',
+                          CAST(doc_id AS {cast_str}),
+                          '&v=', CAST(CASE WHEN {syn} THEN 1
+                                      ELSE doc_id % 4 END AS {cast_str}))
+              ELSE concat('?v=', CAST(CASE WHEN {syn} THEN 1
+                                      ELSE doc_id % 4 END AS {cast_str})) END
+      || CASE WHEN doc_id % 3 = 1
+              THEN concat('#sec', CAST(doc_id % 7 AS {cast_str}))
+              ELSE '' END)"""
 
 
 def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,11 +687,12 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u, '#.*$', ''), 'utm_[a-z]+=[^&]*&?', ''), '[?&]$', '')"
     )
     # lowercase + de-noise the authority; tidy the path tail
+    # (|| not concat: a NULL url must stay NULL through the pipeline —
+    # DuckDB concat of two NULLs returns '')
     canon = (
-        "concat("
-        "regexp_replace(regexp_replace(lower(h), ':443$', ''), "
-        "'^https://www\\\\.', 'https://'), "
-        "regexp_replace(replace(substring(c, length(h) + 1), '/?', '?'), "
+        "(regexp_replace(regexp_replace(lower(h), ':443$', ''), "
+        "'^https://www\\\\.', 'https://') "
+        "|| regexp_replace(replace(substring(c, length(h) + 1), '/?', '?'), "
         "'/$', ''))"
     )
     from .text import portable_hash60_spark_sql
@@ -758,12 +763,11 @@ def _url_canonical_sql() -> str:
     ),
     canon AS MATERIALIZED (
       SELECT source,
-             concat(
-               regexp_replace(regexp_replace(lower(h), ':443$', ''),
-                              '^https://www\\.', 'https://'),
-               regexp_replace(replace(substring(c, length(h) + 1),
-                                      '/?', '?'),
-                              '/$', '')) AS canonical_url
+             (regexp_replace(regexp_replace(lower(h), ':443$', ''),
+                             '^https://www\\.', 'https://')
+              || regexp_replace(replace(substring(c, length(h) + 1),
+                                        '/?', '?'),
+                                '/$', '')) AS canonical_url
       FROM split_head
     ),
     grp AS (

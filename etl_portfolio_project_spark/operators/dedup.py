@@ -90,7 +90,13 @@ GROUP BY 1
 def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate GROUPS by 8-token-prefix fingerprint (≥2 members)."""
     d = load_table(spark, sf_dir, "documents")
-    prefix_fp = F.md5(F.concat_ws(" ", F.slice(tokens_expr(F.col("text")), 1, 8)))
+    # concat_ws maps a NULL token array to '' (grouping NULL-text docs
+    # with EMPTY-text docs) while the oracle's array_to_string keeps
+    # NULL — gate on text so both fingerprint NULL (r7 drift sweep)
+    prefix_fp = F.when(
+        F.col("text").isNotNull(),
+        F.md5(F.concat_ws(" ", F.slice(tokens_expr(F.col("text")), 1, 8))),
+    )
     return (
         d.select(prefix_fp.alias("prefix_fp"), "doc_id")
         .groupBy("prefix_fp")

@@ -81,11 +81,16 @@ def format_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             # would corrupt the audit if the corpus ever regenerates
             # with such text (today's corpus has none: data luck, not
             # a guarantee)
+            # nullValue sentinel: by default BOTH NULL and '' write as
+            # an empty field and read back as NULL — the \\N (MySQL
+            # convention) sentinel preserves the NULL/'' distinction
+            # through the round-trip (r7 drift-sweep NULL-doc finding)
             w = (
                 w.option("header", "true")
                 .option("escape", '"')
                 .option("ignoreLeadingWhiteSpace", "false")
                 .option("ignoreTrailingWhiteSpace", "false")
+                .option("nullValue", "\\N")
             )
         w.save(path)
         r = spark.read.format(fmt)
@@ -96,6 +101,7 @@ def format_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     r.option("header", "true")
                     .option("escape", '"')
                     .option("multiLine", "true")
+                    .option("nullValue", "\\N")
                 )
         back = r.load(path)
         audits.append(

@@ -117,6 +117,11 @@ def extract_features(media: DataFrame) -> DataFrame:
         import pandas as _pd
 
         def feats_of(payload: bytes) -> tuple[int, str, int]:
+            if payload is None:
+                # NULL media blob (corrupt/missing object): keep the
+                # row, NULL features — the oracle's encode(NULL)
+                # propagation does the same
+                return (None, None, None)
             n = len(payload)
             return (
                 n,
@@ -206,6 +211,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "frame_md5": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # NULL media blob: no frames (the oracle's LATERAL
+                    # over a NULL frame count emits no rows)
+                    continue
                 text = bytes(payload).decode("utf-8")
                 n_frames = (len(text) + F_CHARS - 1) // F_CHARS
                 for i in range(0, n_frames, F_STRIDE):

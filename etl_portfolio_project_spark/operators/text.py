@@ -89,7 +89,12 @@ def langid_expr(text: Column) -> Column:
     total = scores[0]
     for s in scores[1:]:
         total = total + s
-    return F.when(total == 0, F.lit("und")).otherwise(best["lang"])
+    # NULL text → NULL counts: explicitly 'und' (otherwise Spark's
+    # struct argmin and DuckDB's CASE fall through to DIFFERENT
+    # arbitrary languages — r7 drift-sweep NULL-doc finding)
+    return F.when(
+        (total == 0) | total.isNull(), F.lit("und")
+    ).otherwise(best["lang"])
 
 
 def langid_sql(text: str) -> str:
@@ -102,7 +107,8 @@ def langid_sql(text: str) -> str:
     c = counts
     langs = [lang for lang, _ in LANG_MARKERS]
     return f"""
-      CASE WHEN {c[0]} + {c[1]} + {c[2]} + {c[3]} = 0 THEN 'und'
+      CASE WHEN COALESCE({c[0]} + {c[1]} + {c[2]} + {c[3]}, 0) = 0
+             THEN 'und'
            WHEN {c[0]} >= {c[1]} AND {c[0]} >= {c[2]} AND {c[0]} >= {c[3]}
              THEN '{langs[0]}'
            WHEN {c[1]} >= {c[2]} AND {c[1]} >= {c[3]} THEN '{langs[1]}'
@@ -127,10 +133,14 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         lst = ", ".join(f"'{w}'" for w in markers)
         return f"size(filter(tk, t -> lower(t) IN ({lst})))"
 
+    # coalesce: for NULL text the fold is NULL here but the oracle's
+    # list_prepend(0, NULL) folds to the 0 init — align on 0 (the
+    # empty-fold value; drift-sweep NULL-doc finding, r7)
     rolling = (
-        "aggregate(transform(tk, x -> "
+        "coalesce(aggregate(transform(tk, x -> "
         f"CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) % {FP_P}), "
-        f"CAST(0 AS BIGINT), (acc, h) -> (acc * {FP_B} + h) % {FP_P})"
+        f"CAST(0 AS BIGINT), (acc, h) -> (acc * {FP_B} + h) % {FP_P}), "
+        "CAST(0 AS BIGINT))"
     )
     counts = ", ".join(
         f"{mc(m)} AS c{i}" for i, (_, m) in enumerate(LANG_MARKERS)
@@ -145,10 +155,14 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size(regexp_extract_all(text, "
         "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)) AS nbpe)"
     )
-    avg = "(m.sumlen / m.nt)"
-    stopr = "(m.c0 / m.nt)"
-    punctr = "(m.npunct / m.nchars)"
-    digitr = "(m.ndigits / m.nchars)"
+    # try_divide: DuckDB integer '/' yields NULL on a zero divisor
+    # (empty doc -> n_chars 0) where Spark ANSI Divide ERRORS —
+    # try_divide returns the same double-division values and the same
+    # NULL (drift-sweep empty-doc finding, r7)
+    avg = "try_divide(m.sumlen, m.nt)"
+    stopr = "try_divide(m.c0, m.nt)"
+    punctr = "try_divide(m.npunct, m.nchars)"
+    digitr = "try_divide(m.ndigits, m.nchars)"
     quality = (
         "(CASE WHEN m.nt >= 10 AND m.nt <= 1000 THEN CAST(0.4 AS DOUBLE) "
         "ELSE CAST(0.0 AS DOUBLE) END "
@@ -162,7 +176,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     langs = [lang for lang, _ in LANG_MARKERS]
     lang_case = (
-        "CASE WHEN m.c0 + m.c1 + m.c2 + m.c3 = 0 THEN 'und' "
+        "CASE WHEN coalesce(m.c0 + m.c1 + m.c2 + m.c3, 0) = 0 THEN 'und' "
         "WHEN m.c0 >= m.c1 AND m.c0 >= m.c2 AND m.c0 >= m.c3 "
         f"THEN '{langs[0]}' "
         f"WHEN m.c1 >= m.c2 AND m.c1 >= m.c3 THEN '{langs[1]}' "
@@ -2045,7 +2059,12 @@ def mojibake_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = balanced(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text", "source"
     )
-    planted = d.where(F.col("doc_id") % MOJI_PLANT_MOD == 3).select(
+    # text IS NOT NULL: Spark concat propagates NULL but DuckDB concat
+    # treats NULL as '' — a NULL-text doc in the plant branch would
+    # produce a NULL copy here and an artifacts-only copy there
+    planted = d.where(
+        (F.col("doc_id") % MOJI_PLANT_MOD == 3) & F.col("text").isNotNull()
+    ).select(
         (F.col("doc_id") + MOJI_PLANT_OFFSET).alias("doc_id"),
         F.expr(
             f"concat(text, ' {MOJI_LATIN1}',"
@@ -2102,7 +2121,7 @@ aug AS (
                 repeat(' {MOJI_WIN1252}', CAST(doc_id % 3 AS INT)),
                 ' {MOJI_REPL}'),
          source
-  FROM src WHERE doc_id % {MOJI_PLANT_MOD} = 3
+  FROM src WHERE doc_id % {MOJI_PLANT_MOD} = 3 AND text IS NOT NULL
 ),
 counted AS (
   SELECT source,

@@ -42,7 +42,7 @@ DRIFT_DIR = "/tmp/spark_graft_driftdata"
 
 _COPY_TABLES = [
     "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "documents",
+    "orders", "lineitem",
 ]
 
 
@@ -53,6 +53,40 @@ def synthesize(src: str, dst: str) -> None:
     os.makedirs(dst, exist_ok=True)
     for t in _COPY_TABLES:
         shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+
+    # documents: degenerate text rows (r7 — the r6 sweep copied the
+    # table verbatim, so the text family's NULL/empty/short paths were
+    # never drift-exercised). NULL text, empty, whitespace-only, a
+    # 1-token and a 2-token doc (below every n-gram window), plus
+    # NULL lang/source group keys. doc_ids live FAR above every
+    # planted-copy offset (mojibake +5e6) so injected rows can't
+    # collide with a plant.
+    dc = pq.read_table(f"{src}/documents.parquet")
+    adv_docs = pa.table(
+        {
+            "doc_id": pa.array(
+                [999000101, 999000102, 999000103, 999000104, 999000105,
+                 999000113],
+                pa.int64(),
+            ),
+            "text": pa.array(
+                [None, "", "   ", "solo", "two words",
+                 # id % 10 == 3: lands in the mojibake PLANT branch
+                 "planted drift doc"],
+                pa.string(),
+            ),
+            "lang": pa.array(
+                [None, "en", "de", None, "zh", "en"], pa.string()
+            ),
+            "source": pa.array(
+                ["src0", None, "src1", "src2", None, "src3"], pa.string()
+            ),
+            "n_chars": pa.array([None, 0, 3, 4, 9, 17], pa.int64()),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([dc, adv_docs]), f"{dst}/documents.parquet"
+    )
 
     # events: float32 value + NULL value / NULL event_type rows
     ev = pq.read_table(f"{src}/events.parquet")

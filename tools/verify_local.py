@@ -55,6 +55,17 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith(("datetime", "object")) or str(
             df[c].dtype
         ) in ("date",):
+            # SQL NULL in an object column arrives as None from Spark
+            # but NaN from DuckDB (nullable BOOLEAN is the common
+            # case) — unify BEFORE stringifying or the same NULL
+            # compares 'None' vs 'nan'
+            df[c] = df[c].map(
+                lambda v: None
+                if v is None
+                or (isinstance(v, float) and math.isnan(v))
+                or v is pd.NaT
+                else v
+            )
             df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith(("int", "Int", "uint")):
             df[c] = df[c].astype("int64")
