@@ -151,9 +151,12 @@ def main() -> int:
     if os.path.isdir(DRIFT_DIR):
         shutil.rmtree(DRIFT_DIR)
     synthesize(src, DRIFT_DIR)
-    # delegate the differential run to the standard verifier
+    # delegate the differential run to the standard verifier, with the
+    # driver-plausible canonicalization layer on top (r7: the drifted
+    # copy must survive BOTH the strict compare and the conversion-
+    # layer compare that reproduces the r5/r6 wide-decimal reds)
     cmd = [sys.executable, os.path.join(_REPO, "tools", "verify_local.py"),
-           DRIFT_DIR, *names]
+           DRIFT_DIR, "--driver-canon", *names]
     return subprocess.call(cmd)
 
 
