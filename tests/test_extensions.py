@@ -1418,3 +1418,39 @@ def test_bpe_apply_encode_matches_python_bpe(spark):
         assert r.n_tokens_bpe == bpe
         assert r.compression == raw / bpe
         assert r.n_tokens_bpe < r.n_symbols_raw  # the merges bought length
+
+
+def test_bpe_apply_consistent_with_merge_loop(spark):
+    """Cross-operator invariant: the corpus-weighted encoded length
+    implied by bpe_apply_encode must equal bpe_merge_loop's final
+    n_symbols_after — the two ops share one learning chain, so a
+    drifted merge table or fold would break this identity."""
+    from pyspark.sql import functions as F
+
+    loop = {r.step: r for r in X.bpe_merge_loop(spark, SF_SMALL).collect()}
+    total_from_apply = (
+        X.bpe_apply_encode(spark, SF_SMALL)
+        .agg(F.sum("n_tokens_bpe").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert total_from_apply == loop[X.BPE_MERGE_STEPS].n_symbols_after
+
+
+def test_shared_index_keys_isolate_sf_dirs(spark):
+    """The shared tier memoizes per (index, sf_dir): verifying sf0.001
+    then building at another SF must NOT probe the first SF's index —
+    the per-SF key yields per-SF entries and per-SF results."""
+    from etl_portfolio_project_spark import caches
+    from etl_portfolio_project_spark.operators import similarity as S
+
+    caches.release_shared_all()
+    S.ann_ivf_topk(spark, SF_SMALL).count()
+    n1 = caches.shared_live_count()
+    S.ann_ivf_topk(spark, "/root/testdata/sf0.01").count()
+    n2 = caches.shared_live_count()
+    assert n2 > n1  # a second entry, not a stale-key hit
+    keys = set(caches._SHARED)
+    assert any(SF_SMALL in k for k in keys)
+    assert any("/root/testdata/sf0.01" in k for k in keys)
+    caches.release_all()
+    caches.release_shared_all()
