@@ -146,8 +146,16 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(
             (F.col("l_shipdate") >= "1996-01-01")
             & (F.col("l_shipdate") < "1997-01-01")
-            & (F.col("l_discount") >= 0.05)
-            & (F.col("l_discount") <= 0.07)
+            # compare on the DECIMAL(18,4)-quantized discount: against
+            # raw double literals, a float32-stored 0.07 promotes to
+            # 0.07000000029... and the boundary rows flip differently
+            # in the two engines (r7 drift sweep; identical rows on
+            # double-stored data since 2-dp values quantize losslessly)
+            & F.expr(
+                "CAST(l_discount AS DECIMAL(18,4)) "
+                "BETWEEN CAST('0.05' AS DECIMAL(18,4)) "
+                "AND CAST('0.07' AS DECIMAL(18,4))"
+            )
             & (F.col("l_quantity") < 24)
         )
         .agg(
@@ -165,7 +173,9 @@ SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
-  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND CAST(l_discount AS DECIMAL(18,4))
+      BETWEEN CAST('0.05' AS DECIMAL(18,4))
+      AND CAST('0.07' AS DECIMAL(18,4))
   AND l_quantity < 24
 """
 

@@ -41,8 +41,7 @@ sys.path.insert(0, _REPO)
 DRIFT_DIR = "/tmp/spark_graft_driftdata"
 
 _COPY_TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem",
+    "region", "nation", "supplier", "part",
 ]
 
 
@@ -53,6 +52,29 @@ def synthesize(src: str, dst: str) -> None:
     os.makedirs(dst, exist_ok=True)
     for t in _COPY_TABLES:
         shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+
+    # relational tables: PHYSICAL-TYPE drift, values identical (r7 —
+    # the class the events table actually exhibited between testdata
+    # generations: ts ns→µs). A regeneration that flips date-ish
+    # columns between timestamp[us] and date32, or integer widths,
+    # must read identically through the engine and the oracle.
+    def _retype(table: str, casts: dict) -> None:
+        t = pq.read_table(f"{src}/{table}.parquet")
+        cols = {n: t.column(n) for n in t.column_names}
+        for col, typ in casts.items():
+            cols[col] = cols[col].cast(typ)
+        pq.write_table(pa.table(cols), f"{dst}/{table}.parquet")
+
+    _retype("orders", {"o_orderdate": pa.date32()})
+    _retype("customer", {"c_nationkey": pa.int64()})
+    _retype(
+        "lineitem",
+        {
+            "l_shipdate": pa.date32(),
+            "l_linenumber": pa.int64(),
+            "l_discount": pa.float32(),
+        },
+    )
 
     # documents: degenerate text rows (r7 — the r6 sweep copied the
     # table verbatim, so the text family's NULL/empty/short paths were

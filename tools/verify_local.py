@@ -55,18 +55,17 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith(("datetime", "object")) or str(
             df[c].dtype
         ) in ("date",):
-            # SQL NULL in an object column arrives as None from Spark
-            # but NaN from DuckDB (nullable BOOLEAN is the common
-            # case) — unify BEFORE stringifying or the same NULL
-            # compares 'None' vs 'nan'
-            df[c] = df[c].map(
-                lambda v: None
-                if v is None
-                or (isinstance(v, float) and math.isnan(v))
-                or v is pd.NaT
-                else v
+            # SQL NULL arrives as None (Spark object cols) but NaN /
+            # NaT (DuckDB nullable BOOLEAN / datetime cols) — the
+            # stringified sentinels must unify or the same NULL
+            # compares 'None' vs 'nan' / 'NaT'. String-level (post
+            # astype) because a map() that returns None gets
+            # re-inferred straight back to NaT by pandas.
+            df[c] = (
+                df[c]
+                .astype(str)
+                .replace({"nan": "None", "NaT": "None", "<NA>": "None"})
             )
-            df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith(("int", "Int", "uint")):
             df[c] = df[c].astype("int64")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
