@@ -146,11 +146,19 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(
             (F.col("l_shipdate") >= "1996-01-01")
             & (F.col("l_shipdate") < "1997-01-01")
-            # compare on the DECIMAL(18,4)-quantized discount: against
-            # raw double literals, a float32-stored 0.07 promotes to
+            # widened RAW range first (sargable — pushes to the
+            # parquet row-group stats; the decimal-cast predicate
+            # below is not pushable), then the exact membership on
+            # the DECIMAL(18,4)-quantized discount: against raw
+            # double literals a float32-stored 0.07 promotes to
             # 0.07000000029... and the boundary rows flip differently
             # in the two engines (r7 drift sweep; identical rows on
-            # double-stored data since 2-dp values quantize losslessly)
+            # double-stored data since 2-dp values quantize
+            # losslessly, and the widened bounds sit >4 quantization
+            # steps from any admissible value, so the superset can
+            # never disagree where the exact predicate matters)
+            & (F.col("l_discount") >= 0.0449)
+            & (F.col("l_discount") <= 0.0751)
             & F.expr(
                 "CAST(l_discount AS DECIMAL(18,4)) "
                 "BETWEEN CAST('0.05' AS DECIMAL(18,4)) "
@@ -173,6 +181,8 @@ SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= CAST('0.0449' AS DOUBLE)
+  AND l_discount <= CAST('0.0751' AS DOUBLE)
   AND CAST(l_discount AS DECIMAL(18,4))
       BETWEEN CAST('0.05' AS DECIMAL(18,4))
       AND CAST('0.07' AS DECIMAL(18,4))

@@ -414,14 +414,21 @@ def test_tpch_q3_filters_reach_scans(spark):
 
 def test_tpch_q6_filters_reach_scan(spark):
     # Q6 is the canonical pushdown query: all three predicates must
-    # reach the lineitem parquet scan
+    # reach the lineitem parquet scan — as RANGE filters, not just the
+    # IsNotNull residue (the r7 float32-safe decimal predicate is not
+    # sargable; the widened raw-range guard exists to keep these
+    # pushed, and this test pins that)
     df = api.REGISTRY["tpch_q6_forecast_revenue"].builder(spark, SF_SMALL)
     plan = explain.physical_plan(df)
+    pushed = "\n".join(
+        line for line in plan.splitlines() if "PushedFilters" in line
+    )
     for col in ("l_shipdate", "l_discount", "l_quantity"):
-        assert any(
-            "PushedFilters" in line and col in line
-            for line in plan.splitlines()
-        ), f"filter on {col} not pushed to its scan:\n{plan}"
+        assert col in pushed, f"no pushed filter on {col}:\n{plan}"
+    assert (
+        f"GreaterThanOrEqual(l_discount" in pushed
+        or f"gteq(l_discount" in pushed
+    ), f"l_discount RANGE not pushed (IsNotNull alone):\n{pushed}"
 
 
 def test_projection_pruned_to_read_schema(spark):
