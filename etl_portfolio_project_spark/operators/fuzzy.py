@@ -315,11 +315,14 @@ def _er_dirty_name_sql(n: str, k: str) -> str:
     append — same string either way)."""
     p1 = f"(2 + CAST({k} % 5 AS INT))"
     p2 = f"greatest({p1} + 2, length({n}) - CAST({k} % 5 AS INT))"
+    # || not concat: a NULL part name must yield a NULL dirty entry in
+    # BOTH engines (DuckDB concat treats NULL as '' and would emit an
+    # 'x'-only name where Spark emits NULL — r7 drift-sweep class)
     one = (
-        f"concat(substr({n}, 1, {p1} - 1), 'x', substr({n}, {p1} + 1))"
+        f"(substr({n}, 1, {p1} - 1) || 'x' || substr({n}, {p1} + 1))"
     )
     two = (
-        f"concat(substr({one}, 1, {p2} - 1), 'x', substr({one}, {p2} + 1))"
+        f"(substr({one}, 1, {p2} - 1) || 'x' || substr({one}, {p2} + 1))"
     )
     drop = f"substr({n}, instr({n}, ' ') + 1)"
     return (

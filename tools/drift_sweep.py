@@ -40,9 +40,7 @@ sys.path.insert(0, _REPO)
 
 DRIFT_DIR = "/tmp/spark_graft_driftdata"
 
-_COPY_TABLES = [
-    "region", "nation", "supplier", "part",
-]
+_COPY_TABLES: list[str] = []
 
 
 def synthesize(src: str, dst: str) -> None:
@@ -74,6 +72,32 @@ def synthesize(src: str, dst: str) -> None:
             "l_linenumber": pa.int64(),
             "l_discount": pa.float32(),
         },
+    )
+    _retype("supplier", {"s_nationkey": pa.int64()})
+    _retype("nation", {"n_nationkey": pa.int64(), "n_regionkey": pa.int64()})
+    _retype("region", {"r_regionkey": pa.int64()})
+
+    # part: key-width flip + a NULL-name and a single-word-name row
+    # (the ER noise rotation's first-word-drop branch on a one-word
+    # name, and NULL propagation through the fuzzy synthesis)
+    pt = pq.read_table(f"{src}/part.parquet")
+    cols = {n: pt.column(n) for n in pt.column_names}
+    cols["p_size"] = cols["p_size"].cast(pa.int64())
+    base = pa.table(cols)
+    adv_part = pa.table(
+        {
+            "p_partkey": pa.array([999000201, 999000202], pa.int64()),
+            "p_name": pa.array([None, "solo"], pa.string()),
+            "p_brand": pa.array(["Brand#99", "Brand#98"], pa.string()),
+            "p_type": pa.array(
+                ["DRIFT BRUSHED TIN", "DRIFT POLISHED ZINC"], pa.string()
+            ),
+            "p_size": pa.array([7, 11], pa.int64()),
+            "p_retailprice": pa.array([901.0, 902.5], pa.float64()),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([base, adv_part]), f"{dst}/part.parquet"
     )
 
     # documents: degenerate text rows (r7 — the r6 sweep copied the
