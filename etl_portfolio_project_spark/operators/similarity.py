@@ -153,12 +153,84 @@ def norm_sql(a: str) -> str:
     return "sqrt(0.0 + " + " + ".join(terms) + ")"
 
 
-def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 neighbors for the FIXED-SIZE query subset
-    (`query_subset_pred`: ≤ QUERY_CAP ids), excluding self.
-    Deterministic tie-break on candidate vec_id. Cost at scale is
-    |Q|·n with constant |Q| — the labeled-baseline cost, linear in
-    the corpus."""
+#: Boundary-pruned exact top-k (r8, VERDICT r7 item 1): the rescorers
+#: must not end in a per-query row_number window over the FULL scored
+#: relation — at 100× that window is a corpus-sized single-task sort
+#: per query (≤ QUERY_CAP partitions, each sorting n rows). Instead:
+#:
+#:   pass 1 (cheap): score only the 1-in-TOPK_SAMPLE_MOD candidate
+#:     sample, take per-(query, bucket) MAX scores (bounded-state hash
+#:     aggregate → map-side combine, wire = |Q|·buckets rows), and set
+#:     the per-query boundary t_q = k-th largest bucket max.
+#:     VALIDITY: the k largest bucket maxima are k DISTINCT actual
+#:     candidate scores, all ≥ t_q, so the true k-th best ≥ t_q and
+#:     filtering `score >= t_q` can never drop a true top-k row.
+#:   pass 2: score the full candidate set, keep survivors ≥ t_q, and
+#:     run the (unchanged tie-break) row_number window on survivors
+#:     only. E[survivors] ≈ k·(TOPK_SAMPLE_MOD+1) per query — CONSTANT
+#:     in n — so the window input is |Q|·O(k·MOD) however big the
+#:     corpus (worst case — all scores equal — degenerates to the old
+#:     full window, still correct).
+#:
+#: Total cost ≈ 1 + 1/MOD scoring scans with only bounded-state
+#: shuffles; the DuckDB oracles are UNCHANGED (pruning never changes
+#: the result, so parity needs no mirror).
+TOPK_SAMPLE_MOD = 16
+TOPK_BUCKETS = 64
+
+
+def topk_sample_pred(id_col: str = "vec_id") -> str:
+    """Pass-1 candidate-sample predicate (narrow scan filter)."""
+    return f"({id_col} % {TOPK_SAMPLE_MOD} = 0)"
+
+
+def boundary_pruned_topk(
+    scored: DataFrame,
+    scored_sample: DataFrame,
+    score_col: str,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Exact per-query top-k over `scored` (query_id, vec_id, score)
+    without a corpus-sized window sort — see the block comment above.
+
+    `scored_sample` must be `scored` restricted to `topk_sample_pred`
+    candidates, built by filtering BEFORE the scoring expression so
+    pass 1 costs 1/TOPK_SAMPLE_MOD of a scan. Rows whose score is NULL
+    never survive a non-NULL boundary — safe, because a boundary only
+    exists when ≥ k non-NULL scores do, and Spark's `desc()` ranks
+    NULLs last, so NULL scores could only ever rank above k when fewer
+    than k non-NULL candidates exist (exactly the keep-all case)."""
+    # bucket on (vec_id DIV MOD) so sampled ids spread across ALL
+    # buckets (vec_id % B would alias the sample predicate's stride)
+    bmax = scored_sample.groupBy(
+        "query_id",
+        F.expr(f"(vec_id DIV {TOPK_SAMPLE_MOD}) % {TOPK_BUCKETS}").alias(
+            "bkt"
+        ),
+    ).agg(F.max(score_col).alias("bmax"))
+    # k-th largest of ≤ TOPK_BUCKETS maxima; NULL (fewer than k
+    # non-NULL buckets, or an unsampled query) → keep-all fallback
+    thr = bmax.groupBy("query_id").agg(
+        F.expr(
+            f"try_element_at(array_sort(collect_list(bmax)), -{k})"
+        ).alias("boundary")
+    )
+    survivors = scored.join(F.broadcast(thr), "query_id", "left").where(
+        F.expr(f"boundary IS NULL OR {score_col} >= boundary")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(score_col).desc(), F.col("vec_id")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", score_col, "rank")
+    )
+
+
+def _bf_scored(spark: SparkSession, sf_dir: str, pred: str | None) -> DataFrame:
+    """Brute-force scored relation (query_id, vec_id, cosine); `pred`
+    restricts the CANDIDATE side before scoring (pass-1 sample)."""
     e = load_table(spark, sf_dir, "embeddings")
     # single-file harness table → under-split scan; `balanced` spreads
     # the pairwise cosine work (structural no-op at scale)
@@ -175,16 +247,25 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("norm").alias("qnorm"),
         )
     )
-    joined = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cand = base.where(F.expr(pred)) if pred else base
+    joined = cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     cos = cosine_expr("qvec", "vec", "qnorm", "norm")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
+    return joined.withColumn("cosine", cos).select(
+        "query_id", "vec_id", "cosine"
     )
-    return (
-        joined.withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select("query_id", "vec_id", "cosine", "rank")
+
+
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for the FIXED-SIZE query subset
+    (`query_subset_pred`: ≤ QUERY_CAP ids), excluding self.
+    Deterministic tie-break on candidate vec_id. Cost at scale is
+    |Q|·n with constant |Q| — the labeled-baseline cost, linear in
+    the corpus — and the top-k extraction is boundary-pruned
+    (`boundary_pruned_topk`), never a full-corpus window sort."""
+    return boundary_pruned_topk(
+        _bf_scored(spark, sf_dir, None),
+        _bf_scored(spark, sf_dir, topk_sample_pred()),
+        "cosine",
     )
 
 
@@ -2812,25 +2893,12 @@ def _sub_dot_duck(a: str, ao: int, b: str, bo: int, n: int) -> str:
     return "(0.0 + " + " + ".join(terms) + ")"
 
 
-def multivector_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Late-interaction top-K retrieval: for each query in the fixed
-    query subset, the TOP_K documents by MaxSim score — the sum over
-    the query's MAXSIM_M sub-vectors of the best cosine against any of
-    the document's sub-vectors. Late interaction keeps per-token
-    granularity that single-vector cosine collapses; this is the
-    retrieval model behind ColBERT/PLAID-class systems, expressed as
-    ONE generated Spark-SQL scoring expression (no Python, no UDF).
-
-    Bit-exact by construction: each of the M×M sub-cosines is a fixed
-    left-to-right fold divided by a product of two sqrt() norms (sqrt
-    is IEEE-correctly-rounded in both engines), max-of-4 is an exact
-    selection (greatest), and the M maxes add in fixed literal order.
-
-    Scale shape: identical to `ann_brute_force_topk` — the ≤ QUERY_CAP
-    query rows broadcast against the corpus scan (|Q|·n·M² sub-dots,
-    constant |Q|), then a per-query partial top-k window. At 100 TB
-    the candidate stage swaps to an ANN index (`ann_ivf_topk`'s
-    routing); MaxSim only rescores the candidate set."""
+def _maxsim_scored(
+    spark: SparkSession, sf_dir: str, pred: str | None
+) -> DataFrame:
+    """MaxSim scored relation (query_id, vec_id, maxsim); `pred`
+    restricts the CANDIDATE side before the M² scoring expression
+    (pass-1 sample of `boundary_pruned_topk`)."""
     e = load_table(spark, sf_dir, "embeddings")
     sub = PQ_SUB
     base_cols = [F.col("vec_id"), _dvec("embedding").alias("vec")]
@@ -2857,15 +2925,37 @@ def multivector_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         per_m.append("greatest(" + ", ".join(cosines) + ")")
     score_sql = "(" + " + ".join(per_m) + ")"
-    joined = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("maxsim").desc(), F.col("vec_id")
+    cand = base.where(F.expr(pred)) if pred else base
+    joined = cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    return joined.withColumn("maxsim", F.expr(score_sql)).select(
+        "query_id", "vec_id", "maxsim"
     )
-    return (
-        joined.withColumn("maxsim", F.expr(score_sql))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select("query_id", "vec_id", "maxsim", "rank")
+
+
+def multivector_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction top-K retrieval: for each query in the fixed
+    query subset, the TOP_K documents by MaxSim score — the sum over
+    the query's MAXSIM_M sub-vectors of the best cosine against any of
+    the document's sub-vectors. Late interaction keeps per-token
+    granularity that single-vector cosine collapses; this is the
+    retrieval model behind ColBERT/PLAID-class systems, expressed as
+    ONE generated Spark-SQL scoring expression (no Python, no UDF).
+
+    Bit-exact by construction: each of the M×M sub-cosines is a fixed
+    left-to-right fold divided by a product of two sqrt() norms (sqrt
+    is IEEE-correctly-rounded in both engines), max-of-4 is an exact
+    selection (greatest), and the M maxes add in fixed literal order.
+
+    Scale shape: identical to `ann_brute_force_topk` — the ≤ QUERY_CAP
+    query rows broadcast against the corpus scan (|Q|·n·M² sub-dots,
+    constant |Q|), then a boundary-pruned exact top-k
+    (`boundary_pruned_topk`) — never a full-corpus window sort. At
+    100 TB the candidate stage swaps to an ANN index (`ann_ivf_topk`'s
+    routing); MaxSim only rescores the candidate set."""
+    return boundary_pruned_topk(
+        _maxsim_scored(spark, sf_dir, None),
+        _maxsim_scored(spark, sf_dir, topk_sample_pred()),
+        "maxsim",
     )
 
 

@@ -52,6 +52,43 @@ def assert_broadcast_join(df: DataFrame) -> None:
     )
 
 
+def window_subtree_node_ids(plan: str) -> list[set[int]]:
+    """For each Window node in the formatted plan's tree section,
+    return the set of node ids in its subtree (the Window itself
+    excluded). Lets tests assert WHAT a window sorts — e.g. that a
+    top-k window's input is a boundary-pruned survivor set, not the
+    corpus-sized scored relation."""
+    import re
+
+    tree = plan.split("\n\n", 1)[0]
+    nodes: list[tuple[int, str, int]] = []  # (col, name, id)
+    for line in tree.splitlines():
+        m = re.search(r"([A-Za-z]\w*)[^()]*\((\d+)\)\s*$", line)
+        if m:
+            nodes.append((line.index(m.group(1)), m.group(1), int(m.group(2))))
+    out: list[set[int]] = []
+    for i, (col, name, _nid) in enumerate(nodes):
+        if name != "Window":
+            continue
+        sub: set[int] = set()
+        for c2, _n2, id2 in nodes[i + 1 :]:
+            if c2 <= col:
+                break
+            sub.add(id2)
+        out.append(sub)
+    return out
+
+
+def node_detail(plan: str, node_id: int) -> str:
+    """The detail block for one node id in a formatted plan."""
+    import re
+
+    m = re.search(
+        rf"^\({node_id}\) .*?(?=^\(\d+\) |\Z)", plan, re.M | re.S
+    )
+    return m.group(0) if m else ""
+
+
 def count_shuffles(df: DataFrame) -> int:
     """Shuffle exchanges only (broadcast exchanges excluded)."""
     import re

@@ -225,8 +225,11 @@ SHUFFLE_BUDGET = {
     # balanced + (source,word) agg + source agg
     "source_lexical_stats": 3,
     # query-subset broadcast vs narrow corpus scan + 1 top-k window
-    # (ann_brute_force_topk twin; 3 = 2 balanced branches + window)
-    "multivector_maxsim_topk": 3,
+    # (ann_brute_force_topk twin; 7 = 4 balanced branches (full +
+    # boundary-sample scored relations × cand/query) + bucket-max agg
+    # + boundary agg + survivor window — the r8 boundary-pruned shape)
+    "multivector_maxsim_topk": 7,
+    "ann_brute_force_topk": 7,  # same boundary-pruned shape
     # balanced + vocab word agg + 3 training pair aggs + the corpus
     # explode joins the BROADCAST encoded vocab + final per-doc agg
     # (+1 headroom, the bpe_merge_loop convention)
@@ -400,6 +403,32 @@ def test_interval_join_is_never_nested_loop(spark):
 def test_small_side_broadcasts(spark, name):
     df = api.REGISTRY[name].builder(spark, SF_SMALL)
     explain.assert_broadcast_join(df)
+
+
+@pytest.mark.parametrize(
+    "name, score",
+    [("ann_brute_force_topk", "cosine"), ("multivector_maxsim_topk", "maxsim")],
+)
+def test_rescorer_topk_window_is_boundary_pruned(spark, name, score):
+    """The exact rescorers must never window-sort the corpus-sized
+    scored relation (VERDICT r7 item 1): every Window in the plan must
+    sit ABOVE the boundary filter (`score >= boundary` survivor prune
+    from `boundary_pruned_topk`), so the sort input is the
+    constant-per-query survivor set, not |Q|·n rows."""
+    df = api.REGISTRY[name].builder(spark, SF_SMALL)
+    plan = explain.physical_plan(df)
+    subtrees = explain.window_subtree_node_ids(plan)
+    assert subtrees, f"no Window found — top-k shape changed?\n{plan}"
+    for sub in subtrees:
+        pruned = any(
+            "Filter" in explain.node_detail(plan, nid).splitlines()[0]
+            and "boundary" in explain.node_detail(plan, nid)
+            for nid in sub
+        )
+        assert pruned, (
+            f"{name}: a Window's subtree has no boundary survivor "
+            f"filter — it sorts the full scored relation:\n{plan}"
+        )
 
 
 def test_tpch_q3_filters_reach_scans(spark):
