@@ -153,10 +153,11 @@ SHUFFLE_BUDGET = {
     # one single-row agg exchange per read-back format (4 formats);
     # the writes execute eagerly inside the builder
     "format_roundtrip_audit": 4,
-    # composition of two pinned-shape ANN queries (brute-force window +
-    # LSH bucket join/distinct/window) + 2 tiny per-query aggs + a
-    # 200-row audit join; every exchange moves the sampled query set
-    "ann_lsh_recall_audit": 14,
+    # composition of two pinned-shape ANN queries (boundary-pruned
+    # brute-force (7) + LSH bucket join/distinct/window) + 2 tiny
+    # per-query aggs + a 200-row audit join; every exchange moves the
+    # sampled query set
+    "ann_lsh_recall_audit": 18,
     "corpus_mixture_sample": 0,
     "events_gapfill_5min": 2,
     "events_moving_average": 2,
@@ -339,7 +340,43 @@ SHUFFLE_BUDGET = {
     # at the builder's count()s) + qmax agg + argmax agg + anti-join
     # (broadcast); +2 headroom if the broadcasts fall back to SMJ
     "dedup_keep_best": 8,
+    # --- r8 backfill (VERDICT r7 item 2): the r1–r3 queries that
+    # predate the budget rule, pinned at their observed COLD plans ---
+    "ann_ivf_topk": 2,  # routing-table agg + probe-side candidate agg
+    # balanced spread + bucket-join agg + candidate re-rank window +
+    # per-table code projections (2 tables)
+    "ann_lsh_topk": 5,
+    "asof_latest_signup": 1,  # per-customer latest-event agg only
+    "churned_customers_1995": 1,  # year-bucket agg; anti side broadcast
+    "customers_with_urgent_orders": 0,  # semi-join broadcast, narrow
+    "customers_without_orders": 0,  # anti-join broadcast, narrow
+    "distinct_segments": 1,  # single distinct two-phase agg
+    "embedding_neardup_pairs": 2,  # balanced spread + label-block pairs
+    "events_tumbling_5min": 2,  # balanced events spread + window agg
+    "minhash_lsh_neardup": 1,  # band bucket-join agg; sigs broadcast
+    "multimodal_bmp_decode": 1,  # balanced spread; decode is narrow
+    "multimodal_features": 0,  # pure narrow metadata derivation
+    "multimodal_frame_sample": 0,  # narrow HOF frame slicing
+    "multimodal_wav_decode": 1,  # balanced spread; decode is narrow
+    "neardup_clusters": 2,  # harness-size driver-finish: claimed pairs
+    "pivot_status_by_priority": 2,  # pivot two-phase agg
+    "repeat_customers_1995_1996": 1,  # (cust, year) agg; self-join broadcast
+    "rollup_revenue_by_geo": 1,  # rollup grouping-sets single agg
+    "simhash_pairs": 0,  # banded self-join both sides broadcast at SF_SMALL
+    "topk_orders": 0,  # TakeOrderedAndProject — no exchange at all
+    "connectivity_probe": 0,  # scalar 1-row probe, no exchange
 }
+
+
+def test_every_batch_query_has_a_shuffle_budget():
+    """Every non-streaming registry entry must carry a budget row
+    (VERDICT r7 item 2) — a new query without one means its plan can
+    regress invisibly. Streaming queries whose RETURNED frame is a
+    batch read may pin that read's plan here too, but their state
+    contracts live in test_stream_plans.py."""
+    batch = {n for n in api.REGISTRY if not n.startswith("stream_")}
+    missing = sorted(batch - set(SHUFFLE_BUDGET))
+    assert not missing, f"batch queries without a shuffle budget: {missing}"
 
 
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
