@@ -102,6 +102,12 @@ def shared_index(key: str, build) -> DataFrame:
     `build` is a zero-arg callable so a memo hit skips even the plan
     CONSTRUCTION — the unrolled distance expressions cost real py4j
     driver time before Spark sees them (CLAUDE.md big-expression rule).
+
+    Residency is bounded to ONE scope (the `::{sf_dir}` key suffix) at
+    a time: inserting an index for a new sf_dir evicts every entry
+    built for another — a session that verifies sf0.01 then sf0.1
+    would otherwise hold both SFs' persisted indexes until an explicit
+    `release_shared_all()` (ADVICE r7).
     """
     df = _SHARED.get(key)
     if df is not None:
@@ -112,6 +118,15 @@ def shared_index(key: str, build) -> DataFrame:
         if alive:
             return df
         _SHARED.pop(key, None)
+    if "::" in key:
+        scope = key.rsplit("::", 1)[1]
+        for k in list(_SHARED):
+            if "::" in k and k.rsplit("::", 1)[1] != scope:
+                old = _SHARED.pop(k)
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
     df = build().persist()
     _SHARED[key] = df
     return df

@@ -2274,7 +2274,8 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas/Arrow conversion diverges from Spark's Decimal under the
     driver's hash canonicalization (the r5/r6 driver-red class; both
     engines agree on the VALUE, the conversion layer does not —
-    `tests/test_dtype_contracts.py` now bans the class). min/max are
+    `tests/test_oracle_parity.py::test_oracle_no_wide_decimal` and
+    `tools/dtype_check.py` now ban the class). min/max are
     exact selections, and the one double (mean_val) is a single
     division chain from exact integers. The dead flag compares
     quantized BIGINTs — no float threshold.

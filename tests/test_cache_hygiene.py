@@ -21,6 +21,12 @@ def _n_persistent(spark) -> int:
 
 
 def test_repeated_runs_do_not_accumulate_persisted_rdds(spark):
+    # The exact-count assertions below are GLOBAL: with a session-
+    # scoped spark fixture, any earlier test file that warmed the
+    # shared tier (or left a claim live) would shift them — reset both
+    # tiers first so this test is order-independent (ADVICE r7).
+    caches.release_all()
+    caches.release_shared_all()
     # Exercise the three persisting builders twice each, consuming the
     # result each time (as every harness does), and check the live
     # count of CLAIMED caches stays at one generation per key.
