@@ -1439,18 +1439,22 @@ def test_bpe_apply_consistent_with_merge_loop(spark):
 def test_shared_index_keys_isolate_sf_dirs(spark):
     """The shared tier memoizes per (index, sf_dir): verifying sf0.001
     then building at another SF must NOT probe the first SF's index —
-    the per-SF key yields per-SF entries and per-SF results."""
+    AND (ADVICE r7) must not accumulate both SFs' persisted indexes:
+    inserting an index scoped to a new sf_dir evicts the other SF's
+    entries, bounding residency to one SF at a time."""
     from etl_portfolio_project_spark import caches
     from etl_portfolio_project_spark.operators import similarity as S
 
     caches.release_shared_all()
-    S.ann_ivf_topk(spark, SF_SMALL).count()
+    small = S.ann_ivf_topk(spark, SF_SMALL).count()
     n1 = caches.shared_live_count()
-    S.ann_ivf_topk(spark, "/root/testdata/sf0.01").count()
-    n2 = caches.shared_live_count()
-    assert n2 > n1  # a second entry, not a stale-key hit
+    assert n1 >= 1 and all(SF_SMALL in k for k in caches._SHARED)
+    bigger = S.ann_ivf_topk(spark, "/root/testdata/sf0.01").count()
+    assert small > 0 and bigger > 0
     keys = set(caches._SHARED)
-    assert any(SF_SMALL in k for k in keys)
     assert any("/root/testdata/sf0.01" in k for k in keys)
+    # one-scope residency: the sf0.001 entries were evicted on insert
+    assert not any(SF_SMALL in k for k in keys)
+    assert caches.shared_live_count() <= n1
     caches.release_all()
     caches.release_shared_all()
