@@ -1889,6 +1889,9 @@ FROM sid_sigs
         "spark.sql.shuffle.partitions", str(min(4, int(prev_parts)))
     )
     try:
+        from ..streaming.events import LAST_RUN_STATS, record_stream_stats
+
+        LAST_RUN_STATS.pop("stream_incremental_dedup", None)
         writer = src.writeStream.foreachBatch(process)
         if checkpoint_dir is not None:
             writer = writer.option("checkpointLocation", checkpoint_dir)
@@ -1897,6 +1900,7 @@ FROM sid_sigs
             q.processAllAvailable()
         finally:
             q.stop()
+            record_stream_stats("stream_incremental_dedup", q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # no temp-view cleanup needed: sid_sigs/sid_idx live in the

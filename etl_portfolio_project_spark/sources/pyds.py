@@ -190,6 +190,9 @@ def stream_python_datasource_ingest(
     spark.conf.set("spark.sql.shuffle.partitions", "1")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
+        from ..streaming.events import LAST_RUN_STATS, record_stream_stats
+
+        LAST_RUN_STATS.pop("stream_python_datasource_ingest", None)
         q = (
             spark.readStream.format("synthstream")
             .load()
@@ -202,6 +205,7 @@ def stream_python_datasource_ingest(
         q.processAllAvailable()
         q.stop()
         q.awaitTermination()
+        record_stream_stats("stream_python_datasource_ingest", q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set(

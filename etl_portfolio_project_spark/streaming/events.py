@@ -135,6 +135,47 @@ def read_events_stream(
     return raw
 
 
+#: name → observed run stats, recorded at stream completion. The
+#: streaming twin of tests/test_plans.py's SHUFFLE_BUDGET: batch plans
+#: pin exchanges; streams pin micro-batch counts and state-store
+#: shape (tests/test_stream_plans.py) so a state blowup or a
+#: batch-splitting regression is caught like a shuffle regression.
+LAST_RUN_STATS: dict[str, dict] = {}
+
+
+def record_stream_stats(name: str, q) -> None:
+    """Fold a completed StreamingQuery's progress into LAST_RUN_STATS.
+
+    Repeat calls under one name ACCUMULATE batches (multi-phase
+    builders like checkpoint-restart run two queries) — builders reset
+    by `LAST_RUN_STATS.pop(name, None)` first. State shape is taken
+    from the final progress entry (totals are cumulative)."""
+    import json as _json
+
+    try:
+        progs = [_json.loads(p.json) for p in (q.recentProgress or [])]
+    except Exception:
+        return
+    data_batches = sum(1 for p in progs if p.get("numInputRows", 0) > 0)
+    stats = LAST_RUN_STATS.setdefault(
+        name,
+        {"batches": 0, "state_ops": 0, "state_partitions": 0,
+         "state_rows": 0},
+    )
+    stats["batches"] += data_batches
+    if progs:
+        ops = progs[-1].get("stateOperators") or []
+        stats["state_ops"] = max(stats["state_ops"], len(ops))
+        stats["state_partitions"] = max(
+            stats["state_partitions"],
+            max((o.get("numShufflePartitions", 0) for o in ops), default=0),
+        )
+        stats["state_rows"] = max(
+            stats["state_rows"],
+            sum(o.get("numRowsTotal", 0) for o in ops),
+        )
+
+
 def _run_to_table(
     result: DataFrame, name: str, mode: str, partitions: int = 1
 ) -> None:
@@ -173,6 +214,7 @@ def _run_to_table(
         "spark.sql.streaming.noDataMicroBatches.enabled", "true"
     )
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    LAST_RUN_STATS.pop(name, None)
     out = tmpdirs.claim(f"stream_res_{name}", f"stream_res_{name}_")
     try:
         if mode == "append":
@@ -194,6 +236,7 @@ def _run_to_table(
                 q.processAllAvailable()
             finally:
                 q.stop()
+                record_stream_stats(name, q)
             spark.read.parquet(data_dir).createOrReplaceTempView(name)
             return
         # complete/update modes need the memory sink (the file sink is
@@ -214,6 +257,7 @@ def _run_to_table(
             q.processAllAvailable()
         finally:
             q.stop()
+            record_stream_stats(name, q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set(
@@ -684,6 +728,7 @@ def stream_to_parquet_sink(
             _os.path.join(out, f"epoch_{epoch_id}")
         )
 
+    LAST_RUN_STATS.pop("stream_to_parquet_sink", None)
     q = (
         e.writeStream.foreachBatch(write_epoch)
         .option("checkpointLocation", f"{out}/_checkpoint")
@@ -693,6 +738,7 @@ def stream_to_parquet_sink(
         q.processAllAvailable()
     finally:
         q.stop()
+        record_stream_stats("stream_to_parquet_sink", q)
     return out
 
 
@@ -757,11 +803,13 @@ def run_latest_user_event_merge(
         if old is not None:
             shutil.rmtree(old, ignore_errors=True)
 
+    LAST_RUN_STATS.pop("stream_latest_user_event", None)
     q = e.writeStream.foreachBatch(merge).start()
     try:
         q.processAllAvailable()
     finally:
         q.stop()
+        record_stream_stats("stream_latest_user_event", q)
     if gen["path"] is None:
         final = spark.createDataFrame(
             [],
@@ -875,7 +923,9 @@ def stream_checkpoint_restart_ingest(
             q.processAllAvailable()
         finally:
             q.stop()
+            record_stream_stats("stream_checkpoint_restart_ingest", q)
 
+    LAST_RUN_STATS.pop("stream_checkpoint_restart_ingest", None)
     pq.write_table(tbl.filter(even), f"{in_dir}/a_events.parquet")
     run_phase()
     pq.write_table(tbl.filter(pc.invert(even)), f"{in_dir}/b_events.parquet")
