@@ -293,8 +293,14 @@ SELECT query_id, vec_id, cosine, rank FROM (
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine-threshold near-duplicate pairs, blocked by `label`
     (embedding-cosine dedup). Blocking bounds the pair space the same
-    way a cluster/bucket assignment would at scale."""
-    e = load_table(spark, sf_dir, "embeddings")
+    way a cluster/bucket assignment would at scale.
+
+    Valid-vector gate (r8 drift sweep): ragged vectors make Spark's
+    length-following fold and the oracle's DIM-term unroll disagree on
+    norms/cosines — both sides gate."""
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.expr(valid_vec_pred_spark())
+    )
     base = (
         balanced(e)
         .select("vec_id", "label", _dvec("embedding").alias("vec"))
@@ -331,7 +337,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBEDDING_NEARDUP_PAIRS_SQL = f"""
 WITH base AS (
   SELECT vec_id, label, embedding, {norm_sql('embedding')} AS nrm
-  FROM embeddings
+  FROM embeddings WHERE {valid_vec_pred_sql()}
 )
 SELECT a.label AS label, a.vec_id AS id1, b.vec_id AS id2,
        {dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
@@ -415,8 +421,15 @@ def embedding_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: bucketing is a narrow map over the scan (planes are
     literals = broadcast; only the ladder's bits are in the plan),
     candidates come from one equi-join on the short (tbl, bucket)
-    key, verification touches candidates only."""
-    e = load_table(spark, sf_dir, "embeddings")
+    key, verification touches candidates only.
+
+    Valid-vector gate (r8 drift sweep): a ragged vector's hyperplane
+    fold NULL-poisons in Spark (zip_with pads) but evaluates DIM real
+    terms in the oracle — sign bits flip, buckets diverge; both sides
+    gate (the bits ladder counts gated rows on both sides too)."""
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.expr(valid_vec_pred_spark())
+    )
     bits = neardup_lsh_bits(e.count())
     planes = [t[:bits] for t in NEARDUP_LSH_PLANES]
     base = (
@@ -515,8 +528,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (table, bucket) — one shuffle on a short key; the hyperplanes are
     literals (broadcast by construction); re-rank touches candidates
     only. This is the 100 TB-safe form of ANN in pure DataFrame ops.
+
+    Valid-vector gate (r8 drift sweep): ragged vectors flip sign bits
+    differently per engine (Spark's zip_with NULL-poisons the plane
+    fold, the oracle evaluates DIM real terms) — both sides gate.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.expr(valid_vec_pred_spark())
+    )
     base = (
         balanced(e)
         .select("vec_id", _dvec("embedding").alias("vec"))
@@ -793,11 +812,13 @@ def _buckets_cte_sql(vec: str, planes: list | None = None) -> str:
 
 ANN_LSH_TOPK_SQL = f"""
 WITH base AS (
-  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm FROM embeddings
+  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm
+  FROM embeddings WHERE {valid_vec_pred_sql()}
 ),
 bb AS (
   SELECT vec_id, tb.tbl AS tbl, tb.bucket AS bucket
-  FROM embeddings, {_buckets_cte_sql('embedding')}
+  FROM (SELECT * FROM embeddings WHERE {valid_vec_pred_sql()}),
+       {_buckets_cte_sql('embedding')}
 ),
 qb AS (
   SELECT vec_id AS query_id, tbl, bucket FROM bb
@@ -854,16 +875,19 @@ _ND_BUCKETS_FROM = "UNNEST([" + ", ".join(
 ) + "]) AS u(tb)"
 
 EMBEDDING_LSH_NEARDUP_PAIRS_SQL = f"""
-WITH base AS (
-  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm FROM embeddings
+WITH valid AS (
+  SELECT * FROM embeddings WHERE {valid_vec_pred_sql()}
+),
+base AS (
+  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm FROM valid
 ),
 nb AS (
-  SELECT {NEARDUP_BITS_CASE_SQL} AS b FROM embeddings
+  SELECT {NEARDUP_BITS_CASE_SQL} AS b FROM valid
 ),
 bb AS (
   SELECT vec_id, tb.tbl AS tbl,
          tb.bucket >> ({NEARDUP_LSH_MAX_BITS} - nb.b) AS bucket
-  FROM embeddings, nb, {_ND_BUCKETS_FROM}
+  FROM valid, nb, {_ND_BUCKETS_FROM}
 ),
 candidates AS (
   SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
@@ -971,8 +995,15 @@ def embedding_linear_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: a pure NARROW map over the embedding scan — zero
     shuffles, whole-pipeline fusion, exactly how a 1000-executor
-    cluster scores 100 TB with a broadcast model."""
-    e = load_table(spark, sf_dir, "embeddings")
+    cluster scores 100 TB with a broadcast model.
+
+    Valid-vector gate (r8 drift sweep): a ragged vector folds over its
+    ACTUAL length in Spark but exactly DIM unrolled terms in the
+    oracle — scores diverge; inference is ill-defined off-dimension,
+    so both sides gate."""
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.expr(valid_vec_pred_spark())
+    )
     base = balanced(e).select("vec_id", _dvec("embedding").alias("vec"))
     score_cols = []
     for c in range(N_CLASSES):
@@ -1025,6 +1056,7 @@ SELECT vec_id,
        CAST(CASE {_pred_whens} ELSE {N_CLASSES - 1} END AS INTEGER)
          AS predicted_class
 FROM embeddings
+WHERE {valid_vec_pred_sql()}
 """
 
 
@@ -1672,8 +1704,16 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: narrow norm map → single-column rank for ONE value
     (at 100 TB this becomes approx_percentile or a sampled exact rank;
     the selection contract — an existing value, not an average — is
-    what keeps the oracle exact here)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    what keeps the oracle exact here).
+
+    Valid-vector gate (r8 drift sweep): a ragged vector's norm folds
+    over its ACTUAL length in Spark but exactly DIM oracle terms
+    (short → NULL-poisoned there, over-length → truncated) — one such
+    row shifts the rank-selected median; norm QA is defined on
+    in-dimension vectors (dimension QA is `embedding_dim_profile`)."""
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.expr(valid_vec_pred_spark())
+    )
     src = balanced(e).select(
         "vec_id", "label", _dvec("embedding").alias("vec")
     )
@@ -1743,7 +1783,7 @@ EMBEDDING_NORM_OUTLIERS_SQL = f"""
 WITH src AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-  FROM embeddings
+  FROM embeddings WHERE {valid_vec_pred_sql()}
 ),
 aug AS (
   SELECT vec_id, label, vec FROM src

@@ -169,6 +169,17 @@ def synthesize(src: str, dst: str) -> None:
     vecs.append(v2)
     vid.append(777002)
     lab.append(1)
+    # r8 (VERDICT item 6): ragged lengths — a SHORT vector (32 elems)
+    # and an OVER-LENGTH one (64+16). Folds must agree cross-engine:
+    # Spark zip_with pads the short side with NULL (poisoning the sum)
+    # while DuckDB a[i] beyond len() yields NULL — both engines must
+    # route these through the valid_vec gates, never into the math.
+    vecs.append(list(vecs[0])[:32])
+    vid.append(777003)
+    lab.append(2)
+    vecs.append(list(vecs[1]) + [0.25] * 16)
+    vid.append(777004)
+    lab.append(3)
     pq.write_table(
         pa.table(
             {
