@@ -423,6 +423,11 @@ _EXTENSIONS = [
      X.BIGRAM_CONDITIONAL_TOPK_SQL,
      "Bigram LM counts: top-20 bigrams with exact integer-ratio "
      "P(w2|w1)."),
+    ("ccnet_perplexity_filter", X.ccnet_perplexity_filter,
+     X.CCNET_PERPLEXITY_FILTER_SQL,
+     "CCNet-style LM quality tiers: add-1 bigram LM on the reference "
+     "slice, exact-integer affinity surrogate, head/middle/tail "
+     "terciles, kept = not tail."),
     ("doc_repetition_profile", X.doc_repetition_profile,
      X.DOC_REPETITION_PROFILE_SQL,
      "Gopher-style repetition quality: duplicate word/2-gram/3-gram "

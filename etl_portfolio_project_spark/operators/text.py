@@ -685,6 +685,186 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# CCNet-style LM quality filter (Wenzek et al. 2020, "CCNet: Extracting
+# high quality monolingual datasets from web crawl data"): score every
+# document against a reference-corpus language model and split the
+# corpus into head/middle/tail quality tiers at the score terciles;
+# training pipelines keep head(+middle) and drop tail.
+# ---------------------------------------------------------------------------
+
+CCNET_REF_LANG = "en"  # reference slice (CCNet uses Wikipedia; the
+# lang='en' docs are this corpus's quality-domain stand-in, same as
+# DSIR's target slice)
+
+
+def ccnet_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality tiers, in this engine's log-free
+    exact-integer form.
+
+    True CCNet scores are KenLM perplexities (a log-sum; logs are not
+    libm-portable) — the `dsir_importance_weights` policy applies: the
+    add-1-smoothed bigram LM P(w2|w1) = (n_ref(w1 w2)+1)/(n_ref(w1 ·)+V)
+    is estimated on the reference slice (lang = CCNET_REF_LANG), and
+    each document carries the exact-integer ADDITIVE surrogate of its
+    mean conditional likelihood: sum_num = Σ_i (n_ref(bigram_i)+1)
+    and sum_den = Σ_i (n_ref(w1_i ·)+V), both BIGINT order-free sums,
+    with ONE double division for the orderable score (higher = more
+    reference-like = lower perplexity). Tiers are exact integer rank
+    math: tier_id = ((rank-1)·3) div n_scored over (score DESC,
+    doc_id) — head / middle / tail; `kept` = not tail, the CCNet
+    filter decision. Docs with no bigram (NULL/empty/1-token text)
+    route explicitly to tier 'no_text', kept = false — never silently
+    dropped (NULL-predicate routing rule).
+
+    Scale shape: one corpus bigram explode; the reference counts
+    attach via TWO count windows (partition by bigram, by w1) — the
+    `dsir`/tfidf no-rescan trick, no LM-table join and no second
+    corpus scan; V (reference vocabulary) is a 1-row broadcast. The
+    tercile rank is a global sort of the per-DOC score table (docs,
+    not tokens); at 100 TB the thresholds come from approx_percentile
+    or a sampled exact rank (the `embedding_norm_outliers` selection
+    contract) — the tier CASE is unchanged."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    g2 = bind_once_sql(
+        "split(trim(lower(text)), '\\\\s+')",
+        "t",
+        _ngrams_spark_sql("t", 2),
+    )
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr(g2)).alias("bigram"),
+    ).select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN lang = '{CCNET_REF_LANG}' THEN 1 ELSE 0 END"
+        ).alias("is_ref"),
+        "bigram",
+        F.substring_index(F.col("bigram"), " ", 1).alias("w1"),
+    )
+    wb = Window.partitionBy("bigram")
+    ww = Window.partitionBy("w1")
+    cnts = bg.select(
+        "doc_id",
+        F.sum("is_ref").over(wb).alias("ref_bg"),
+        F.sum("is_ref").over(ww).alias("ref_w1"),
+    )
+    per = cnts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (F.sum("ref_bg") + F.count(F.lit(1))).cast("long").alias("sum_num"),
+        F.sum("ref_w1").cast("long").alias("den_part"),
+    )
+    v = bg.agg(
+        F.countDistinct(
+            F.when(F.col("is_ref") == 1, F.col("w1"))
+        ).cast("long").alias("vsz")
+    )
+    scored = per.crossJoin(F.broadcast(v)).select(
+        "doc_id",
+        "n_bigrams",
+        "sum_num",
+        (F.col("den_part") + F.col("n_bigrams") * F.col("vsz"))
+        .cast("long")
+        .alias("sum_den"),
+    )
+    aff = F.col("sum_num").cast("double") / F.col("sum_den").cast("double")
+    wr = Window.orderBy(F.col("lm_affinity").desc(), "doc_id")
+    ranked = (
+        scored.withColumn("lm_affinity", aff)
+        .withColumn("rn", F.row_number().over(wr).cast("long"))
+        .withColumn("nn", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn(
+            "tier",
+            F.expr(
+                "CASE ((rn - 1) * 3) div nn WHEN 0 THEN 'head' "
+                "WHEN 1 THEN 'middle' ELSE 'tail' END"
+            ),
+        )
+    )
+    spine = load_table(spark, sf_dir, "documents").select("doc_id")
+    return spine.join(ranked, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("sum_num", F.lit(0)).cast("long").alias("sum_num"),
+        F.coalesce("sum_den", F.lit(0)).cast("long").alias("sum_den"),
+        "lm_affinity",
+        F.coalesce("tier", F.lit("no_text")).alias("tier"),
+        F.coalesce(F.col("tier") != F.lit("tail"), F.lit(False)).alias(
+            "kept"
+        ),
+    )
+
+
+CCNET_PERPLEXITY_FILTER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+bg0 AS (
+  SELECT doc_id, lang,
+         unnest(CASE WHEN len(t) < 2 THEN []
+                ELSE list_transform(generate_series(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+1], ' '))
+                END) AS bigram
+  FROM toks
+),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN lang = '{CCNET_REF_LANG}' THEN 1 ELSE 0 END AS is_ref,
+         bigram,
+         split_part(bigram, ' ', 1) AS w1
+  FROM bg0
+),
+cnts AS (
+  SELECT doc_id,
+         SUM(is_ref) OVER (PARTITION BY bigram) AS ref_bg,
+         SUM(is_ref) OVER (PARTITION BY w1) AS ref_w1
+  FROM bg
+),
+per AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(ref_bg) + count(*) AS BIGINT) AS sum_num,
+         CAST(sum(ref_w1) AS BIGINT) AS den_part
+  FROM cnts GROUP BY doc_id
+),
+v AS (
+  SELECT CAST(count(DISTINCT CASE WHEN is_ref = 1 THEN w1 END) AS BIGINT)
+           AS vsz
+  FROM bg
+),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY lm_affinity DESC, doc_id)
+              AS BIGINT) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS nn
+  FROM (
+    SELECT p.doc_id, p.n_bigrams, p.sum_num,
+           CAST(p.den_part + p.n_bigrams * v.vsz AS BIGINT) AS sum_den,
+           CAST(p.sum_num AS DOUBLE)
+             / CAST(p.den_part + p.n_bigrams * v.vsz AS DOUBLE)
+             AS lm_affinity
+    FROM per p, v
+  )
+),
+tiers AS (
+  SELECT *, CASE ((rn - 1) * 3) // nn WHEN 0 THEN 'head'
+            WHEN 1 THEN 'middle' ELSE 'tail' END AS tier
+  FROM ranked
+)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(t.sum_num, 0) AS BIGINT) AS sum_num,
+       CAST(COALESCE(t.sum_den, 0) AS BIGINT) AS sum_den,
+       t.lm_affinity AS lm_affinity,
+       COALESCE(t.tier, 'no_text') AS tier,
+       COALESCE(t.tier <> 'tail', false) AS kept
+FROM documents d LEFT JOIN tiers t ON d.doc_id = t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Document chunking + TF-IDF keyword extraction.
 # ---------------------------------------------------------------------------
 

@@ -343,3 +343,68 @@ def test_dq_quarantine_split_is_a_partition(spark):
         1 for _, et, _ in quar if bad_type(et)
     )
     assert out["valid"].n_bad_value == 0 and out["valid"].n_bad_type == 0
+
+
+def test_ccnet_perplexity_filter_matches_python(spark):
+    """Differential: recompute the add-1 bigram LM on the reference
+    slice, the exact-integer per-doc surrogate sums, the tercile rank
+    math, and the no-text routing with plain Python Counters."""
+    import re
+    from collections import Counter
+
+    from etl_portfolio_project_spark.operators import text as T
+
+    docs = {
+        r.doc_id: (r.text, r.lang)
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text", "lang")
+        .collect()
+    }
+
+    def bigrams(text):
+        if text is None:
+            return []
+        tk = re.split(r"\s+", text.strip().lower(), flags=re.ASCII)
+        return list(zip(tk, tk[1:]))
+
+    ref_bg, ref_w1, ref_vocab = Counter(), Counter(), set()
+    doc_bg = {}
+    for d, (text, lang) in docs.items():
+        bs = bigrams(text)
+        doc_bg[d] = bs
+        if lang == T.CCNET_REF_LANG:
+            ref_bg.update(bs)
+            ref_w1.update(w1 for w1, _ in bs)
+            ref_vocab.update(w1 for w1, _ in bs)
+    V = len(ref_vocab)
+
+    exp = {}
+    for d, bs in doc_bg.items():
+        if not bs:
+            continue
+        num = sum(ref_bg[b] + 1 for b in bs)
+        den = sum(ref_w1[w1] + V for w1, _ in bs)
+        exp[d] = (len(bs), num, den, num / den)
+    order = sorted(exp, key=lambda d: (-exp[d][3], d))
+    nn = len(order)
+    tier_of = {
+        d: ["head", "middle", "tail"][((i) * 3) // nn]
+        for i, d in enumerate(order)
+    }
+
+    rows = T.ccnet_perplexity_filter(spark, SF_SMALL).collect()
+    assert {r.doc_id for r in rows} == set(docs)
+    for r in rows:
+        if r.doc_id in exp:
+            n, num, den, aff = exp[r.doc_id]
+            assert (r.n_bigrams, r.sum_num, r.sum_den) == (n, num, den)
+            assert r.lm_affinity == num / den
+            assert r.tier == tier_of[r.doc_id]
+            assert r.kept == (r.tier != "tail")
+        else:
+            assert (r.n_bigrams, r.sum_num, r.sum_den) == (0, 0, 0)
+            assert r.lm_affinity is None
+            assert r.tier == "no_text" and r.kept is False
+    # all three tiers populated and the filter separates the corpus
+    tiers = {r.tier for r in rows}
+    assert {"head", "middle", "tail"} <= tiers

@@ -365,6 +365,9 @@ SHUFFLE_BUDGET = {
     "simhash_pairs": 0,  # banded self-join both sides broadcast at SF_SMALL
     "topk_orders": 0,  # TakeOrderedAndProject — no exchange at all
     "connectivity_probe": 0,  # scalar 1-row probe, no exchange
+    # balanced spread + bigram window + w1 window + per-doc agg + V agg
+    # branch + doc-score rank + spine join (both sides doc-keyed)
+    "ccnet_perplexity_filter": 8,
 }
 
 
