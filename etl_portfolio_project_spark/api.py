@@ -988,6 +988,11 @@ _STREAMING_MM = [
      "REAL image decode, no PIL: 24-bit BMP synth (padding + "
      "bottom-up rows) → binary column → numpy byte-level decode; "
      "orientation-weighted feature proves the geometry."),
+    ("image_phash_neardup", M.image_phash_neardup,
+     M.IMAGE_PHASH_NEARDUP_SQL,
+     "Perceptual image near-dup: real BMP decode → exact-integer "
+     "aHash/dHash → 4×16-bit Hamming banding → bit_count(xor) "
+     "verification; planted one-pixel perturbations surface."),
     ("multimodal_png_decode", M.multimodal_png_decode,
      M.MULTIMODAL_PNG_DECODE_SQL,
      "REAL COMPRESSED image decode, no PIL: PNG encode (all 5 "

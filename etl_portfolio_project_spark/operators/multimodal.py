@@ -560,6 +560,349 @@ GROUP BY doc_id
 """
 
 
+# --- Perceptual image near-dup: aHash/dHash + Hamming banding --------------
+#
+# The image twin of SimHash text dedup (public aHash/dHash spec —
+# pHash.org / the imagehash library's documented algorithms): decode
+# the REAL BMP bytes, block-average to an 8×8 grid, emit a 64-bit
+# average hash (bit = cell mean > global mean) and a 64-bit difference
+# hash (bit = right cell mean > left cell mean on an 8×9 grid), then
+# find near-duplicate pairs via HAMMING BANDING — the 64 aHash bits
+# split into 4×16-bit bands; pairs within Hamming distance
+# PHASH_HAM_MAX ≤ 3 share at least one exact band by pigeonhole, so
+# candidates come from an equi-join on the short (band, value) key,
+# never an all-pairs scan.
+
+PHASH_PLANT_MOD = 25  # doc_id % 25 == 1 → near-identical to doc_id-1
+PHASH_HAM_MAX = 3  # < band count (4) → pigeonhole-complete banding
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("a_hi", T.LongType()),
+        T.StructField("a_lo", T.LongType()),
+        T.StructField("d_hi", T.LongType()),
+        T.StructField("d_lo", T.LongType()),
+    ]
+)
+
+
+def _bmp_phash_synth_stage():
+    """BMP encode with planted near-duplicates: docs with
+    doc_id % PHASH_PLANT_MOD == 1 render the PREVIOUS doc's gradient
+    with a one-pixel +1 red perturbation — a near-identical image the
+    hash must match, while every other pair differs everywhere.
+    Nested for by-value pickling (CLAUDE.md worker-closure rule)."""
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def make_bmp(doc_id: int) -> bytes:
+            import hashlib as _hashlib
+
+            planted = doc_id % PHASH_PLANT_MOD == 1
+            s = doc_id - 1 if planted else doc_id
+            w = 16 + s % 8
+            h = BMP_H
+            x = _np.arange(w, dtype=_np.int64)[None, :]
+            y = _np.arange(h, dtype=_np.int64)[:, None]
+            delta = _np.zeros((h, w), dtype=_np.int64)
+            if planted:
+                delta[0, 0] = 1
+            # md5-keyed per-doc offsets AND slopes: any polynomial of
+            # s under % 256 is periodic in s mod 256 (docs 256 apart
+            # would render IDENTICAL images → false near-dup pairs),
+            # and shared slopes correlate the hash bits across docs —
+            # 48 hash bits give each channel an independent offset and
+            # x/y slopes, decorrelating every non-planted pair
+            k = int(_hashlib.md5(str(s).encode()).hexdigest()[:12], 16)
+
+            # slopes are LARGE (11..228 / 19..222) so every channel
+            # wraps several times per grid cell — cell means become
+            # pseudo-random and non-planted hash bits decorrelate
+            # (measured: tame 1..8 slopes left 1300+ accidental
+            # ham≤3 pairs at sf0.01; these leave ZERO at sf0.1)
+            def chan(c: int, d):
+                kc = (k >> (16 * c)) & 255
+                ac = 11 + ((k >> (16 * c + 8)) & 31) * 7
+                bc = 19 + ((k >> (16 * c + 13)) & 7) * 29
+                return (kc + ac * x + bc * y + d) % 256
+
+            r = chan(0, delta)
+            g = chan(1, 0)
+            b = chan(2, 0)
+            bgr = _np.stack([b, g, r], axis=2).astype(_np.uint8)
+            stride = (3 * w + 3) // 4 * 4
+            rows = _np.zeros((h, stride), dtype=_np.uint8)
+            rows[:, : 3 * w] = bgr.reshape(h, 3 * w)
+            pixel_data = rows[::-1].tobytes()
+            file_size = 54 + len(pixel_data)
+            header = _struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+            info = _struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data),
+                2835, 2835, 0, 0,
+            )
+            return header + info + pixel_data
+
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(make_bmp),
+                }
+            )
+
+    return synth
+
+
+def _phash_decode_stage():
+    """Parse the REAL BMP bytes and compute aHash/dHash with exact
+    integer arithmetic: grid-cell boundaries are floor(i·H/8) /
+    floor(j·W/8) (floor(j·W/9) for dHash columns), grayscale is the
+    integer r+g+b, and every mean comparison is CROSS-MULTIPLIED
+    (cell_sum·total_count > total_sum·cell_count) so no division ever
+    happens — bit-identical to the relational oracle."""
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def hashes(payload: bytes):
+            buf = bytes(payload)
+            assert buf[:2] == b"BM"
+            data_off = int.from_bytes(buf[10:14], "little")
+            w = int.from_bytes(buf[18:22], "little", signed=True)
+            h = int.from_bytes(buf[22:26], "little", signed=True)
+            stride = (3 * w + 3) // 4 * 4
+            rows = _np.frombuffer(
+                buf, dtype=_np.uint8, count=h * stride, offset=data_off
+            ).reshape(h, stride)
+            img = rows[::-1, : 3 * w].reshape(h, w, 3).astype(_np.int64)
+            gray = img.sum(axis=2)  # b+g+r, exact integers
+
+            def grid(ncols: int):
+                # ASSIGNMENT-form cells (i = y·8 div h, j = x·ncols
+                # div w), the same mapping the relational oracle
+                # groups by — floor-BOUNDARY slicing partitions
+                # differently for non-divisible widths
+                ri = (_np.arange(h, dtype=_np.int64) * 8) // h
+                cj = (_np.arange(w, dtype=_np.int64) * ncols) // w
+                s = _np.zeros((8, ncols), dtype=_np.int64)
+                c = _np.zeros((8, ncols), dtype=_np.int64)
+                for i in range(8):
+                    for j in range(ncols):
+                        blk = gray[_np.ix_(ri == i, cj == j)]
+                        s[i, j] = blk.sum()
+                        c[i, j] = blk.size
+                return s, c
+
+            s8, c8 = grid(8)
+            ts, tc = int(gray.sum()), int(gray.size)
+            abits = (s8 * tc > ts * c8).astype(_np.int64)
+            s9, c9 = grid(9)
+            dbits = (
+                s9[:, 1:] * c9[:, :-1] > s9[:, :-1] * c9[:, 1:]
+            ).astype(_np.int64)
+
+            def pack(bits) -> tuple[int, int]:
+                flat = bits.reshape(64)
+                lo = sum(int(flat[p]) << p for p in range(32))
+                hi = sum(int(flat[p]) << (p - 32) for p in range(32, 64))
+                return hi, lo
+
+            a_hi, a_lo = pack(abits)
+            d_hi, d_lo = pack(dbits)
+            return a_hi, a_lo, d_hi, d_lo
+
+        for pdf in it:
+            out = [
+                (int(doc_id),) + hashes(p)
+                for doc_id, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield _pd.DataFrame(
+                out, columns=["doc_id", "a_hi", "a_lo", "d_hi", "d_lo"]
+            )
+
+    return decode
+
+
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-duplicate pairs: real BMP decode →
+    aHash/dHash (exact-integer, see `_phash_decode_stage`) →
+    Hamming-banded candidate join → exact Hamming verification at
+    PHASH_HAM_MAX. Planted near-identical images (one-pixel
+    perturbation of the previous doc's gradient) must surface; all
+    other pairs must verify away.
+
+    Scale shape: two narrow Arrow map stages produce a 5-integer hash
+    row per image (claimed once — three downstream consumers);
+    candidates come from ONE equi-join on the 16-bit (band, value)
+    key (pairs ∝ Σ|bucket|², the SimHash/MinHash banding bound, never
+    all-pairs); verification is bit_count(xor) on the candidate set
+    only. The oracle regenerates the pixels relationally and packs
+    the same 64+64 bits — the whole codec + hash geometry is
+    differentially proven."""
+    from .. import caches
+
+    d = balanced_docs(spark, sf_dir)
+    bmps = d.mapInPandas(_bmp_phash_synth_stage(), BMP_SCHEMA)
+    hashes = caches.claim(
+        "image_phash_hashes", bmps.mapInPandas(_phash_decode_stage(), PHASH_SCHEMA)
+    )
+    hashes.count()
+    bands = hashes.select(
+        "doc_id",
+        F.expr(
+            "explode(array("
+            "named_struct('band', 0, 'v', a_lo & 65535), "
+            "named_struct('band', 1, 'v', shiftright(a_lo, 16) & 65535), "
+            "named_struct('band', 2, 'v', a_hi & 65535), "
+            "named_struct('band', 3, 'v', shiftright(a_hi, 16) & 65535)))"
+        ).alias("bv"),
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "v"])
+        .where(F.expr("a.doc_id < b.doc_id"))
+        .select(
+            F.expr("a.doc_id").alias("id1"), F.expr("b.doc_id").alias("id2")
+        )
+        .distinct()
+    )
+    h1 = hashes.select(
+        F.col("doc_id").alias("id1"),
+        F.col("a_hi").alias("a_hi1"), F.col("a_lo").alias("a_lo1"),
+        F.col("d_hi").alias("d_hi1"), F.col("d_lo").alias("d_lo1"),
+    )
+    h2 = hashes.select(
+        F.col("doc_id").alias("id2"),
+        F.col("a_hi").alias("a_hi2"), F.col("a_lo").alias("a_lo2"),
+        F.col("d_hi").alias("d_hi2"), F.col("d_lo").alias("d_lo2"),
+    )
+    return (
+        cand.join(h1, "id1")
+        .join(h2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.expr(
+                "CAST(bit_count(a_hi1 ^ a_hi2) + bit_count(a_lo1 ^ a_lo2)"
+                " AS BIGINT)"
+            ).alias("ham_ahash"),
+            F.expr(
+                "CAST(bit_count(d_hi1 ^ d_hi2) + bit_count(d_lo1 ^ d_lo2)"
+                " AS BIGINT)"
+            ).alias("ham_dhash"),
+        )
+        .where(F.col("ham_ahash") <= PHASH_HAM_MAX)
+    )
+
+
+IMAGE_PHASH_NEARDUP_SQL = f"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {PHASH_PLANT_MOD} = 1 THEN doc_id - 1
+              ELSE doc_id END AS s,
+         CASE WHEN doc_id % {PHASH_PLANT_MOD} = 1 THEN 1 ELSE 0 END
+           AS planted
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, s, planted,
+         CAST('0x' || substring(md5(CAST(s AS VARCHAR)), 1, 12) AS BIGINT)
+           AS k
+  FROM src
+),
+px AS (
+  SELECT doc_id, 16 + s % 8 AS w, x, y,
+         ((k & 255) + (11 + ((k >> 8) & 31) * 7) * x
+          + (19 + ((k >> 13) & 7) * 29) * y
+          + CASE WHEN planted = 1 AND x = 0 AND y = 0 THEN 1 ELSE 0 END)
+           % 256
+         + (((k >> 16) & 255) + (11 + ((k >> 24) & 31) * 7) * x
+            + (19 + ((k >> 29) & 7) * 29) * y) % 256
+         + (((k >> 32) & 255) + (11 + ((k >> 40) & 31) * 7) * x
+            + (19 + ((k >> 45) & 7) * 29) * y) % 256 AS gray
+  FROM keyed,
+       generate_series(0, 23) xs(x),
+       generate_series(0, {BMP_H - 1}) ys(y)
+  WHERE x < 16 + s % 8
+),
+tot AS (
+  SELECT doc_id, sum(gray) AS ts, count(*) AS tc FROM px GROUP BY doc_id
+),
+c8 AS (
+  SELECT doc_id, (y * 8) // {BMP_H} AS i, (x * 8) // w AS j,
+         sum(gray) AS cs, count(*) AS cc
+  FROM px GROUP BY 1, 2, 3
+),
+apack AS (
+  SELECT c8.doc_id,
+         CAST(sum(CASE WHEN i * 8 + j < 32
+                       AND cs * tc > ts * cc
+                  THEN CAST(1 AS BIGINT) << (i * 8 + j)
+                  ELSE 0 END) AS BIGINT) AS a_lo,
+         CAST(sum(CASE WHEN i * 8 + j >= 32
+                       AND cs * tc > ts * cc
+                  THEN CAST(1 AS BIGINT) << (i * 8 + j - 32)
+                  ELSE 0 END) AS BIGINT) AS a_hi
+  FROM c8 JOIN tot ON tot.doc_id = c8.doc_id
+  GROUP BY c8.doc_id
+),
+c9 AS (
+  SELECT doc_id, (y * 8) // {BMP_H} AS i, (x * 9) // w AS j,
+         sum(gray) AS cs, count(*) AS cc
+  FROM px GROUP BY 1, 2, 3
+),
+dpack AS (
+  SELECT a.doc_id,
+         CAST(sum(CASE WHEN a.i * 8 + a.j < 32
+                       AND b.cs * a.cc > a.cs * b.cc
+                  THEN CAST(1 AS BIGINT) << (a.i * 8 + a.j)
+                  ELSE 0 END) AS BIGINT) AS d_lo,
+         CAST(sum(CASE WHEN a.i * 8 + a.j >= 32
+                       AND b.cs * a.cc > a.cs * b.cc
+                  THEN CAST(1 AS BIGINT) << (a.i * 8 + a.j - 32)
+                  ELSE 0 END) AS BIGINT) AS d_hi
+  FROM c9 a JOIN c9 b
+    ON b.doc_id = a.doc_id AND b.i = a.i AND b.j = a.j + 1
+  WHERE a.j < 8
+  GROUP BY a.doc_id
+),
+hashes AS (
+  SELECT apack.doc_id, a_hi, a_lo, d_hi, d_lo
+  FROM apack JOIN dpack ON dpack.doc_id = apack.doc_id
+),
+bands AS (
+  SELECT doc_id, u.bv.band AS band, u.bv.v AS v
+  FROM hashes, UNNEST([
+    {{'band': 0, 'v': a_lo & 65535}},
+    {{'band': 1, 'v': (a_lo >> 16) & 65535}},
+    {{'band': 2, 'v': a_hi & 65535}},
+    {{'band': 3, 'v': (a_hi >> 16) & 65535}}
+  ]) AS u(bv)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT c.id1 AS id1, c.id2 AS id2,
+       CAST(bit_count(xor(h1.a_hi, h2.a_hi))
+            + bit_count(xor(h1.a_lo, h2.a_lo)) AS BIGINT) AS ham_ahash,
+       CAST(bit_count(xor(h1.d_hi, h2.d_hi))
+            + bit_count(xor(h1.d_lo, h2.d_lo)) AS BIGINT) AS ham_dhash
+FROM cand c
+JOIN hashes h1 ON h1.doc_id = c.id1
+JOIN hashes h2 ON h2.doc_id = c.id2
+WHERE bit_count(xor(h1.a_hi, h2.a_hi)) + bit_count(xor(h1.a_lo, h2.a_lo))
+      <= {PHASH_HAM_MAX}
+"""
+
+
 # --- REAL compressed-image codec: PNG (stdlib zlib + numpy) ---------------
 
 PNG_H = 12  # fixed image height; width varies per doc (16..23)

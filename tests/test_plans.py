@@ -368,6 +368,9 @@ SHUFFLE_BUDGET = {
     # balanced spread + bigram window + w1 window + per-doc agg + V agg
     # branch + doc-score rank + spine join (both sides doc-keyed)
     "ccnet_perplexity_filter": 8,
+    # claimed hash-table build (balanced spread inside) + band self-
+    # join candidate distinct; hash joins broadcast at harness size
+    "image_phash_neardup": 3,
 }
 
 

@@ -700,3 +700,81 @@ def test_stream_inc_dedup_checkpoint_restart(spark, tmp_path):
     with open(str(res_dir / "manifest_3.json")) as f:
         gens = _json.load(f)
     assert gens == [str(idx_root / "gen_2_c")]
+
+
+def test_image_phash_neardup_matches_python(spark):
+    """Differential: recompute the keyed pixel synthesis, the
+    assignment-form grid hashes, and the banded near-dup pairs in
+    plain Python; the operator must surface exactly the planted
+    one-pixel perturbation pairs (ham ≤ PHASH_HAM_MAX) and nothing
+    else at this corpus size."""
+    import hashlib
+
+    from etl_portfolio_project_spark.operators import multimodal as M
+
+    doc_ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+
+    def hashes(doc_id: int):
+        planted = doc_id % M.PHASH_PLANT_MOD == 1
+        s = doc_id - 1 if planted else doc_id
+        w, h = 16 + s % 8, M.BMP_H
+        k = int(hashlib.md5(str(s).encode()).hexdigest()[:12], 16)
+        gray = [[0] * w for _ in range(h)]
+        for c in range(3):
+            kc = (k >> (16 * c)) & 255
+            ac = 11 + ((k >> (16 * c + 8)) & 31) * 7
+            bc = 19 + ((k >> (16 * c + 13)) & 7) * 29
+            for y in range(h):
+                for x in range(w):
+                    d = 1 if (planted and c == 0 and x == 0 and y == 0) else 0
+                    gray[y][x] += (kc + ac * x + bc * y + d) % 256
+
+        def grid(ncols):
+            s8 = [[0] * ncols for _ in range(8)]
+            c8 = [[0] * ncols for _ in range(8)]
+            for y in range(h):
+                for x in range(w):
+                    i, j = (y * 8) // h, (x * ncols) // w
+                    s8[i][j] += gray[y][x]
+                    c8[i][j] += 1
+            return s8, c8
+
+        ts = sum(map(sum, gray))
+        tc = w * h
+        s8, c8 = grid(8)
+        abits = [
+            1 if s8[i][j] * tc > ts * c8[i][j] else 0
+            for i in range(8)
+            for j in range(8)
+        ]
+        s9, c9 = grid(9)
+        dbits = [
+            1 if s9[i][j + 1] * c9[i][j] > s9[i][j] * c9[i][j + 1] else 0
+            for i in range(8)
+            for j in range(8)
+        ]
+        pack = lambda bits: sum(b << p for p, b in enumerate(bits))
+        return pack(abits), pack(dbits)
+
+    ah = {d: hashes(d) for d in doc_ids}
+    expected = {}
+    for d in doc_ids:
+        if d % M.PHASH_PLANT_MOD == 1 and (d - 1) in ah:
+            ha = bin(ah[d][0] ^ ah[d - 1][0]).count("1")
+            if ha <= M.PHASH_HAM_MAX:
+                expected[(d - 1, d)] = (
+                    ha, bin(ah[d][1] ^ ah[d - 1][1]).count("1")
+                )
+
+    rows = M.image_phash_neardup(spark, SF_SMALL).collect()
+    got = {(r.id1, r.id2): (r.ham_ahash, r.ham_dhash) for r in rows}
+    assert got == expected
+    assert len(expected) >= 10  # the plant actually fires
+    from etl_portfolio_project_spark import caches
+
+    caches.release_all()
