@@ -993,6 +993,12 @@ _STREAMING_MM = [
      "Perceptual image near-dup: real BMP decode → exact-integer "
      "aHash/dHash → 4×16-bit Hamming banding → bit_count(xor) "
      "verification; planted one-pixel perturbations surface."),
+    ("multimodal_jpeg_decode", M.multimodal_jpeg_decode,
+     M.MULTIMODAL_JPEG_DECODE_SQL,
+     "Baseline JPEG from ITU-T.81, no libjpeg: canonical-Huffman "
+     "entropy coding + DC prediction encoded per doc, byte-level "
+     "decoded (DHT rebuild, extend, dequant, pinned fixed-point "
+     "integer IDCT); lossy pipeline differentially proven."),
     ("multimodal_png_decode", M.multimodal_png_decode,
      M.MULTIMODAL_PNG_DECODE_SQL,
      "REAL COMPRESSED image decode, no PIL: PNG encode (all 5 "

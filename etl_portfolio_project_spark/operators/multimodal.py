@@ -1173,6 +1173,488 @@ GROUP BY doc_id
 """
 
 
+# --- REAL lossy codec: baseline sequential JPEG from ITU-T.81 --------------
+#
+# The last codec stub closed for real (r8, VERDICT item 9): baseline
+# JPEG is implementable from the public spec with stdlib + numpy —
+# canonical Huffman entropy coding (DHT), quantization (DQT, zigzag
+# order), DC prediction across blocks, 0xFF byte stuffing, and the
+# 8×8 inverse DCT. JPEG is LOSSY, so unlike PNG the decoded pixels
+# cannot equal a source image; the value contract is built the other
+# way around: the QUANTIZED COEFFICIENTS are the md5-keyed ground
+# truth (the encoder codes them directly), and the IDCT is pinned to
+# an explicit FIXED-POINT INTEGER definition — p(x,y) = clamp(((Σ_uv
+# dq[v,u]·K[u][x]·K[v][y] + 2^21 + 2^53) div 2^22) − 2^31 + 128) with
+# K[u][x] = round(2^11·α_u·cos((2x+1)uπ/16)) — whose 64 integer
+# constants are shared verbatim by the worker closure and the DuckDB
+# oracle, making the whole lossy pipeline bit-exact cross-engine.
+# (Conformant codecs may use any sufficiently-accurate IDCT; T.81
+# Annex A leaves the precision implementation-defined.)
+
+JPEG_W, JPEG_H = 16, 8  # two horizontal 8×8 blocks → DC prediction real
+
+#: zigzag index → (v=row, u=col) of the 8×8 coefficient matrix
+JPEG_ZIGZAG: list[tuple[int, int]] = []
+_zr, _zc, _zup = 0, 0, True
+for _ in range(64):
+    JPEG_ZIGZAG.append((_zr, _zc))
+    if _zup:
+        if _zc == 7:
+            _zr, _zup = _zr + 1, False
+        elif _zr == 0:
+            _zc, _zup = _zc + 1, False
+        else:
+            _zr, _zc = _zr - 1, _zc + 1
+    else:
+        if _zr == 7:
+            _zc, _zup = _zc + 1, True
+        elif _zc == 0:
+            _zr, _zup = _zr + 1, True
+        else:
+            _zr, _zc = _zr + 1, _zc - 1
+
+#: ITU-T.81 Annex K.1 luminance quantization table (zigzag order)
+_JPEG_QRASTER = [
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+]
+JPEG_QTAB = [_JPEG_QRASTER[v][u] for (v, u) in JPEG_ZIGZAG]
+
+#: fixed-point IDCT basis K[u][x] = round(2^11·α_u·cos((2x+1)uπ/16)),
+#: α_0 = 1/(2√2), α_u = 1/2 — module-level so the oracle SQL embeds
+#: the IDENTICAL integers the worker closure computes with
+import math as _math
+
+JPEG_K = [
+    [
+        round(
+            2048
+            * ((1 / (2 * _math.sqrt(2))) if u == 0 else 0.5)
+            * _math.cos((2 * x + 1) * u * _math.pi / 16)
+        )
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+#: keyed quantized-coefficient layout (mirrored by the oracle):
+#: block 0: DC = (k&255)−128; AC at zigzag 1,2,4,7 from 5-bit slices
+#: block 1: DC = DC0 + ((k>>28 & 63)−32); AC at zigzag 1,3
+JPEG_COEF_LAYOUT = [
+    (0, 0, "(k & 255) - 128"),
+    (0, 1, "((k >> 8) & 31) - 16"),
+    (0, 2, "((k >> 13) & 31) - 16"),
+    (0, 4, "((k >> 18) & 31) - 16"),
+    (0, 7, "((k >> 23) & 31) - 16"),
+    (1, 0, "((k & 255) - 128) + (((k >> 28) & 63) - 32)"),
+    (1, 1, "((k >> 34) & 31) - 16"),
+    (1, 3, "((k >> 39) & 31) - 16"),
+]
+
+JPEG_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("dc0_q", T.LongType()),
+        T.StructField("n_nonzero_ac", T.LongType()),
+        T.StructField("sum_px", T.LongType()),
+        T.StructField("pos_weighted_px", T.LongType()),
+    ]
+)
+
+
+def _jpeg_coefs_py(k: int) -> list[list[int]]:
+    """Python twin of JPEG_COEF_LAYOUT: two 64-entry zigzag coefficient
+    vectors for key `k` (kept in lockstep with the SQL strings by
+    `tests/test_streaming_multimodal.py`'s differential test)."""
+    b0 = [0] * 64
+    b0[0] = (k & 255) - 128
+    b0[1] = ((k >> 8) & 31) - 16
+    b0[2] = ((k >> 13) & 31) - 16
+    b0[4] = ((k >> 18) & 31) - 16
+    b0[7] = ((k >> 23) & 31) - 16
+    b1 = [0] * 64
+    b1[0] = b0[0] + (((k >> 28) & 63) - 32)
+    b1[1] = ((k >> 34) & 31) - 16
+    b1[3] = ((k >> 39) & 31) - 16
+    return [b0, b1]
+
+
+def _jpeg_synth_stage():
+    """Encode a REAL baseline-sequential JPEG per doc: md5-keyed
+    quantized coefficients → canonical-Huffman entropy coding with DC
+    prediction, amplitude extend bits, 0xFF00 stuffing — wrapped in
+    genuine SOI/DQT/SOF0/DHT/SOS/EOI segments (DQT in zigzag order,
+    DHT rebuilt by the decoder, never shared in-process)."""
+    qtab = list(JPEG_QTAB)
+    w, h = JPEG_W, JPEG_H
+    coefs_py = _jpeg_coefs_py
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import struct as _struct
+
+        import pandas as _pd
+
+        # single-length canonical Huffman tables over exactly the
+        # symbols this encoder can emit (a valid DHT; strict < 2^L so
+        # the reserved all-ones code stays unused)
+        dc_syms = list(range(9))  # DC categories 0..8
+        ac_syms = [0x00] + [
+            (run << 4) | size for run in range(7) for size in range(1, 6)
+        ]
+        dc_len, ac_len = 4, 6
+
+        def canonical(symbols, length):
+            return {s: (length, i) for i, s in enumerate(symbols)}
+
+        dc_code, ac_code = (
+            canonical(dc_syms, dc_len), canonical(ac_syms, ac_len),
+        )
+
+        class BitWriter:
+            def __init__(self):
+                self.out = bytearray()
+                self.acc = 0
+                self.nbits = 0
+
+            def put(self, length, value):
+                for i in range(length - 1, -1, -1):
+                    self.acc = (self.acc << 1) | ((value >> i) & 1)
+                    self.nbits += 1
+                    if self.nbits == 8:
+                        self.out.append(self.acc)
+                        if self.acc == 0xFF:
+                            self.out.append(0x00)  # byte stuffing
+                        self.acc, self.nbits = 0, 0
+
+            def flush(self):
+                while self.nbits:
+                    self.put(1, 1)  # pad with 1s per spec
+                return bytes(self.out)
+
+        def category(v: int) -> int:
+            return 0 if v == 0 else abs(v).bit_length()
+
+        def amplitude(v: int, cat: int) -> int:
+            return v if v > 0 else v + (1 << cat) - 1
+
+        def dht(table_class, symbols, length):
+            counts = [0] * 16
+            counts[length - 1] = len(symbols)
+            body = bytes([table_class << 4]) + bytes(counts) + bytes(symbols)
+            return b"\xff\xc4" + _struct.pack(">H", 2 + len(body)) + body
+
+        def make_jpeg(doc_id: int) -> bytes:
+            k = int(
+                _hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16
+            )
+            blocks = coefs_py(k)
+            bw = BitWriter()
+            dc_pred = 0
+            for blk in blocks:
+                diff = blk[0] - dc_pred
+                dc_pred = blk[0]
+                cat = category(diff)
+                ln, code = dc_code[cat]
+                bw.put(ln, code)
+                if cat:
+                    bw.put(cat, amplitude(diff, cat))
+                run = 0
+                for zz in range(1, 64):
+                    v = blk[zz]
+                    if v == 0:
+                        run += 1
+                        continue
+                    cat = category(v)
+                    ln, code = ac_code[(run << 4) | cat]
+                    bw.put(ln, code)
+                    bw.put(cat, amplitude(v, cat))
+                    run = 0
+                if run:
+                    ln, code = ac_code[0x00]  # EOB
+                    bw.put(ln, code)
+            ecs = bw.flush()
+            dqt = (
+                b"\xff\xdb"
+                + _struct.pack(">H", 2 + 65)
+                + b"\x00"
+                + bytes(qtab)
+            )
+            sof0 = (
+                b"\xff\xc0"
+                + _struct.pack(">H", 11)
+                + bytes([8])
+                + _struct.pack(">HH", h, w)
+                + bytes([1, 1, 0x11, 0])
+            )
+            sos = (
+                b"\xff\xda"
+                + _struct.pack(">H", 8)
+                + bytes([1, 1, 0x00, 0, 63, 0])
+            )
+            return (
+                b"\xff\xd8"
+                + dqt
+                + sof0
+                + dht(0, dc_syms, dc_len)
+                + dht(1, ac_syms, ac_len)
+                + sos
+                + ecs
+                + b"\xff\xd9"
+            )
+
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(make_jpeg),
+                }
+            )
+
+    return synth
+
+
+def _jpeg_decode_stage():
+    """Parse the ACTUAL JPEG bytes: marker walk, DQT (un-zigzag), SOF0
+    dims, DHT canonical-Huffman REBUILD, SOS, entropy-coded segment
+    with 0xFF00 unstuffing, per-block Huffman decode with DC
+    prediction + EXTEND, dequantization, and the pinned fixed-point
+    integer IDCT — then integer features over the decoded pixels."""
+    zigzag = list(JPEG_ZIGZAG)
+    kmat = [row[:] for row in JPEG_K]
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        K = _np.array(kmat, dtype=_np.int64)  # K[u][x]
+
+        def feats(payload: bytes):
+            buf = bytes(payload)
+            assert buf[:2] == b"\xff\xd8"
+            pos = 2
+            qt = None
+            w = h = None
+            hufftabs = {}  # (class) -> {(length, code): symbol}
+            ecs_start = None
+            while pos < len(buf):
+                assert buf[pos] == 0xFF
+                marker = buf[pos + 1]
+                if marker == 0xD9:
+                    break
+                seglen = _struct.unpack(">H", buf[pos + 2: pos + 4])[0]
+                body = buf[pos + 4: pos + 2 + seglen]
+                if marker == 0xDB:
+                    assert body[0] == 0x00
+                    qt = list(body[1:65])
+                elif marker == 0xC0:
+                    h, w = _struct.unpack(">HH", body[1:5])
+                    assert body[0] == 8 and body[5] == 1
+                elif marker == 0xC4:
+                    cls = body[0] >> 4
+                    counts = list(body[1:17])
+                    syms = list(body[17: 17 + sum(counts)])
+                    tab, code, si = {}, 0, 0
+                    for ln in range(1, 17):
+                        for _ in range(counts[ln - 1]):
+                            tab[(ln, code)] = syms[si]
+                            code += 1
+                            si += 1
+                        code <<= 1
+                    hufftabs[cls] = tab
+                elif marker == 0xDA:
+                    ecs_start = pos + 2 + seglen
+                    break
+                pos += 2 + seglen
+            assert qt is not None and ecs_start is not None
+
+            # unstuff the entropy-coded segment up to EOI
+            ecs = bytearray()
+            i = ecs_start
+            while i < len(buf):
+                b = buf[i]
+                if b == 0xFF:
+                    if buf[i + 1] == 0x00:
+                        ecs.append(0xFF)
+                        i += 2
+                        continue
+                    break  # a real marker (EOI)
+                ecs.append(b)
+                i += 1
+
+            class BitReader:
+                def __init__(self, data):
+                    self.data = data
+                    self.pos = 0
+
+                def bit(self):
+                    byte = self.data[self.pos >> 3]
+                    b = (byte >> (7 - (self.pos & 7))) & 1
+                    self.pos += 1
+                    return b
+
+                def bits(self, n):
+                    v = 0
+                    for _ in range(n):
+                        v = (v << 1) | self.bit()
+                    return v
+
+            def huff(br, tab):
+                ln, code = 0, 0
+                while True:
+                    code = (code << 1) | br.bit()
+                    ln += 1
+                    assert ln <= 16
+                    if (ln, code) in tab:
+                        return tab[(ln, code)]
+
+            def extend(v, cat):
+                return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+            br = BitReader(bytes(ecs))
+            n_blocks = (w // 8) * (h // 8)
+            dc_pred = 0
+            dc0_q = None
+            n_nonzero_ac = 0
+            sum_px = 0
+            pos_weighted = 0
+            for bi in range(n_blocks):
+                zcoef = [0] * 64
+                cat = huff(br, hufftabs[0])
+                diff = extend(br.bits(cat), cat) if cat else 0
+                dc_pred += diff
+                zcoef[0] = dc_pred
+                if bi == 0:
+                    dc0_q = dc_pred
+                zz = 1
+                while zz < 64:
+                    sym = huff(br, hufftabs[1])
+                    if sym == 0x00:  # EOB
+                        break
+                    run, cat = sym >> 4, sym & 0x0F
+                    zz += run
+                    zcoef[zz] = extend(br.bits(cat), cat)
+                    n_nonzero_ac += 1
+                    zz += 1
+                dq = _np.zeros((8, 8), dtype=_np.int64)  # [v][u]
+                for z, (v, u) in enumerate(zigzag):
+                    dq[v, u] = zcoef[z] * qt[z]
+                raw = K.T @ dq @ K  # [y][x] = Σ K[v][y]·dq[v,u]·K[u][x]
+                p = (raw + (1 << 21) + (1 << 53)) // (1 << 22) - (1 << 31)
+                px = _np.clip(p + 128, 0, 255)
+                sum_px += int(px.sum())
+                xs = _np.arange(8, dtype=_np.int64)[None, :] + 8 * bi
+                ys = _np.arange(8, dtype=_np.int64)[:, None]
+                pos_weighted += int(((ys * w + xs) * px).sum())
+            return (
+                int(w), int(h), int(n_blocks), int(dc0_q),
+                int(n_nonzero_ac), sum_px, pos_weighted,
+            )
+
+        for pdf in it:
+            rows = [
+                (int(d),) + feats(p)
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_blocks", "dc0_q",
+                    "n_nonzero_ac", "sum_px", "pos_weighted_px",
+                ],
+            )
+
+    return decode
+
+
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode from the ITU-T.81 spec, no libjpeg:
+    per doc a genuine JPEG is entropy-ENCODED from md5-keyed quantized
+    coefficients and then byte-level DECODED (marker walk, DHT
+    rebuild, Huffman + extend, DC prediction, un-zigzag, dequant,
+    pinned fixed-point integer IDCT). The DuckDB oracle regenerates
+    the coefficients relationally and applies the SAME integer IDCT
+    constants, so every decoded-pixel feature is bit-exact — the
+    full lossy codec path is differentially proven.
+
+    Scale shape: identical to the BMP/PNG/WAV paths — two narrow
+    Arrow map stages, binary payloads streaming through record
+    batches, zero shuffles."""
+    d = balanced_docs(spark, sf_dir)
+    jpegs = d.mapInPandas(_jpeg_synth_stage(), BMP_SCHEMA)
+    return jpegs.mapInPandas(_jpeg_decode_stage(), JPEG_FEATURES_SCHEMA)
+
+
+def _jpeg_sql() -> str:
+    coef_rows = ", ".join(
+        f"{{'blk': {blk}, 'zz': {zz}, 'cq': {expr}}}"
+        for blk, zz, expr in JPEG_COEF_LAYOUT
+    )
+    zz_rows = ", ".join(
+        f"({z}, {v}, {u}, {JPEG_QTAB[z]})"
+        for z, (v, u) in enumerate(JPEG_ZIGZAG)
+    )
+    k_rows = ", ".join(
+        f"({u}, {x}, {JPEG_K[u][x]})" for u in range(8) for x in range(8)
+    )
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+              AS BIGINT) AS k
+  FROM documents
+),
+coefs AS (
+  SELECT doc_id, u.c.blk AS blk, u.c.zz AS zz, u.c.cq AS cq
+  FROM keyed, UNNEST([{coef_rows}]) AS u(c)
+),
+zzt(zz, v, u, q) AS (VALUES {zz_rows}),
+kt(u, x, kv) AS (VALUES {k_rows}),
+dq AS (
+  SELECT c.doc_id, c.blk, z.u AS u, z.v AS v, c.cq * z.q AS d
+  FROM coefs c JOIN zzt z ON z.zz = c.zz
+),
+px AS (
+  SELECT dq.doc_id, dq.blk, kx.x AS x, ky.x AS y,
+         LEAST(255, GREATEST(0,
+           (sum(dq.d * kx.kv * ky.kv) + {1 << 21} + {1 << 53})
+             // {1 << 22} - {1 << 31} + 128)) AS p
+  FROM dq
+  JOIN kt kx ON kx.u = dq.u
+  JOIN kt ky ON ky.u = dq.v
+  GROUP BY 1, 2, 3, 4
+)
+SELECT px.doc_id,
+       {JPEG_W} AS width, {JPEG_H} AS height, 2 AS n_blocks,
+       CAST(min(c0.cq) AS BIGINT) AS dc0_q,
+       CAST(min(nz.n) AS BIGINT) AS n_nonzero_ac,
+       CAST(sum(p) AS BIGINT) AS sum_px,
+       CAST(sum((y * {JPEG_W} + blk * 8 + x) * p) AS BIGINT)
+         AS pos_weighted_px
+FROM px
+JOIN (SELECT doc_id, cq FROM coefs WHERE blk = 0 AND zz = 0) c0
+  ON c0.doc_id = px.doc_id
+JOIN (SELECT doc_id, count(*) FILTER (WHERE zz > 0 AND cq <> 0) AS n
+      FROM coefs GROUP BY doc_id) nz
+  ON nz.doc_id = px.doc_id
+GROUP BY px.doc_id
+"""
+
+
+MULTIMODAL_JPEG_DECODE_SQL = _jpeg_sql()
+
+
 # --- image RESIZE over the binary column (nearest-neighbor) ----------------
 
 RS_W = 8  # fixed resize target; sources are (16..23) x 12

@@ -371,6 +371,7 @@ SHUFFLE_BUDGET = {
     # claimed hash-table build (balanced spread inside) + band self-
     # join candidate distinct; hash joins broadcast at harness size
     "image_phash_neardup": 3,
+    "multimodal_jpeg_decode": 1,  # balanced spread; codec is narrow
 }
 
 

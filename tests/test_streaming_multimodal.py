@@ -778,3 +778,48 @@ def test_image_phash_neardup_matches_python(spark):
     from etl_portfolio_project_spark import caches
 
     caches.release_all()
+
+
+def test_jpeg_codec_roundtrip_and_tamper(spark):
+    """The JPEG stages are a REAL codec: the decoder re-derives the
+    Huffman tables from the DHT bytes and Huffman-decodes the entropy
+    stream, so (a) coefficients round-trip exactly (encode→decode ==
+    the keyed layout), and (b) tampering the stream breaks the decode
+    loudly or changes the output — never silently agrees. Driven on
+    the query's own closures outside Spark."""
+    import hashlib
+
+    import pandas as pd
+
+    from etl_portfolio_project_spark.operators import multimodal as M
+
+    synth = M._jpeg_synth_stage()
+    decode = M._jpeg_decode_stage()
+    ids = [0, 1, 2, 3, 7, 25]
+    jpegs = next(synth(iter([pd.DataFrame({"doc_id": ids})])))
+    out = next(decode(iter([jpegs])))
+    assert list(out["width"]) == [M.JPEG_W] * len(ids)
+    assert list(out["n_blocks"]) == [2] * len(ids)
+    for row in out.itertuples():
+        k = int(hashlib.md5(str(row.doc_id).encode()).hexdigest()[:12], 16)
+        b0, b1 = M._jpeg_coefs_py(k)
+        assert row.dc0_q == b0[0]
+        assert row.n_nonzero_ac == sum(
+            1 for z in range(1, 64) for b in (b0, b1) if b[z] != 0
+        )
+    # the payload is a genuine baseline JPEG container
+    p = bytes(jpegs["payload"][0])
+    assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+    assert b"\xff\xdb" in p and b"\xff\xc0" in p and b"\xff\xc4" in p
+    # tamper: flip a bit in the entropy-coded segment (after SOS)
+    sos = p.index(b"\xff\xda")
+    bad = jpegs.copy()
+    corrupted = bytearray(p)
+    corrupted[sos + 10] ^= 0x40
+    bad.loc[0, "payload"] = bytes(corrupted)
+    try:
+        tampered = next(decode(iter([bad])))
+        same = tampered.iloc[0].equals(out.iloc[0])
+    except (AssertionError, IndexError):
+        same = False
+    assert not same
