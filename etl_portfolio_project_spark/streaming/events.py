@@ -214,6 +214,16 @@ def _run_to_table(
         "spark.sql.streaming.noDataMicroBatches.enabled", "true"
     )
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    # bounded parity runs complete in ≤ 4 batches — retaining the
+    # default 100 checkpoint generations only adds snapshot/cleanup
+    # work per commit (r8 A/B: ~3% of the 5-stream family wall; the
+    # remaining floor is per-micro-batch commit machinery + the
+    # actual aggregation, measured via durationMs: addBatch ≈ 75%,
+    # queryPlanning ≈ 10%, offset/WAL commits ≈ 8%)
+    prev_retain = spark.conf.get(
+        "spark.sql.streaming.minBatchesToRetain", "100"
+    )
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
     LAST_RUN_STATS.pop(name, None)
     out = tmpdirs.claim(f"stream_res_{name}", f"stream_res_{name}_")
     try:
@@ -262,6 +272,9 @@ def _run_to_table(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set(
             "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndm
+        )
+        spark.conf.set(
+            "spark.sql.streaming.minBatchesToRetain", prev_retain
         )
     spark.table(name).write.mode("overwrite").parquet(out)
     spark.catalog.dropTempView(name)
