@@ -931,6 +931,85 @@ def probe_r7(spark, sf_dir: str, label: str) -> dict:
     return r
 
 
+def probe_r8(spark, sf_dir: str, label: str) -> dict:
+    """Ladder rows for the r8 additions:
+
+    - boundary-pruned rescorers (VERDICT r7 item 1 done-criterion):
+      wall time must track |Q|·n (not n log n), and the SURVIVOR
+      count per query — the final window's input — must stay
+      ~CONSTANT as the corpus grows 10× (E[survivors] ≈
+      k·(TOPK_SAMPLE_MOD+1) per query by construction).
+    - ccnet_perplexity_filter: corpus-linear (one bigram explode +
+      keyed windows).
+    - image_phash_neardup: pairs must track the plant density (n/25),
+      never the n² pair space — banding-bound evidence.
+    - multimodal_jpeg_decode: pure narrow codec map, linear."""
+    from pyspark.sql import functions as F
+
+    from etl_portfolio_project_spark import caches
+    from etl_portfolio_project_spark.operators import (
+        multimodal,
+        similarity,
+        text,
+    )
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    r = {"sf": label}
+    r["n_docs"] = int(load_table(spark, sf_dir, "documents").count())
+    r["n_vec"] = int(load_table(spark, sf_dir, "embeddings").count())
+
+    # --- boundary-pruned rescorers: wall + survivor counts
+    for name, fn in [
+        ("bf_topk", similarity.ann_brute_force_topk),
+        ("maxsim_topk", similarity.multivector_maxsim_topk),
+    ]:
+        _, r[f"{name}_secs"] = timed(lambda fn=fn: fn(spark, sf_dir).count())
+        caches.release_all()
+    # survivor count, reproduced from the op's own threshold blocks
+    for name, scored_fn, col in [
+        ("bf", similarity._bf_scored, "cosine"),
+        ("maxsim", similarity._maxsim_scored, "maxsim"),
+    ]:
+        sample = scored_fn(spark, sf_dir, similarity.topk_sample_pred())
+        bmax = sample.groupBy(
+            "query_id",
+            F.expr(
+                f"(vec_id DIV {similarity.TOPK_SAMPLE_MOD}) "
+                f"% {similarity.TOPK_BUCKETS}"
+            ).alias("bkt"),
+        ).agg(F.max(col).alias("bmax"))
+        thr = bmax.groupBy("query_id").agg(
+            F.expr(
+                f"try_element_at(array_sort(collect_list(bmax)),"
+                f" -{similarity.TOP_K})"
+            ).alias("boundary")
+        )
+        surv = (
+            scored_fn(spark, sf_dir, None)
+            .join(F.broadcast(thr), "query_id", "left")
+            .where(F.expr(f"boundary IS NULL OR {col} >= boundary"))
+        )
+        n_q = max(1, int(thr.count()))
+        r[f"{name}_survivors_per_q"] = round(int(surv.count()) / n_q, 1)
+        caches.release_all()
+
+    # --- the three other r8 operators
+    _, r["ccnet_secs"] = timed(
+        lambda: text.ccnet_perplexity_filter(spark, sf_dir).count()
+    )
+    caches.release_all()
+    pairs, r["phash_secs"] = timed(
+        lambda: multimodal.image_phash_neardup(spark, sf_dir).count()
+    )
+    r["phash_pairs"] = int(pairs)
+    caches.release_all()
+    _, r["jpeg_secs"] = timed(
+        lambda: multimodal.multimodal_jpeg_decode(spark, sf_dir).count()
+    )
+    caches.release_all()
+    return r
+
+
 def main() -> int:
     if "--skip-generate" not in sys.argv:
         need = not all(
@@ -946,6 +1025,25 @@ def main() -> int:
 
     spark = get_spark(app_name="scaling_probe")
     spark.read.parquet(f"{SRC_SF}/orders.parquet").count()
+
+    if "--only-r8" in sys.argv:
+        raw_path = os.path.join(_REPO, "SCALING_RAW.json")
+        with open(raw_path) as f:
+            raw = json.load(f)
+        r8_rows = []
+        for sf_dir, label in [
+            ("/root/testdata/sf0.01", "sf0.01"),
+            (SRC_SF, "sf0.1"),
+            (SCALE_DIR, "sf1e"),
+        ]:
+            print(f"--- r8 operators at {label}")
+            r8_rows.append(probe_r8(spark, sf_dir, label))
+            print(json.dumps(r8_rows[-1]))
+        raw["r8_new"] = r8_rows
+        with open(raw_path, "w") as f:
+            json.dump(raw, f, indent=1)
+        print("merged r8_new into SCALING_RAW.json")
+        return 0
 
     if "--only-r7" in sys.argv:
         raw_path = os.path.join(_REPO, "SCALING_RAW.json")
