@@ -618,6 +618,11 @@ _EXTENSIONS += [
      "Eval-integrity audit: near-dup pairs straddling the train/val/"
      "test split (corpus-wide shingle-MinHash banding + exact verify, "
      "rolled up per split pair on a fixed 3-row spine)."),
+    ("temperature_sampling_weights", C.temperature_sampling_weights,
+     C.TEMPERATURE_SAMPLING_WEIGHTS_SQL,
+     "Temperature-scaled source sampling weights (p ∝ n^(1/2)): "
+     "share, fixed-budget allocation, and upsampling boost per "
+     "source; sqrt is the IEEE-portable fractional power."),
     ("dsir_importance_weights", C.dsir_importance_weights,
      C.DSIR_IMPORTANCE_WEIGHTS_SQL,
      "DSIR-style data selection: hashed uni+bigram bucket counts for "
@@ -1090,6 +1095,11 @@ _WINDOW = 50
 # the dtype-sensitive events readers (testdata drifts between rounds),
 # then prior-round fixes and one representative per big family.
 _RECONFIRM = [
+    # r8: caches.shared_index gained scope eviction (infra blast
+    # radius) — re-confirm the shared-index consumers the git-diff
+    # regrade didn't already queue
+    "ann_ivfpq_topk",
+    "ann_pq_adc_topk",
     "src_join_projection",
     "join_left_extension",
     "region_clean",

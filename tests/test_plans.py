@@ -372,6 +372,8 @@ SHUFFLE_BUDGET = {
     # join candidate distinct; hash joins broadcast at harness size
     "image_phash_neardup": 3,
     "multimodal_jpeg_decode": 1,  # balanced spread; codec is narrow
+    # balanced spread + source agg + unpartitioned totals window
+    "temperature_sampling_weights": 3,
 }
 
 
