@@ -670,6 +670,11 @@ _EXTENSIONS += [
 from .operators import io_ops as IO  # noqa: E402
 
 _EXTENSIONS += [
+    ("zorder_layout_audit", IO.zorder_layout_audit,
+     IO.ZORDER_LAYOUT_AUDIT_SQL,
+     "Z-order (Morton) clustering audit: buckets a probe must touch "
+     "per key under Z-order vs linear layout — the multi-dimensional "
+     "scan-pruning lever, in exact integer bit/rank math."),
     ("format_roundtrip_audit", IO.format_roundtrip_audit,
      IO.FORMAT_ROUNDTRIP_AUDIT_SQL,
      "Multi-format IO: parquet/ORC/JSON/CSV write + explicit-schema "

@@ -534,3 +534,212 @@ SELECT side,
 FROM tagged
 GROUP BY side
 """
+
+
+# --- Z-order (Morton) clustering layout audit -------------------------------
+
+ZORDER_BUCKETS = 64  # target file/bucket count of the layout job
+ZNORM = 4096  # normalized coordinate space per key (12 bits)
+#: scale-relative probes (cross-multiplied integer interval logic —
+#: no data-dependent literals): the bottom 1/16 customer slice and
+#: the [3/16, 4/16) date slice
+ZPROBE_DEN = 16
+ZDATE_NUM = 3
+
+_SPREAD_ROUNDS = [
+    (8, 16711935),     # 0x00FF00FF
+    (4, 252645135),    # 0x0F0F0F0F
+    (2, 858993459),    # 0x33333333
+    (1, 1431655765),   # 0x55555555
+]
+
+
+def _spread16_spark(v: str) -> str:
+    """Interleave-ready bit spread of a 16-bit value (Morton magic
+    masks), as one Spark-SQL string."""
+    e = v
+    for sh, mask in _SPREAD_ROUNDS:
+        e = f"(({e} | shiftleft({e}, {sh})) & {mask})"
+    return e
+
+
+def _spread16_duck(v: str) -> str:
+    e = v
+    for sh, mask in _SPREAD_ROUNDS:
+        e = f"(({e} | ({e} << {sh})) & {mask})"
+    return e
+
+
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering audit — the multi-dimensional data-layout
+    lever at 100 TB (Delta/Iceberg `OPTIMIZE ZORDER BY`): range-
+    normalize two scan keys (customer, order date) into a shared
+    ZNORM coordinate space, interleave their bits into a Morton code,
+    range-bucket rows by it, and measure how many buckets a probe on
+    EACH key must touch versus a single-key linear layout. One
+    summary row per layout: linear-date prunes date probes perfectly
+    but every customer probe scans ALL buckets; Z-order bounds BOTH
+    probes to a grid slice (~√buckets of the 8×8 prefix grid at 64
+    buckets) — the documented trade the layout job buys.
+
+    The normalization step is load-bearing, not cosmetic: raw keys
+    with mismatched bit-widths (custkey ≤ 2^11, datediff days ≤ 2^12
+    here) degenerate the interleave into single-key order — exactly
+    why production ZORDER computes range-partitioned ranks first
+    (measured: un-normalized keys produced identical bucket hits for
+    both layouts).
+
+    Deterministic by construction: normalization is cross-multiplied
+    integer math against the window max, the Morton spread is pure
+    bit arithmetic, buckets come from exact integer rank math
+    (((rn−1)·NB) div n over the unique (key, o_orderkey) order), the
+    probes are scale-relative integer intervals (bottom 1/16 customer
+    slice, [3/16, 4/16) date slice), and bucket-probe overlap is
+    integer interval logic. The global rank window is the audit
+    stand-in for the layout job\'s actual repartitionByRange (same
+    defense as `ccnet_perplexity_filter`\'s tercile rank).
+
+    `cust_rows` / `date_rows` are layout-invariant row counts of the
+    probes — the built-in sanity check that both layouts saw the same
+    data."""
+    from pyspark.sql import Window
+
+    from ..sources.registry import balanced
+
+    o = load_table(spark, sf_dir, "orders")
+    base = balanced(o).select(
+        "o_orderkey",
+        F.expr("CAST(o_custkey AS BIGINT)").alias("ck"),
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE \'1995-01-01\')"
+            " AS BIGINT)"
+        ).alias("dk"),
+    )
+    w_all = Window.partitionBy()
+    base = (
+        base.withColumn("mxc", F.max("ck").over(w_all))
+        .withColumn("mxd", F.max("dk").over(w_all))
+        .withColumn("cx", F.expr(f"(ck * {ZNORM}) div (mxc + 1)"))
+        .withColumn("dx", F.expr(f"(dk * {ZNORM}) div (mxd + 1)"))
+    )
+    sx, sy = _spread16_spark("cx"), _spread16_spark("dx")
+    base = base.withColumn(
+        "z", F.expr(f"({sx} | shiftleft({sy}, 1))")
+    )
+    cust_probe = f"(ck * {ZPROBE_DEN} < mxc + 1)"
+    date_probe = (
+        f"(dk * {ZPROBE_DEN} >= (mxd + 1) * {ZDATE_NUM}"
+        f" AND dk * {ZPROBE_DEN} < (mxd + 1) * {ZDATE_NUM + 1})"
+    )
+
+    def layout(order_col: str, name: str) -> DataFrame:
+        w = Window.orderBy(F.col(order_col), "o_orderkey")
+        b = (
+            base.withColumn("rn", F.row_number().over(w).cast("long"))
+            .withColumn(
+                "nn", F.count(F.lit(1)).over(Window.partitionBy())
+            )
+            .withColumn(
+                "bucket", F.expr(f"((rn - 1) * {ZORDER_BUCKETS}) div nn")
+            )
+        )
+        per = b.groupBy("bucket").agg(
+            F.min("ck").alias("min_ck"),
+            F.max("ck").alias("max_ck"),
+            F.min("dk").alias("min_dk"),
+            F.max("dk").alias("max_dk"),
+            F.max("mxc").alias("mxc"),
+            F.max("mxd").alias("mxd"),
+            F.sum(F.expr(f"CASE WHEN {cust_probe} THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("c_rows"),
+            F.sum(F.expr(f"CASE WHEN {date_probe} THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("d_rows"),
+        )
+        return per.agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN min_ck * {ZPROBE_DEN} < mxc + 1"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("cust_probe_buckets"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN min_dk * {ZPROBE_DEN}"
+                    f" < (mxd + 1) * {ZDATE_NUM + 1}"
+                    f" AND max_dk * {ZPROBE_DEN} >= (mxd + 1) * {ZDATE_NUM}"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("date_probe_buckets"),
+            F.sum("c_rows").cast("long").alias("cust_rows"),
+            F.sum("d_rows").cast("long").alias("date_rows"),
+        ).select(F.lit(name).alias("layout"), "*")
+
+    return layout("z", "zorder").unionByName(layout("dk", "linear_date"))
+
+
+def _zorder_sql() -> str:
+    cust_probe = f"(ck * {ZPROBE_DEN} < mxc + 1)"
+    date_probe = (
+        f"(dk * {ZPROBE_DEN} >= (mxd + 1) * {ZDATE_NUM}"
+        f" AND dk * {ZPROBE_DEN} < (mxd + 1) * {ZDATE_NUM + 1})"
+    )
+
+    def one(order_col: str, name: str) -> str:
+        return f"""
+SELECT \'{name}\' AS layout,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN min_ck * {ZPROBE_DEN} < mxc + 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS cust_probe_buckets,
+       CAST(sum(CASE WHEN min_dk * {ZPROBE_DEN} < (mxd + 1) * {ZDATE_NUM + 1}
+                 AND max_dk * {ZPROBE_DEN} >= (mxd + 1) * {ZDATE_NUM}
+                THEN 1 ELSE 0 END) AS BIGINT) AS date_probe_buckets,
+       CAST(sum(c_rows) AS BIGINT) AS cust_rows,
+       CAST(sum(d_rows) AS BIGINT) AS date_rows
+FROM (
+  SELECT bucket,
+         min(ck) AS min_ck, max(ck) AS max_ck,
+         min(dk) AS min_dk, max(dk) AS max_dk,
+         max(mxc) AS mxc, max(mxd) AS mxd,
+         sum(CASE WHEN {cust_probe} THEN 1 ELSE 0 END) AS c_rows,
+         sum(CASE WHEN {date_probe} THEN 1 ELSE 0 END) AS d_rows
+  FROM (
+    SELECT ck, dk, mxc, mxd,
+           ((row_number() OVER (ORDER BY {order_col}, o_orderkey) - 1)
+             * {ZORDER_BUCKETS}) // (count(*) OVER ()) AS bucket
+    FROM keyed
+  )
+  GROUP BY bucket
+)"""
+
+    return f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(o_custkey AS BIGINT) AS ck,
+         CAST(datediff(\'day\', DATE \'1995-01-01\',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) AS dk,
+         CAST(max(o_custkey) OVER () AS BIGINT) AS mxc,
+         CAST(max(datediff(\'day\', DATE \'1995-01-01\',
+                           CAST(o_orderdate AS DATE))) OVER ()
+              AS BIGINT) AS mxd
+  FROM orders
+),
+keyed AS (
+  SELECT *,
+         ({_spread16_duck(f"((ck * {ZNORM}) // (mxc + 1))")}
+          | ({_spread16_duck(f"((dk * {ZNORM}) // (mxd + 1))")} << 1)) AS z
+  FROM base
+)
+{one("z", "zorder")}
+UNION ALL
+{one("dk", "linear_date")}
+"""
+
+
+ZORDER_LAYOUT_AUDIT_SQL = _zorder_sql()

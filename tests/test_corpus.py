@@ -443,3 +443,78 @@ def test_temperature_sampling_weights_matches_python(spark):
     hi = max(rows, key=lambda r: r.n_docs)
     if lo.n_docs < hi.n_docs:
         assert lo.boost > hi.boost
+
+
+def test_zorder_layout_audit_matches_python(spark):
+    """Differential: Morton interleave, rank bucketing, and probe
+    overlap recomputed in plain Python; also asserts the layout
+    TRADE-OFF the audit exists to show (zorder bounds both probes,
+    linear-date scans every bucket for the customer probe)."""
+    from etl_portfolio_project_spark.operators import io_ops as IO
+
+    rows = [
+        (r.o_orderkey, int(r.o_custkey), r.o_orderdate)
+        for r in spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .collect()
+    ]
+    import datetime
+
+    epoch = datetime.date(1995, 1, 1)
+    recs = [
+        (k, ck, (d.date() if hasattr(d, "date") else d) - epoch)
+        for k, ck, d in rows
+    ]
+    recs = [(k, ck, dd.days) for k, ck, dd in recs]
+    mxc = max(ck for _, ck, _ in recs)
+    mxd = max(dk for _, _, dk in recs)
+
+    def spread(v):
+        for sh, mask in IO._SPREAD_ROUNDS:
+            v = (v | (v << sh)) & mask
+        return v
+
+    def z(ck, dk):
+        cx = (ck * IO.ZNORM) // (mxc + 1)
+        dx = (dk * IO.ZNORM) // (mxd + 1)
+        return spread(cx) | (spread(dx) << 1)
+
+    n = len(recs)
+
+    def summarize(key):
+        order = sorted(recs, key=lambda r: (key(r), r[0]))
+        buckets = {}
+        for i, (k, ck, dk) in enumerate(order):
+            b = (i * IO.ZORDER_BUCKETS) // n
+            mn_c, mx_c, mn_d, mx_d = buckets.get(
+                b, (ck, ck, dk, dk)
+            )
+            buckets[b] = (
+                min(mn_c, ck), max(mx_c, ck), min(mn_d, dk), max(mx_d, dk)
+            )
+        cust = sum(
+            1 for mn_c, _, _, _ in buckets.values()
+            if mn_c * IO.ZPROBE_DEN < mxc + 1
+        )
+        date = sum(
+            1 for _, _, mn_d, mx_d in buckets.values()
+            if mn_d * IO.ZPROBE_DEN < (mxd + 1) * (IO.ZDATE_NUM + 1)
+            and mx_d * IO.ZPROBE_DEN >= (mxd + 1) * IO.ZDATE_NUM
+        )
+        return len(buckets), cust, date
+
+    exp = {
+        "zorder": summarize(lambda r: z(r[1], r[2])),
+        "linear_date": summarize(lambda r: r[2]),
+    }
+    got = {
+        r.layout: (r.n_buckets, r.cust_probe_buckets, r.date_probe_buckets)
+        for r in IO.zorder_layout_audit(spark, SF_SMALL).collect()
+    }
+    assert got == exp
+    # the trade-off itself: zorder bounds BOTH probes; linear-date
+    # scatters the customer probe across far more buckets (at tiny SFs
+    # sparsity keeps it below literally-all-64, so assert the ratio)
+    assert got["linear_date"][1] > 2 * got["zorder"][1]
+    assert got["zorder"][1] < IO.ZORDER_BUCKETS // 2
+    assert got["zorder"][2] < IO.ZORDER_BUCKETS // 2

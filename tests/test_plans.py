@@ -374,6 +374,9 @@ SHUFFLE_BUDGET = {
     "multimodal_jpeg_decode": 1,  # balanced spread; codec is narrow
     # balanced spread + source agg + unpartitioned totals window
     "temperature_sampling_weights": 3,
+    # 2 layout branches x (global rank window + bucket agg); the
+    # normalization max-window rides the rank exchange
+    "zorder_layout_audit": 4,
 }
 
 
