@@ -514,6 +514,11 @@ _EXTENSIONS = [
      "Counted 2-iteration Lloyd loop (assign + centroid update) from "
      "the label seed: per-iteration n_changed, exact order-free "
      "quantized inertia, live-cluster count (r6)."),
+    ("bitext_margin_mining", S.bitext_margin_mining,
+     S.BITEXT_MARGIN_MINING_SQL,
+     "Margin-based bitext mining (Artetxe-Schwenk ratio margin): "
+     "boundary-pruned forward/backward top-k neighborhoods, rank-"
+     "ordered mean folds, best-margin candidate + mined decision."),
     ("multivector_maxsim_topk", S.multivector_maxsim_topk,
      S.MULTIVECTOR_MAXSIM_TOPK_SQL,
      "ColBERT-style late-interaction retrieval: MaxSim over sliced "

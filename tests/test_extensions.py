@@ -1458,3 +1458,81 @@ def test_shared_index_keys_isolate_sf_dirs(spark):
     assert caches.shared_live_count() <= n1
     caches.release_all()
     caches.release_shared_all()
+
+
+def test_bitext_margin_mining_matches_python(spark):
+    """Differential: forward/backward top-k neighborhoods, rank-order
+    mean folds, and the ratio margin recomputed in plain Python with
+    the engine's exact left-to-right float fold order."""
+    from etl_portfolio_project_spark.operators import similarity as S
+
+    rows = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    vecs = {}
+    for r in rows:
+        v = r.embedding
+        if v is None or len(v) != S.DIM or any(x is None for x in v):
+            continue
+        vecs[r.vec_id] = ([float(x) for x in v], r.label)
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    import math
+
+    norm = {i: math.sqrt(dot(v, v)) for i, (v, _) in vecs.items()}
+    a_ids = sorted(i for i, (_, l) in vecs.items() if l % 2 == 0)
+    b_ids = sorted(i for i, (_, l) in vecs.items() if l % 2 == 1)
+    q_ids = [
+        i for i in a_ids
+        if i % S.QUERY_MOD == 0 and i < S.QUERY_ID_BOUND
+    ]
+
+    def topk(qid, cand_ids):
+        qv, qn = vecs[qid][0], norm[qid]
+        scored = [
+            (dot(qv, vecs[c][0]) / (qn * norm[c]), c) for c in cand_ids
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        return scored[: S.MARGIN_K]
+
+    fwd = {q: topk(q, b_ids) for q in q_ids}
+
+    def rank_avg(lst):
+        acc = 0.0
+        for cos, _ in lst:
+            acc = acc + cos
+        return acc / float(len(lst))
+
+    fwd_avg = {q: rank_avg(l) for q, l in fwd.items()}
+    cands = sorted({c for l in fwd.values() for _, c in l})
+    bwd_avg = {c: rank_avg(topk(c, a_ids)) for c in cands}
+
+    exp = {}
+    for q, l in fwd.items():
+        best = min(
+            l,
+            key=lambda t: (
+                -(t[0] / ((fwd_avg[q] + bwd_avg[t[1]]) / 2.0)),
+                t[1],
+            ),
+        )
+        margin = best[0] / ((fwd_avg[q] + bwd_avg[best[1]]) / 2.0)
+        exp[q] = (best[1], best[0], margin)
+
+    got = {
+        r.query_id: (r.best_id, r.cosine, r.margin, r.mined)
+        for r in S.bitext_margin_mining(spark, SF_SMALL).collect()
+    }
+    from etl_portfolio_project_spark import caches
+
+    caches.release_all()
+    assert set(got) == set(exp)
+    for q, (bid, cos, margin) in exp.items():
+        gbid, gcos, gmargin, gmined = got[q]
+        assert (gbid, gcos, gmargin) == (bid, cos, margin)
+        assert gmined == (
+            margin * S.MARGIN_TAU_DEN > float(S.MARGIN_TAU_NUM)
+        )

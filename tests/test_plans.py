@@ -377,6 +377,10 @@ SHUFFLE_BUDGET = {
     # 2 layout branches x (global rank window + bucket agg); the
     # normalization max-window rides the rank exchange
     "zorder_layout_audit": 4,
+    # two boundary-pruned legs (forward |Q|·n, backward |C|·n) + the
+    # claimed fwd/cand_q caches whose build plans print under every
+    # scan site in explain (executed once at the builder's count()s)
+    "bitext_margin_mining": 22,
 }
 
 
