@@ -514,6 +514,11 @@ _EXTENSIONS = [
      "Counted 2-iteration Lloyd loop (assign + centroid update) from "
      "the label seed: per-iteration n_changed, exact order-free "
      "quantized inertia, live-cluster count (r6)."),
+    ("retrieval_quality_eval", S.retrieval_quality_eval,
+     S.RETRIEVAL_QUALITY_EVAL_SQL,
+     "Retrieval eval harness: per-query first-relevant rank, MRR@k, "
+     "precision@k, recall@k over the boundary-pruned exact ranking; "
+     "relevance = same label, every metric one exact-int division."),
     ("bitext_margin_mining", S.bitext_margin_mining,
      S.BITEXT_MARGIN_MINING_SQL,
      "Margin-based bitext mining (Artetxe-Schwenk ratio margin): "

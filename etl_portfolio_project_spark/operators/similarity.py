@@ -3258,3 +3258,114 @@ FROM (
 
 
 BITEXT_MARGIN_MINING_SQL = _build_bitext_sql()
+
+
+# ---------------------------------------------------------------------------
+# Retrieval quality evaluation — the eval harness every retrieval
+# stack ships (BEIR/MTEB-style): MRR@k, precision@k, recall@k against
+# a relevance oracle. Here relevance = same label (the corpus's
+# built-in ground truth); swapping in qrels changes the join, not the
+# plan.
+# ---------------------------------------------------------------------------
+
+
+def retrieval_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query retrieval metrics over the exact brute-force ranking
+    (`ann_brute_force_topk` — boundary-pruned, so this composes the
+    rescorer rather than re-deriving it): first relevant rank, MRR@k,
+    precision@k, and recall@k with relevance = same `label` as the
+    query (self excluded).
+
+    Bit-exact: ranks and counts are integers; each metric is ONE
+    division of exact integers (MRR = 1/first_rel_rank, precision =
+    n_rel_topk/k, recall = n_rel_topk/n_rel_total). Queries with no
+    relevant hit route EXPLICITLY to first_rel_rank = 0 / mrr = 0.0
+    (a NULL would order differently per engine).
+
+    Scale shape: the ranking leg inherits the boundary-pruned |Q|·n
+    scan; the relevance join attaches labels by key; n_rel_total
+    comes from a label-count broadcast (|labels| rows), never a
+    corpus re-scan per query."""
+    topk = ann_brute_force_topk(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    labels = e.select("vec_id", "label")
+    lcounts = e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_label")
+    )
+    q_lab = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    c_lab = labels.select(
+        F.col("vec_id").alias("vec_id"), F.col("label").alias("clabel")
+    )
+    joined = (
+        topk.join(F.broadcast(q_lab), "query_id")
+        .join(F.broadcast(c_lab), "vec_id")
+        .withColumn(
+            "rel", F.expr("CASE WHEN clabel = qlabel THEN 1 ELSE 0 END")
+        )
+    )
+    per = joined.groupBy("query_id", "qlabel").agg(
+        F.sum("rel").cast("long").alias("n_rel_topk"),
+        F.coalesce(
+            F.min(F.when(F.col("rel") == 1, F.col("rank"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("first_rel_rank"),
+    )
+    out = per.join(
+        F.broadcast(lcounts.withColumnRenamed("label", "qlabel")), "qlabel"
+    )
+    return out.select(
+        "query_id",
+        F.col("qlabel").alias("label"),
+        "n_rel_topk",
+        "first_rel_rank",
+        F.expr(
+            "CASE WHEN first_rel_rank = 0 THEN CAST(0 AS DOUBLE)"
+            " ELSE CAST(1 AS DOUBLE) / CAST(first_rel_rank AS DOUBLE) END"
+        ).alias("mrr_at_k"),
+        F.expr(
+            f"CAST(n_rel_topk AS DOUBLE) / CAST({TOP_K} AS DOUBLE)"
+        ).alias("precision_at_k"),
+        (F.col("n_label") - F.lit(1)).cast("long").alias("n_rel_total"),
+        F.expr(
+            "CASE WHEN n_label - 1 = 0 THEN CAST(0 AS DOUBLE)"
+            " ELSE CAST(n_rel_topk AS DOUBLE)"
+            " / CAST(n_label - 1 AS DOUBLE) END"
+        ).alias("recall_at_k"),
+    )
+
+
+RETRIEVAL_QUALITY_EVAL_SQL = f"""
+WITH topk AS (
+  {ANN_BRUTE_FORCE_TOPK_SQL.strip()}
+),
+lc AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_label
+  FROM embeddings GROUP BY label
+),
+per AS (
+  SELECT t.query_id, ql.label AS qlabel,
+         CAST(sum(CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_rel_topk,
+         CAST(COALESCE(min(CASE WHEN cl.label = ql.label
+                           THEN t.rank END), 0) AS BIGINT)
+           AS first_rel_rank
+  FROM topk t
+  JOIN embeddings ql ON ql.vec_id = t.query_id
+  JOIN embeddings cl ON cl.vec_id = t.vec_id
+  GROUP BY t.query_id, ql.label
+)
+SELECT p.query_id, p.qlabel AS label, p.n_rel_topk, p.first_rel_rank,
+       CASE WHEN p.first_rel_rank = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(1 AS DOUBLE) / CAST(p.first_rel_rank AS DOUBLE) END
+         AS mrr_at_k,
+       CAST(p.n_rel_topk AS DOUBLE) / CAST({TOP_K} AS DOUBLE)
+         AS precision_at_k,
+       CAST(lc.n_label - 1 AS BIGINT) AS n_rel_total,
+       CASE WHEN lc.n_label - 1 = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(p.n_rel_topk AS DOUBLE)
+                 / CAST(lc.n_label - 1 AS DOUBLE) END AS recall_at_k
+FROM per p JOIN lc ON lc.label = p.qlabel
+"""

@@ -1536,3 +1536,56 @@ def test_bitext_margin_mining_matches_python(spark):
         assert gmined == (
             margin * S.MARGIN_TAU_DEN > float(S.MARGIN_TAU_NUM)
         )
+
+
+def test_retrieval_quality_eval_matches_python(spark):
+    """Differential: MRR/precision/recall recomputed in plain Python
+    from an independently-derived exact ranking."""
+    import math
+
+    from etl_portfolio_project_spark.operators import similarity as S
+
+    rows = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    vecs = {r.vec_id: ([float(x) for x in r.embedding], r.label)
+            for r in rows}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    norm = {i: math.sqrt(dot(v, v)) for i, (v, _) in vecs.items()}
+    q_ids = [i for i in vecs
+             if i % S.QUERY_MOD == 0 and i < S.QUERY_ID_BOUND]
+    from collections import Counter
+
+    lbl_n = Counter(l for _, l in vecs.values())
+    exp = {}
+    for q in q_ids:
+        qv, qn, ql = vecs[q][0], norm[q], vecs[q][1]
+        scored = sorted(
+            ((dot(qv, vecs[c][0]) / (qn * norm[c]), c)
+             for c in vecs if c != q),
+            key=lambda t: (-t[0], t[1]),
+        )[: S.TOP_K]
+        rel = [i + 1 for i, (_, c) in enumerate(scored)
+               if vecs[c][1] == ql]
+        frr = rel[0] if rel else 0
+        exp[q] = (
+            ql, len(rel), frr,
+            0.0 if frr == 0 else 1.0 / float(frr),
+            len(rel) / float(S.TOP_K),
+            lbl_n[ql] - 1,
+            0.0 if lbl_n[ql] - 1 == 0
+            else len(rel) / float(lbl_n[ql] - 1),
+        )
+
+    got = {
+        r.query_id: (
+            r.label, r.n_rel_topk, r.first_rel_rank, r.mrr_at_k,
+            r.precision_at_k, r.n_rel_total, r.recall_at_k,
+        )
+        for r in S.retrieval_quality_eval(spark, SF_SMALL).collect()
+    }
+    assert got == exp

@@ -381,6 +381,9 @@ SHUFFLE_BUDGET = {
     # claimed fwd/cand_q caches whose build plans print under every
     # scan site in explain (executed once at the builder's count()s)
     "bitext_margin_mining": 22,
+    # the boundary-pruned ranking leg (7) + per-query metric agg;
+    # label/count attachments broadcast
+    "retrieval_quality_eval": 8,
 }
 
 
