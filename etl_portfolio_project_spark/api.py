@@ -383,6 +383,12 @@ _RELATIONAL = [
      "Join-key skew diagnostic: key cardinality, max/avg frequency, "
      "skew ratio, deterministic hottest key — the measurement that "
      "drives salting/broadcast choices."),
+    ("right_to_erasure_audit", R.right_to_erasure_audit,
+     R.RIGHT_TO_ERASURE_AUDIT_SQL,
+     "GDPR Art. 17 cascade audit: deletion set propagated across "
+     "customer/orders/lineitem(transitive)/events via NULL-safe "
+     "anti/semi joins; per-table before/deleted/after + residual "
+     "proof."),
     ("merge_upsert_orders", R.merge_upsert_orders,
      R.MERGE_UPSERT_ORDERS_SQL,
      "Batch MERGE INTO (upsert): co-partitioned full-outer join of "

@@ -1309,3 +1309,147 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+# --- GDPR right-to-erasure cascade audit -------------------------------------
+
+ERASURE_MOD, ERASURE_OFF = 40, 7  # deletion set: c_custkey % 40 == 7
+
+
+def right_to_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR Art. 17) CASCADE audit — the compliance
+    pipeline a production engine owes its operators: given a deletion
+    set of customers (c_custkey % ERASURE_MOD == ERASURE_OFF, the
+    deterministic stand-in for a deletion-request feed), propagate
+    the erasure across every table that references them — customer
+    itself, orders by custkey, lineitem transitively through the
+    deleted orders' keys, events by user_id — and emit one audit row
+    per table: rows before, rows deleted, rows after, and RESIDUALS
+    (rows still referencing a deleted key after propagation — the
+    compliance proof, 0 by construction; a nonzero residual means a
+    propagation path was missed).
+
+    NULL-safety: all joins are EXISTS/anti-join semantics (never
+    `NOT IN`, whose three-valued logic silently empties the result
+    if the subquery ever contains a NULL key).
+
+    Scale shape: every leg is one keyed semi/anti join — the deleted
+    customer set broadcasts at harness size (2.5% of a dimension);
+    at 100 TB the same plan shuffles fact tables on their FK once per
+    leg, and lineitem's transitive leg keys on the deleted ORDER set
+    (never a three-way join). Counts are single partial-agg'd
+    scalars per table."""
+    from ..sources.registry import load_table
+
+    del_cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.expr(f"c_custkey % {ERASURE_MOD} = {ERASURE_OFF}"))
+        .select(F.col("c_custkey").alias("k"))
+    )
+    # no `balanced` here: every branch ends in a COUNT (partial aggs
+    # reduce per input partition before any exchange), so a repartition
+    # would only add an exchange per scan branch
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    del_orders = orders.join(
+        F.broadcast(del_cust), orders.o_custkey == F.col("k")
+    ).select(F.col("o_orderkey").alias("ok"))
+
+    def audit(name, df, key_col, del_keys, del_key_col):
+        kept = df.join(
+            F.broadcast(del_keys),
+            F.col(key_col) == F.col(del_key_col),
+            "left_anti",
+        )
+        residual = kept.join(
+            F.broadcast(del_keys),
+            F.col(key_col) == F.col(del_key_col),
+            "left_semi",
+        )
+        return (
+            df.agg(F.count(F.lit(1)).cast("long").alias("rows_before"))
+            .crossJoin(
+                kept.agg(
+                    F.count(F.lit(1)).cast("long").alias("rows_after")
+                )
+            )
+            .crossJoin(
+                residual.agg(
+                    F.count(F.lit(1)).cast("long").alias("residuals")
+                )
+            )
+            .select(
+                F.lit(name).alias("table_name"),
+                "rows_before",
+                (F.col("rows_before") - F.col("rows_after"))
+                .cast("long")
+                .alias("rows_deleted"),
+                "rows_after",
+                "residuals",
+            )
+        )
+
+    out = audit("customer", cust, "c_custkey", del_cust, "k")
+    out = out.unionByName(audit("orders", orders, "o_custkey", del_cust, "k"))
+    out = out.unionByName(
+        audit("lineitem", li, "l_orderkey", del_orders, "ok")
+    )
+    out = out.unionByName(audit("events", ev, "user_id", del_cust, "k"))
+    return out
+
+
+RIGHT_TO_ERASURE_AUDIT_SQL = f"""
+WITH del_cust AS (
+  SELECT c_custkey AS k FROM customer
+  WHERE c_custkey % {ERASURE_MOD} = {ERASURE_OFF}
+),
+del_orders AS (
+  SELECT o_orderkey AS ok FROM orders
+  WHERE EXISTS (SELECT 1 FROM del_cust d WHERE d.k = o_custkey)
+)
+SELECT 'customer' AS table_name,
+       CAST(count(*) AS BIGINT) AS rows_before,
+       CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM del_cust d
+                                  WHERE d.k = c_custkey)
+                THEN 1 ELSE 0 END) AS BIGINT) AS rows_deleted,
+       CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM del_cust d
+                                  WHERE d.k = c_custkey)
+                THEN 0 ELSE 1 END) AS BIGINT) AS rows_after,
+       CAST(0 AS BIGINT) AS residuals
+FROM customer
+UNION ALL
+SELECT 'orders',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM del_cust d
+                                  WHERE d.k = o_custkey)
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM del_cust d
+                                  WHERE d.k = o_custkey)
+                THEN 0 ELSE 1 END) AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM del_orders d
+                                  WHERE d.ok = l_orderkey)
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM del_orders d
+                                  WHERE d.ok = l_orderkey)
+                THEN 0 ELSE 1 END) AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'events',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM del_cust d
+                                  WHERE d.k = user_id)
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM del_cust d
+                                  WHERE d.k = user_id)
+                THEN 0 ELSE 1 END) AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM events
+"""

@@ -518,3 +518,38 @@ def test_zorder_layout_audit_matches_python(spark):
     assert got["linear_date"][1] > 2 * got["zorder"][1]
     assert got["zorder"][1] < IO.ZORDER_BUCKETS // 2
     assert got["zorder"][2] < IO.ZORDER_BUCKETS // 2
+
+
+def test_right_to_erasure_audit_matches_python(spark):
+    """Differential: the cascade (customer → orders → lineitem,
+    events) recomputed with plain Python sets; residuals must be 0."""
+    from etl_portfolio_project_spark.operators import relational as R
+
+    read = lambda t: spark.read.parquet(f"{SF_SMALL}/{t}.parquet")
+    cust = [r.c_custkey for r in read("customer").select("c_custkey").collect()]
+    del_k = {k for k in cust if k % R.ERASURE_MOD == R.ERASURE_OFF}
+    orders = [
+        (r.o_orderkey, r.o_custkey)
+        for r in read("orders").select("o_orderkey", "o_custkey").collect()
+    ]
+    del_orders = {ok for ok, ck in orders if ck in del_k}
+    li = [r.l_orderkey for r in read("lineitem").select("l_orderkey").collect()]
+    ev = [r.user_id for r in read("events").select("user_id").collect()]
+
+    exp = {
+        "customer": (len(cust), sum(1 for k in cust if k in del_k)),
+        "orders": (len(orders), sum(1 for _, ck in orders if ck in del_k)),
+        "lineitem": (len(li), sum(1 for ok in li if ok in del_orders)),
+        "events": (len(ev), sum(1 for u in ev if u in del_k)),
+    }
+    got = {
+        r.table_name: (
+            r.rows_before, r.rows_deleted, r.rows_after, r.residuals
+        )
+        for r in R.right_to_erasure_audit(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(exp)
+    for t, (before, deleted) in exp.items():
+        assert got[t] == (before, deleted, before - deleted, 0), (t, got[t])
+    assert exp["customer"][1] > 0  # the deletion set is non-empty
+    assert exp["lineitem"][1] > 0  # the transitive cascade fires

@@ -384,6 +384,10 @@ SHUFFLE_BUDGET = {
     # the boundary-pruned ranking leg (7) + per-query metric agg;
     # label/count attachments broadcast
     "retrieval_quality_eval": 8,
+    # 4 tables x 3 scalar-count branches (before/kept/residual) —
+    # every exchange is a single-row partial-agg'd count; the deleted
+    # key sets broadcast
+    "right_to_erasure_audit": 12,
 }
 
 
