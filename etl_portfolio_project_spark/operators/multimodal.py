@@ -1296,13 +1296,30 @@ def _jpeg_synth_stage():
     DHT rebuilt by the decoder, never shared in-process)."""
     qtab = list(JPEG_QTAB)
     w, h = JPEG_W, JPEG_H
-    coefs_py = _jpeg_coefs_py
 
     def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
         import struct as _struct
 
         import pandas as _pd
+
+        # INNER copy of `_jpeg_coefs_py` (worker-closure rule: a
+        # module-level function pickles BY REFERENCE and breaks when
+        # the driver imports __spark_entry__.py by file path; the
+        # jpeg roundtrip test pins this copy in lockstep — decode
+        # output is compared against the module-level twin per doc)
+        def coefs_py(k: int):
+            b0 = [0] * 64
+            b0[0] = (k & 255) - 128
+            b0[1] = ((k >> 8) & 31) - 16
+            b0[2] = ((k >> 13) & 31) - 16
+            b0[4] = ((k >> 18) & 31) - 16
+            b0[7] = ((k >> 23) & 31) - 16
+            b1 = [0] * 64
+            b1[0] = b0[0] + (((k >> 28) & 63) - 32)
+            b1[1] = ((k >> 34) & 31) - 16
+            b1[3] = ((k >> 39) & 31) - 16
+            return [b0, b1]
 
         # single-length canonical Huffman tables over exactly the
         # symbols this encoder can emit (a valid DHT; strict < 2^L so
