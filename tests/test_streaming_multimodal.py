@@ -823,3 +823,56 @@ def test_jpeg_codec_roundtrip_and_tamper(spark):
     except (AssertionError, IndexError):
         same = False
     assert not same
+
+
+def test_worker_closures_pickle_self_contained(tmp_path):
+    """The worker-closure rule, enforced mechanically: every factory-
+    produced Arrow/stateful worker function must UNPICKLE in a process
+    that cannot import the package (the grading driver imports
+    __spark_entry__.py by file path, so executors never have
+    `etl_portfolio_project_spark` on their path — a module-level
+    function captured in a closure pickles by reference and dies on
+    the worker with ModuleNotFoundError; the r8 JPEG synth stage
+    shipped exactly this bug until the vanilla driver-sim caught it)."""
+    import subprocess
+    import sys
+
+    from pyspark import cloudpickle
+
+    from etl_portfolio_project_spark.operators import multimodal as MM
+    from etl_portfolio_project_spark.streaming import stateful as ST
+
+    factories = [
+        MM._bmp_synth_stage,
+        MM._bmp_phash_synth_stage,
+        MM._phash_decode_stage,
+        MM._jpeg_synth_stage,
+        MM._jpeg_decode_stage,
+        MM._wav_synth_stage,
+        ST._make_update_fn,
+        ST._make_extrema_processor,
+    ]
+    blobs = tmp_path / "closures.pkl"
+    with open(blobs, "wb") as f:
+        cloudpickle.dump(
+            {fn.__name__: cloudpickle.dumps(fn()) for fn in factories}, f
+        )
+    probe = (
+        "import pickle, sys;"
+        "blobs = pickle.load(open(sys.argv[1], 'rb'));"
+        "failed = [];"
+        "exec('for name, b in blobs.items():\\n"
+        " try: pickle.loads(b)\\n"
+        " except Exception as e: failed.append((name, repr(e)))');"
+        "print(failed); sys.exit(1 if failed else 0)"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", probe, str(blobs)],
+        cwd=str(tmp_path),  # NOT the repo — the package must be absent
+        env={"PATH": "/usr/bin:/bin"},
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, (
+        f"worker closures not self-contained:\n{r.stdout}\n{r.stderr}"
+    )
