@@ -993,7 +993,7 @@ def probe_r8(spark, sf_dir: str, label: str) -> dict:
         r[f"{name}_survivors_per_q"] = round(int(surv.count()) / n_q, 1)
         caches.release_all()
 
-    # --- the three other r8 operators
+    # --- the other r8 operators
     _, r["ccnet_secs"] = timed(
         lambda: text.ccnet_perplexity_filter(spark, sf_dir).count()
     )
@@ -1005,6 +1005,53 @@ def probe_r8(spark, sf_dir: str, label: str) -> dict:
     caches.release_all()
     _, r["jpeg_secs"] = timed(
         lambda: multimodal.multimodal_jpeg_decode(spark, sf_dir).count()
+    )
+    caches.release_all()
+    # bitext: both legs boundary-pruned; wall must track the two
+    # linear scans (|Q|·|B| fwd + |C|·|A| bwd with |C| ≤ |Q|·k)
+    _, r["bitext_secs"] = timed(
+        lambda: similarity.bitext_margin_mining(spark, sf_dir).count()
+    )
+    caches.release_all()
+    _, r["retrieval_eval_secs"] = timed(
+        lambda: similarity.retrieval_quality_eval(spark, sf_dir).count()
+    )
+    caches.release_all()
+    return r
+
+
+def probe_r8_relational(spark, sf_dir: str, label: str) -> dict:
+    """Relational-table r8 ops (harness SFs only — sf1e synthesizes
+    documents/embeddings/events, no orders/customer/lineitem):
+    temperature weights (corpus-linear agg), zorder audit (two global
+    rank windows — the layout-job stand-in), erasure cascade (keyed
+    anti/semi joins, linear per table)."""
+    from etl_portfolio_project_spark import caches
+    from etl_portfolio_project_spark.operators import (
+        corpus,
+        io_ops,
+        relational,
+    )
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    r = {"sf": label}
+    r["n_orders"] = int(load_table(spark, sf_dir, "orders").count())
+    _, r["temp_weights_secs"] = timed(
+        lambda: corpus.temperature_sampling_weights(spark, sf_dir).count()
+    )
+    caches.release_all()
+    rows, r["zorder_secs"] = timed(
+        lambda: {
+            x.layout: (x.cust_probe_buckets, x.date_probe_buckets)
+            for x in io_ops.zorder_layout_audit(spark, sf_dir).collect()
+        }
+    )
+    r["zorder_cust_buckets"] = rows["zorder"][0]
+    r["zorder_date_buckets"] = rows["zorder"][1]
+    r["linear_cust_buckets"] = rows["linear_date"][0]
+    caches.release_all()
+    _, r["erasure_secs"] = timed(
+        lambda: relational.right_to_erasure_audit(spark, sf_dir).count()
     )
     caches.release_all()
     return r
@@ -1040,6 +1087,15 @@ def main() -> int:
             r8_rows.append(probe_r8(spark, sf_dir, label))
             print(json.dumps(r8_rows[-1]))
         raw["r8_new"] = r8_rows
+        rel_rows = []
+        for sf_dir, label in [
+            ("/root/testdata/sf0.01", "sf0.01"),
+            (SRC_SF, "sf0.1"),
+        ]:
+            print(f"--- r8 relational operators at {label}")
+            rel_rows.append(probe_r8_relational(spark, sf_dir, label))
+            print(json.dumps(rel_rows[-1]))
+        raw["r8_relational"] = rel_rows
         with open(raw_path, "w") as f:
             json.dump(raw, f, indent=1)
         print("merged r8_new into SCALING_RAW.json")
