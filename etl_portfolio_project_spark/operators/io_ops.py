@@ -626,6 +626,14 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base.withColumn(
         "z", F.expr(f"({sx} | shiftleft({sy}, 1))")
     )
+    # base feeds BOTH layout branches — claim above the size threshold
+    # so the scan + normalization max-windows never run twice at scale
+    # (lazy at harness sizes; r8 self-review)
+    from .. import caches
+
+    base = caches.claim_if_large(
+        "zorder_base", base, source_paths=[f"{sf_dir}/orders.parquet"]
+    )
     cust_probe = f"(ck * {ZPROBE_DEN} < mxc + 1)"
     date_probe = (
         f"(dk * {ZPROBE_DEN} >= (mxd + 1) * {ZDATE_NUM}"

@@ -230,8 +230,16 @@ def boundary_pruned_topk(
 
 def _bf_scored(spark: SparkSession, sf_dir: str, pred: str | None) -> DataFrame:
     """Brute-force scored relation (query_id, vec_id, cosine); `pred`
-    restricts the CANDIDATE side before scoring (pass-1 sample)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    restricts the CANDIDATE side before scoring (pass-1 sample).
+
+    Valid-vector gate (r8 self-review): an OVER-LENGTH vector is a
+    64-prefix TWIN in the oracle (dot_sql truncates to DIM terms —
+    a real cosine) but a NULL cosine in Spark (zip_with pads the
+    shorter query side) — one such row ranking ≤ k would red the
+    compare; both sides gate."""
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.expr(valid_vec_pred_spark())
+    )
     # single-file harness table → under-split scan; `balanced` spreads
     # the pairwise cosine work (structural no-op at scale)
     base = (
@@ -271,7 +279,8 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_BRUTE_FORCE_TOPK_SQL = f"""
 WITH base AS (
-  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm FROM embeddings
+  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm
+  FROM embeddings WHERE {valid_vec_pred_sql()}
 ),
 q AS (
   SELECT vec_id AS query_id, embedding AS qe, nrm AS qnorm
@@ -3065,8 +3074,8 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the A side, score its boundary-pruned top-k B-side neighbors,
     compute the RATIO margin against the forward (x vs B) and
     backward (y vs A) neighborhood means, and emit x's best-margin
-    candidate with the mined decision (margin > 1.01, compared
-    cross-multiplied so no float threshold).
+    candidate with the mined decision (margin > MARGIN_TAU = 1.2,
+    compared cross-multiplied so no float threshold).
 
     Bit-exact: cosines are the shared left-fold; the neighborhood
     means fold in RANK order on both sides; the margin is one fixed
@@ -3298,9 +3307,13 @@ def retrieval_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_lab = labels.select(
         F.col("vec_id").alias("vec_id"), F.col("label").alias("clabel")
     )
+    # broadcast the SMALL side — the |Q|·k top-k rows — never the
+    # corpus-sized label projections (r8 self-review: a broadcast
+    # label table collects the whole embeddings table to the driver
+    # at scale; the keyed joins below ship only the ranked rows)
     joined = (
-        topk.join(F.broadcast(q_lab), "query_id")
-        .join(F.broadcast(c_lab), "vec_id")
+        q_lab.join(F.broadcast(topk), "query_id")
+        .join(c_lab, "vec_id")
         .withColumn(
             "rel", F.expr("CASE WHEN clabel = qlabel THEN 1 ELSE 0 END")
         )

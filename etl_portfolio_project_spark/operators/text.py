@@ -730,17 +730,27 @@ def ccnet_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         _ngrams_spark_sql("t", 2),
     )
-    bg = d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.expr(g2)).alias("bigram"),
-    ).select(
-        "doc_id",
-        F.expr(
-            f"CASE WHEN lang = '{CCNET_REF_LANG}' THEN 1 ELSE 0 END"
-        ).alias("is_ref"),
-        "bigram",
-        F.substring_index(F.col("bigram"), " ", 1).alias("w1"),
+    from .. import caches
+
+    # the exploded bigram table feeds TWO branches (the count windows
+    # and the vocabulary agg) — claim above the size threshold so the
+    # corpus split+explode never runs twice at scale (the dsir
+    # lazy-below-threshold shape; r8 self-review)
+    bg = caches.claim_if_large(
+        "ccnet_bigrams",
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.expr(g2)).alias("bigram"),
+        ).select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN lang = '{CCNET_REF_LANG}' THEN 1 ELSE 0 END"
+            ).alias("is_ref"),
+            "bigram",
+            F.substring_index(F.col("bigram"), " ", 1).alias("w1"),
+        ),
+        source_paths=[f"{sf_dir}/documents.parquet"],
     )
     wb = Window.partitionBy("bigram")
     ww = Window.partitionBy("w1")
@@ -809,7 +819,7 @@ bg0 AS (
                 END) AS bigram
   FROM toks
 ),
-bg AS (
+bg AS MATERIALIZED (
   SELECT doc_id,
          CASE WHEN lang = '{CCNET_REF_LANG}' THEN 1 ELSE 0 END AS is_ref,
          bigram,

@@ -61,11 +61,18 @@ def window_subtree_node_ids(plan: str) -> list[set[int]]:
     import re
 
     tree = plan.split("\n\n", 1)[0]
-    nodes: list[tuple[int, str, int]] = []  # (col, name, id)
+    nodes: list[tuple[int, str, int]] = []  # (depth col, name, id)
     for line in tree.splitlines():
         m = re.search(r"([A-Za-z]\w*)[^()]*\((\d+)\)\s*$", line)
         if m:
-            nodes.append((line.index(m.group(1)), m.group(1), int(m.group(2))))
+            col = line.index(m.group(1))
+            # whole-stage-codegen nodes print as "+- * Name (id)" —
+            # the "* " shifts the NAME column +2 without changing the
+            # tree depth; normalize so an equal-depth codegen sibling
+            # is never misread as part of the previous subtree
+            if line[max(0, col - 2): col] == "* ":
+                col -= 2
+            nodes.append((col, m.group(1), int(m.group(2))))
     out: list[set[int]] = []
     for i, (col, name, _nid) in enumerate(nodes):
         if name != "Window":

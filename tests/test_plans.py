@@ -381,9 +381,10 @@ SHUFFLE_BUDGET = {
     # claimed fwd/cand_q caches whose build plans print under every
     # scan site in explain (executed once at the builder's count()s)
     "bitext_margin_mining": 22,
-    # the boundary-pruned ranking leg (7) + per-query metric agg;
-    # label/count attachments broadcast
-    "retrieval_quality_eval": 8,
+    # the boundary-pruned ranking leg (7, valid-vec-gated) + per-query
+    # metric agg + the label-side keyed attachment (the ranked |Q|·k
+    # rows broadcast; the corpus label projections never do)
+    "retrieval_quality_eval": 9,
     # 4 tables x 3 scalar-count branches (before/kept/residual) —
     # every exchange is a single-row partial-agg'd count; the deleted
     # key sets broadcast

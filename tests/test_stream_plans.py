@@ -64,6 +64,11 @@ def stream_stats(spark):
     """Run every registered stream once at SF_SMALL, collect stats."""
     out = {}
     for name in sorted(n for n in api.REGISTRY if n.startswith("stream_")):
+        if name not in STREAM_CONTRACT:
+            # test_every_stream_query_has_a_contract reports the
+            # missing name cleanly; a KeyError here would error out
+            # every parametrized case instead
+            continue
         api.REGISTRY[name].builder(spark, SF_SMALL).count()
         caches.release_all()
         out[STREAM_CONTRACT[name][0]] = dict(
