@@ -551,19 +551,42 @@ def customer_value_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties is deterministic and engine-identical; revenue itself is a
     decimal-exact sum.
 
-    Scale note: an unpartitioned window is a single-reducer sort —
-    fine here because the input is already one row per customer
-    (aggregated first). For billion-key global ranking you'd switch
-    to rangepartition + per-partition rank + offset correction."""
+    Scale shape (r9): the distribution functions are CLOSED FORMS of
+    the exact global row number under a total order — rank comes from
+    the shared `ranking.ranged_row_number` (range partition + offset
+    correction, no single-reducer sort), then
+    ntile(10)   = positional bucket math (first n%10 tiles get one
+                  extra row — the SQL-standard assignment both engines
+                  implement),
+    percent_rank = (rn−1)/(n−1)  (rank == rn: the order is total),
+    cume_dist    = rn/n          (no ties ⇒ rows ≤ current == rn),
+    each one double division of exact integers — IEEE-identical to the
+    oracle's native window functions."""
+    from .ranking import ranged_row_number
+
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("revenue"))
-    w = Window.orderBy(F.col("revenue").desc(), "o_custkey")
-    return rev.select(
+    ranked = ranged_row_number(
+        rev,
+        [F.col("revenue").desc(), F.col("o_custkey").asc()],
+        out="rn",
+        total="nn",
+    )
+    ntile10 = (
+        "CASE WHEN rn <= (nn % 10) * (nn div 10 + 1) "
+        "THEN (rn - 1) div (nn div 10 + 1) + 1 "
+        "ELSE (nn % 10) + (rn - (nn % 10) * (nn div 10 + 1) - 1) "
+        "div (nn div 10) + 1 END"
+    )
+    return ranked.select(
         "o_custkey",
         "revenue",
-        F.ntile(10).over(w).alias("decile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        F.expr(ntile10).cast("int").alias("decile"),
+        F.expr(
+            "CASE WHEN nn = 1 THEN CAST(0 AS DOUBLE) ELSE "
+            "CAST(rn - 1 AS DOUBLE) / CAST(nn - 1 AS DOUBLE) END"
+        ).alias("pct_rank"),
+        F.expr("CAST(rn AS DOUBLE) / CAST(nn AS DOUBLE)").alias("cume"),
     )
 
 
@@ -1515,57 +1538,28 @@ GROUP BY event_type
 
 def global_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GLOBAL total-order ranking WITHOUT a single-reducer window —
-    the billion-key pattern `customer_value_tiles` documents but
-    doesn't demonstrate: range-partition by the sort key, rank
-    locally inside each (parallel) partition, then add the cumulative
-    count of all preceding partitions. Output is provably identical
-    to `row_number() OVER (ORDER BY revenue DESC, custkey)` whatever
-    boundaries the range sampler picks, because range partitions are
-    order-contiguous and the offsets re-serialize them.
+    the billion-key pattern, via the shared `ranking.ranged_row_number`
+    recipe (this query shipped the recipe first; r9 extracted it so
+    every global-rank consumer shares one implementation): range-
+    partition by the sort key, rank locally inside each (parallel)
+    partition, then add the cumulative count of all preceding
+    partitions. Output is provably identical to `row_number() OVER
+    (ORDER BY revenue DESC, custkey)` whatever boundaries the range
+    sampler picks, because range partitions are order-contiguous and
+    the offsets re-serialize them.
 
     Scale shape: one agg shuffle, one range exchange, per-partition
     window sorts in parallel (vs ONE task sorting everything in the
-    naive global window), a bins-sized offset table broadcast back.
-    The local windows re-key on spark_partition_id so rows never move
-    between range partitions for the rank itself."""
+    naive global window), a bins-sized offset table broadcast back."""
+    from .ranking import ranged_row_number
+
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("revenue"))
-    # materialize the ranged relation ONCE (eager localCheckpoint):
-    # it feeds BOTH the local-rank branch and the partition-size
-    # branch, and checkpointing (a) runs the agg + range exchange a
-    # single time and (b) FREEZES the nondeterministic pid assignment
-    # so both branches provably see the same partitioning (a lazy
-    # cache could be evicted and recomputed with different range
-    # bounds between branches; checkpointed partitions cannot)
-    ranged = (
-        rev.repartitionByRange(
-            8, F.col("revenue").desc(), F.col("o_custkey").asc()
-        )
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    wlocal = Window.partitionBy("pid").orderBy(
-        F.col("revenue").desc(), F.col("o_custkey").asc()
-    )
-    local = ranged.withColumn("local_rank", F.row_number().over(wlocal))
-    sizes = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n_part"))
-    woff = (
-        Window.orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    offsets = sizes.withColumn(
-        "offset", F.sum("n_part").over(woff) - F.col("n_part")
-    ).select("pid", "offset")
-    return (
-        local.join(F.broadcast(offsets), "pid")
-        .select(
-            "o_custkey",
-            "revenue",
-            (F.col("local_rank").cast("long") + F.col("offset")).alias(
-                "global_rank"
-            ),
-        )
-    )
+    return ranged_row_number(
+        rev,
+        [F.col("revenue").desc(), F.col("o_custkey").asc()],
+        out="global_rank",
+    ).select("o_custkey", "revenue", "global_rank")
 
 
 GLOBAL_REVENUE_RANK_SQL = f"""

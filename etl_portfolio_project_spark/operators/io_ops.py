@@ -595,9 +595,12 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (((rn−1)·NB) div n over the unique (key, o_orderkey) order), the
     probes are scale-relative integer intervals (bottom 1/16 customer
     slice, [3/16, 4/16) date slice), and bucket-probe overlap is
-    integer interval logic. The global rank window is the audit
-    stand-in for the layout job\'s actual repartitionByRange (same
-    defense as `ccnet_perplexity_filter`\'s tercile rank).
+    integer interval logic. The bucket ranks come from the shared
+    `ranking.ranged_row_number` recipe (r9) — a literal
+    repartitionByRange + parallel local rank + offset correction, the
+    same physical move the production layout job itself performs, and
+    the normalization maxima ride a scalar broadcast instead of an
+    unpartitioned max-window.
 
     `cust_rows` / `date_rows` are layout-invariant row counts of the
     probes — the built-in sanity check that both layouts saw the same
@@ -607,7 +610,7 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.registry import balanced
 
     o = load_table(spark, sf_dir, "orders")
-    base = balanced(o).select(
+    scan = balanced(o).select(
         "o_orderkey",
         F.expr("CAST(o_custkey AS BIGINT)").alias("ck"),
         F.expr(
@@ -615,10 +618,12 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("dk"),
     )
-    w_all = Window.partitionBy()
+    # normalization maxima via a partial-agg'd scalar broadcast (r9) —
+    # the former unpartitioned max-window funneled the whole scan
+    # through one task; a second pruned 3-col pass is near-free
+    mx = scan.agg(F.max("ck").alias("mxc"), F.max("dk").alias("mxd"))
     base = (
-        base.withColumn("mxc", F.max("ck").over(w_all))
-        .withColumn("mxd", F.max("dk").over(w_all))
+        scan.crossJoin(F.broadcast(mx))
         .withColumn("cx", F.expr(f"(ck * {ZNORM}) div (mxc + 1)"))
         .withColumn("dx", F.expr(f"(dk * {ZNORM}) div (mxd + 1)"))
     )
@@ -640,16 +645,16 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" AND dk * {ZPROBE_DEN} < (mxd + 1) * {ZDATE_NUM + 1})"
     )
 
+    from .ranking import ranged_row_number
+
     def layout(order_col: str, name: str) -> DataFrame:
-        w = Window.orderBy(F.col(order_col), "o_orderkey")
-        b = (
-            base.withColumn("rn", F.row_number().over(w).cast("long"))
-            .withColumn(
-                "nn", F.count(F.lit(1)).over(Window.partitionBy())
-            )
-            .withColumn(
-                "bucket", F.expr(f"((rn - 1) * {ZORDER_BUCKETS}) div nn")
-            )
+        b = ranged_row_number(
+            base,
+            [F.col(order_col).asc(), F.col("o_orderkey").asc()],
+            out="rn",
+            total="nn",
+        ).withColumn(
+            "bucket", F.expr(f"((rn - 1) * {ZORDER_BUCKETS}) div nn")
         )
         per = b.groupBy("bucket").agg(
             F.min("ck").alias("min_ck"),

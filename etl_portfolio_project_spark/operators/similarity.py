@@ -1710,10 +1710,11 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     outlier test multiplies two deterministic doubles. The 1-row
     median broadcast-crossjoins back (decorrelated-scalar idiom).
 
-    Scale shape: narrow norm map → single-column rank for ONE value
-    (at 100 TB this becomes approx_percentile or a sampled exact rank;
-    the selection contract — an existing value, not an average — is
-    what keeps the oracle exact here).
+    Scale shape: narrow norm map → distributed rank selection for ONE
+    value via `ranking.ranged_row_number` (range partition + offset
+    correction — no single-reducer sort at any corpus size; the
+    selection contract — an existing value, not an average — is what
+    keeps the oracle exact).
 
     Valid-vector gate (r8 drift sweep): a ragged vector's norm folds
     over its ACTUAL length in Spark but exactly DIM oracle terms
@@ -1762,12 +1763,20 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nrm").isNotNull())
         .localCheckpoint(eager=True)
     )
-    w = Window.orderBy("nrm", "vec_id")
-    ranked = base.withColumn("rn", F.row_number().over(w))
-    n_row = base.agg(F.count(F.lit(1)).alias("n"))
+    # rank-selected median WITHOUT a single-reducer window (r9): the
+    # shared range-partition + offset recipe ranks the slim (nrm, id)
+    # projection in parallel; the selected row is the one whose exact
+    # global rank hits (n+1) div 2 — same existing-value contract
+    from .ranking import ranged_row_number
+
+    ranked = ranged_row_number(
+        base.select("vec_id", "nrm"),
+        [F.col("nrm").asc(), F.col("vec_id").asc()],
+        out="rn",
+        total="n",
+    )
     med = (
-        ranked.join(F.broadcast(n_row))
-        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        ranked.where(F.col("rn") == F.expr("(n + 1) div 2"))
         .select(F.col("nrm").alias("median_norm"))
     )
     hi = F.expr(f"CAST({NORM_OUT_HI} AS DOUBLE)")

@@ -720,10 +720,10 @@ def ccnet_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     attach via TWO count windows (partition by bigram, by w1) — the
     `dsir`/tfidf no-rescan trick, no LM-table join and no second
     corpus scan; V (reference vocabulary) is a 1-row broadcast. The
-    tercile rank is a global sort of the per-DOC score table (docs,
-    not tokens); at 100 TB the thresholds come from approx_percentile
-    or a sampled exact rank (the `embedding_norm_outliers` selection
-    contract) — the tier CASE is unchanged."""
+    tercile rank over the per-DOC score table is DISTRIBUTED (r9):
+    `ranking.ranged_row_number` range-partitions by (score DESC,
+    doc_id) and offset-corrects parallel local ranks — no
+    single-reducer sort at any corpus size."""
     d = balanced(load_table(spark, sf_dir, "documents"))
     g2 = bind_once_sql(
         "split(trim(lower(text)), '\\\\s+')",
@@ -777,19 +777,23 @@ def ccnet_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_den"),
     )
+    from .ranking import ranged_row_number
+
     aff = F.col("sum_num").cast("double") / F.col("sum_den").cast("double")
-    wr = Window.orderBy(F.col("lm_affinity").desc(), "doc_id")
-    ranked = (
-        scored.withColumn("lm_affinity", aff)
-        .withColumn("rn", F.row_number().over(wr).cast("long"))
-        .withColumn("nn", F.count(F.lit(1)).over(Window.partitionBy()))
-        .withColumn(
-            "tier",
-            F.expr(
-                "CASE ((rn - 1) * 3) div nn WHEN 0 THEN 'head' "
-                "WHEN 1 THEN 'middle' ELSE 'tail' END"
-            ),
-        )
+    # tercile rank via the shared range-partition + offset recipe (r9)
+    # — the per-doc score table ranks in parallel, never through one
+    # reducer; the exact-integer tier CASE is unchanged
+    ranked = ranged_row_number(
+        scored.withColumn("lm_affinity", aff),
+        [F.col("lm_affinity").desc(), F.col("doc_id").asc()],
+        out="rn",
+        total="nn",
+    ).withColumn(
+        "tier",
+        F.expr(
+            "CASE ((rn - 1) * 3) div nn WHEN 0 THEN 'head' "
+            "WHEN 1 THEN 'middle' ELSE 'tail' END"
+        ),
     )
     spine = load_table(spark, sf_dir, "documents").select("doc_id")
     return spine.join(ranked, "doc_id", "left").select(

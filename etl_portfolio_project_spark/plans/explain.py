@@ -96,9 +96,61 @@ def node_detail(plan: str, node_id: int) -> str:
     return m.group(0) if m else ""
 
 
+def unpartitioned_windows(plan: str) -> list[str]:
+    """Arguments lines of Window nodes with an EMPTY partition spec
+    (the single-reducer sort shape). A fully-specified Window prints
+    three top-level bracket groups — [functions], [partition],
+    [order]; two groups is ambiguous (partition-only windows drop the
+    order group), so a 2-group window is unpartitioned only when its
+    second group is an ORDER spec (contains ASC/DESC); one group
+    (functions only) is always unpartitioned. Tests use this to ban
+    corpus-sized global windows: the only allowed unpartitioned window
+    over an unbounded relation is `ranking.ranged_row_number`'s
+    offsets window, recognizable by its `_rrn_pid` order column (input
+    bounded at RANK_RANGES rows)."""
+    import re
+
+    out: list[str] = []
+    for m in re.finditer(
+        r"^\(\d+\) Window\b.*?(?=^\(\d+\) |\Z)", plan, re.M | re.S
+    ):
+        am = re.search(r"^Arguments: (.*)$", m.group(0), re.M)
+        if not am:
+            continue
+        args = am.group(1)
+        groups: list[str] = []
+        depth = 0
+        cur = ""
+        for ch in args:
+            if ch == "[":
+                depth += 1
+                if depth == 1:
+                    cur = ""
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(cur)
+                    continue
+            if depth >= 1:
+                cur += ch
+        if len(groups) == 1 or (
+            len(groups) == 2
+            and (" ASC" in groups[1] or " DESC" in groups[1])
+        ):
+            out.append(args)
+    return out
+
+
 def count_shuffles(df: DataFrame) -> int:
     """Shuffle exchanges only (broadcast exchanges excluded)."""
+    return count_shuffles_in(physical_plan(df))
+
+
+def count_shuffles_in(plan: str) -> int:
+    """`count_shuffles` over an already-rendered plan string (lets a
+    test that needs the plan anyway avoid a second explain render)."""
     import re
 
     # count detail headers "(n) Exchange" so tree+detail aren't doubled
-    return len(re.findall(r"\(\d+\) Exchange\b", physical_plan(df)))
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))

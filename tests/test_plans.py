@@ -164,7 +164,7 @@ SHUFFLE_BUDGET = {
     "events_range_frame_1h": 2,  # bucket agg + event_type window
     "arrow_group_median": 1,  # one shuffle into the Arrow workers
     "udaf_cents_total": 1,  # pandas UDAF: raw rows shuffle once (no partial agg)
-    "customer_value_tiles": 2,
+    "customer_value_tiles": 3,
     "props_map_explode": 1,
     "salted_customer_orders": 2,  # broadcast at harness size; ≤2 if SMJ
     # 1 = the bucket-set collect agg; fact side stays narrow
@@ -367,7 +367,7 @@ SHUFFLE_BUDGET = {
     "connectivity_probe": 0,  # scalar 1-row probe, no exchange
     # balanced spread + bigram window + w1 window + per-doc agg + V agg
     # branch + doc-score rank + spine join (both sides doc-keyed)
-    "ccnet_perplexity_filter": 8,
+    "ccnet_perplexity_filter": 3,
     # claimed hash-table build (balanced spread inside) + band self-
     # join candidate distinct; hash joins broadcast at harness size
     "image_phash_neardup": 3,
@@ -376,7 +376,7 @@ SHUFFLE_BUDGET = {
     "temperature_sampling_weights": 3,
     # 2 layout branches x (global rank window + bucket agg); the
     # normalization max-window rides the rank exchange
-    "zorder_layout_audit": 4,
+    "zorder_layout_audit": 10,
     # two boundary-pruned legs (forward |Q|·n, backward |C|·n) + the
     # claimed fwd/cand_q caches whose build plans print under every
     # scan site in explain (executed once at the builder's count()s)
@@ -403,6 +403,21 @@ def test_every_batch_query_has_a_shuffle_budget():
     assert not missing, f"batch queries without a shuffle budget: {missing}"
 
 
+# Queries allowed to keep an unpartitioned WindowExec because its
+# INPUT is bounded by construction (never corpus-proportional):
+UNPARTITIONED_WINDOW_OK = {
+    # lag over per-month aggregates — calendar-bounded (~84 rows)
+    "monthly_revenue_growth",
+    # collect_list/sum over per-source aggregates (|sources| rows)
+    "temperature_sampling_weights",
+    # both rank windows sort top-SEARCH_TOP_K pruned lists (≤K rows)
+    "hybrid_rrf_search",
+    # running-max carry over the per-chunk max table — the documented
+    # n/1024 parallel-prefix-scan residue (recurse at deeper scale)
+    "events_lateness_audit",
+}
+
+
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
 def test_shuffle_budget(spark, name):
     from etl_portfolio_project_spark import caches
@@ -414,7 +429,8 @@ def test_shuffle_budget(spark, name):
     # test warms the LSH/IVF indexes)
     caches.release_shared_all()
     df = api.REGISTRY[name].builder(spark, SF_SMALL)
-    n = explain.count_shuffles(df)
+    plan = explain.physical_plan(df)
+    n = explain.count_shuffles_in(plan)
     budget = SHUFFLE_BUDGET[name]
     # same isolation as bench/verify: builders that claim+materialize
     # must not leave live cached plan trees behind — the CacheManager
@@ -422,9 +438,25 @@ def test_shuffle_budget(spark, name):
     # token explode reshaping keyword_search_topk's exchanges)
     caches.release_all()
     assert n <= budget, (
-        f"{name}: {n} shuffle exchanges, budget {budget}\n"
-        + explain.physical_plan(df)
+        f"{name}: {n} shuffle exchanges, budget {budget}\n" + plan
     )
+    # repo-wide single-reducer-window ban (VERDICT r8 item 1),
+    # piggybacked on the same plan render: an unpartitioned WindowExec
+    # funnels its whole input through ONE task. The only allowed
+    # shapes are (a) ranking.ranged_row_number's offsets window
+    # (orders by _rrn_pid, input ≤ RANK_RANGES rows) and (b) the
+    # UNPARTITIONED_WINDOW_OK queries whose window input is bounded by
+    # construction (see the whitelist's per-entry reasons).
+    if name not in UNPARTITIONED_WINDOW_OK:
+        bad = [
+            w
+            for w in explain.unpartitioned_windows(plan)
+            if "_rrn_pid" not in w
+        ]
+        assert not bad, (
+            f"{name}: unpartitioned corpus-window(s) — single-reducer "
+            f"sort shape:\n" + "\n".join(bad) + "\n" + plan
+        )
 
 
 def test_partitioned_read_prunes_partitions(spark):
@@ -489,6 +521,32 @@ def test_rescorer_topk_window_is_boundary_pruned(spark, name, score):
         assert pruned, (
             f"{name}: a Window's subtree has no boundary survivor "
             f"filter — it sorts the full scored relation:\n{plan}"
+        )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "global_revenue_rank",
+        "customer_value_tiles",
+        "ccnet_perplexity_filter",
+        "embedding_norm_outliers",
+        "zorder_layout_audit",
+    ],
+)
+def test_global_rank_is_distributed(spark, name):
+    """The former single-reducer global-rank queries (VERDICT r8
+    item 1) must rank via ranking.ranged_row_number: every
+    unpartitioned Window in the plan is the helper's ≤RANK_RANGES-row
+    offsets window (orders by _rrn_pid), never the corpus-sized
+    relation."""
+    df = api.REGISTRY[name].builder(spark, SF_SMALL)
+    plan = explain.physical_plan(df)
+    ws = explain.unpartitioned_windows(plan)
+    assert ws, f"{name}: no offsets window — rank shape changed?\n{plan}"
+    for w in ws:
+        assert "_rrn_pid" in w, (
+            f"{name}: unpartitioned corpus-window:\n{w}\n{plan}"
         )
 
 
