@@ -536,6 +536,16 @@ _EXTENSIONS = [
      "sub-vectors (sum of per-sub-vector best cosines), fixed query "
      "set broadcast vs corpus, partial top-k; one generated scoring "
      "expression (r7)."),
+    ("ann_maxsim_rescored_topk", S.ann_maxsim_rescored_topk,
+     S.ANN_MAXSIM_RESCORED_TOPK_SQL,
+     "ANN-routed exact rescoring: IVF probe slice (shared session "
+     "index) -> exact MaxSim re-rank of the candidates only — the "
+     "100-TB late-interaction serving shape, wall tracks candidate "
+     "count not corpus size (r9)."),
+    ("maxsim_rescore_recall_audit", S.maxsim_rescore_recall_audit,
+     S.MAXSIM_RESCORE_RECALL_AUDIT_SQL,
+     "Recall@K of the IVF-routed MaxSim rescorer vs the exact linear "
+     "scan — what the ANN routing gave up, per query (r9)."),
     ("simhash_pairs", D.simhash_pairs, D.SIMHASH_PAIRS_SQL,
      "48-bit SimHash signatures + Hamming-distance pairs."),
     ("winnow_neardup", D.winnow_neardup, D.WINNOW_NEARDUP_SQL,

@@ -1366,6 +1366,85 @@ def test_multivector_maxsim_matches_numpy(spark):
             assert math.isclose(r.maxsim, s, rel_tol=1e-12)
 
 
+def test_ann_maxsim_rescored_matches_numpy(spark):
+    """Differential for the IVF-routed MaxSim rescorer: an independent
+    numpy pipeline reproduces the routing (argmax centroid cosine,
+    ties -> smaller cid; NPROBE nearest lists per query) and the
+    candidate-only MaxSim top-k sets/ranks; scores to float tolerance
+    (the ORACLE check covers bit-exactness)."""
+    import math
+
+    import numpy as np
+
+    from etl_portfolio_project_spark.operators import similarity as S
+
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    cents = {
+        vid: v for vid, v in vecs.items()
+        if vid % S.IVF_MOD == S.IVF_OFF and vid < S.IVF_ID_BOUND
+    }
+
+    def cos(a, b):
+        return float(np.dot(a, b)) / (
+            math.sqrt(float(np.dot(a, a)))
+            * math.sqrt(float(np.dot(b, b)))
+        )
+
+    def nearest_lists(v, n):
+        return [
+            cid for _, cid in sorted(
+                ((-cos(v, c), cid) for cid, c in cents.items())
+            )[:n]
+        ]
+
+    assigned = {vid: nearest_lists(v, 1)[0] for vid, v in vecs.items()}
+    sub = S.PQ_SUB
+
+    def subs(v):
+        return [v[m * sub:(m + 1) * sub] for m in range(S.MAXSIM_M)]
+
+    def maxsim(q, d):
+        qs, ds = subs(q), subs(d)
+        return sum(
+            max(
+                float(np.dot(a, b))
+                / (math.sqrt(float(np.dot(a, a)))
+                   * math.sqrt(float(np.dot(b, b))))
+                for b in ds
+            )
+            for a in qs
+        )
+
+    rows = S.ann_maxsim_rescored_topk(spark, SF_SMALL).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    qids = [
+        v for v in vecs
+        if v % S.QUERY_MOD == 0 and v < S.QUERY_ID_BOUND
+    ]
+    assert set(by_q) <= set(qids)
+    for qid in qids:
+        probe = set(nearest_lists(vecs[qid], S.IVF_NPROBE))
+        cand = [
+            vid for vid, lst in assigned.items()
+            if lst in probe and vid != qid
+        ]
+        scored = sorted(
+            ((maxsim(vecs[qid], vecs[vid]), vid) for vid in cand),
+            key=lambda t: (-t[0], t[1]),
+        )[: S.TOP_K]
+        got = sorted(by_q.get(qid, []), key=lambda r: r.rank)
+        assert [r.vec_id for r in got] == [vid for _, vid in scored]
+        for r, (s, _) in zip(got, scored):
+            assert math.isclose(r.maxsim, s, rel_tol=1e-12)
+
+
 def test_bpe_apply_encode_matches_python_bpe(spark):
     """Differential: train 3 BPE merges with an independent Python
     implementation (greedy left-to-right application, argmax pair with

@@ -158,6 +158,13 @@ SHUFFLE_BUDGET = {
     # per-query aggs + a 200-row audit join; every exchange moves the
     # sampled query set
     "ann_lsh_recall_audit": 18,
+    # cold = IVF index build (balanced + centroid 1-row stat) + the
+    # candidate equi-join and per-query top-k window; warm sessions
+    # reuse the shared index
+    "ann_maxsim_rescored_topk": 2,
+    # cold = exact boundary-pruned maxsim pipeline + the IVF-routed
+    # rescorer + two partial-agg'd groupBys and the audit join
+    "maxsim_rescore_recall_audit": 15,
     "corpus_mixture_sample": 0,
     "events_gapfill_5min": 2,
     "events_moving_average": 2,
