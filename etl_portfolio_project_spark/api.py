@@ -438,6 +438,12 @@ _EXTENSIONS = [
      X.DOC_REPETITION_PROFILE_SQL,
      "Gopher-style repetition quality: duplicate word/2-gram/3-gram "
      "fractions + reject flag (narrow, zero-shuffle)."),
+    ("html_text_extract", X.html_text_extract,
+     X.HTML_TEXT_EXTRACT_SQL,
+     "HTML->text extraction over deterministically synthesized "
+     "markup: script/style removal, tag strip, entity decode, "
+     "jusText-style length+link-density boilerplate rule; per-doc "
+     "block fates + extracted fingerprint (r9)."),
     ("doc_token_commonness", X.doc_token_commonness,
      X.DOC_TOKEN_COMMONNESS_SQL,
      "Unigram corpus-frequency quality proxy: integer-exact per-doc "

@@ -553,3 +553,93 @@ def test_right_to_erasure_audit_matches_python(spark):
         assert got[t] == (before, deleted, before - deleted, 0), (t, got[t])
     assert exp["customer"][1] > 0  # the deletion set is non-empty
     assert exp["lineitem"][1] > 0  # the transitive cascade fires
+
+
+def test_html_text_extract_matches_python(spark):
+    """Differential: an independent Python re-implementation of the
+    synthesize -> strip -> density-rule pipeline reproduces every
+    per-doc block fate, extracted fingerprint, and fraction."""
+    import hashlib
+    import math
+    import re
+
+    from etl_portfolio_project_spark.operators import text as T
+
+    docs = {
+        r.doc_id: (r.text, r.source)
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text", "source")
+        .collect()
+    }
+
+    def extract(text, source):
+        if text is None or text.strip() == "":
+            return ("no_text", 0, 0, 0, 0, 0, None, None)
+        esc = (
+            text.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;")
+        )
+        t = re.split(r"\s+", esc.strip())
+        ck = T.HTML_CHUNK
+        chunks = []
+        for i in range((len(t) - 1) // ck + 1):
+            ct = t[i * ck: (i + 1) * ck]
+            if i % 3 == 2:
+                chunks.append(
+                    f'<p><a href="/t/{ct[0]}">{ct[0]}</a> '
+                    + " ".join(ct[1:]) + "</p>"
+                )
+            else:
+                chunks.append("<p>" + " ".join(ct) + "</p>")
+        blocks = (
+            ['<div class="nav"><a href="/">Home</a> '
+             '<a href="/tags">Tags</a></div>',
+             "<script>var i = 0;</script>",
+             "<h1>" + " ".join(t[:5]) + "</h1>"]
+            + chunks
+            + ['<div class="footer"><a href="/about">About</a> (c) '
+               + (source or "") + "</div>"]
+        )
+        n_script = n_kept = n_boiler = 0
+        kept_txts = []
+        for b in blocks:
+            if b.startswith("<script") or b.startswith("<style"):
+                n_script += 1
+                continue
+            txt = re.sub(r"<[^>]*>", "", b).strip()
+            nw = 0 if txt == "" else len(re.split(r"\s+", txt))
+            nl = (len(b) - len(b.replace("<a href", ""))) // 7
+            if nw >= T.HTML_MIN_WORDS and nl * T.HTML_LINK_K <= nw:
+                n_kept += 1
+                kept_txts.append(
+                    txt.replace("&lt;", "<").replace("&gt;", ">")
+                    .replace("&amp;", "&")
+                )
+            else:
+                n_boiler += 1
+        ex = " | ".join(kept_txts)
+        fp = (
+            hashlib.md5(ex.encode()).hexdigest() if n_kept else None
+        )
+        return (
+            "ok", len(blocks), n_script, n_kept, n_boiler,
+            len(ex) if n_kept else 0, fp,
+            n_boiler / (len(blocks) - n_script),
+        )
+
+    got = {
+        r.doc_id: r
+        for r in T.html_text_extract(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(docs)
+    for did, (text, source) in docs.items():
+        st, nb, ns, nk, nbo, ch, fp, frac = extract(text, source)
+        r = got[did]
+        assert (
+            r.status, r.n_blocks, r.n_script, r.n_kept, r.n_boiler,
+            r.extracted_chars, r.extracted_fp,
+        ) == (st, nb, ns, nk, nbo, ch, fp), did
+        if frac is None:
+            assert r.boiler_fraction is None, did
+        else:
+            assert math.isclose(r.boiler_fraction, frac, rel_tol=1e-15)

@@ -94,6 +94,9 @@ SHUFFLE_BUDGET = {
     # distinct-count companion column (harness verification only)
     "hll_distinct_users": 4,
     "gopher_quality_flags": 1,  # balanced spread only (pure narrow map)
+    # balanced spread only: synthesis + strip + density rule are one
+    # narrow HOF expression per row
+    "html_text_extract": 1,
     # same shape: hashing-trick classifier fold rides the scan
     "hashed_ngram_quality_scores": 1,
     # balanced spread + canonical-key count window + per-source
