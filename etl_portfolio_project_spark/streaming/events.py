@@ -635,9 +635,17 @@ def stream_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFra
 
     State bound: both sides buffer only (watermark − 10 min) of rows,
     same as the inner-join variant."""
+    # TWO data batches, not three (r9): batch 1 = [events, sentinel 1]
+    # (watermarks for batch N come from event times seen through batch
+    # N-1, so sentinel 1 riding WITH the data advances the watermark
+    # past all real rows for batch 2), batch 2 = [sentinel 2] triggers
+    # eviction + NULL emission. Provably the same final table as the
+    # old 1-file-per-trigger run: emission is cumulative and the
+    # final watermark passes every buffered row either way — one
+    # fewer micro-batch commit (~0.7 s at sf0.1).
     split_dir = _events_with_watermark_sentinels(spark, sf_dir)
     src = read_events_stream(
-        spark, split_dir, glob="*.parquet", max_files_per_trigger=1
+        spark, split_dir, glob="*.parquet", max_files_per_trigger=2
     )
     clicks = (
         src.select(

@@ -35,11 +35,12 @@ STREAM_CONTRACT = {
     "stream_dedup_events": ("stream_dedup_events", 1, 2, 4, None),
     "stream_click_purchase_join": (
         "stream_click_purchase_join", 1, 1, 1, None),
-    # events + 2 sentinel files at maxFilesPerTrigger=1 → exactly 3
-    # batches; the sentinels advance the watermark so the join state
-    # EVICTS — a corpus-sized numRowsTotal here means eviction broke
+    # [events + sentinel 1] then [sentinel 2] at maxFilesPerTrigger=2
+    # → exactly 2 batches (r9 consolidation); the sentinels advance
+    # the watermark so the join state EVICTS — a corpus-sized
+    # numRowsTotal here means eviction broke
     "stream_click_purchase_left_join": (
-        "stream_click_purchase_left_join", 3, 1, 1, 50),
+        "stream_click_purchase_left_join", 2, 1, 1, 50),
     "stream_enriched_by_segment": (
         "stream_enriched_by_segment", 1, 1, 1, None),
     "stream_approx_quantiles": ("stream_quantile_sketch", 1, 1, 1, None),
