@@ -32,6 +32,23 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+#: perf-canary subset — FROZEN; do not add/remove names (cross-round
+#: comparability is the whole point). Chosen r9: stable timings,
+#: one per operator class, no streams/caches/session indexes.
+CANARY_QUERIES = [
+    "filter_pushdown",
+    "dedup_exact",
+    "top_words",
+    "monthly_revenue",
+    "gopher_quality_flags",
+    "embedding_dim_profile",
+    "sessionize_events",
+    "tpch_q3_shipping_priority",
+    "agg_pricing_summary",
+    "loan_final",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -45,6 +62,34 @@ def main() -> None:
     # warm the JVM/session (codegen, parquet footer caches) so the
     # alphabetically-first query doesn't absorb cold-start cost
     spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+    # Perf canary (VERDICT r8 item 5): a FIXED 10-query subset timed
+    # in the fresh session BEFORE the full suite, recorded separately.
+    # Canary code never changes round-to-round (stable queries across
+    # scan/join/agg/window/text/embedding classes, no streams, no
+    # session caches), so a canary-vs-canary move between rounds is
+    # ambient session/machine drift by construction, while a suite
+    # move WITHOUT a canary move is a real regression — the
+    # decomposition PERF_ANCHOR previously reconstructed by hand.
+    canary: dict[str, float] = {}
+    for name in CANARY_QUERIES:
+        spec = api.REGISTRY.get(name)
+        if spec is None:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                spec.builder(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            except Exception:
+                break
+        if best < float("inf"):
+            canary[name] = round(best, 3)
+        caches.release_all()
+        spark._jvm.System.gc()
 
     # Best of RUNS full build+execute cycles per query. Run 1 pays the
     # one-time Janino codegen of each stage; the min reflects
@@ -152,6 +197,11 @@ def main() -> None:
         # in-place overwrite of BENCH_DETAIL.json (VERDICT r3 #7)
         "run_unix_ts": run_ts,
         "runner": os.environ.get("SPARK_GRAFT_RUNNER", "unspecified"),
+        # fresh-session fixed-subset drift reference (r9): compare to
+        # the previous round's canary before reading anything into a
+        # suite-total move
+        "canary": canary,
+        "canary_total": round(sum(canary.values()), 3),
     }
     # Absolute perf anchor (r4 VERDICT #5): if tools/oracle_bench.py
     # has recorded DuckDB oracle wall times at this SF, publish the
