@@ -1020,6 +1020,11 @@ _STREAMING_MM = [
      M.MULTIMODAL_WAV_DECODE_SQL,
      "REAL audio decode: PCM16 WAV synth → binary column → stdlib "
      "wave decode → integer features, round-trip proven by oracle."),
+    ("multimodal_malformed_audit", M.multimodal_malformed_audit,
+     M.MULTIMODAL_MALFORMED_AUDIT_SQL,
+     "Broken-media quarantine: planted empty/truncated/wrong-magic "
+     "payloads route through guarded decode to per-class statuses — "
+     "no payload can crash a worker; surviving decodes graded (r9)."),
     ("stream_checkpoint_restart_ingest", E.stream_checkpoint_restart_ingest,
      E.STREAM_CHECKPOINT_RESTART_INGEST_SQL,
      "Checkpoint-recovery incremental ingest: stop + restart against "

@@ -1668,3 +1668,43 @@ def test_retrieval_quality_eval_matches_python(spark):
         for r in S.retrieval_quality_eval(spark, SF_SMALL).collect()
     }
     assert got == exp
+
+
+def test_multimodal_malformed_audit_quarantines_every_class(spark):
+    """Every planted corruption class must surface with its precise
+    status and NULL features; surviving decodes must match the clean
+    bmp_decode geometry (same width/sum_r for shared docs). The load-
+    bearing property: no payload crashes a worker — the query
+    completing at all proves the guarded routing."""
+    from etl_portfolio_project_spark.operators import multimodal as MM
+
+    rows = {
+        r.doc_id: r
+        for r in MM.multimodal_malformed_audit(spark, SF_SMALL).collect()
+    }
+    expected = {
+        MM.MM_MAL_EMPTY: "empty",
+        MM.MM_MAL_HDR: "truncated_header",
+        MM.MM_MAL_MAGIC: "bad_magic",
+        MM.MM_MAL_PIX: "truncated_pixels",
+    }
+    seen = set()
+    for did, r in rows.items():
+        want = expected.get(did % MM.MM_MAL_MOD, "ok")
+        assert r.status == want, (did, r)
+        if want == "ok":
+            assert r.width == 16 + did % 8 and r.height == MM.BMP_H
+            assert r.sum_r is not None
+        else:
+            assert (r.width, r.height, r.sum_r) == (None, None, None)
+            seen.add(want)
+    assert seen == set(expected.values())  # every class actually planted
+    clean = {
+        r.doc_id: r
+        for r in MM.multimodal_bmp_decode(spark, SF_SMALL).collect()
+    }
+    for did, r in rows.items():
+        if r.status == "ok":
+            assert (clean[did].width, clean[did].sum_r) == (
+                r.width, r.sum_r,
+            ), did

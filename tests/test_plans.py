@@ -118,6 +118,8 @@ SHUFFLE_BUDGET = {
     "bpe_merge_loop": 12,
     # two narrow Arrow map stages (encode → decode), balanced spread only
     "multimodal_png_decode": 1,
+    # corrupting synth → guarded decode, same two-stage Arrow shape
+    "multimodal_malformed_audit": 1,
     # same two-stage Arrow shape; resize is a pure per-image map
     "multimodal_resize": 1,
     # audio twin: synth -> decimate/re-encode/decode, pure per-doc map

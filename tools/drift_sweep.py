@@ -18,6 +18,15 @@ triggers deliberately:
   and one vector with a NULL element (fold/ordering traps).
 - all other tables copied unchanged.
 
+Multimodal payloads (r9): the binary media columns are SYNTHESIZED
+inside the codec pipelines (never table data), so malformed payloads
+cannot be injected here — instead `multimodal_malformed_audit` plants
+every corruption class (empty / truncated header / wrong magic /
+truncated pixels) by doc_id arithmetic INSIDE the pipeline and grades
+the quarantine routing; it runs under this sweep like every other
+registry query, so the degenerate doc rows above also flow through
+its corrupting synth stage.
+
 The r6 sweep found 8 latent divergences (NULL-rank median selection,
 a NULL-unsafe UDAF, a non-null-safe equality, and vector-mean math
 over NULL elements) — all fixed and now regression-guarded by
