@@ -118,6 +118,10 @@ def shared_index(key: str, build) -> DataFrame:
         if alive:
             return df
         _SHARED.pop(key, None)
+    # build FIRST, evict other-scope entries only after success — a
+    # throwing build() must not leave the tier emptied for nothing
+    # (ADVICE r8: eviction-then-failed-build dropped every live index)
+    df = build().persist()
     if "::" in key:
         scope = key.rsplit("::", 1)[1]
         for k in list(_SHARED):
@@ -127,7 +131,6 @@ def shared_index(key: str, build) -> DataFrame:
                     old.unpersist()
                 except Exception:
                     pass
-    df = build().persist()
     _SHARED[key] = df
     return df
 

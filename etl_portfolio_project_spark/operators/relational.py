@@ -1325,9 +1325,13 @@ def right_to_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself, orders by custkey, lineitem transitively through the
     deleted orders' keys, events by user_id — and emit one audit row
     per table: rows before, rows deleted, rows after, and RESIDUALS
-    (rows still referencing a deleted key after propagation — the
-    compliance proof, 0 by construction; a nonzero residual means a
-    propagation path was missed).
+    (kept rows still referencing a deleted identity — the compliance
+    proof). Residuals are derived from an INDEPENDENT path (r9,
+    ADVICE r8): direct legs re-detect deletion by the PREDICATE, and
+    lineitem re-walks the transitive chain through orders-of-deleted-
+    customers — never the same del-key relation the deletion used —
+    so a wrong deletion-set construction yields a nonzero residual
+    instead of a vacuous 0.
 
     NULL-safety: all joins are EXISTS/anti-join semantics (never
     `NOT IN`, whose three-valued logic silently empties the result
@@ -1357,17 +1361,26 @@ def right_to_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(del_cust), orders.o_custkey == F.col("k")
     ).select(F.col("o_orderkey").alias("ok"))
 
-    def audit(name, df, key_col, del_keys, del_key_col):
+    # residuals derive from an INDEPENDENT path (ADVICE r8: semi-of-
+    # anti on the same key set is tautologically 0 and can't catch a
+    # missed propagation): direct legs re-detect deleted keys by the
+    # PREDICATE (not the del_cust relation the deletion used), and
+    # lineitem re-walks the transitive chain through orders-of-
+    # deleted-customers (not the del_orders set used for deletion) —
+    # a wrong del_cust/del_orders construction now yields nonzero
+    # residuals that mismatch the oracle
+    resid_pred = f"% {ERASURE_MOD} = {ERASURE_OFF}"
+    pred_orders = orders.where(
+        F.expr(f"o_custkey {resid_pred}")
+    ).select(F.col("o_orderkey").alias("pok"))
+
+    def audit(name, df, key_col, del_keys, del_key_col, residual_of):
         kept = df.join(
             F.broadcast(del_keys),
             F.col(key_col) == F.col(del_key_col),
             "left_anti",
         )
-        residual = kept.join(
-            F.broadcast(del_keys),
-            F.col(key_col) == F.col(del_key_col),
-            "left_semi",
-        )
+        residual = residual_of(kept)
         return (
             df.agg(F.count(F.lit(1)).cast("long").alias("rows_before"))
             .crossJoin(
@@ -1391,12 +1404,26 @@ def right_to_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    out = audit("customer", cust, "c_custkey", del_cust, "k")
-    out = out.unionByName(audit("orders", orders, "o_custkey", del_cust, "k"))
-    out = out.unionByName(
-        audit("lineitem", li, "l_orderkey", del_orders, "ok")
+    out = audit(
+        "customer", cust, "c_custkey", del_cust, "k",
+        lambda kept: kept.where(F.expr(f"c_custkey {resid_pred}")),
     )
-    out = out.unionByName(audit("events", ev, "user_id", del_cust, "k"))
+    out = out.unionByName(audit(
+        "orders", orders, "o_custkey", del_cust, "k",
+        lambda kept: kept.where(F.expr(f"o_custkey {resid_pred}")),
+    ))
+    out = out.unionByName(audit(
+        "lineitem", li, "l_orderkey", del_orders, "ok",
+        lambda kept: kept.join(
+            F.broadcast(pred_orders),
+            F.col("l_orderkey") == F.col("pok"),
+            "left_semi",
+        ),
+    ))
+    out = out.unionByName(audit(
+        "events", ev, "user_id", del_cust, "k",
+        lambda kept: kept.where(F.expr(f"user_id {resid_pred}")),
+    ))
     return out
 
 
@@ -1417,7 +1444,10 @@ SELECT 'customer' AS table_name,
        CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM del_cust d
                                   WHERE d.k = c_custkey)
                 THEN 0 ELSE 1 END) AS BIGINT) AS rows_after,
-       CAST(0 AS BIGINT) AS residuals
+       CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM del_cust d
+                                      WHERE d.k = c_custkey)
+                      AND c_custkey % {ERASURE_MOD} = {ERASURE_OFF}
+                THEN 1 ELSE 0 END) AS BIGINT) AS residuals
 FROM customer
 UNION ALL
 SELECT 'orders',
@@ -1428,7 +1458,10 @@ SELECT 'orders',
        CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM del_cust d
                                   WHERE d.k = o_custkey)
                 THEN 0 ELSE 1 END) AS BIGINT),
-       CAST(0 AS BIGINT)
+       CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM del_cust d
+                                      WHERE d.k = o_custkey)
+                      AND o_custkey % {ERASURE_MOD} = {ERASURE_OFF}
+                THEN 1 ELSE 0 END) AS BIGINT)
 FROM orders
 UNION ALL
 SELECT 'lineitem',
@@ -1439,7 +1472,13 @@ SELECT 'lineitem',
        CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM del_orders d
                                   WHERE d.ok = l_orderkey)
                 THEN 0 ELSE 1 END) AS BIGINT),
-       CAST(0 AS BIGINT)
+       CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM del_orders d
+                                      WHERE d.ok = l_orderkey)
+                      AND EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l_orderkey
+                                    AND o.o_custkey % {ERASURE_MOD}
+                                        = {ERASURE_OFF})
+                THEN 1 ELSE 0 END) AS BIGINT)
 FROM lineitem
 UNION ALL
 SELECT 'events',
@@ -1450,6 +1489,9 @@ SELECT 'events',
        CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM del_cust d
                                   WHERE d.k = user_id)
                 THEN 0 ELSE 1 END) AS BIGINT),
-       CAST(0 AS BIGINT)
+       CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM del_cust d
+                                      WHERE d.k = user_id)
+                      AND user_id % {ERASURE_MOD} = {ERASURE_OFF}
+                THEN 1 ELSE 0 END) AS BIGINT)
 FROM events
 """

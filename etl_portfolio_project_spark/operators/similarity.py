@@ -184,6 +184,38 @@ def topk_sample_pred(id_col: str = "vec_id") -> str:
     return f"({id_col} % {TOPK_SAMPLE_MOD} = 0)"
 
 
+def boundary_survivors(
+    scored: DataFrame,
+    scored_sample: DataFrame,
+    score_col: str,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Pass 1+2 of `boundary_pruned_topk` WITHOUT the final window:
+    the boundary-pruned survivor frame. The ONE implementation of the
+    threshold blocks — `boundary_pruned_topk` windows this frame, and
+    `tools/scaling_probe.py` measures its cardinality, so the
+    survivor-invariance evidence in SCALING.md can never drift from
+    the shipped operator (ADVICE r8)."""
+    # bucket on (vec_id DIV MOD) so sampled ids spread across ALL
+    # buckets (vec_id % B would alias the sample predicate's stride)
+    bmax = scored_sample.groupBy(
+        "query_id",
+        F.expr(f"(vec_id DIV {TOPK_SAMPLE_MOD}) % {TOPK_BUCKETS}").alias(
+            "bkt"
+        ),
+    ).agg(F.max(score_col).alias("bmax"))
+    # k-th largest of ≤ TOPK_BUCKETS maxima; NULL (fewer than k
+    # non-NULL buckets, or an unsampled query) → keep-all fallback
+    thr = bmax.groupBy("query_id").agg(
+        F.expr(
+            f"try_element_at(array_sort(collect_list(bmax)), -{k})"
+        ).alias("boundary")
+    )
+    return scored.join(F.broadcast(thr), "query_id", "left").where(
+        F.expr(f"boundary IS NULL OR {score_col} >= boundary")
+    )
+
+
 def boundary_pruned_topk(
     scored: DataFrame,
     scored_sample: DataFrame,
@@ -200,24 +232,7 @@ def boundary_pruned_topk(
     exists when ≥ k non-NULL scores do, and Spark's `desc()` ranks
     NULLs last, so NULL scores could only ever rank above k when fewer
     than k non-NULL candidates exist (exactly the keep-all case)."""
-    # bucket on (vec_id DIV MOD) so sampled ids spread across ALL
-    # buckets (vec_id % B would alias the sample predicate's stride)
-    bmax = scored_sample.groupBy(
-        "query_id",
-        F.expr(f"(vec_id DIV {TOPK_SAMPLE_MOD}) % {TOPK_BUCKETS}").alias(
-            "bkt"
-        ),
-    ).agg(F.max(score_col).alias("bmax"))
-    # k-th largest of ≤ TOPK_BUCKETS maxima; NULL (fewer than k
-    # non-NULL buckets, or an unsampled query) → keep-all fallback
-    thr = bmax.groupBy("query_id").agg(
-        F.expr(
-            f"try_element_at(array_sort(collect_list(bmax)), -{k})"
-        ).alias("boundary")
-    )
-    survivors = scored.join(F.broadcast(thr), "query_id", "left").where(
-        F.expr(f"boundary IS NULL OR {score_col} >= boundary")
-    )
+    survivors = boundary_survivors(scored, scored_sample, score_col, k)
     w = Window.partitionBy("query_id").orderBy(
         F.col(score_col).desc(), F.col("vec_id")
     )

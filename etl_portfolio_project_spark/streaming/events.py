@@ -156,6 +156,17 @@ def record_stream_stats(name: str, q) -> None:
         progs = [_json.loads(p.json) for p in (q.recentProgress or [])]
     except Exception:
         return
+    # recentProgress retains only the last
+    # spark.sql.streaming.numRecentProgressUpdates entries (default
+    # 100) — a run long enough to hit that would silently UNDERCOUNT
+    # batches and pass/fail contracts wrongly; fail loudly instead
+    # (ADVICE r8; harness runs are ≤ 4 batches, far from the limit)
+    if len(progs) >= 100:
+        raise RuntimeError(
+            f"stream {name!r}: recentProgress at the retention limit "
+            f"({len(progs)} entries) — batch counts would be truncated;"
+            " raise spark.sql.streaming.numRecentProgressUpdates"
+        )
     data_batches = sum(1 for p in progs if p.get("numInputRows", 0) > 0)
     stats = LAST_RUN_STATS.setdefault(
         name,

@@ -965,31 +965,21 @@ def probe_r8(spark, sf_dir: str, label: str) -> dict:
     ]:
         _, r[f"{name}_secs"] = timed(lambda fn=fn: fn(spark, sf_dir).count())
         caches.release_all()
-    # survivor count, reproduced from the op's own threshold blocks
+    # survivor count via the operator's OWN survivor frame
+    # (similarity.boundary_survivors — ADVICE r8: an inline re-
+    # implementation here could silently drift from the shipped op)
     for name, scored_fn, col in [
         ("bf", similarity._bf_scored, "cosine"),
         ("maxsim", similarity._maxsim_scored, "maxsim"),
     ]:
-        sample = scored_fn(spark, sf_dir, similarity.topk_sample_pred())
-        bmax = sample.groupBy(
-            "query_id",
-            F.expr(
-                f"(vec_id DIV {similarity.TOPK_SAMPLE_MOD}) "
-                f"% {similarity.TOPK_BUCKETS}"
-            ).alias("bkt"),
-        ).agg(F.max(col).alias("bmax"))
-        thr = bmax.groupBy("query_id").agg(
-            F.expr(
-                f"try_element_at(array_sort(collect_list(bmax)),"
-                f" -{similarity.TOP_K})"
-            ).alias("boundary")
+        surv = similarity.boundary_survivors(
+            scored_fn(spark, sf_dir, None),
+            scored_fn(spark, sf_dir, similarity.topk_sample_pred()),
+            col,
         )
-        surv = (
-            scored_fn(spark, sf_dir, None)
-            .join(F.broadcast(thr), "query_id", "left")
-            .where(F.expr(f"boundary IS NULL OR {col} >= boundary"))
+        n_q = max(
+            1, int(surv.select("query_id").distinct().count())
         )
-        n_q = max(1, int(thr.count()))
         r[f"{name}_survivors_per_q"] = round(int(surv.count()) / n_q, 1)
         caches.release_all()
 
