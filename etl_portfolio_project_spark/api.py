@@ -1137,11 +1137,13 @@ _WINDOW = 50
 # the dtype-sensitive events readers (testdata drifts between rounds),
 # then prior-round fixes and one representative per big family.
 _RECONFIRM = [
-    # r8: caches.shared_index gained scope eviction (infra blast
-    # radius) — re-confirm the shared-index consumers the git-diff
-    # regrade didn't already queue
+    # r8: caches.shared_index gained scope eviction; r9: eviction
+    # moved after build() (infra blast radius both times) — re-confirm
+    # the shared-index consumers the git-diff regrade didn't already
+    # queue
     "ann_ivfpq_topk",
     "ann_pq_adc_topk",
+    "ann_ivf_topk",
     "src_join_projection",
     "join_left_extension",
     "region_clean",
@@ -1158,7 +1160,6 @@ _RECONFIRM = [
     "simhash_pairs",  # r4: values changed (48 live bits, was 31)
     "minhash_lsh_neardup",
     "neardup_clusters",
-    "ann_ivf_topk",
     "text_profile",
     "hll_distinct_users",
     "arrow_group_median",

@@ -3418,28 +3418,14 @@ FROM per p JOIN lc ON lc.label = p.qlabel
 # ---------------------------------------------------------------------------
 
 
-def ann_maxsim_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-routed MaxSim top-K: each fixed-subset query probes its
-    IVF_NPROBE nearest centroid lists (the session-lifetime
-    `_ivf_quantized` index — same routing as `ann_ivf_topk` /
-    `ann_ivfpq_topk`), and the exact ColBERT-style MaxSim scorer
-    (`multivector_maxsim_topk`'s generated M² sub-cosine expression)
-    re-ranks only the vectors in those lists.
-
-    Bit-exact: routing parity is proven by `ann_ivf_topk` (same
-    neg-cos argmin, same tie-break), and the MaxSim arithmetic is the
-    shared fixed-order fold chain. Ragged/NULL vectors are gated out
-    of BOTH the candidate and query sides with the valid-vector
-    predicate on both engines (sub-slice folds pad differently across
-    engines — the r8 ragged-vector drift class).
-
-    Scale shape: the index is built once per session; rescoring cost
-    is |Q|·|candidates|·M² where |candidates| tracks the probed-list
-    sizes (n·NPROBE/k — production raises IVF_CAP toward sqrt(n)),
-    NOT the corpus: the 10x ladder measures wall against candidate
-    count. The final top-k window partitions by query_id (constant
-    |Q| partitions of list-sized input — never an unpartitioned
-    corpus sort)."""
+def _maxsim_rescore_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The IVF-routed candidate pair frame (query_id, qvec, qn*,
+    vec_id, vec, n*) BEFORE MaxSim scoring — the ONE implementation of
+    the routing used by `ann_maxsim_rescored_topk`; the scaling probe
+    counts this frame's rows, so the wall-tracks-candidates evidence
+    can't drift from the shipped operator."""
     sub = PQ_SUB
     quantized = _ivf_quantized(spark, sf_dir)
     valid = valid_vec_pred_spark("vec")
@@ -3475,11 +3461,37 @@ def ann_maxsim_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("list_id"),
         )
     )
-    joined = assigned.join(
+    return assigned.join(
         F.broadcast(probes),
         (assigned["list_id"] == probes["list_id"])
         & (assigned["vec_id"] != probes["query_id"]),
     ).drop(probes["list_id"])
+
+
+def ann_maxsim_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed MaxSim top-K: each fixed-subset query probes its
+    IVF_NPROBE nearest centroid lists (the session-lifetime
+    `_ivf_quantized` index — same routing as `ann_ivf_topk` /
+    `ann_ivfpq_topk`), and the exact ColBERT-style MaxSim scorer
+    (`multivector_maxsim_topk`'s generated M² sub-cosine expression)
+    re-ranks only the vectors in those lists.
+
+    Bit-exact: routing parity is proven by `ann_ivf_topk` (same
+    neg-cos argmin, same tie-break), and the MaxSim arithmetic is the
+    shared fixed-order fold chain. Ragged/NULL vectors are gated out
+    of BOTH the candidate and query sides with the valid-vector
+    predicate on both engines (sub-slice folds pad differently across
+    engines — the r8 ragged-vector drift class).
+
+    Scale shape: the index is built once per session; rescoring cost
+    is |Q|·|candidates|·M² where |candidates| tracks the probed-list
+    sizes (n·NPROBE/k — production raises IVF_CAP toward sqrt(n)),
+    NOT the corpus: the 10x ladder measures wall against candidate
+    count. The final top-k window partitions by query_id (constant
+    |Q| partitions of list-sized input — never an unpartitioned
+    corpus sort)."""
+    joined = _maxsim_rescore_candidates(spark, sf_dir)
+    sub = PQ_SUB
     per_m = []
     for m in range(MAXSIM_M):
         cosines = [

@@ -1047,6 +1047,113 @@ def probe_r8_relational(spark, sf_dir: str, label: str) -> dict:
     return r
 
 
+def probe_r9(spark, sf_dir: str, label: str) -> dict:
+    """r9 evidence: (a) distributed global-rank — the rank-stage
+    microbench (naive unpartitioned window vs ranking.ranged_row_number
+    over the SAME synthetic frame) shows the single-reducer sort is
+    gone; the rewired query walls (ccnet, norm outliers; zorder/tiles/
+    revenue-rank run under probe_r9_relational at harness SFs) track
+    data, not one task's sort. (b) ann_maxsim_rescored_topk — wall
+    tracks the operator's own candidate frame
+    (`similarity._maxsim_rescore_candidates`), not corpus size.
+    (c) html_text_extract / multimodal_malformed_audit — narrow maps,
+    linear."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_portfolio_project_spark import caches
+    from etl_portfolio_project_spark.operators import (
+        multimodal,
+        similarity,
+        text,
+    )
+    from etl_portfolio_project_spark.operators.ranking import (
+        ranged_row_number,
+    )
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    r = {"sf": label}
+    r["n_docs"] = int(load_table(spark, sf_dir, "documents").count())
+    r["n_vec"] = int(load_table(spark, sf_dir, "embeddings").count())
+
+    # (a) rank-stage microbench: one synthetic scored frame, 400 rows
+    # per doc so the sf ladder scales it 10x; identical output both
+    # ways (the equality is property-tested; here we time)
+    n = r["n_docs"] * 400
+    frame = spark.range(n).select(
+        F.col("id"),
+        (F.expr("CAST(conv(substring(md5(CAST(id AS STRING)),1,8),16,10)"
+                " AS DOUBLE)")).alias("score"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("id"))
+    _, r["rank_naive_secs"] = timed(
+        lambda: frame.withColumn(
+            "rn", F.row_number().over(w)
+        ).write.format("noop").mode("overwrite").save()
+    )
+    _, r["rank_ranged_secs"] = timed(
+        lambda: ranged_row_number(
+            frame, [F.col("score").desc(), F.col("id").asc()]
+        ).write.format("noop").mode("overwrite").save()
+    )
+    r["rank_rows"] = n
+
+    # rewired corpus queries (documents/embeddings based)
+    _, r["ccnet_secs"] = timed(
+        lambda: text.ccnet_perplexity_filter(spark, sf_dir).count()
+    )
+    caches.release_all()
+    _, r["norm_outliers_secs"] = timed(
+        lambda: similarity.embedding_norm_outliers(spark, sf_dir).count()
+    )
+    caches.release_all()
+
+    # (b) ANN-routed rescoring: wall + the op's own candidate count
+    _, r["maxsim_rescored_secs"] = timed(
+        lambda: similarity.ann_maxsim_rescored_topk(spark, sf_dir).count()
+    )
+    r["maxsim_rescore_candidates"] = int(
+        similarity._maxsim_rescore_candidates(spark, sf_dir).count()
+    )
+    caches.release_all()
+    caches.release_shared_all()
+
+    # (c) narrow per-row maps
+    _, r["html_extract_secs"] = timed(
+        lambda: text.html_text_extract(spark, sf_dir).count()
+    )
+    caches.release_all()
+    _, r["malformed_audit_secs"] = timed(
+        lambda: multimodal.multimodal_malformed_audit(spark, sf_dir).count()
+    )
+    caches.release_all()
+    return r
+
+
+def probe_r9_relational(spark, sf_dir: str, label: str) -> dict:
+    """Orders-table r9 rewires (harness SFs only — sf1e has no
+    orders): the three remaining distributed-rank consumers."""
+    from etl_portfolio_project_spark import caches
+    from etl_portfolio_project_spark.operators import analytics, io_ops
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    r = {"sf": label}
+    r["n_orders"] = int(load_table(spark, sf_dir, "orders").count())
+    _, r["tiles_secs"] = timed(
+        lambda: analytics.customer_value_tiles(spark, sf_dir).count()
+    )
+    caches.release_all()
+    _, r["revenue_rank_secs"] = timed(
+        lambda: analytics.global_revenue_rank(spark, sf_dir).count()
+    )
+    caches.release_all()
+    _, r["zorder_secs"] = timed(
+        lambda: io_ops.zorder_layout_audit(spark, sf_dir).count()
+    )
+    caches.release_all()
+    return r
+
+
 def main() -> int:
     if "--skip-generate" not in sys.argv:
         need = not all(
@@ -1062,6 +1169,34 @@ def main() -> int:
 
     spark = get_spark(app_name="scaling_probe")
     spark.read.parquet(f"{SRC_SF}/orders.parquet").count()
+
+    if "--only-r9" in sys.argv:
+        raw_path = os.path.join(_REPO, "SCALING_RAW.json")
+        with open(raw_path) as f:
+            raw = json.load(f)
+        rows = []
+        for sf_dir, label in [
+            ("/root/testdata/sf0.01", "sf0.01"),
+            (SRC_SF, "sf0.1"),
+            (SCALE_DIR, "sf1e"),
+        ]:
+            print(f"--- r9 operators at {label}")
+            rows.append(probe_r9(spark, sf_dir, label))
+            print(json.dumps(rows[-1]))
+        raw["r9_new"] = rows
+        rel_rows = []
+        for sf_dir, label in [
+            ("/root/testdata/sf0.01", "sf0.01"),
+            (SRC_SF, "sf0.1"),
+        ]:
+            print(f"--- r9 relational operators at {label}")
+            rel_rows.append(probe_r9_relational(spark, sf_dir, label))
+            print(json.dumps(rel_rows[-1]))
+        raw["r9_relational"] = rel_rows
+        with open(raw_path, "w") as f:
+            json.dump(raw, f, indent=1)
+        print("merged r9_new into SCALING_RAW.json")
+        return 0
 
     if "--only-r8" in sys.argv:
         raw_path = os.path.join(_REPO, "SCALING_RAW.json")
