@@ -777,6 +777,41 @@ _EXTENSIONS += [
      "each."),
 ]
 
+from .operators import curation as CU  # noqa: E402
+
+_EXTENSIONS += [
+    ("k_anonymity_audit", CU.k_anonymity_audit, CU.K_ANONYMITY_AUDIT_SQL,
+     "Privacy governance: k-anonymity equivalence-class sizes over "
+     "the (nation, segment, balance-band) quasi-identifiers; classes "
+     "below k=5 flagged — one partial-agg'd QID rollup (r9)."),
+    ("preference_pair_mining", CU.preference_pair_mining,
+     CU.PREFERENCE_PAIR_MINING_SQL,
+     "DPO/RLHF pair construction: per (lang, source) best/worst doc "
+     "by exact integer quality score via min/max over a (q, -id) "
+     "struct — argmax as a partial aggregate, no rank window (r9)."),
+    ("filter_threshold_sweep", CU.filter_threshold_sweep,
+     CU.FILTER_THRESHOLD_SWEEP_SQL,
+     "Quality-filter ablation grid: doc survival + token retention "
+     "under 6 threshold combos; per-doc metrics once, broadcast grid "
+     "cross join, one 6-row rollup (r9)."),
+    ("dataset_release_manifest", CU.dataset_release_manifest,
+     CU.DATASET_RELEASE_MANIFEST_SQL,
+     "Versioned-release manifest per (lang, source): counts, ranges, "
+     "and an order-free mod-P content fingerprint — partitioning-"
+     "independent by construction (r9)."),
+    ("domain_quota_sample", CU.domain_quota_sample,
+     CU.DOMAIN_QUOTA_SAMPLE_SQL,
+     "Per-domain document quota (anti-domination sampling): salted-"
+     "hash rank within domain, keep CAP=20, kept-set fingerprint "
+     "graded; domain-partitioned window, rollup reuses its "
+     "partitioning (r9)."),
+    ("span_corruption_masks", CU.span_corruption_masks,
+     CU.SPAN_CORRUPTION_MASKS_SQL,
+     "T5-style span-corruption mask selection: deterministic 15% "
+     "span masking keyed on (doc_id, span), exact per-doc stats + "
+     "mask-position fingerprint; pure narrow map, zero shuffles (r9)."),
+]
+
 for _name, _fn, _sql, _doc in _EXTENSIONS:
     register(_name, _sql, _doc)(_fn)
 

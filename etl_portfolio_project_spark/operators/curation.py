@@ -1,0 +1,600 @@
+"""Dataset curation & governance operators (round 9).
+
+Six pipeline stages a production training-data platform runs between
+raw corpus and released dataset, absent from the families shipped so
+far (extensions beyond the reference's batch-ETL surface, SURVEY.md
+§7.4 — the reference has no counterpart for any of these):
+
+- `k_anonymity_audit` — privacy: equivalence-class sizes over
+  quasi-identifiers, the k-anonymity re-identification check a
+  governance review runs before a tabular release.
+- `preference_pair_mining` — post-training data: per-group
+  (chosen, rejected) document pairs by a deterministic quality score —
+  the DPO/RLHF pair-construction shape.
+- `filter_threshold_sweep` — pipeline tuning: survival counts and
+  token retention under a grid of quality-filter thresholds (the
+  ablation table behind every filter-threshold decision).
+- `dataset_release_manifest` — reproducibility: per-(lang, source)
+  row counts, char totals, id ranges, and an order-free content
+  fingerprint — the manifest a versioned dataset release publishes.
+- `domain_quota_sample` — sampling: per-domain document caps by
+  deterministic hash order (CommonCrawl-style anti-domination quota).
+- `span_corruption_masks` — pretraining: T5-style deterministic span
+  selection per document (mask ~15% of tokens in ~3-token spans) with
+  exact per-doc mask statistics and a position fingerprint.
+
+Scale notes:
+- Every op except `domain_quota_sample` is a narrow map followed by a
+  single partial-agg'd keyed shuffle (map-side combine to |groups|
+  rows) — the ideal 100 TB shape. `preference_pair_mining`
+  deliberately uses min/max over a (score, -id) struct instead of a
+  rank window so chosen/rejected selection stays a partial aggregate.
+- `domain_quota_sample` ranks within domain (partitioned window,
+  parallel across domains). A skewed megadomain at 100 TB would use
+  the per-group boundary-prune recipe (`similarity.boundary_survivors`)
+  — the quota CAP is constant, so the boundary is the CAP-th smallest
+  hash per domain; documented here, not needed at harness skew.
+- `span_corruption_masks` is pure narrow (one generated HOF expression
+  per row, zero shuffles): at 100 TB it rides the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import balanced, load_table
+from .text import (
+    bind_once_sql,
+    portable_hash60,
+    portable_hash60_sql,
+    portable_hash60_spark_sql,
+)
+
+#: modulus for order-free content fingerprints — exact in BIGINT on
+#: the Spark side and under DuckDB's HUGEINT sum (CAST back outside)
+FP_MOD = 1_000_000_007
+
+# --- k-anonymity audit ------------------------------------------------------
+
+#: k threshold below which an equivalence class is re-identifiable
+K_ANON = 5
+#: account-balance banding width (quasi-identifier coarsening)
+K_ANON_BAL_BAND = 1000.0
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer table: group by the
+    quasi-identifier tuple (nation, market segment, account-balance
+    band) and flag every equivalence class smaller than k=5 — the
+    re-identification risk table a privacy review produces before a
+    dataset release (Sweeney 2002; public algorithm).
+
+    The balance band is `floor(c_acctbal / 1000)` — an IEEE divide +
+    floor of the same double in both engines, so the banding is
+    bit-identical. `at_risk` is never NULL (count(*) never is).
+
+    Scale shape: one narrow projection + one partial-agg'd groupBy on
+    the QID tuple (map-side combine to |classes| rows, bounded by
+    |nations|x|segments|x|bands|) — zero coordination at any SF."""
+    c = balanced(load_table(spark, sf_dir, "customer"))
+    per = (
+        c.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.expr(
+                f"CAST(floor(c_acctbal / {K_ANON_BAL_BAND}) AS BIGINT)"
+            ).alias("bal_band"),
+        )
+        .groupBy("nationkey", "mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    return per.select(
+        "nationkey",
+        "mktsegment",
+        "bal_band",
+        "k",
+        (F.col("k") < F.lit(K_ANON)).alias("at_risk"),
+    )
+
+
+K_ANONYMITY_AUDIT_SQL = f"""
+SELECT c_nationkey AS nationkey,
+       c_mktsegment AS mktsegment,
+       CAST(floor(c_acctbal / {K_ANON_BAL_BAND}) AS BIGINT) AS bal_band,
+       count(*) AS k,
+       count(*) < {K_ANON} AS at_risk
+FROM customer
+GROUP BY 1, 2, 3
+"""
+
+
+# --- preference-pair mining -------------------------------------------------
+
+#: quality score weights: q = 3 * distinct_tokens + total_tokens —
+#: exact integers, so the argmax/argmin grade bit-identically
+PREF_DISTINCT_W = 3
+
+
+def _pref_score_spark() -> str:
+    """Spark-SQL per-doc quality score over the LET-bound tokens."""
+    return (
+        f"{PREF_DISTINCT_W} * CAST(size(array_distinct(tk)) AS BIGINT)"
+        " + CAST(size(tk) AS BIGINT)"
+    )
+
+
+def preference_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (the DPO/RLHF data shape): within
+    each (lang, source) group, pick the best and the worst document by
+    a deterministic quality score (q = 3·distinct_tokens + tokens,
+    exact integers) and emit (chosen, rejected, margin).
+
+    Selection is min/max over a `(q, -doc_id)` struct — lexicographic
+    struct comparison is identical in Spark and DuckDB, the `-doc_id`
+    tie-break makes chosen (max → highest q, then LOWEST id) and
+    rejected (min → lowest q, then HIGHEST id) distinct whenever the
+    group has ≥2 docs, and the whole selection stays a map-side
+    partial aggregate — no rank window, no per-group sort, the shape
+    that survives a 100 TB group.
+
+    NULL/empty docs are gated out explicitly (drift-sweep rows route
+    here, not into the argmax) and groups need ≥2 scored docs."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    per = d.where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != F.lit(""))
+    ).select(
+        "lang",
+        "source",
+        "doc_id",
+        F.expr(
+            bind_once_sql(
+                "split(trim(text), '\\\\s+')", "tk", _pref_score_spark()
+            )
+        ).alias("q"),
+    )
+    pair = F.struct(F.col("q").alias("q"), (-F.col("doc_id")).alias("ni"))
+    g = per.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max(pair).alias("mx"),
+        F.min(pair).alias("mn"),
+    )
+    return g.where(F.col("n_docs") >= 2).select(
+        "lang",
+        "source",
+        "n_docs",
+        (-F.col("mx.ni")).alias("chosen_id"),
+        (-F.col("mn.ni")).alias("rejected_id"),
+        F.col("mx.q").alias("chosen_score"),
+        F.col("mn.q").alias("rejected_score"),
+        (F.col("mx.q") - F.col("mn.q")).alias("margin"),
+    )
+
+
+PREFERENCE_PAIR_MINING_SQL = f"""
+WITH per AS (
+  SELECT lang, source, doc_id,
+         {PREF_DISTINCT_W} * CAST(len(list_distinct(
+             regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           + CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                  AS BIGINT) AS q
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+g AS (
+  SELECT lang, source,
+         count(*) AS n_docs,
+         max({{'q': q, 'ni': -doc_id}}) AS mx,
+         min({{'q': q, 'ni': -doc_id}}) AS mn
+  FROM per GROUP BY 1, 2
+)
+SELECT lang, source, n_docs,
+       -(mx.ni) AS chosen_id,
+       -(mn.ni) AS rejected_id,
+       mx.q AS chosen_score,
+       mn.q AS rejected_score,
+       mx.q - mn.q AS margin
+FROM g
+WHERE n_docs >= 2
+"""
+
+
+# --- filter-threshold sweep -------------------------------------------------
+
+#: the ablation grid: (min_tokens, min_distinct_pct) combos
+SWEEP_GRID: list[tuple[int, int]] = [
+    (10, 30),
+    (10, 50),
+    (20, 30),
+    (20, 50),
+    (40, 30),
+    (40, 50),
+]
+
+
+def filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ablation grid: for each (min_tokens,
+    min_distinct_pct) threshold combo, how many documents survive and
+    what share of tokens is retained — the table every filter-tuning
+    decision is made from (tightening thresholds trades tokens for
+    quality; this measures the trade before committing a corpus run).
+
+    The survive predicate is pure integers
+    (`distinct·100 ≥ tokens·pct`, no ratio doubles), per-doc metrics
+    are computed ONCE and cross-joined to the broadcast 6-row grid,
+    and the rollup is one partial-agg'd shuffle to 6 rows — the 6×
+    map-side expansion costs nothing against a 100 TB scan. NULL and
+    empty docs count as 0-token (they fail every combo but stay in
+    n_total, matching what a real funnel reports)."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    metrics = (
+        "CASE WHEN text IS NULL OR trim(text) = '' THEN "
+        "named_struct('nt', CAST(0 AS BIGINT), 'nd', CAST(0 AS BIGINT)) "
+        "ELSE "
+        + bind_once_sql(
+            "split(trim(text), '\\\\s+')",
+            "tk",
+            "named_struct('nt', CAST(size(tk) AS BIGINT), "
+            "'nd', CAST(size(array_distinct(tk)) AS BIGINT))",
+        )
+        + " END"
+    )
+    per = d.select(F.expr(metrics).alias("m")).select(
+        F.col("m.nt").alias("nt"), F.col("m.nd").alias("nd")
+    )
+    grid = spark.createDataFrame(
+        SWEEP_GRID, "min_tokens INT, min_distinct_pct INT"
+    )
+    joined = per.crossJoin(F.broadcast(grid))
+    survive = (F.col("nt") >= F.col("min_tokens")) & (
+        F.col("nd") * 100 >= F.col("nt") * F.col("min_distinct_pct")
+    )
+    g = joined.groupBy("min_tokens", "min_distinct_pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(survive, 1).otherwise(0)).cast("long").alias(
+            "n_surviving"
+        ),
+        F.sum("nt").cast("long").alias("total_tokens"),
+        F.sum(F.when(survive, F.col("nt")).otherwise(0)).cast("long").alias(
+            "retained_tokens"
+        ),
+    )
+    return g.select(
+        "min_tokens",
+        "min_distinct_pct",
+        "n_total",
+        "n_surviving",
+        (F.col("n_surviving") / F.col("n_total")).alias("doc_survival"),
+        "total_tokens",
+        "retained_tokens",
+        (F.col("retained_tokens") / F.col("total_tokens")).alias(
+            "token_retention"
+        ),
+    )
+
+
+def _sweep_grid_sql() -> str:
+    rows = ", ".join(f"({mt}, {dp})" for mt, dp in SWEEP_GRID)
+    return f"(VALUES {rows}) AS grid(min_tokens, min_distinct_pct)"
+
+
+FILTER_THRESHOLD_SWEEP_SQL = f"""
+WITH per AS (
+  SELECT CASE WHEN text IS NULL OR trim(text) = '' THEN CAST(0 AS BIGINT)
+         ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                   AS BIGINT) END AS nt,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN CAST(0 AS BIGINT)
+         ELSE CAST(len(list_distinct(
+                regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+         END AS nd
+  FROM documents
+)
+SELECT CAST(min_tokens AS INT) AS min_tokens,
+       CAST(min_distinct_pct AS INT) AS min_distinct_pct,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN nt >= min_tokens
+                      AND nd * 100 >= nt * min_distinct_pct
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_surviving,
+       CAST(sum(CASE WHEN nt >= min_tokens
+                      AND nd * 100 >= nt * min_distinct_pct
+                     THEN 1 ELSE 0 END) AS BIGINT) / count(*)
+         AS doc_survival,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN nt >= min_tokens
+                      AND nd * 100 >= nt * min_distinct_pct
+                     THEN nt ELSE 0 END) AS BIGINT) AS retained_tokens,
+       CAST(sum(CASE WHEN nt >= min_tokens
+                      AND nd * 100 >= nt * min_distinct_pct
+                     THEN nt ELSE 0 END) AS BIGINT)
+         / CAST(sum(nt) AS BIGINT) AS token_retention
+FROM per, {_sweep_grid_sql()}
+GROUP BY 1, 2
+"""
+
+
+# --- dataset release manifest -----------------------------------------------
+
+
+def dataset_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-release manifest: per (lang, source) partition, the
+    row count, char total, doc-id range, and an ORDER-FREE content
+    fingerprint — the table a dataset release publishes so a consumer
+    can verify what they downloaded partition by partition (and a
+    re-run can prove byte-equivalence without re-diffing content).
+
+    The fingerprint is `sum(md5_60(doc_id || ':' || text) mod P) mod P`
+    — addition is commutative, so the fingerprint is independent of
+    row order/partitioning (a file-order-dependent hash chain would be
+    a session-config-dependent value, the small_file_compaction
+    lesson). The sum accumulates in DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB) and folds to BIGINT via the outer mod — exact in both
+    engines at any corpus size. NULL text hashes a sentinel distinct
+    from the empty string."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    h = portable_hash60(
+        F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.when(F.col("text").isNull(), F.lit("<NULL>")).otherwise(
+                F.col("text")
+            ),
+        )
+    )
+    per = d.select(
+        "lang",
+        "source",
+        "doc_id",
+        "n_chars",
+        (h % FP_MOD).cast("decimal(38,0)").alias("hm"),
+    )
+    return per.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        (F.sum("hm") % FP_MOD).cast("long").alias("content_fp"),
+    )
+
+
+DATASET_RELEASE_MANIFEST_SQL = f"""
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id,
+       CAST(sum({portable_hash60_sql(
+           "CAST(doc_id AS VARCHAR) || ':' || "
+           "CASE WHEN text IS NULL THEN '<NULL>' ELSE text END"
+       )} % {FP_MOD}) % {FP_MOD} AS BIGINT) AS content_fp
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+# --- per-domain quota sampling ----------------------------------------------
+
+#: max documents kept per domain
+DOMAIN_QUOTA_CAP = 20
+#: salt so the quota ordering hash is independent of other doc_id uses
+QUOTA_SALT = "quota:"
+
+
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document quota (anti-domination sampling): rank each
+    domain's documents by a salted hash (a deterministic shuffle) and
+    keep the first CAP=20 — the CommonCrawl-pipeline guard that stops
+    one giant domain from dominating the training mixture. Output is
+    the per-domain audit: size, kept count, retention, and an
+    order-free fingerprint of the kept set (so the exact kept
+    membership is graded, not just its count).
+
+    The corpus has no URL column; domain = source || '.example.com'
+    (the url_canonical_dedup convention), NULL source routed to an
+    explicit 'unsourced' domain.
+
+    Scale shape: the rank is a domain-partitioned window — parallel
+    across domains, per-partition work ∝ the largest domain. A 100 TB
+    megadomain would swap in the per-group boundary-prune recipe
+    (the CAP-th smallest hash per domain from a sampled pass bounds
+    the survivors, `similarity.boundary_survivors` precedent); at
+    harness skew the partitioned window is the right plan. The final
+    rollup reuses the window's hash partitioning (same key → no
+    second exchange)."""
+    from pyspark.sql import Window
+
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    per = d.select(
+        F.when(F.col("source").isNull(), F.lit("unsourced.example.com"))
+        .otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+        .alias("domain"),
+        "doc_id",
+        portable_hash60(
+            F.concat(F.lit(QUOTA_SALT), F.col("doc_id").cast("string"))
+        ).alias("r"),
+    )
+    w = Window.partitionBy("domain").orderBy("r", "doc_id")
+    ranked = per.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") <= DOMAIN_QUOTA_CAP
+    return (
+        ranked.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("r") % FP_MOD).otherwise(0))
+            .cast("long")
+            .alias("kept_fp_sum"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "n_kept",
+            (F.col("n_kept") / F.col("n_docs")).alias("retention"),
+            (F.col("kept_fp_sum") % FP_MOD).alias("kept_fp"),
+        )
+    )
+
+
+DOMAIN_QUOTA_SAMPLE_SQL = f"""
+WITH per AS (
+  SELECT CASE WHEN source IS NULL THEN 'unsourced.example.com'
+              ELSE source || '.example.com' END AS domain,
+         doc_id,
+         {portable_hash60_sql(
+             "'" + QUOTA_SALT + "' || CAST(doc_id AS VARCHAR)"
+         )} AS r
+  FROM documents
+),
+ranked AS (
+  SELECT domain, doc_id, r,
+         row_number() OVER (PARTITION BY domain ORDER BY r, doc_id) AS rn
+  FROM per
+)
+SELECT domain,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN rn <= {DOMAIN_QUOTA_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn <= {DOMAIN_QUOTA_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) / count(*) AS retention,
+       CAST(CAST(sum(CASE WHEN rn <= {DOMAIN_QUOTA_CAP}
+                          THEN r % {FP_MOD} ELSE 0 END) AS BIGINT)
+            % {FP_MOD} AS BIGINT) AS kept_fp
+FROM ranked
+GROUP BY 1
+"""
+
+
+# --- T5-style span-corruption masks ------------------------------------------
+
+#: span width in tokens, and the masking rate: a span is masked when
+#: hash(doc_id, span_id) % SPAN_MOD < SPAN_HIT (3/20 = 15% density)
+SPAN_W = 3
+SPAN_MOD = 20
+SPAN_HIT = 3
+SPAN_SALT = "span:"
+
+
+def _mask_positions_spark() -> str:
+    """Spark-SQL: masked token positions over the LET-bound tokens
+    `tk` — position p is masked when the salted hash of its span id
+    (p div SPAN_W) selects the span."""
+    h = portable_hash60_spark_sql(
+        f"concat('{SPAN_SALT}', CAST(doc_id AS STRING), ':', "
+        f"CAST(p div {SPAN_W} AS STRING))"
+    )
+    return (
+        f"filter(sequence(0, size(tk) - 1), p -> {h} % {SPAN_MOD}"
+        f" < {SPAN_HIT})"
+    )
+
+
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption mask selection (Raffel et al.
+    2020, public): deterministically mask ~15% of each document's
+    tokens in SPAN_W=3-token spans — span `s` is masked when
+    `md5('span:' || doc_id || ':' || s) % 20 < 3` — and emit the
+    exact per-doc mask statistics plus a fingerprint of the masked
+    position list (so the exact mask, not just its size, is graded).
+
+    Determinism is the point: the mask depends only on (doc_id,
+    position), so a re-run, a retry, or a different partitioning
+    produces the same pretraining targets — the property a
+    checkpoint-resumable corpus build needs.
+
+    NULL/whitespace-only docs route to status='no_text' with sentinel
+    stats (never a NULL boolean/bigint — engine NULL representation
+    drift) — and the gate also keeps `sequence(0, n-1)` away from
+    n=0, where Spark would generate a DESCENDING two-element sequence.
+
+    Scale shape: one generated HOF expression per row (the md5s run
+    per span inside codegen), zero shuffles — rides the scan at any
+    SF."""
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    body = bind_once_sql(
+        _mask_positions_spark(),
+        "ms",
+        "named_struct("
+        "'n_tokens', CAST(size(tk) AS BIGINT), "
+        "'n_masked', CAST(size(ms) AS BIGINT), "
+        f"'n_spans', CAST(size(array_distinct(transform(ms, "
+        f"p -> p div {SPAN_W}))) AS BIGINT), "
+        "'mask_rate', size(ms) / size(tk), "
+        "'mask_fp', "
+        + portable_hash60_spark_sql(
+            "array_join(transform(ms, p -> CAST(p AS STRING)), ',')"
+        )
+        + ")",
+    )
+    expr = (
+        "CASE WHEN text IS NULL OR trim(text) = '' THEN "
+        "named_struct('n_tokens', CAST(0 AS BIGINT), "
+        "'n_masked', CAST(0 AS BIGINT), 'n_spans', CAST(0 AS BIGINT), "
+        "'mask_rate', CAST(0.0 AS DOUBLE), "
+        "'mask_fp', CAST(-1 AS BIGINT)) "
+        "ELSE " + bind_once_sql("split(trim(text), '\\\\s+')", "tk", body)
+        + " END"
+    )
+    out = d.select(
+        "doc_id",
+        F.when(
+            F.col("text").isNull() | (F.trim(F.col("text")) == ""),
+            F.lit("no_text"),
+        )
+        .otherwise(F.lit("masked"))
+        .alias("status"),
+        F.expr(expr).alias("m"),
+    )
+    return out.select(
+        "doc_id",
+        "status",
+        F.col("m.n_tokens").alias("n_tokens"),
+        F.col("m.n_masked").alias("n_masked"),
+        F.col("m.n_spans").alias("n_spans"),
+        F.col("m.mask_rate").alias("mask_rate"),
+        F.col("m.mask_fp").alias("mask_fp"),
+    )
+
+
+def _span_sql() -> str:
+    h = portable_hash60_sql(
+        f"'{SPAN_SALT}' || CAST(doc_id AS VARCHAR) || ':' || "
+        f"CAST((p // {SPAN_W}) AS VARCHAR)"
+    )
+    # COALESCE: DuckDB's array_to_string returns NULL for an EMPTY
+    # list where Spark's array_join returns '' — an unmasked doc
+    # (empty ms) must fingerprint md5('') in both engines
+    fp = portable_hash60_sql(
+        "coalesce(array_to_string("
+        "list_transform(ms, p -> CAST(p AS VARCHAR)), ','), '')"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN NULL
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+  FROM documents
+),
+masked AS (
+  SELECT doc_id, tk,
+         CASE WHEN tk IS NULL THEN NULL
+              ELSE list_filter(generate_series(0, len(tk) - 1),
+                               p -> {h} % {SPAN_MOD} < {SPAN_HIT}) END AS ms
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN tk IS NULL THEN 'no_text' ELSE 'masked' END AS status,
+       CASE WHEN tk IS NULL THEN CAST(0 AS BIGINT)
+            ELSE CAST(len(tk) AS BIGINT) END AS n_tokens,
+       CASE WHEN tk IS NULL THEN CAST(0 AS BIGINT)
+            ELSE CAST(len(ms) AS BIGINT) END AS n_masked,
+       CASE WHEN tk IS NULL THEN CAST(0 AS BIGINT)
+            ELSE CAST(len(list_distinct(list_transform(ms,
+                 p -> p // {SPAN_W}))) AS BIGINT) END AS n_spans,
+       CASE WHEN tk IS NULL THEN CAST(0.0 AS DOUBLE)
+            ELSE len(ms) / len(tk) END AS mask_rate,
+       CASE WHEN tk IS NULL THEN CAST(-1 AS BIGINT)
+            ELSE {fp} END AS mask_fp
+FROM masked
+"""
+
+
+SPAN_CORRUPTION_MASKS_SQL = _span_sql()

@@ -401,6 +401,19 @@ SHUFFLE_BUDGET = {
     # every exchange is a single-row partial-agg'd count; the deleted
     # key sets broadcast
     "right_to_erasure_audit": 12,
+    # r9 curation family — each is balanced spread + ONE partial-agg'd
+    # keyed shuffle (map-side combine to |groups| rows), except where
+    # noted
+    "k_anonymity_audit": 2,
+    "preference_pair_mining": 2,
+    # broadcast 6-row grid cross join rides the scan; single 6-row agg
+    "filter_threshold_sweep": 2,
+    "dataset_release_manifest": 2,
+    # balanced + domain-keyed window; the rollup groups on the SAME
+    # key and reuses the window's hash partitioning (no 3rd exchange)
+    "domain_quota_sample": 3,
+    # pure narrow generated-HOF map: balanced spread only
+    "span_corruption_masks": 1,
 }
 
 
