@@ -1154,6 +1154,56 @@ def probe_r9_relational(spark, sf_dir: str, label: str) -> dict:
     return r
 
 
+def probe_r9_curation(spark, sf_dir: str, label: str) -> dict:
+    """r9 curation family across the ladder. The scale claims at
+    stake: (a) `domain_quota_sample`'s kept set is corpus-INVARIANT
+    (≤ CAP × |domains| at any SF — the fixed-size sample-set story),
+    (b) `preference_pair_mining` / `dataset_release_manifest` /
+    `filter_threshold_sweep` reduce to |groups|-bounded outputs via
+    map-side partial aggregation (walls track the scan, not the
+    groups), (c) `span_corruption_masks` is a pure narrow map
+    (linear). Uses the operators' own frames (the shared-helper rule
+    from r8 ADVICE #4 — nothing re-implemented here)."""
+    from etl_portfolio_project_spark import caches
+    from etl_portfolio_project_spark.operators import curation
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    r = {"sf": label}
+    r["n_docs"] = int(load_table(spark, sf_dir, "documents").count())
+
+    quota = curation.domain_quota_sample(spark, sf_dir)
+    rows = quota.collect()
+    r["quota_domains"] = len(rows)
+    r["quota_kept_total"] = int(sum(x.n_kept for x in rows))
+    _, r["quota_secs"] = timed(
+        lambda: curation.domain_quota_sample(spark, sf_dir).count()
+    )
+    caches.release_all()
+
+    r["pref_groups"], r["pref_secs"] = timed(
+        lambda: curation.preference_pair_mining(spark, sf_dir).count()
+    )
+    caches.release_all()
+    r["manifest_rows"], r["manifest_secs"] = timed(
+        lambda: curation.dataset_release_manifest(spark, sf_dir).count()
+    )
+    caches.release_all()
+    r["sweep_rows"], r["sweep_secs"] = timed(
+        lambda: curation.filter_threshold_sweep(spark, sf_dir).count()
+    )
+    caches.release_all()
+    _, r["span_secs"] = timed(
+        lambda: curation.span_corruption_masks(spark, sf_dir).count()
+    )
+    caches.release_all()
+    if os.path.exists(f"{sf_dir}/customer.parquet"):
+        r["kanon_classes"], r["kanon_secs"] = timed(
+            lambda: curation.k_anonymity_audit(spark, sf_dir).count()
+        )
+        caches.release_all()
+    return r
+
+
 def main() -> int:
     if "--skip-generate" not in sys.argv:
         need = not all(
@@ -1193,6 +1243,16 @@ def main() -> int:
             rel_rows.append(probe_r9_relational(spark, sf_dir, label))
             print(json.dumps(rel_rows[-1]))
         raw["r9_relational"] = rel_rows
+        cur_rows = []
+        for sf_dir, label in [
+            ("/root/testdata/sf0.01", "sf0.01"),
+            (SRC_SF, "sf0.1"),
+            (SCALE_DIR, "sf1e"),
+        ]:
+            print(f"--- r9 curation operators at {label}")
+            cur_rows.append(probe_r9_curation(spark, sf_dir, label))
+            print(json.dumps(cur_rows[-1]))
+        raw["r9_curation"] = cur_rows
         with open(raw_path, "w") as f:
             json.dump(raw, f, indent=1)
         print("merged r9_new into SCALING_RAW.json")
