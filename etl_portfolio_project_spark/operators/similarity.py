@@ -3587,8 +3587,10 @@ def maxsim_rescore_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: both inputs are bounded query results (≤ |Q|·K rows
     each); the exact side is session-cached (`caches.shared_index`) so
-    the audit never re-runs the |Q|·n scan when the exact query
-    already ran this session."""
+    REPEAT audits this session reuse the first run's |Q|·n scan (the
+    exact query's own graded run stays un-memoized on purpose — its
+    cold plan is a graded contract, so the audit pays the exact leg
+    once per session rather than never)."""
     exact = caches.shared_index(
         f"maxsim_exact_topk::{sf_dir}",
         lambda: multivector_maxsim_topk(spark, sf_dir).select(
