@@ -331,10 +331,13 @@ def dataset_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines at any corpus size. NULL text hashes a sentinel distinct
     from the empty string."""
     d = balanced(load_table(spark, sf_dir, "documents"))
+    # F.concat (NULL-propagating, = DuckDB ||), NOT concat_ws (which
+    # skips NULLs): a NULL doc_id must contribute nothing to the
+    # fingerprint in BOTH engines (the r7 NULL-STRING parity rule)
     h = portable_hash60(
-        F.concat_ws(
-            ":",
+        F.concat(
             F.col("doc_id").cast("string"),
+            F.lit(":"),
             F.when(F.col("text").isNull(), F.lit("<NULL>")).otherwise(
                 F.col("text")
             ),

@@ -1171,13 +1171,11 @@ def probe_r9_curation(spark, sf_dir: str, label: str) -> dict:
     r = {"sf": label}
     r["n_docs"] = int(load_table(spark, sf_dir, "documents").count())
 
-    quota = curation.domain_quota_sample(spark, sf_dir)
-    rows = quota.collect()
+    rows, r["quota_secs"] = timed(
+        lambda: curation.domain_quota_sample(spark, sf_dir).collect()
+    )
     r["quota_domains"] = len(rows)
     r["quota_kept_total"] = int(sum(x.n_kept for x in rows))
-    _, r["quota_secs"] = timed(
-        lambda: curation.domain_quota_sample(spark, sf_dir).count()
-    )
     caches.release_all()
 
     r["pref_groups"], r["pref_secs"] = timed(
