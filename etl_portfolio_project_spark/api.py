@@ -531,6 +531,16 @@ _EXTENSIONS = [
      "Retrieval eval harness: per-query first-relevant rank, MRR@k, "
      "precision@k, recall@k over the boundary-pruned exact ranking; "
      "relevance = same label, every metric one exact-int division."),
+    ("ann_binary_hamming_topk", S.ann_binary_hamming_topk,
+     S.ANN_BINARY_HAMMING_TOPK_SQL,
+     "Binary-embedding retrieval: sign-pack to 2 BIGINT words (1 "
+     "bit/dim, 32x compression), exact per-query top-k by Hamming "
+     "similarity (xor+popcount, all-integer); boundary-pruned (r9)."),
+    ("binary_quant_recall_audit", S.binary_quant_recall_audit,
+     S.BINARY_QUANT_RECALL_AUDIT_SQL,
+     "Recall@K of 1-bit sign quantization vs exact float cosine — "
+     "what 32x compression gives up; shares the session-cached exact "
+     "frame with the LSH audit (r9)."),
     ("bitext_margin_mining", S.bitext_margin_mining,
      S.BITEXT_MARGIN_MINING_SQL,
      "Margin-based bitext mining (Artetxe-Schwenk ratio margin): "
@@ -1001,6 +1011,14 @@ register(
     SK.CMS_HEAVY_HITTERS_SQL,
     "Deterministic portable Count-Min-Sketch heavy hitters (md5 rows).",
 )(SK.cms_heavy_hitters)
+
+register(
+    "kmv_distinct_users",
+    SK.KMV_DISTINCT_USERS_SQL,
+    "KMV bottom-k distinct sketch per event_type: (k-1)/U_k estimate "
+    "from the k-th smallest distinct md5 hash, exact-count companion, "
+    "small-set fallback; mergeable distributed sketch (r9).",
+)(SK.kmv_distinct_users)
 
 for _name, _fn, _sql, _doc in _ANALYTICS:
     register(_name, _sql, _doc)(_fn)

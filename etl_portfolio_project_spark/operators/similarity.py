@@ -3646,3 +3646,189 @@ SELECT n_exact.query_id AS query_id,
          AS recall
 FROM n_exact LEFT JOIN n_hits ON n_hits.query_id = n_exact.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) embedding quantization + Hamming retrieval (r9).
+# The 1-bit-per-dimension compression layer behind binary-embedding
+# serving (32× smaller than float32; Hamming distance via XOR+popcount
+# is the cheapest possible scoring op) — public technique, e.g.
+# Charikar 2002 sign-random-projection LSH applied at 1 bit/dim.
+# ---------------------------------------------------------------------------
+
+BQ_WORD_BITS = 32
+BQ_WORDS = DIM // BQ_WORD_BITS  # 64 dims → two 32-bit words
+
+
+def _bq_pack_sql(col: str, word: int, one_based: bool) -> str:
+    """Sign-bit packing of dims [32w, 32w+32) into ONE BIGINT word —
+    bit j set iff component > 0. Same exact-integer text shape in both
+    dialects (only the array base differs); element NULLs can't reach
+    it (valid_vec gate), and a CASE over `NULL > 0` would yield 0 in
+    both engines anyway."""
+    terms = []
+    for j in range(BQ_WORD_BITS):
+        d = word * BQ_WORD_BITS + j
+        idx = d + 1 if one_based else d
+        terms.append(f"(CASE WHEN {col}[{idx}] > 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _bq_hamming_sim_spark() -> str:
+    xors = " + ".join(
+        f"bit_count(w{i} ^ q{i})" for i in range(BQ_WORDS)
+    )
+    return f"CAST({DIM} - ({xors}) AS BIGINT)"
+
+
+def _bq_scored(spark: SparkSession, sf_dir: str, pred: str | None) -> DataFrame:
+    """Hamming-similarity scored relation (query_id, vec_id,
+    hamming_sim) over sign-packed words; `pred` restricts the
+    candidate side before scoring (boundary pass-1 sample)."""
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.expr(valid_vec_pred_spark())
+    )
+    packs = [
+        F.expr(_bq_pack_sql("embedding", w, one_based=False)).alias(f"w{w}")
+        for w in range(BQ_WORDS)
+    ]
+    base = balanced(e).select("vec_id", *packs)
+    q = base.where(F.expr(query_subset_pred())).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"w{w}").alias(f"q{w}") for w in range(BQ_WORDS)],
+    )
+    cand = base.where(F.expr(pred)) if pred else base
+    joined = cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    return joined.select(
+        "query_id",
+        "vec_id",
+        F.expr(_bq_hamming_sim_spark()).alias("hamming_sim"),
+    )
+
+
+def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized retrieval: sign-pack each embedding to
+    DIM/32 BIGINT words (1 bit per dimension), score by Hamming
+    SIMILARITY (DIM − popcount(xor)), and return the exact per-query
+    top-K over the packed representation for the fixed query subset —
+    the serving path a binary-embedding index runs on every query.
+
+    All-integer scoring (bit_count of xor — no floats anywhere), so
+    the oracle is trivially bit-exact; ties broken by vec_id.
+
+    Scale shape: |Q|·n with constant |Q| (broadcast packed queries),
+    top-k boundary-pruned (`boundary_pruned_topk`). CAVEAT the
+    docstring owns: integer scores in [0, DIM] make the sampled
+    boundary COARSER than cosine's continuous scores — survivors
+    include the full tie mass at the k-th value, which grows with n
+    at fixed DIM. Production re-sharpens the boundary by widening the
+    fingerprint (128/256-bit binary embeddings), exactly as it raises
+    IVF_CAP with n."""
+    return boundary_pruned_topk(
+        _bq_scored(spark, sf_dir, None),
+        _bq_scored(spark, sf_dir, topk_sample_pred()),
+        "hamming_sim",
+    )
+
+
+def _build_bq_topk_sql() -> str:
+    packs = ",\n         ".join(
+        f"{_bq_pack_sql('embedding', w, one_based=True)} AS w{w}"
+        for w in range(BQ_WORDS)
+    )
+    xors = " + ".join(
+        f"bit_count(xor(b.w{i}, q.q{i}))" for i in range(BQ_WORDS)
+    )
+    qcols = ", ".join(f"w{w} AS q{w}" for w in range(BQ_WORDS))
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         {packs}
+  FROM embeddings WHERE {valid_vec_pred_sql()}
+),
+q AS (
+  SELECT vec_id AS query_id, {qcols}
+  FROM base WHERE {query_subset_pred()}
+),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         CAST({DIM} - ({xors}) AS BIGINT) AS hamming_sim
+  FROM base b JOIN q ON b.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, hamming_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY hamming_sim DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+ANN_BINARY_HAMMING_TOPK_SQL = _build_bq_topk_sql()
+
+
+def binary_quant_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of binary (sign-bit) quantization against exact float
+    cosine — the number that says what 32× compression gave up (the
+    `ann_lsh_recall_audit` pattern applied to 1-bit embeddings). One
+    row per query: exact-neighbor count, Hamming-top-K hits inside the
+    exact top-K, recall = hits/K.
+
+    Scale shape: both inputs are bounded query results; the exact side
+    reuses the SAME session-cached frame as `ann_lsh_recall_audit`
+    (`ann_recall_exact` shared-index key) so a session auditing
+    several index types pays the |Q|·n exact scan once."""
+    exact = caches.shared_index(
+        f"ann_recall_exact::{sf_dir}",
+        lambda: ann_brute_force_topk(spark, sf_dir).select(
+            "query_id", "vec_id"
+        ),
+    )
+    exact.count()
+    approx = ann_binary_hamming_topk(spark, sf_dir).select(
+        "query_id", "vec_id"
+    )
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        n_exact.join(n_hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("hits", F.lit(0)) / F.col("n_exact")).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+BINARY_QUANT_RECALL_AUDIT_SQL = f"""
+WITH exact AS MATERIALIZED (
+  SELECT query_id, vec_id FROM ({ANN_BRUTE_FORCE_TOPK_SQL.strip()})
+),
+approx AS MATERIALIZED (
+  SELECT query_id, vec_id FROM ({ANN_BINARY_HAMMING_TOPK_SQL.strip()})
+),
+n_exact AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM exact GROUP BY query_id
+),
+n_hits AS (
+  SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits
+  FROM exact e JOIN approx a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY e.query_id
+)
+SELECT n_exact.query_id AS query_id,
+       n_exact.n_exact AS n_exact,
+       CAST(COALESCE(n_hits.hits, 0) AS BIGINT) AS n_hits,
+       (CAST(COALESCE(n_hits.hits, 0) AS BIGINT) / n_exact.n_exact)
+         AS recall
+FROM n_exact LEFT JOIN n_hits ON n_hits.query_id = n_exact.query_id
+"""

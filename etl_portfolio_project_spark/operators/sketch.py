@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.registry import load_table
+from ..sources.registry import balanced, load_table
 from .text import portable_hash60, portable_hash60_sql
 
 HLL_B = 6  # register-index bits
@@ -256,4 +256,101 @@ SELECT p.user_id, p.exact_count, min(c.counter) AS cms_estimate
 FROM probes p JOIN cms c ON p.i = c.i AND p.bucket = c.bucket
 GROUP BY p.user_id, p.exact_count
 ORDER BY cms_estimate DESC, p.user_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values) distinct-count sketch (r9) — the
+# bottom-k companion to the HLL registers (Bar-Yossef et al. 2002;
+# the theta-sketch family's core). Unlike HLL's fixed registers, KMV
+# keeps the k smallest hash values; its estimate (k-1)/U_k is a pure
+# deterministic function of the hash set, so it grades bit-exactly.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+KMV_SALT = "kmv:"  # independent of the HLL hash
+KMV_HASH_SPACE = 2**60  # portable_hash60 range
+
+
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user estimate per event_type: hash every user to
+    (0, 2^60), take the k-th smallest DISTINCT hash U_k per group, and
+    estimate distinct = (k-1) / (U_k / 2^60). Groups with fewer than k
+    distinct users fall back to the exact count (the KMV small-set
+    rule) with kth_hash = -1 (sentinel, never a NULL BIGINT — engine
+    NULL representation drift). Exact distinct count alongside (the
+    harness-scale accuracy companion, the HLL pattern).
+
+    Bit-exact: U_k is an integer selected by rank (md5-60bit ties
+    within a group are impossible AFTER the distinct), and the
+    estimate is one fixed-order double chain (63·2^60 is exactly
+    representable; one divide).
+
+    Scale shape: distinct (group, hash) is one partial-agg'd shuffle;
+    the k-th-smallest selection is a group-partitioned rank window —
+    parallel across groups; a skewed meganroup at 100 TB uses the
+    sampled-boundary recipe (keep hashes below a sampled k-th bound,
+    `boundary_survivors` precedent) before the window. KMV sketches
+    merge by unioning hash sets and re-taking bottom-k — the mergeable
+    property that makes it a distributed sketch."""
+    from pyspark.sql import Window
+
+    e = balanced(load_table(spark, sf_dir, "events")).where(
+        F.col("user_id").isNotNull()
+    )
+    h = portable_hash60(
+        F.concat(F.lit(KMV_SALT), F.col("user_id").cast("string"))
+    )
+    dh = e.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == KMV_K)
+        .select("event_type", F.col("h").alias("kth"))
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    est = F.expr(
+        f"CASE WHEN kth IS NULL THEN CAST(exact_distinct AS DOUBLE) "
+        f"ELSE CAST({KMV_K - 1} AS DOUBLE) "
+        f"     * CAST({KMV_HASH_SPACE} AS DOUBLE) / CAST(kth AS DOUBLE) "
+        f"END"
+    )
+    return exact.join(kth, "event_type", "left").select(
+        "event_type",
+        "exact_distinct",
+        F.coalesce("kth", F.lit(-1)).alias("kth_hash"),
+        est.alias("kmv_estimate"),
+    )
+
+
+KMV_DISTINCT_USERS_SQL = f"""
+WITH dh AS (
+  SELECT DISTINCT event_type,
+         {portable_hash60_sql(
+             "'" + KMV_SALT + "' || CAST(user_id AS VARCHAR)"
+         )} AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+kth AS (
+  SELECT event_type, h AS kth FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM dh
+  ) WHERE rn = {KMV_K}
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+           AS exact_distinct
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+)
+SELECT exact.event_type AS event_type,
+       exact.exact_distinct AS exact_distinct,
+       COALESCE(kth.kth, -1) AS kth_hash,
+       CASE WHEN kth.kth IS NULL THEN CAST(exact_distinct AS DOUBLE)
+            ELSE CAST({KMV_K - 1} AS DOUBLE)
+                 * CAST({KMV_HASH_SPACE} AS DOUBLE) / CAST(kth.kth AS DOUBLE)
+       END AS kmv_estimate
+FROM exact LEFT JOIN kth ON kth.event_type = exact.event_type
 """

@@ -1,0 +1,116 @@
+"""Property tests for the r9b additions: KMV distinct sketch and
+binary (sign-bit) Hamming retrieval. Oracle differentials live in
+tools/verify_local.py; these pin the semantics against independent
+Python re-implementations."""
+
+from __future__ import annotations
+
+import hashlib
+
+from etl_portfolio_project_spark.operators import similarity as S
+from etl_portfolio_project_spark.operators import sketch as SK
+
+from .conftest import SF_SMALL
+
+SF_MID = "/root/testdata/sf0.01"
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_kmv_small_set_fallback(spark):
+    """sf0.001 has 15 distinct users per type (< k=64): every group
+    must take the exact-count fallback with the -1 sentinel."""
+    rows = SK.kmv_distinct_users(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.kth_hash == -1
+        assert r.kmv_estimate == float(r.exact_distinct)
+
+
+def test_kmv_matches_python(spark):
+    """sf0.01 has 150 distinct users per type (> k): the k-th smallest
+    salted hash and the estimate must match an exact Python replay,
+    and the estimate must land within 50% of truth (k=64 gives
+    ~1/sqrt(62) ≈ 13% std error)."""
+    rows = {r.event_type: r for r in SK.kmv_distinct_users(spark, SF_MID).collect()}
+    ev = (
+        spark.read.parquet(f"{SF_MID}/events.parquet")
+        .select("event_type", "user_id")
+        .collect()
+    )
+    users: dict[str, set] = {}
+    for r in ev:
+        if r.user_id is not None:
+            users.setdefault(r.event_type, set()).add(r.user_id)
+    for t, us in users.items():
+        got = rows[t]
+        assert got.exact_distinct == len(us)
+        hs = sorted(_h60(f"{SK.KMV_SALT}{u}") for u in us)
+        if len(hs) >= SK.KMV_K:
+            kth = hs[SK.KMV_K - 1]
+            assert got.kth_hash == kth
+            est = (
+                float(SK.KMV_K - 1)
+                * float(SK.KMV_HASH_SPACE)
+                / float(kth)
+            )
+            assert got.kmv_estimate == est
+            assert 0.5 * len(us) < est < 1.5 * len(us)
+
+
+def _pack_words(vec):
+    words = [0] * S.BQ_WORDS
+    for d, x in enumerate(vec):
+        if x is not None and x > 0:
+            words[d // S.BQ_WORD_BITS] |= 1 << (d % S.BQ_WORD_BITS)
+    return words
+
+
+def test_hamming_topk_matches_python(spark):
+    """Full replay: pack sign bits, score every candidate by
+    DIM − popcount(xor), take top-K with the vec_id tie-break —
+    the Spark result must agree exactly for every query."""
+    out: dict[int, list] = {}
+    for r in S.ann_binary_hamming_topk(spark, SF_SMALL).collect():
+        out.setdefault(r.query_id, []).append(
+            (r.rank, r.vec_id, r.hamming_sim)
+        )
+    vecs = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+        if r.embedding is not None
+        and len(r.embedding) == S.DIM
+        and all(x is not None for x in r.embedding)
+    }
+    packed = {i: _pack_words(v) for i, v in vecs.items()}
+    queries = [
+        i
+        for i in packed
+        if i % S.QUERY_MOD == 0 and i < S.QUERY_ID_BOUND
+    ]
+    assert queries
+    for qid in queries:
+        qw = packed[qid]
+        scored = []
+        for vid, w in packed.items():
+            if vid == qid:
+                continue
+            ham = sum(bin(a ^ b).count("1") for a, b in zip(qw, w))
+            scored.append((-(S.DIM - ham), vid))
+        scored.sort()
+        expect = [
+            (rk + 1, vid, -negsim)
+            for rk, (negsim, vid) in enumerate(scored[: S.TOP_K])
+        ]
+        assert sorted(out[qid]) == expect, qid
+
+
+def test_binary_recall_bounds(spark):
+    rows = S.binary_quant_recall_audit(spark, SF_MID).collect()
+    assert rows
+    for r in rows:
+        assert r.n_exact >= 1
+        assert 0 <= r.n_hits <= r.n_exact
+        assert r.recall == r.n_hits / r.n_exact

@@ -414,6 +414,16 @@ SHUFFLE_BUDGET = {
     "domain_quota_sample": 3,
     # pure narrow generated-HOF map: balanced spread only
     "span_corruption_masks": 1,
+    # r9b: boundary-pruned top-k twin of ann_brute_force_topk (7),
+    # all-integer scoring
+    "ann_binary_hamming_topk": 7,
+    # composition: boundary-pruned brute force (7) + hamming top-k (7)
+    # + 2 tiny per-query aggs + the ≤|Q|-row audit joins (the
+    # lsh-audit shape; both legs pay their own balanced spreads cold)
+    "binary_quant_recall_audit": 20,
+    # balanced + distinct (type, hash) + type-partitioned rank window
+    # + exact-distinct two-phase agg; kth side broadcast into the join
+    "kmv_distinct_users": 6,
 }
 
 
@@ -525,7 +535,8 @@ def test_small_side_broadcasts(spark, name):
 
 @pytest.mark.parametrize(
     "name, score",
-    [("ann_brute_force_topk", "cosine"), ("multivector_maxsim_topk", "maxsim")],
+    [("ann_brute_force_topk", "cosine"), ("multivector_maxsim_topk", "maxsim"),
+     ("ann_binary_hamming_topk", "hamming_sim")],
 )
 def test_rescorer_topk_window_is_boundary_pruned(spark, name, score):
     """The exact rescorers must never window-sort the corpus-sized
