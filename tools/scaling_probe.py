@@ -1202,6 +1202,43 @@ def probe_r9_curation(spark, sf_dir: str, label: str) -> dict:
     return r
 
 
+def probe_r9b(spark, sf_dir: str, label: str) -> dict:
+    """r9b ops: (a) `ann_binary_hamming_topk` — wall + the
+    boundary-pruned survivor count, measuring the docstring's owned
+    caveat (integer scores in [0, DIM] make the sampled boundary
+    coarser than cosine's: survivors include the full tie mass at the
+    k-th value, so unlike the cosine rescorers they are NOT expected
+    corpus-invariant at fixed DIM); (b) `kmv_distinct_users` — one
+    distinct shuffle + a |groups|-bounded output, wall tracks the
+    scan. Uses the operators' own frames (shared-helper rule)."""
+    from etl_portfolio_project_spark import caches
+    from etl_portfolio_project_spark.operators import similarity, sketch
+
+    r = {"sf": label}
+    r["n_vec"] = int(
+        similarity.load_table(spark, sf_dir, "embeddings").count()
+    )
+    surv = similarity.boundary_survivors(
+        similarity._bq_scored(spark, sf_dir, None),
+        similarity._bq_scored(
+            spark, sf_dir, similarity.topk_sample_pred()
+        ),
+        "hamming_sim",
+    )
+    r["hamming_survivors"] = int(surv.count())
+    _, r["hamming_secs"] = timed(
+        lambda: similarity.ann_binary_hamming_topk(spark, sf_dir).count()
+    )
+    caches.release_all()
+    if os.path.exists(f"{sf_dir}/events.parquet"):
+        rows, r["kmv_secs"] = timed(
+            lambda: sketch.kmv_distinct_users(spark, sf_dir).collect()
+        )
+        r["kmv_groups"] = len(rows)
+    caches.release_all()
+    return r
+
+
 def main() -> int:
     if "--skip-generate" not in sys.argv:
         need = not all(
@@ -1217,6 +1254,25 @@ def main() -> int:
 
     spark = get_spark(app_name="scaling_probe")
     spark.read.parquet(f"{SRC_SF}/orders.parquet").count()
+
+    if "--only-r9b" in sys.argv:
+        raw_path = os.path.join(_REPO, "SCALING_RAW.json")
+        with open(raw_path) as f:
+            raw = json.load(f)
+        b_rows = []
+        for sf_dir, label in [
+            ("/root/testdata/sf0.01", "sf0.01"),
+            (SRC_SF, "sf0.1"),
+            (SCALE_DIR, "sf1e"),
+        ]:
+            print(f"--- r9b operators at {label}")
+            b_rows.append(probe_r9b(spark, sf_dir, label))
+            print(json.dumps(b_rows[-1]))
+        raw["r9b"] = b_rows
+        with open(raw_path, "w") as f:
+            json.dump(raw, f, indent=1)
+        print("merged r9b into SCALING_RAW.json")
+        return 0
 
     if "--only-r9" in sys.argv:
         raw_path = os.path.join(_REPO, "SCALING_RAW.json")
@@ -1251,6 +1307,16 @@ def main() -> int:
             cur_rows.append(probe_r9_curation(spark, sf_dir, label))
             print(json.dumps(cur_rows[-1]))
         raw["r9_curation"] = cur_rows
+        b_rows = []
+        for sf_dir, label in [
+            ("/root/testdata/sf0.01", "sf0.01"),
+            (SRC_SF, "sf0.1"),
+            (SCALE_DIR, "sf1e"),
+        ]:
+            print(f"--- r9b operators at {label}")
+            b_rows.append(probe_r9b(spark, sf_dir, label))
+            print(json.dumps(b_rows[-1]))
+        raw["r9b"] = b_rows
         with open(raw_path, "w") as f:
             json.dump(raw, f, indent=1)
         print("merged r9_new into SCALING_RAW.json")
