@@ -582,6 +582,10 @@ _EXTENSIONS = [
      "Integer fixed-point PageRank over the near-dup graph (5 "
      "unrolled iterations, micro-unit ranks): deterministic survivor "
      "ranking inside dup clusters."),
+    ("kcore_dedup_graph", D.kcore_dedup_graph, D.KCORE_DEDUP_GRAPH_SQL,
+     "2-core of the near-dup graph via a counted 3-round peel "
+     "(degree agg + semi-join filter per round): separates robust "
+     "duplicate groups from chained borderline matches (r9)."),
     ("incremental_minhash_dedup", D.incremental_minhash_dedup,
      D.INCREMENTAL_MINHASH_DEDUP_SQL,
      "Incremental corpus dedup: incoming batch vs the persisted "
@@ -820,6 +824,12 @@ _EXTENSIONS += [
      "T5-style span-corruption mask selection: deterministic 15% "
      "span masking keyed on (doc_id, span), exact per-doc stats + "
      "mask-position fingerprint; pure narrow map, zero shuffles (r9)."),
+    ("epoch_shuffle_audit", CU.epoch_shuffle_audit,
+     CU.EPOCH_SHUFFLE_AUDIT_SQL,
+     "Per-epoch seeded-shuffle order audit: exact global positions "
+     "via the distributed ranged_row_number helper (never a single-"
+     "reducer sort), position-weighted permutation fingerprint + "
+     "head-sample hash per epoch (r9)."),
 ]
 
 for _name, _fn, _sql, _doc in _EXTENSIONS:

@@ -601,3 +601,107 @@ FROM masked
 
 
 SPAN_CORRUPTION_MASKS_SQL = _span_sql()
+
+
+# --- epoch shuffle-order audit ------------------------------------------------
+
+#: epochs audited and the head-sample size per epoch
+EPOCH_COUNT = 3
+EPOCH_HEAD_K = 10
+EPOCH_SALT = "epoch:"
+
+
+def epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch data-order audit: a training run's
+    epoch e visits documents in the order of `md5('epoch:e:' ||
+    doc_id)` — a seeded shuffle that is a pure function of (epoch,
+    doc_id), so a resumed/re-run job reproduces the identical batch
+    stream. Per epoch this emits the exact order's fingerprints: a
+    position-weighted permutation fingerprint (catches ANY transposed
+    pair) and a hash of the first-K sample (the order's 'head' a
+    debugging session eyeballs), plus the doc count.
+
+    The global positions come from `ranking.ranged_row_number` — the
+    distributed-rank helper (range-partition, rank locally, offset
+    correction), NOT a single-reducer window: ordering a 100 TB epoch
+    is exactly the workload the helper exists for. Each epoch is an
+    independent ranking (3 parallel-range sorts), matching how real
+    epoch orders are materialized per epoch.
+
+    Fingerprint math is exact: each term (pos mod P)·(hash mod P)
+    mod P < P, summed in DECIMAL(38,0), folded to BIGINT by the outer
+    mod (the CLAUDE.md wide-decimal rule)."""
+    from .ranking import ranged_row_number
+
+    d = balanced(load_table(spark, sf_dir, "documents")).where(
+        F.col("doc_id").isNotNull()
+    )
+    per_epoch = []
+    for ep in range(EPOCH_COUNT):
+        h = portable_hash60(
+            F.concat(
+                F.lit(f"{EPOCH_SALT}{ep}:"), F.col("doc_id").cast("string")
+            )
+        )
+        frame = d.select("doc_id", h.alias("h"))
+        ranked = ranged_row_number(
+            frame, [F.col("h").asc(), F.col("doc_id").asc()], out="pos"
+        )
+        per_epoch.append(
+            ranked.select(
+                F.lit(ep).alias("epoch"), "doc_id", "h", "pos"
+            )
+        )
+    u = per_epoch[0]
+    for nxt in per_epoch[1:]:
+        u = u.unionByName(nxt)
+    term = F.expr(f"((pos % {FP_MOD}) * (h % {FP_MOD})) % {FP_MOD}")
+    head_struct = F.when(
+        F.col("pos") <= EPOCH_HEAD_K, F.struct("pos", "doc_id")
+    )
+    g = u.groupBy("epoch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum(term.cast("decimal(38,0)")) % FP_MOD)
+        .cast("long")
+        .alias("perm_fp"),
+        F.collect_list(head_struct).alias("head"),
+    )
+    head_fp = portable_hash60(
+        F.expr(
+            "array_join(transform(array_sort(head), "
+            "s -> CAST(s.doc_id AS STRING)), ',')"
+        )
+    )
+    return g.select("epoch", "n_docs", "perm_fp", head_fp.alias("head_fp"))
+
+
+def _epoch_sql() -> str:
+    parts = []
+    for ep in range(EPOCH_COUNT):
+        h = portable_hash60_sql(
+            f"'{EPOCH_SALT}{ep}:' || CAST(doc_id AS VARCHAR)"
+        )
+        parts.append(
+            f"""
+  SELECT {ep} AS epoch, doc_id, {h} AS h,
+         row_number() OVER (ORDER BY {h}, doc_id) AS pos
+  FROM documents WHERE doc_id IS NOT NULL"""
+        )
+    union = "\n  UNION ALL\n".join(parts)
+    head_list = (
+        f"array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY pos) "
+        f"FILTER (WHERE pos <= {EPOCH_HEAD_K}), ',')"
+    )
+    return f"""
+WITH ranked AS ({union})
+SELECT epoch,
+       count(*) AS n_docs,
+       CAST(sum(((pos % {FP_MOD}) * (h % {FP_MOD})) % {FP_MOD})
+            % {FP_MOD} AS BIGINT) AS perm_fp,
+       {portable_hash60_sql(head_list)} AS head_fp
+FROM ranked
+GROUP BY epoch
+"""
+
+
+EPOCH_SHUFFLE_AUDIT_SQL = _epoch_sql()

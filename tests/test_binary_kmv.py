@@ -114,3 +114,67 @@ def test_binary_recall_bounds(spark):
         assert r.n_exact >= 1
         assert 0 <= r.n_hits <= r.n_exact
         assert r.recall == r.n_hits / r.n_exact
+
+
+def test_epoch_shuffle_matches_python(spark):
+    """Replay: per-epoch md5 order, position-weighted permutation
+    fingerprint and head-sample hash must match exactly."""
+    from etl_portfolio_project_spark.operators import curation as CU
+
+    out = {r.epoch: r for r in CU.epoch_shuffle_audit(spark, SF_SMALL).collect()}
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id")
+        .collect()
+        if r.doc_id is not None
+    ]
+    P = CU.FP_MOD
+    for ep in range(CU.EPOCH_COUNT):
+        order = sorted(
+            (_h60(f"{CU.EPOCH_SALT}{ep}:{i}"), i) for i in ids
+        )
+        fp = 0
+        for pos, (h, _i) in enumerate(order, start=1):
+            fp = (fp + (pos % P) * (h % P) % P) % P
+        head = ",".join(str(i) for _h, i in order[: CU.EPOCH_HEAD_K])
+        got = out[ep]
+        assert got.n_docs == len(ids)
+        assert got.perm_fp == fp
+        assert got.head_fp == _h60(head)
+
+
+def test_kcore_is_true_fixpoint_at_harness(spark):
+    """At harness scale the counted 3-round peel must have converged:
+    re-peeling the returned core in Python removes nothing, and every
+    member has core_degree >= K within the core subgraph."""
+    from etl_portfolio_project_spark.operators import dedup as D
+
+    core = {
+        r.doc_id: r.core_degree
+        for r in D.kcore_dedup_graph(spark, SF_MID).collect()
+    }
+    edges = {
+        (min(r.id1, r.id2), max(r.id1, r.id2))
+        for r in D.neardup_jaccard(spark, SF_MID)
+        .select("id1", "id2")
+        .collect()
+    }
+    # python fixpoint peel
+    es = set(edges)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {i for i, d in deg.items() if d >= D.KCORE_K}
+        nes = {(a, b) for a, b in es if a in keep and b in keep}
+        if nes == es:
+            break
+        es = nes
+    expect: dict[int, int] = {}
+    for a, b in es:
+        expect[a] = expect.get(a, 0) + 1
+        expect[b] = expect.get(b, 0) + 1
+    expect = {i: d for i, d in expect.items() if d >= D.KCORE_K}
+    assert core == expect

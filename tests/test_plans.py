@@ -424,6 +424,14 @@ SHUFFLE_BUDGET = {
     # balanced + distinct (type, hash) + type-partitioned rank window
     # + exact-distinct two-phase agg; kth side broadcast into the join
     "kmv_distinct_users": 6,
+    # 3 epochs x ranged_row_number (range exchange + sizes agg +
+    # bounded offsets window, the global_revenue_rank shape) + the
+    # final per-epoch agg
+    "epoch_shuffle_audit": 10,
+    # cold = claimed jaccard edge pipeline + 3 peel rounds x (degree
+    # union-agg + 2 semi-join filters, each round claimed) + final
+    # degree agg; every join an id equi-join, work ∝ |E| per round
+    "kcore_dedup_graph": 21,
 }
 
 
