@@ -2567,6 +2567,61 @@ KCORE_K = 2
 KCORE_ROUNDS = 3
 
 
+#: above this edge count the peel runs distributed; below, the graph
+#: is driver-finished (the CC_DRIVER_FINISH precedent: a dup graph
+#: this small costs more in job-scheduling floors than in compute)
+KCORE_DRIVER_FINISH_MAX_EDGES = 200_000
+
+
+def _kcore_peel_py(edge_rows: list) -> list:
+    """Counted KCORE_ROUNDS-round peel in plain Python (driver
+    finish). Returns sorted (doc_id, core_degree) rows — the same
+    result the distributed branch computes (property-tested)."""
+    es = [(int(a), int(b)) for a, b in edge_rows]
+    for _ in range(KCORE_ROUNDS):
+        deg: dict = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {i for i, d in deg.items() if d >= KCORE_K}
+        es = [(a, b) for a, b in es if a in keep and b in keep]
+    out: dict = {}
+    for a, b in es:
+        out[a] = out.get(a, 0) + 1
+        out[b] = out.get(b, 0) + 1
+    return sorted((i, d) for i, d in out.items() if d >= KCORE_K)
+
+
+def _kcore_distributed(edges: DataFrame) -> DataFrame:
+    """Counted peel as lazy DataFrame rounds over the CLAIMED edge
+    frame. No per-round claim: every round's lineage bottoms out at
+    the round-0 InMemoryRelation, so branch re-use re-scans the tiny
+    cached edge list, never the upstream jaccard pipeline — and the
+    peel avoids 3 extra materialization jobs (measured 23.6 s → the
+    job-floor cost of 4 sequential claim+count jobs at sf0.01). A
+    100 TB deployment inserts a checkpoint every few rounds instead
+    (lineage depth, not correctness)."""
+    cur = edges
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            cur.select(F.col("lo").alias("id"))
+            .unionByName(cur.select(F.col("hi").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= KCORE_K).select("id")
+        cur = cur.join(
+            keep.withColumnRenamed("id", "lo"), "lo", "semi"
+        ).join(keep.withColumnRenamed("id", "hi"), "hi", "semi")
+    final_deg = (
+        cur.select(F.col("lo").alias("doc_id"))
+        .unionByName(cur.select(F.col("hi").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+    return final_deg.where(F.col("core_degree") >= KCORE_K)
+
+
 def kcore_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (counted peel) of the near-duplicate
     graph — the robustness filter for dup clusters: a node in the
@@ -2579,18 +2634,18 @@ def kcore_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the kmeans_lloyd_loop/pagerank precedent: a fixed unrolled
     iteration count keeps the oracle a finite CTE chain and the
     result bit-exact whether or not the peel has converged — at the
-    harness graph 3 rounds reach the fixpoint; a 100 TB deployment
-    runs the same round as a checkpointed loop until the edge count
-    stabilizes). Output: every surviving node with its degree inside
-    the surviving subgraph.
+    harness graph 3 rounds reach the fixpoint, property-tested).
+    Output: every surviving node with its degree inside the surviving
+    subgraph.
 
-    Scale shape: each round = one degree aggregation (partial-agg'd,
-    map-side combine) + two semi-joins re-filtering the edge list —
-    all equi-joins on vertex ids, work ∝ |E| per round. Each round's
-    edge frame is claimed+materialized ONCE (it feeds the degree
-    build AND the next round's filter; left lazy the whole upstream
-    jaccard pipeline re-plans per branch — the CLAUDE.md claim
-    rule)."""
+    Two-phase like the CC operators (`neardup_clusters`): the claimed
+    edge list is driver-peeled below KCORE_DRIVER_FINISH_MAX_EDGES
+    (post-detection dup edges at harness SFs are dozens of rows — the
+    job-scheduling floor dominates any distributed plan), and above
+    it runs the distributed counted peel (`_kcore_distributed`: one
+    partial-agg'd degree aggregation + two id-equi semi-joins per
+    round, work ∝ |E|); the two branches are property-tested equal
+    (tests/test_binary_kmv.py)."""
     edges = caches.claim(
         "kcore_edges_r0",
         neardup_jaccard(spark, sf_dir)
@@ -2600,28 +2655,13 @@ def kcore_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct(),
     )
-    edges.count()
-    cur = edges
-    for r in range(1, KCORE_ROUNDS + 1):
-        deg = (
-            cur.select(F.col("lo").alias("id"))
-            .unionByName(cur.select(F.col("hi").alias("id")))
-            .groupBy("id")
-            .agg(F.count(F.lit(1)).alias("deg"))
+    n_edges = edges.count()
+    if n_edges <= KCORE_DRIVER_FINISH_MAX_EDGES:
+        rows = _kcore_peel_py([(r[0], r[1]) for r in edges.collect()])
+        return spark.createDataFrame(
+            rows, "doc_id long, core_degree long"
         )
-        keep = deg.where(F.col("deg") >= KCORE_K).select("id")
-        nxt = cur.join(
-            keep.withColumnRenamed("id", "lo"), "lo", "semi"
-        ).join(keep.withColumnRenamed("id", "hi"), "hi", "semi")
-        cur = caches.claim(f"kcore_edges_r{r}", nxt)
-        cur.count()
-    final_deg = (
-        cur.select(F.col("lo").alias("doc_id"))
-        .unionByName(cur.select(F.col("hi").alias("doc_id")))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
-    )
-    return final_deg.where(F.col("core_degree") >= KCORE_K)
+    return _kcore_distributed(edges)
 
 
 def _build_kcore_sql() -> str:

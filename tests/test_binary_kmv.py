@@ -144,6 +144,32 @@ def test_epoch_shuffle_matches_python(spark):
         assert got.head_fp == _h60(head)
 
 
+def test_kcore_driver_and_distributed_branches_agree(spark):
+    """The driver-finish peel and the distributed counted peel must
+    produce identical cores (the CC two-phase equality contract)."""
+    from etl_portfolio_project_spark import caches
+    from etl_portfolio_project_spark.operators import dedup as D
+
+    edges = caches.claim(
+        "kcore_test_edges",
+        D.neardup_jaccard(spark, SF_MID)
+        .select(
+            D.F.least("id1", "id2").alias("lo"),
+            D.F.greatest("id1", "id2").alias("hi"),
+        )
+        .distinct(),
+    )
+    rows = edges.collect()
+    via_driver = D._kcore_peel_py([(r.lo, r.hi) for r in rows])
+    via_dist = sorted(
+        (r.doc_id, r.core_degree)
+        for r in D._kcore_distributed(edges).collect()
+    )
+    caches.release_all()
+    assert via_driver == via_dist
+    assert via_driver, "harness graph must have a non-empty 2-core"
+
+
 def test_kcore_is_true_fixpoint_at_harness(spark):
     """At harness scale the counted 3-round peel must have converged:
     re-peeling the returned core in Python removes nothing, and every

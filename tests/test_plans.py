@@ -428,9 +428,11 @@ SHUFFLE_BUDGET = {
     # bounded offsets window, the global_revenue_rank shape) + the
     # final per-epoch agg
     "epoch_shuffle_audit": 10,
-    # cold = claimed jaccard edge pipeline + 3 peel rounds x (degree
-    # union-agg + 2 semi-join filters, each round claimed) + final
-    # degree agg; every join an id equi-join, work ∝ |E| per round
+    # two-phase: at harness SFs the builder driver-finishes the
+    # claimed edge list (LocalTableScan, 0 exchanges); the budget
+    # headroom covers the forced-distributed branch (claimed jaccard
+    # edges + 3 peel rounds x (degree union-agg + 2 semi-joins) +
+    # final degree agg) exercised by the equality property test
     "kcore_dedup_graph": 21,
 }
 

@@ -1239,6 +1239,29 @@ def probe_r9b(spark, sf_dir: str, label: str) -> dict:
     return r
 
 
+def probe_r9c(spark, sf_dir: str, label: str) -> dict:
+    """r9c ops: (a) `epoch_shuffle_audit` — 3 distributed rankings
+    per run; wall must track the scan (the ranged_row_number recipe),
+    never a single task's sort; (b) `kcore_dedup_graph` — 3 counted
+    peel rounds over the jaccard edge list; wall tracks |E| (the
+    dedup-candidate invariants already laddered in `ladder`)."""
+    from etl_portfolio_project_spark import caches
+    from etl_portfolio_project_spark.operators import curation, dedup
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    r = {"sf": label}
+    r["n_docs"] = int(load_table(spark, sf_dir, "documents").count())
+    _, r["epoch_secs"] = timed(
+        lambda: curation.epoch_shuffle_audit(spark, sf_dir).count()
+    )
+    caches.release_all()
+    r["kcore_nodes"], r["kcore_secs"] = timed(
+        lambda: dedup.kcore_dedup_graph(spark, sf_dir).count()
+    )
+    caches.release_all()
+    return r
+
+
 def main() -> int:
     if "--skip-generate" not in sys.argv:
         need = not all(
@@ -1272,6 +1295,25 @@ def main() -> int:
         with open(raw_path, "w") as f:
             json.dump(raw, f, indent=1)
         print("merged r9b into SCALING_RAW.json")
+        return 0
+
+    if "--only-r9c" in sys.argv:
+        raw_path = os.path.join(_REPO, "SCALING_RAW.json")
+        with open(raw_path) as f:
+            raw = json.load(f)
+        c_rows = []
+        for sf_dir, label in [
+            ("/root/testdata/sf0.01", "sf0.01"),
+            (SRC_SF, "sf0.1"),
+            (SCALE_DIR, "sf1e"),
+        ]:
+            print(f"--- r9c operators at {label}")
+            c_rows.append(probe_r9c(spark, sf_dir, label))
+            print(json.dumps(c_rows[-1]))
+        raw["r9c"] = c_rows
+        with open(raw_path, "w") as f:
+            json.dump(raw, f, indent=1)
+        print("merged r9c into SCALING_RAW.json")
         return 0
 
     if "--only-r9" in sys.argv:
