@@ -2665,12 +2665,18 @@ def kcore_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_kcore_sql() -> str:
+    # every e{r} is MATERIALIZED: each is referenced 5× downstream
+    # (two degree-union legs, two IN-subqueries, the filter source),
+    # and DuckDB inlines plain CTEs PER REFERENCE — un-materialized,
+    # the jaccard pipeline inside e0 recomputes ~5^rounds times
+    # (measured 12.5 s → sub-second at sf0.1; the CLAUDE.md
+    # cross_source_dup_audit precedent)
     jaccard_pairs = NEARDUP_JACCARD_SQL.strip()
     ctes = [
-        f"""pairs AS (
+        f"""pairs AS MATERIALIZED (
       SELECT id1, id2 FROM ({jaccard_pairs})
     ),
-    e0 AS (
+    e0 AS MATERIALIZED (
       SELECT DISTINCT least(id1, id2) AS lo, greatest(id1, id2) AS hi
       FROM pairs
     )"""
@@ -2678,7 +2684,7 @@ def _build_kcore_sql() -> str:
     for r in range(1, KCORE_ROUNDS + 1):
         prev = f"e{r - 1}"
         ctes.append(
-            f"""k{r} AS (
+            f"""k{r} AS MATERIALIZED (
       SELECT id FROM (
         SELECT id, count(*) AS deg FROM (
           SELECT lo AS id FROM {prev}
@@ -2686,7 +2692,7 @@ def _build_kcore_sql() -> str:
         ) GROUP BY id
       ) WHERE deg >= {KCORE_K}
     ),
-    e{r} AS (
+    e{r} AS MATERIALIZED (
       SELECT e.lo, e.hi FROM {prev} e
       WHERE e.lo IN (SELECT id FROM k{r})
         AND e.hi IN (SELECT id FROM k{r})
