@@ -631,11 +631,20 @@ def epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fingerprint math is exact: each term (pos mod P)·(hash mod P)
     mod P < P, summed in DECIMAL(38,0), folded to BIGINT by the outer
     mod (the CLAUDE.md wide-decimal rule)."""
+    from .. import caches
     from .ranking import ranged_row_number
 
-    d = balanced(load_table(spark, sf_dir, "documents")).where(
-        F.col("doc_id").isNotNull()
+    # claim + materialize ONCE: the (doc_id) projection feeds all
+    # EPOCH_COUNT loop iterations, and each ranged_row_number eagerly
+    # localCheckpoints its input at build time — left lazy, every
+    # epoch re-runs the documents scan (the CLAUDE.md claim rule)
+    d = caches.claim(
+        "epoch_shuffle_docs",
+        balanced(load_table(spark, sf_dir, "documents"))
+        .where(F.col("doc_id").isNotNull())
+        .select("doc_id"),
     )
+    d.count()
     per_epoch = []
     for ep in range(EPOCH_COUNT):
         h = portable_hash60(

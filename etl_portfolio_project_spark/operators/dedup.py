@@ -1093,6 +1093,36 @@ DECONTAMINATE_NGRAMS_SQL = _build_decontaminate_sql()
 # --- graph analytics over the near-dup graph -------------------------------
 
 
+def claimed_undirected_edges(
+    spark: SparkSession, sf_dir: str, key: str
+) -> DataFrame:
+    """The canonical CLAIMED undirected edge list of the near-dup
+    graph — `(lo, hi)` with lo < hi, deduped — the ONE construction
+    shared by `neardup_triangles` and `kcore_dedup_graph` (each
+    consumer passes its own claim key: one live generation per
+    consumer; a canonicalization change lands in every graded
+    consumer at once). NOT used by `neardup_pagerank`, whose edge
+    frame is directed (both orientations) by design."""
+    return caches.claim(
+        key,
+        neardup_jaccard(spark, sf_dir)
+        .select(
+            F.least("id1", "id2").alias("lo"),
+            F.greatest("id1", "id2").alias("hi"),
+        )
+        .distinct(),
+    )
+
+
+#: DuckDB mirror of `claimed_undirected_edges`' canonicalization,
+#: over a CTE named `pairs` (id1, id2) — shared by the triangles and
+#: k-core oracles
+UNDIRECTED_EDGES_SQL = (
+    "SELECT DISTINCT least(id1, id2) AS lo, greatest(id1, id2) AS hi\n"
+    "      FROM pairs"
+)
+
+
 def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the near-duplicate graph — the standard
     graph-quality diagnostic for dedup output (triangles = transitive
@@ -1111,14 +1141,8 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches, and without the cache each branch would lazily re-run
     the whole upstream jaccard pipeline (3× the scan work and a plan
     tree that compounds at every reuse)."""
-    pairs = caches.claim(
-        "neardup_triangles_edges",
-        neardup_jaccard(spark, sf_dir)
-        .select(
-            F.least("id1", "id2").alias("lo"),
-            F.greatest("id1", "id2").alias("hi"),
-        )
-        .distinct(),
+    pairs = claimed_undirected_edges(
+        spark, sf_dir, "neardup_triangles_edges"
     )
     pairs.count()  # materialize before the three-way reuse
     e1 = pairs.alias("e1")
@@ -1149,8 +1173,7 @@ def _build_neardup_triangles_sql() -> str:
       SELECT id1, id2 FROM ({jaccard_pairs})
     ),
     e AS (
-      SELECT DISTINCT least(id1, id2) AS lo, greatest(id1, id2) AS hi
-      FROM pairs
+      {UNDIRECTED_EDGES_SQL}
     )
     SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
     FROM e e1
@@ -2593,16 +2616,17 @@ def _kcore_peel_py(edge_rows: list) -> list:
 
 
 def _kcore_distributed(edges: DataFrame) -> DataFrame:
-    """Counted peel as lazy DataFrame rounds over the CLAIMED edge
-    frame. No per-round claim: every round's lineage bottoms out at
-    the round-0 InMemoryRelation, so branch re-use re-scans the tiny
-    cached edge list, never the upstream jaccard pipeline — and the
-    peel avoids 3 extra materialization jobs (measured 23.6 s → the
-    job-floor cost of 4 sequential claim+count jobs at sf0.01). A
-    100 TB deployment inserts a checkpoint every few rounds instead
-    (lineage depth, not correctness)."""
+    """Counted peel over the CLAIMED edge frame, one claim +
+    materialization PER ROUND. The claims are load-bearing twice
+    over: round r's frame is referenced 5× by round r+1 (two
+    degree-union legs, two semi-join probes, the filter source), so
+    left lazy the plan tree — and the executed work — grows 5^rounds
+    (measured: 133 exchanges in the unclaimed 3-round plan vs ≤21
+    claimed). The per-round job floors that motivated the
+    driver-finish split are amortized here by construction: this
+    branch only runs above KCORE_DRIVER_FINISH_MAX_EDGES."""
     cur = edges
-    for _ in range(KCORE_ROUNDS):
+    for r in range(1, KCORE_ROUNDS + 1):
         deg = (
             cur.select(F.col("lo").alias("id"))
             .unionByName(cur.select(F.col("hi").alias("id")))
@@ -2610,9 +2634,11 @@ def _kcore_distributed(edges: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         keep = deg.where(F.col("deg") >= KCORE_K).select("id")
-        cur = cur.join(
+        nxt = cur.join(
             keep.withColumnRenamed("id", "lo"), "lo", "semi"
         ).join(keep.withColumnRenamed("id", "hi"), "hi", "semi")
+        cur = caches.claim(f"kcore_edges_r{r}", nxt)
+        cur.count()
     final_deg = (
         cur.select(F.col("lo").alias("doc_id"))
         .unionByName(cur.select(F.col("hi").alias("doc_id")))
@@ -2646,15 +2672,7 @@ def kcore_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg'd degree aggregation + two id-equi semi-joins per
     round, work ∝ |E|); the two branches are property-tested equal
     (tests/test_binary_kmv.py)."""
-    edges = caches.claim(
-        "kcore_edges_r0",
-        neardup_jaccard(spark, sf_dir)
-        .select(
-            F.least("id1", "id2").alias("lo"),
-            F.greatest("id1", "id2").alias("hi"),
-        )
-        .distinct(),
-    )
+    edges = claimed_undirected_edges(spark, sf_dir, "kcore_edges_r0")
     n_edges = edges.count()
     if n_edges <= KCORE_DRIVER_FINISH_MAX_EDGES:
         rows = _kcore_peel_py([(r[0], r[1]) for r in edges.collect()])
@@ -2677,8 +2695,7 @@ def _build_kcore_sql() -> str:
       SELECT id1, id2 FROM ({jaccard_pairs})
     ),
     e0 AS MATERIALIZED (
-      SELECT DISTINCT least(id1, id2) AS lo, greatest(id1, id2) AS hi
-      FROM pairs
+      {UNDIRECTED_EDGES_SQL}
     )"""
     ]
     for r in range(1, KCORE_ROUNDS + 1):

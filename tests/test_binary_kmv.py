@@ -149,21 +149,24 @@ def test_kcore_driver_and_distributed_branches_agree(spark):
     produce identical cores (the CC two-phase equality contract)."""
     from etl_portfolio_project_spark import caches
     from etl_portfolio_project_spark.operators import dedup as D
+    from etl_portfolio_project_spark.plans import explain
 
-    edges = caches.claim(
-        "kcore_test_edges",
-        D.neardup_jaccard(spark, SF_MID)
-        .select(
-            D.F.least("id1", "id2").alias("lo"),
-            D.F.greatest("id1", "id2").alias("hi"),
-        )
-        .distinct(),
-    )
+    edges = D.claimed_undirected_edges(spark, SF_MID, "kcore_test_edges")
     rows = edges.collect()
     via_driver = D._kcore_peel_py([(r.lo, r.hi) for r in rows])
+    dist = D._kcore_distributed(edges)
+    # the >200k-edge production path's plan contract, checked HERE
+    # because the builder's SF_SMALL plan is the driver-finish
+    # LocalTableScan: exchange budget + no unpartitioned window
+    plan = explain.physical_plan(dist)
+    assert explain.count_shuffles_in(plan) <= 21, plan
+    assert not [
+        w
+        for w in explain.unpartitioned_windows(plan)
+        if "_rrn_pid" not in w
+    ], plan
     via_dist = sorted(
-        (r.doc_id, r.core_degree)
-        for r in D._kcore_distributed(edges).collect()
+        (r.doc_id, r.core_degree) for r in dist.collect()
     )
     caches.release_all()
     assert via_driver == via_dist
@@ -203,4 +206,7 @@ def test_kcore_is_true_fixpoint_at_harness(spark):
         expect[a] = expect.get(a, 0) + 1
         expect[b] = expect.get(b, 0) + 1
     expect = {i: d for i, d in expect.items() if d >= D.KCORE_K}
+    from etl_portfolio_project_spark import caches
+
+    caches.release_all()  # the builder claims its edge list
     assert core == expect

@@ -429,10 +429,11 @@ SHUFFLE_BUDGET = {
     # final per-epoch agg
     "epoch_shuffle_audit": 10,
     # two-phase: at harness SFs the builder driver-finishes the
-    # claimed edge list (LocalTableScan, 0 exchanges); the budget
-    # headroom covers the forced-distributed branch (claimed jaccard
-    # edges + 3 peel rounds x (degree union-agg + 2 semi-joins) +
-    # final degree agg) exercised by the equality property test
+    # claimed edge list (LocalTableScan, 0 exchanges). The
+    # >200k-edge distributed branch's plan contract (same 21-exchange
+    # budget + the unpartitioned-window ban) is asserted directly on
+    # _kcore_distributed in tests/test_binary_kmv.py::
+    # test_kcore_driver_and_distributed_branches_agree
     "kcore_dedup_graph": 21,
 }
 

@@ -1278,91 +1278,56 @@ def main() -> int:
     spark = get_spark(app_name="scaling_probe")
     spark.read.parquet(f"{SRC_SF}/orders.parquet").count()
 
-    if "--only-r9b" in sys.argv:
+    #: the full SF ladder; probes that need tables sf1e lacks take
+    #: HARNESS_DIRS instead
+    LADDER_DIRS = [
+        ("/root/testdata/sf0.01", "sf0.01"),
+        (SRC_SF, "sf0.1"),
+        (SCALE_DIR, "sf1e"),
+    ]
+    HARNESS_DIRS = LADDER_DIRS[:2]
+
+    def _merge_probes(sections: list) -> int:
+        """Run (raw_key, probe_fn, dirs) sections and merge each into
+        SCALING_RAW.json — the ONE load/iterate/merge/write
+        implementation (a per-flag copy once left sibling sections
+        stale: --only-r9 refreshed r9b but not r9c)."""
         raw_path = os.path.join(_REPO, "SCALING_RAW.json")
         with open(raw_path) as f:
             raw = json.load(f)
-        b_rows = []
-        for sf_dir, label in [
-            ("/root/testdata/sf0.01", "sf0.01"),
-            (SRC_SF, "sf0.1"),
-            (SCALE_DIR, "sf1e"),
-        ]:
-            print(f"--- r9b operators at {label}")
-            b_rows.append(probe_r9b(spark, sf_dir, label))
-            print(json.dumps(b_rows[-1]))
-        raw["r9b"] = b_rows
+        for raw_key, probe_fn, dirs in sections:
+            rows = []
+            for sf_dir, label in dirs:
+                print(f"--- {raw_key} at {label}")
+                rows.append(probe_fn(spark, sf_dir, label))
+                print(json.dumps(rows[-1]))
+            raw[raw_key] = rows
         with open(raw_path, "w") as f:
             json.dump(raw, f, indent=1)
-        print("merged r9b into SCALING_RAW.json")
+        print(
+            "merged into SCALING_RAW.json: "
+            + ", ".join(k for k, _f, _d in sections)
+        )
         return 0
+
+    #: every r9-generation section — --only-r9 refreshes them ALL so
+    #: SCALING_RAW.json never mixes measurement generations
+    R9_SECTIONS = [
+        ("r9_new", probe_r9, LADDER_DIRS),
+        ("r9_relational", probe_r9_relational, HARNESS_DIRS),
+        ("r9_curation", probe_r9_curation, LADDER_DIRS),
+        ("r9b", probe_r9b, LADDER_DIRS),
+        ("r9c", probe_r9c, LADDER_DIRS),
+    ]
+
+    if "--only-r9b" in sys.argv:
+        return _merge_probes([R9_SECTIONS[3]])
 
     if "--only-r9c" in sys.argv:
-        raw_path = os.path.join(_REPO, "SCALING_RAW.json")
-        with open(raw_path) as f:
-            raw = json.load(f)
-        c_rows = []
-        for sf_dir, label in [
-            ("/root/testdata/sf0.01", "sf0.01"),
-            (SRC_SF, "sf0.1"),
-            (SCALE_DIR, "sf1e"),
-        ]:
-            print(f"--- r9c operators at {label}")
-            c_rows.append(probe_r9c(spark, sf_dir, label))
-            print(json.dumps(c_rows[-1]))
-        raw["r9c"] = c_rows
-        with open(raw_path, "w") as f:
-            json.dump(raw, f, indent=1)
-        print("merged r9c into SCALING_RAW.json")
-        return 0
+        return _merge_probes([R9_SECTIONS[4]])
 
     if "--only-r9" in sys.argv:
-        raw_path = os.path.join(_REPO, "SCALING_RAW.json")
-        with open(raw_path) as f:
-            raw = json.load(f)
-        rows = []
-        for sf_dir, label in [
-            ("/root/testdata/sf0.01", "sf0.01"),
-            (SRC_SF, "sf0.1"),
-            (SCALE_DIR, "sf1e"),
-        ]:
-            print(f"--- r9 operators at {label}")
-            rows.append(probe_r9(spark, sf_dir, label))
-            print(json.dumps(rows[-1]))
-        raw["r9_new"] = rows
-        rel_rows = []
-        for sf_dir, label in [
-            ("/root/testdata/sf0.01", "sf0.01"),
-            (SRC_SF, "sf0.1"),
-        ]:
-            print(f"--- r9 relational operators at {label}")
-            rel_rows.append(probe_r9_relational(spark, sf_dir, label))
-            print(json.dumps(rel_rows[-1]))
-        raw["r9_relational"] = rel_rows
-        cur_rows = []
-        for sf_dir, label in [
-            ("/root/testdata/sf0.01", "sf0.01"),
-            (SRC_SF, "sf0.1"),
-            (SCALE_DIR, "sf1e"),
-        ]:
-            print(f"--- r9 curation operators at {label}")
-            cur_rows.append(probe_r9_curation(spark, sf_dir, label))
-            print(json.dumps(cur_rows[-1]))
-        raw["r9_curation"] = cur_rows
-        b_rows = []
-        for sf_dir, label in [
-            ("/root/testdata/sf0.01", "sf0.01"),
-            (SRC_SF, "sf0.1"),
-            (SCALE_DIR, "sf1e"),
-        ]:
-            print(f"--- r9b operators at {label}")
-            b_rows.append(probe_r9b(spark, sf_dir, label))
-            print(json.dumps(b_rows[-1]))
-        raw["r9b"] = b_rows
-        with open(raw_path, "w") as f:
-            json.dump(raw, f, indent=1)
-        print("merged r9_new into SCALING_RAW.json")
-        return 0
+        return _merge_probes(R9_SECTIONS)
 
     if "--only-r8" in sys.argv:
         raw_path = os.path.join(_REPO, "SCALING_RAW.json")
