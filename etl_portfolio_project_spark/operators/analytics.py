@@ -1302,18 +1302,30 @@ def source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic uniform shuffle, so the cap is an unbiased sample
     that is reproducible across runs and engines (unlike rand()).
 
-    Scale shape: one shuffle on `source` + a row_number window with
-    early cutoff. A skewed mega-domain concentrates on one task;
-    at 100 TB pre-aggregate with a per-partition partial top-K
-    (sort-limit within partitions) before the global window."""
+    Scale shape (r10): the rank window sorts only the per-source
+    boundary-prune survivors — `ranking.grouped_bottomk_survivors`
+    bounds the CAP-th smallest hash per source from one map-side
+    bucket aggregate, so the window input is ~CAP·(1+CAP/B) rows per
+    source at ANY corpus size (the r9 per-group-window fix; a skewed
+    mega-domain no longer serializes one task). Survivor ranks equal
+    full-relation ranks because the prune keeps every row at or below
+    the boundary — the kept set is provably identical."""
+    from .ranking import grouped_bottomk_survivors
     from .text import portable_hash60
 
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        portable_hash60(F.col("doc_id").cast("string")), "doc_id"
+    per = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        portable_hash60(F.col("doc_id").cast("string")).alias("_h"),
     )
+    surv = grouped_bottomk_survivors(per, ["source"], "_h", SOURCE_CAP)
+    w = Window.partitionBy("source").orderBy("_h", "doc_id")
     return (
-        d.select("doc_id", "source", "lang", F.row_number().over(w).alias("rk"))
+        surv.select(
+            "doc_id", "source", "lang", F.row_number().over(w).alias("rk")
+        )
         .where(F.col("rk") <= SOURCE_CAP)
     )
 
@@ -1592,10 +1604,17 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only floating ops are one sqrt + one multiply per SOURCE,
     mirrored exactly in the oracle.
 
-    Scale shape: source volumes are a tiny agg (broadcast back), the
-    scalar chars_max rides a broadcast cross join, and the per-source
-    hash-order row_number is one window over the source partition —
-    the same single-shuffle shape as `source_capped_docs`."""
+    Scale shape (r10): source volumes are a tiny agg (broadcast back),
+    the scalar chars_max rides a broadcast cross join, and the
+    per-source hash-order rank window sorts only the
+    `ranking.grouped_bottomk_survivors` survivor set — every quota is
+    ≤ MIX_QUOTA (sqrt ratio ≤ 1), so pruning at k = MIX_QUOTA keeps
+    every row any quota can admit while the window input stays
+    ~MIX_QUOTA·(1+MIX_QUOTA/B) rows per source at ANY corpus size
+    (the r9 per-group-window fix, same shape as
+    `source_capped_docs`)."""
+    from .ranking import grouped_bottomk_survivors
+
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.sum("n_chars").alias("n_s"))
     nmax = counts.agg(F.max("n_s").alias("n_max"))
@@ -1612,9 +1631,11 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     wsrc = Window.partitionBy("source").orderBy(
         F.col("h").asc(), F.col("doc_id").asc()
     )
+    surv = grouped_bottomk_survivors(
+        d.select("doc_id", "source", h.alias("h")), ["source"], "h", MIX_QUOTA
+    )
     return (
-        d.select("doc_id", "source", h.alias("h"))
-        .withColumn("rn", F.row_number().over(wsrc))
+        surv.withColumn("rn", F.row_number().over(wsrc))
         .join(F.broadcast(quotas), "source")
         .where(F.col("rn") <= F.col("quota"))
         .select(
@@ -1672,8 +1693,15 @@ def source_quality_percentile_filter(
     TOTAL deterministic order (fraction desc, doc_id), so the cutoff
     is engine-identical.
 
-    Scale shape: the fraction is a narrow LET-bound expression; one
-    shuffle on source for the window; the filter streams."""
+    Scale shape (r10): the rank is distributed via
+    `ranking.grouped_ranged_row_number` — range-partitioned on
+    (source, fraction desc, doc_id), so no task ever sorts a whole
+    source (the r9 per-group-window fix). percent_rank is then the
+    SAME integer ratio the engine's window computes — (rn−1)/(n−1) as
+    one double divide over the total order (the tiebreak makes
+    rank ≡ row_number), with the n=1 group pinned to 0.0 exactly as
+    percent_rank defines it."""
+    from .ranking import grouped_ranged_row_number
     from .text import bind_once_sql
 
     d = balanced(load_table(spark, sf_dir, "documents"))
@@ -1683,12 +1711,20 @@ def source_quality_percentile_filter(
         "CAST(size(array_distinct(t)) AS DOUBLE)"
         " / CAST(size(t) AS DOUBLE)",
     )
-    wsrc = Window.partitionBy("source").orderBy(
-        F.col("uniq_frac").desc(), F.col("doc_id").asc()
+    base = d.select("doc_id", "source", F.expr(uniq).alias("uniq_frac"))
+    grn = grouped_ranged_row_number(
+        base,
+        ["source"],
+        [F.col("uniq_frac").desc(), F.col("doc_id").asc()],
+        out="_pr_rn",
+        group_total="_pr_n",
+    )
+    pct = F.expr(
+        "CASE WHEN _pr_n = 1 THEN CAST(0.0 AS DOUBLE) "
+        "ELSE CAST(_pr_rn - 1 AS DOUBLE) / CAST(_pr_n - 1 AS DOUBLE) END"
     )
     return (
-        d.select("doc_id", "source", F.expr(uniq).alias("uniq_frac"))
-        .withColumn("pct_rank", F.percent_rank().over(wsrc))
+        grn.withColumn("pct_rank", pct)
         .where(F.col("pct_rank") <= F.expr("CAST(0.5 AS DOUBLE)"))
         .select("source", "doc_id", "uniq_frac", "pct_rank")
     )
@@ -1835,27 +1871,34 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation |v − med| is one exact double op per row; the outlier
     rule compares against 3.0·MAD (compare-only, never emitted).
 
-    Scale shape: two event_type-keyed windows (value rank, deviation
-    rank) + a final per-type aggregate — the windows share one
-    partitioning. Rank-selection medians shuffle only (type, value)
-    pairs; for billion-row groups you'd swap in the binned-sketch
-    median (`events_approx_quantiles` machinery) at the same API."""
+    Scale shape (r10): both rank selections are distributed via
+    `ranking.grouped_ranged_row_number` — range-partitioned on
+    (event_type, value, event_id) / (event_type, abs_dev, event_id) —
+    so no task ever sorts a whole event type (the r9 per-group-window
+    fix; a billion-row group selects its median across `ranges`
+    parallel tasks). The selected elements are identical to the plain
+    window's by the helper's exactness proof."""
     # NULL/type guards (drift-hardening sweep, r6): rank selection must
     # see the same ordered sequence in both engines — Spark sorts NULLS
     # FIRST by default where DuckDB's row_number sorts them LAST, so a
     # single NULL value would shift the selected median element; and a
     # float32-physical column must be widened before the deviation
     # arithmetic. Robust stats are over OBSERVED values by contract.
+    from .ranking import grouped_ranged_row_number
+
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         "event_id",
         F.col("value").cast("double").alias("value"),
     ).where(F.col("value").isNotNull())
-    wcnt = Window.partitionBy("event_type")
-    wval = Window.partitionBy("event_type").orderBy("value", "event_id")
     med = (
-        e.withColumn("n", F.count(F.lit(1)).over(wcnt))
-        .withColumn("rn", F.row_number().over(wval))
+        grouped_ranged_row_number(
+            e,
+            ["event_type"],
+            [F.col("value"), F.col("event_id")],
+            out="rn",
+            group_total="n",
+        )
         .where(F.col("rn") == F.expr("(n + 1) div 2"))
         .select("event_type", F.col("value").alias("med"))
     )
@@ -1872,10 +1915,14 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     dev.count()
-    wdev = Window.partitionBy("event_type").orderBy("abs_dev", "event_id")
     mad = (
-        dev.withColumn("n", F.count(F.lit(1)).over(wcnt))
-        .withColumn("rn", F.row_number().over(wdev))
+        grouped_ranged_row_number(
+            dev.select("event_type", "event_id", "abs_dev"),
+            ["event_type"],
+            [F.col("abs_dev"), F.col("event_id")],
+            out="rn",
+            group_total="n",
+        )
         .where(F.col("rn") == F.expr("(n + 1) div 2"))
         .select("event_type", F.col("abs_dev").alias("mad"))
     )

@@ -393,19 +393,26 @@ def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The corpus has no URL column; domain = source || '.example.com'
     (the url_canonical_dedup convention), NULL source routed to an
-    explicit 'unsourced' domain.
+    explicit 'unsourced' domain. A NULL doc_id is gated out on BOTH
+    sides (ADVICE r9: Spark's ascending window ranks NULLs first,
+    DuckDB's last — the gate makes the ordering engine-independent,
+    matching `epoch_shuffle_audit`).
 
-    Scale shape: the rank is a domain-partitioned window — parallel
-    across domains, per-partition work ∝ the largest domain. A 100 TB
-    megadomain would swap in the per-group boundary-prune recipe
-    (the CAP-th smallest hash per domain from a sampled pass bounds
-    the survivors, `similarity.boundary_survivors` precedent); at
-    harness skew the partitioned window is the right plan. The final
-    rollup reuses the window's hash partitioning (same key → no
-    second exchange)."""
+    Scale shape (r10): the rank window only sorts the per-domain
+    boundary-prune survivors — `ranking.grouped_bottomk_survivors`
+    bounds the CAP-th smallest hash per domain from one map-side
+    bucket aggregate, so survivors are ~CAP·(1+CAP/B) rows per domain
+    at ANY corpus size (the r9 per-group-window fix; a megadomain no
+    longer serializes one task). `n_docs` rides the same bucket
+    aggregate (`group_count`), so the full relation is touched by
+    exactly two narrow scans and zero corpus-sized shuffles."""
     from pyspark.sql import Window
 
-    d = balanced(load_table(spark, sf_dir, "documents"))
+    from .ranking import grouped_bottomk_survivors
+
+    d = balanced(load_table(spark, sf_dir, "documents")).where(
+        F.col("doc_id").isNotNull()
+    )
     per = d.select(
         F.when(F.col("source").isNull(), F.lit("unsourced.example.com"))
         .otherwise(F.concat(F.col("source"), F.lit(".example.com")))
@@ -415,13 +422,15 @@ def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit(QUOTA_SALT), F.col("doc_id").cast("string"))
         ).alias("r"),
     )
+    surv = grouped_bottomk_survivors(
+        per, ["domain"], "r", DOMAIN_QUOTA_CAP, group_count="n_docs"
+    )
     w = Window.partitionBy("domain").orderBy("r", "doc_id")
-    ranked = per.withColumn("rn", F.row_number().over(w))
+    ranked = surv.withColumn("rn", F.row_number().over(w))
     kept = F.col("rn") <= DOMAIN_QUOTA_CAP
     return (
-        ranked.groupBy("domain")
+        ranked.groupBy("domain", "n_docs")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
             F.sum(F.when(kept, F.col("r") % FP_MOD).otherwise(0))
             .cast("long")
@@ -445,7 +454,7 @@ WITH per AS (
          {portable_hash60_sql(
              "'" + QUOTA_SALT + "' || CAST(doc_id AS VARCHAR)"
          )} AS r
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ),
 ranked AS (
   SELECT domain, doc_id, r,

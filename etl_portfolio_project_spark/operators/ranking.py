@@ -304,6 +304,7 @@ def grouped_bottomk_survivors(
     k: int,
     *,
     buckets: int = BOTTOMK_BUCKETS,
+    group_count: str | None = None,
 ) -> DataFrame:
     """Rows of `df` that can rank ≤ k under ``ORDER BY value_col [,
     tiebreakers]`` within their group — the per-group twin of
@@ -324,15 +325,26 @@ def grouped_bottomk_survivors(
     keys, a per-group collect of ≤ buckets minima, and a broadcast of
     |groups| boundaries back onto the scan — the full relation is
     never shuffled or sorted; the downstream rank window sees a
-    corpus-invariant survivor set."""
+    corpus-invariant survivor set.
+
+    `group_count` (optional): also append each group's FULL row count
+    (BIGINT) under that name — it rides the same bucket aggregate, so
+    callers needing pre-prune group sizes (e.g. a retention
+    denominator) avoid a second pass over the relation."""
+    aggs = [F.min(value_col).alias("_gbk_m")]
+    if group_count is not None:
+        aggs.append(F.count(F.lit(1)).alias("_gbk_n"))
     bmin = df.groupBy(
         *group_cols, F.pmod(F.col(value_col), F.lit(buckets)).alias("_gbk_b")
-    ).agg(F.min(value_col).alias("_gbk_m"))
-    thr = bmin.groupBy(*group_cols).agg(
+    ).agg(*aggs)
+    gaggs = [
         F.expr(
             f"try_element_at(array_sort(collect_list(_gbk_m)), {int(k)})"
         ).alias("_gbk_bnd")
-    )
+    ]
+    if group_count is not None:
+        gaggs.append(F.sum("_gbk_n").cast("long").alias(group_count))
+    thr = bmin.groupBy(*group_cols).agg(*gaggs)
     return (
         _null_safe_group_join(df, thr, group_cols)
         .where(

@@ -286,14 +286,21 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate is one fixed-order double chain (63·2^60 is exactly
     representable; one divide).
 
-    Scale shape: distinct (group, hash) is one partial-agg'd shuffle;
-    the k-th-smallest selection is a group-partitioned rank window —
-    parallel across groups; a skewed meganroup at 100 TB uses the
-    sampled-boundary recipe (keep hashes below a sampled k-th bound,
-    `boundary_survivors` precedent) before the window. KMV sketches
-    merge by unioning hash sets and re-taking bottom-k — the mergeable
-    property that makes it a distributed sketch."""
+    Scale shape (r10): the k-th-smallest selection is boundary-pruned
+    BEFORE the distinct — `ranking.grouped_bottomk_survivors` bounds
+    the k-th smallest hash per event_type from one map-side bucket
+    aggregate over the RAW rows (a bucket minimum is a real hash, and
+    distinct buckets hold distinct values, so the bound holds for the
+    distinct set too), the survivor filter rides the scan, and only
+    ~K·(1+K/B) distinct hashes per group reach the distinct + rank
+    window — corpus-invariant, no per-group corpus-sized sort (the r9
+    per-group-window fix, replacing the docstring's former deferral).
+    KMV sketches merge by unioning hash sets and re-taking bottom-k —
+    the mergeable property that makes it a distributed sketch
+    (`kmv_sketch_merge` grades exactly that)."""
     from pyspark.sql import Window
+
+    from .ranking import grouped_bottomk_survivors
 
     e = balanced(load_table(spark, sf_dir, "events")).where(
         F.col("user_id").isNotNull()
@@ -301,7 +308,10 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = portable_hash60(
         F.concat(F.lit(KMV_SALT), F.col("user_id").cast("string"))
     )
-    dh = e.select("event_type", h.alias("h")).distinct()
+    hashed = e.select("event_type", h.alias("h"))
+    dh = grouped_bottomk_survivors(
+        hashed, ["event_type"], "h", KMV_K
+    ).distinct()
     w = Window.partitionBy("event_type").orderBy("h")
     kth = (
         dh.withColumn("rn", F.row_number().over(w))

@@ -569,22 +569,26 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     STARTS in and its offset there — the bookkeeping a packed-
     pretraining dataloader needs.
 
-    Scale shape: one shuffle on the shard key, one integer running sum
-    (ROWS frame — the engine's no-double-window-sums rule). Packing is
-    embarrassingly parallel across shards; a 100 TB corpus packs one
-    shard per task with O(1) state."""
+    Scale shape (r10): the integer running sum is distributed via
+    `ranking.grouped_ranged_cumsum` — range-partitioned on
+    (source, doc_id) with per-(partition, source) offsets — so no task
+    ever scans a whole shard (the r9 per-group-window fix; a 100 TB
+    megashard packs across `ranges` tasks instead of one). Integer
+    sums re-associate exactly, so the split is value-identical to the
+    single-partition window (the no-double-window-sums rule is what
+    makes the rewrite sound)."""
+    from .ranking import grouped_ranged_cumsum
+
     d = balanced(load_table(spark, sf_dir, "documents"))
     nt = "size(split(trim(text), '\\\\s+'))"
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     base = d.select(
         "doc_id", "source", F.expr(f"CAST({nt} AS BIGINT)").alias("n_tokens")
     )
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
-    return base.select(
+    g = grouped_ranged_cumsum(
+        base, ["source"], [F.col("doc_id")], "n_tokens", out="_tb"
+    )
+    cum_before = F.col("_tb")
+    return g.select(
         "doc_id",
         "source",
         "n_tokens",

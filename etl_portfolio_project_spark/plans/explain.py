@@ -154,3 +154,75 @@ def count_shuffles_in(plan: str) -> int:
 
     # count detail headers "(n) Exchange" so tree+detail aren't doubled
     return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def window_nodes(plan: str) -> list[tuple[int, set[int]]]:
+    """(node_id, subtree node ids) for each Window in the tree section
+    — `window_subtree_node_ids` plus the window's own id, so a test
+    can pair a window's Arguments with what it sorts."""
+    import re
+
+    tree = plan.split("\n\n", 1)[0]
+    nodes: list[tuple[int, str, int]] = []
+    for line in tree.splitlines():
+        m = re.search(r"([A-Za-z]\w*)[^()]*\((\d+)\)\s*$", line)
+        if m:
+            col = line.index(m.group(1))
+            if line[max(0, col - 2): col] == "* ":
+                col -= 2
+            nodes.append((col, m.group(1), int(m.group(2))))
+    out: list[tuple[int, set[int]]] = []
+    for i, (col, name, nid) in enumerate(nodes):
+        if name != "Window":
+            continue
+        sub: set[int] = set()
+        for c2, _n2, id2 in nodes[i + 1 :]:
+            if c2 <= col:
+                break
+            sub.add(id2)
+        out.append((nid, sub))
+    return out
+
+
+def window_partition_columns(plan: str, node_id: int) -> list[str] | None:
+    """Column names in one Window node's PARTITION BY spec (attribute
+    `#id` suffixes stripped), or None when the node has no partition
+    spec (the unpartitioned shape — `unpartitioned_windows`' beat).
+    Same bracket-group grammar as `unpartitioned_windows`: three
+    groups = [functions][partition][order]; two groups = partition-
+    only unless the second group is an ORDER spec."""
+    import re
+
+    det = node_detail(plan, node_id)
+    am = re.search(r"^Arguments: (.*)$", det, re.M)
+    if not am:
+        return None
+    args = am.group(1)
+    groups: list[str] = []
+    depth = 0
+    cur = ""
+    for ch in args:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+                continue
+        if depth >= 1:
+            cur += ch
+    part: str | None = None
+    if len(groups) >= 3:
+        part = groups[1]
+    elif len(groups) == 2 and not (
+        " ASC" in groups[1] or " DESC" in groups[1]
+    ):
+        part = groups[1]
+    if part is None:
+        return None
+    return [
+        m.group(1) for m in re.finditer(r"([A-Za-z_]\w*)#\d+", part)
+    ]

@@ -35,8 +35,12 @@ def test_kmv_matches_python(spark):
     and the estimate must land within 50% of truth (k=64 gives
     ~1/sqrt(62) ≈ 13% std error)."""
     rows = {r.event_type: r for r in SK.kmv_distinct_users(spark, SF_MID).collect()}
+    # load_table, not spark.read.parquet: events' physical ts type
+    # drifts between testdata generations (ADVICE r9)
+    from etl_portfolio_project_spark.sources.registry import load_table
+
     ev = (
-        spark.read.parquet(f"{SF_MID}/events.parquet")
+        load_table(spark, SF_MID, "events")
         .select("event_type", "user_id")
         .collect()
     )

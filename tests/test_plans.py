@@ -87,7 +87,7 @@ SHUFFLE_BUDGET = {
     "unpivot_part_metrics": 0,
     "top_words": 1,
     # balanced spread + source-keyed window cumsum
-    "sequence_packing_bins": 2,
+    "sequence_packing_bins": 3,  # r10 grouped ranged cumsum: range exch + sizes agg + offsets
     # balanced spread + bigram agg + w1-keyed window
     "bigram_conditional_topk": 3,
     # 2 for the sketch (register agg + sketch agg) + 2 for the exact
@@ -198,7 +198,7 @@ SHUFFLE_BUDGET = {
     "events_value_outliers": 1,  # moment agg; stats broadcast back
     # value-rank window + deviation-rank window + final agg share the
     # event_type partitioning; med/mad broadcast back
-    "events_mad_outliers": 4,
+    "events_mad_outliers": 10,  # r10: 2x grouped ranged rank (range exch + bounded sizes/offsets each)
     "label_centroid_components": 1,  # one (label, dim)-keyed agg
     # pure narrow broadcast-model scoring; 1 = balanced scan spread only
     "embedding_linear_scores": 1,
@@ -229,7 +229,7 @@ SHUFFLE_BUDGET = {
     # balanced spread + (doc,word) tf agg + word df agg + scalar-N agg;
     # df + N broadcast back, one doc_id window
     "tfidf_top_terms": 5,
-    "source_capped_docs": 1,  # one source-keyed window
+    "source_capped_docs": 3,  # r10: bottom-k bucket agg + boundary + survivor window
     # balanced + (doc,gram) agg + gram-df window + per-doc agg (the
     # tfidf no-rescan shape at the n-gram level)
     "boilerplate_ngram_fraction": 4,
@@ -257,9 +257,9 @@ SHUFFLE_BUDGET = {
     # eager localCheckpoint, before this plan); offsets broadcast back
     "global_revenue_rank": 3,
     # volume agg + broadcast-scalar max + source window; quotas broadcast
-    "corpus_temperature_mixture": 4,
+    "corpus_temperature_mixture": 6,  # r10: + bottom-k bucket agg/boundary (survivor window)
     # narrow fraction expr + one source-keyed window (+ balanced spread)
-    "source_quality_percentile_filter": 2,
+    "source_quality_percentile_filter": 3,  # r10 grouped ranged rank
     "cms_heavy_hitters": 2,  # sketch-build agg + per-user exact agg
     # broadcast self-join at harness size (1 = pair groupBy); ≤3 if
     # the fingerprint join falls back to SMJ at scale
@@ -411,7 +411,7 @@ SHUFFLE_BUDGET = {
     "dataset_release_manifest": 2,
     # balanced + domain-keyed window; the rollup groups on the SAME
     # key and reuses the window's hash partitioning (no 3rd exchange)
-    "domain_quota_sample": 3,
+    "domain_quota_sample": 5,  # r10: bottom-k bucket agg (fused n_docs) + boundary + survivor window + rollup
     # pure narrow generated-HOF map: balanced spread only
     "span_corruption_masks": 1,
     # r9b: boundary-pruned top-k twin of ann_brute_force_topk (7),
@@ -423,7 +423,7 @@ SHUFFLE_BUDGET = {
     "binary_quant_recall_audit": 20,
     # balanced + distinct (type, hash) + type-partitioned rank window
     # + exact-distinct two-phase agg; kth side broadcast into the join
-    "kmv_distinct_users": 6,
+    "kmv_distinct_users": 9,  # r10: bottom-k prune + pruned distinct + rank window + exact distinct
     # 3 epochs x ranged_row_number (range exchange + sizes agg +
     # bounded offsets window, the global_revenue_rank shape) + the
     # final per-epoch agg
@@ -503,6 +503,57 @@ def test_shuffle_budget(spark, name):
             f"{name}: unpartitioned corpus-window(s) — single-reducer "
             f"sort shape:\n" + "\n".join(bad) + "\n" + plan
         )
+    # repo-wide LOW-CARDINALITY-partition window ban (VERDICT r9
+    # item 1 — the sequel class): a window partitioned ONLY by a
+    # ~5–20-value key (source / event_type / domain / lang) holds a
+    # corpus-proportional slice per task unless its input is bounded.
+    # Allowed escapes, checked structurally: (a) the grouped-offsets
+    # window (orders by _rrn_pid, input ≤ ranges+|groups| rows), (b) a
+    # `_gbk_bnd` boundary-survivor filter in the window's subtree
+    # (input ~k·(1+k/B) rows per group), (c) the LOWCARD_WINDOW_OK
+    # queries whose window input is an aggregate bounded by
+    # construction (per-entry reasons on the whitelist).
+    if name not in LOWCARD_WINDOW_OK:
+        import re as _re
+
+        for wid, sub in explain.window_nodes(plan):
+            cols = explain.window_partition_columns(plan, wid)
+            if not cols or not set(cols) <= LOW_CARD_KEYS:
+                continue
+            det = explain.node_detail(plan, wid)
+            am = _re.search(r"^Arguments: (.*)$", det, _re.M)
+            args = am.group(1) if am else ""
+            if "_rrn_pid" in args:
+                continue
+            pruned = any(
+                "_gbk_bnd" in explain.node_detail(plan, nid) for nid in sub
+            )
+            assert pruned, (
+                f"{name}: window partitioned only by low-cardinality "
+                f"key(s) {cols} with no boundary-survivor prune in its "
+                f"subtree — corpus-proportional single-task-per-group "
+                f"sort:\n{args}\n{plan}"
+            )
+
+
+#: the ~5–20-value group keys whose partitions are corpus-proportional
+LOW_CARD_KEYS = {"source", "event_type", "domain", "lang"}
+
+# Queries allowed a low-card-partitioned WindowExec because its INPUT
+# is an aggregate bounded by construction (never corpus-proportional):
+LOWCARD_WINDOW_OK = {
+    # both windows ride the per-(type, bin) histogram aggregate —
+    # ≤ QUANT_BINS rows per type at any corpus size
+    "events_approx_quantiles",
+    # running sum over the per-(type, lateness-tier) aggregate (≤4
+    # tiers) — the corpus-sized prefix scan is the chunked helper
+    "events_lateness_audit",
+    # sliding sum over the per-(type, time-bucket) aggregate — rows ∝
+    # time span, not corpus size
+    "events_moving_average",
+    # range frame over the same per-(type, time-bucket) aggregate
+    "events_range_frame_1h",
+}
 
 
 def test_partitioned_read_prunes_partitions(spark):
