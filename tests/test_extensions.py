@@ -531,20 +531,27 @@ def test_split_leakage_audit_consistency(spark):
 
 def test_kmeans_assignment_step_matches_numpy(spark):
     """Differential: recompute the Lloyd step in numpy (float64) —
-    per-label centroids, squared-L2 argmin with (d2, label) tie-break
-    — and compare the transition matrix. Random gaussian data keeps
-    centroid distances far from ties, so float-order noise between
-    numpy sums and the engine's ordered folds cannot flip an argmin."""
+    per-label QUANTIZED centroids (the r10 order-free exact recipe:
+    sum of floor(v·1e6 + 0.5) ints ÷ 1e6 ÷ n), squared-L2 argmin with
+    (d2, label) tie-break — and compare the transition matrix. Random
+    gaussian data keeps centroid distances far from ties."""
     import numpy as np
 
     e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
     vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e}
     labels = {r.vec_id: r.label for r in e}
     labs = sorted(set(labels.values()))
-    cents = {
-        l: np.mean(
-            [vecs[v] for v in sorted(vecs) if labels[v] == l], axis=0
+
+    def _qcent(members):
+        q = np.floor(np.stack(members) * S.CENTROID_Q + 0.5).astype(
+            np.int64
         )
+        return (q.sum(axis=0).astype(np.float64) / S.CENTROID_Q) / len(
+            members
+        )
+
+    cents = {
+        l: _qcent([vecs[v] for v in sorted(vecs) if labels[v] == l])
         for l in labs
     }
     expected = {}
@@ -1136,7 +1143,8 @@ def test_kmeans_lloyd_loop_descends(spark):
     """Lloyd's convergence signature: across the counted iterations,
     quantized inertia is non-increasing and n_changed non-increasing;
     iteration 1 must equal an independent numpy Lloyd step from the
-    label seed (same ordered-mean centroids, same (d2, label) ties)."""
+    label seed (same quantized order-free centroids, same (d2, label)
+    ties)."""
     import numpy as np
 
     from etl_portfolio_project_spark import caches
@@ -1163,11 +1171,11 @@ def test_kmeans_lloyd_loop_descends(spark):
     cents = {}
     for lb in np.unique(labs):
         m = vecs[labs == lb]
-        # vec_id-ordered left fold per component (rows already sorted)
-        acc = np.zeros(vecs.shape[1])
-        for row in m:
-            acc = acc + row
-        cents[int(lb)] = acc / len(m)
+        # r10 quantized order-free centroid: int sums ÷ 1e6 ÷ n
+        q = np.floor(m * S.CENTROID_Q + 0.5).astype(np.int64)
+        cents[int(lb)] = (
+            q.sum(axis=0).astype(np.float64) / S.CENTROID_Q
+        ) / len(m)
     n_changed = 0
     inertia_q = 0
     for xi in range(len(ids)):

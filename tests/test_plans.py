@@ -648,6 +648,36 @@ def test_global_rank_is_distributed(spark, name):
         )
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "label_centroid_components",
+        "kmeans_assignment_step",
+        "kmeans_lloyd_loop",
+    ],
+)
+def test_centroid_aggs_are_order_free(spark, name):
+    """The centroid/inertia builders must never collect_list a
+    corpus-proportional group (VERDICT r9 item 3 — the O(group)
+    array was the executor-memory ceiling): component accumulation is
+    the CENTROID_Q quantized BIGINT sum. The only collected arrays
+    allowed are the ≤DIM-entry centroid-vector assemblies — i.e. no
+    collect over a vec_id-carrying struct anywhere in the plan."""
+    import re
+
+    from etl_portfolio_project_spark import caches
+
+    try:
+        df = api.REGISTRY[name].builder(spark, SF_SMALL)
+        plan = explain.physical_plan(df)
+    finally:
+        caches.release_all()
+    assert not re.search(r"collect_list\(struct\(vec_id", plan), (
+        f"{name}: collect_list over a corpus-proportional "
+        f"vec_id-carrying group:\n{plan}"
+    )
+
+
 def test_tpch_q3_filters_reach_scans(spark):
     df = api.REGISTRY["tpch_q3_shipping_priority"].builder(spark, SF_SMALL)
     plan = explain.physical_plan(df)
