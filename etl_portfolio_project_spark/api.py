@@ -830,6 +830,12 @@ _EXTENSIONS += [
      "via the distributed ranged_row_number helper (never a single-"
      "reducer sort), position-weighted permutation fingerprint + "
      "head-sample hash per epoch (r9)."),
+    ("corpus_release_pipeline", CU.corpus_release_pipeline,
+     CU.CORPUS_RELEASE_PIPELINE_SQL,
+     "End-to-end composed curation DAG: quality gates -> dedup "
+     "keep-best -> boundary-pruned domain quota -> hash split -> "
+     "release manifest, every stage reusing its graded builder or "
+     "shared expression (r10)."),
 ]
 
 for _name, _fn, _sql, _doc in _EXTENSIONS:
@@ -1029,6 +1035,14 @@ register(
     "from the k-th smallest distinct md5 hash, exact-count companion, "
     "small-set fallback; mergeable distributed sketch (r9).",
 )(SK.kmv_distinct_users)
+
+register(
+    "kmv_sketch_merge",
+    SK.KMV_SKETCH_MERGE_SQL,
+    "KMV mergeability, graded: per-shard bottom-k sketches union to "
+    "the exact global sketch (merged k-th hash == direct k-th hash), "
+    "small-set exact fallback (r10).",
+)(SK.kmv_sketch_merge)
 
 for _name, _fn, _sql, _doc in _ANALYTICS:
     register(_name, _sql, _doc)(_fn)

@@ -364,3 +364,175 @@ SELECT exact.event_type AS event_type,
        END AS kmv_estimate
 FROM exact LEFT JOIN kth ON kth.event_type = exact.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV merge (r10, VERDICT r9 item 6): grade the MERGEABILITY the
+# docstring above claims — per-shard bottom-k sketches union into the
+# exact global sketch. This is the property that makes KMV a
+# distributed sketch: at 100 TB each executor keeps a k-hash sketch
+# per group and the driver merges |shards|·k rows, never raw users.
+# ---------------------------------------------------------------------------
+
+KMV_MERGE_SHARDS = 8
+KMV_SHARD_SALT = "kmvshard:"  # independent of the value hash
+
+
+def kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGE, graded: shard the event stream by a salted
+    user hash into KMV_MERGE_SHARDS shards, build an independent
+    bottom-k sketch per (event_type, shard), merge by unioning the
+    shard sketches and re-taking the k smallest — and prove
+    merged == direct by emitting both k-th hashes plus the equality
+    flag (true by the bottom-k merge theorem: the union of per-shard
+    bottom-k sets contains the global bottom-k, because every one of
+    the k global minima is within its own shard's bottom-k).
+
+    Small-set rule: a merged set under k rows means EVERY shard kept
+    all its hashes, so the union is the full distinct set and the
+    estimate falls back to its exact count (kth = -1 sentinel, the
+    `kmv_distinct_users` convention).
+
+    Scale shape: the per-shard selection is boundary-pruned
+    (`ranking.grouped_bottomk_survivors` on (event_type, shard)), so
+    the rank windows only sort ~k survivors per shard; the merge
+    relation is ≤ shards·k rows per type (its re-rank window sits
+    above the boundary-pruned subtree, so the repo-wide low-card
+    window ban verifies it structurally); the direct witness reuses
+    `kmv_distinct_users`' pruned selection."""
+    from pyspark.sql import Window
+
+    from .ranking import grouped_bottomk_survivors
+
+    e = balanced(load_table(spark, sf_dir, "events")).where(
+        F.col("user_id").isNotNull()
+    )
+    rows = e.select(
+        "event_type",
+        (
+            portable_hash60(
+                F.concat(
+                    F.lit(KMV_SHARD_SALT), F.col("user_id").cast("string")
+                )
+            )
+            % KMV_MERGE_SHARDS
+        ).alias("shard"),
+        portable_hash60(
+            F.concat(F.lit(KMV_SALT), F.col("user_id").cast("string"))
+        ).alias("h"),
+    )
+    # per-shard sketches: bottom-k distinct hashes per (type, shard)
+    sdh = grouped_bottomk_survivors(
+        rows, ["event_type", "shard"], "h", KMV_K
+    ).distinct()
+    wsh = Window.partitionBy("event_type", "shard").orderBy("h")
+    shard_sk = (
+        sdh.withColumn("rn", F.row_number().over(wsh))
+        .where(F.col("rn") <= KMV_K)
+        .select("event_type", "shard", "h")
+    )
+    # merge: union the shard sketches (hashes are disjoint across
+    # shards — the shard is a function of the user), re-rank bottom-k
+    agg = shard_sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+        F.count_distinct("shard").cast("long").alias("n_shards"),
+    )
+    wm = Window.partitionBy("event_type").orderBy("h")
+    kth_m = (
+        shard_sk.withColumn("rn", F.row_number().over(wm))
+        .where(F.col("rn") == KMV_K)
+        .select("event_type", F.col("h").alias("kth_m"))
+    )
+    # direct witness: the kmv_distinct_users pruned selection
+    ddh = grouped_bottomk_survivors(
+        rows.select("event_type", "h"), ["event_type"], "h", KMV_K
+    ).distinct()
+    kth_d = (
+        ddh.withColumn("rn", F.row_number().over(wm))
+        .where(F.col("rn") == KMV_K)
+        .select("event_type", F.col("h").alias("kth_d"))
+    )
+    est = F.expr(
+        f"CASE WHEN kth_m IS NULL THEN CAST(n_union AS DOUBLE) "
+        f"ELSE CAST({KMV_K - 1} AS DOUBLE) "
+        f"     * CAST({KMV_HASH_SPACE} AS DOUBLE) / CAST(kth_m AS DOUBLE) "
+        f"END"
+    )
+    return (
+        agg.join(kth_m, "event_type", "left")
+        .join(kth_d, "event_type", "left")
+        .select(
+            "event_type",
+            "n_shards",
+            "n_union",
+            F.coalesce("kth_m", F.lit(-1)).alias("kth_merged"),
+            est.alias("kmv_estimate_merged"),
+            F.coalesce("kth_d", F.lit(-1)).alias("kth_direct"),
+            (
+                F.coalesce("kth_m", F.lit(-1))
+                == F.coalesce("kth_d", F.lit(-1))
+            ).alias("merge_matches"),
+        )
+    )
+
+
+KMV_SKETCH_MERGE_SQL = f"""
+WITH rows_h AS MATERIALIZED (
+  SELECT event_type,
+         {portable_hash60_sql(
+             "'" + KMV_SHARD_SALT + "' || CAST(user_id AS VARCHAR)"
+         )} % {KMV_MERGE_SHARDS} AS shard,
+         {portable_hash60_sql(
+             "'" + KMV_SALT + "' || CAST(user_id AS VARCHAR)"
+         )} AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+sdh AS (
+  SELECT DISTINCT event_type, shard, h FROM rows_h
+),
+shard_sk AS MATERIALIZED (
+  SELECT event_type, shard, h FROM (
+    SELECT event_type, shard, h,
+           row_number() OVER (PARTITION BY event_type, shard
+                              ORDER BY h) AS rn
+    FROM sdh
+  ) WHERE rn <= {KMV_K}
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_union,
+         CAST(count(DISTINCT shard) AS BIGINT) AS n_shards
+  FROM shard_sk GROUP BY event_type
+),
+kth_m AS (
+  SELECT event_type, h AS kth_m FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM shard_sk
+  ) WHERE rn = {KMV_K}
+),
+dh AS (
+  SELECT DISTINCT event_type, h FROM rows_h
+),
+kth_d AS (
+  SELECT event_type, h AS kth_d FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM dh
+  ) WHERE rn = {KMV_K}
+)
+SELECT a.event_type AS event_type,
+       a.n_shards AS n_shards,
+       a.n_union AS n_union,
+       COALESCE(m.kth_m, -1) AS kth_merged,
+       CASE WHEN m.kth_m IS NULL THEN CAST(a.n_union AS DOUBLE)
+            ELSE CAST({KMV_K - 1} AS DOUBLE)
+                 * CAST({KMV_HASH_SPACE} AS DOUBLE)
+                 / CAST(m.kth_m AS DOUBLE)
+       END AS kmv_estimate_merged,
+       COALESCE(d.kth_d, -1) AS kth_direct,
+       (COALESCE(m.kth_m, -1) = COALESCE(d.kth_d, -1)) AS merge_matches
+FROM agg a
+LEFT JOIN kth_m m ON m.event_type = a.event_type
+LEFT JOIN kth_d d ON d.event_type = a.event_type
+"""

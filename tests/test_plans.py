@@ -412,6 +412,7 @@ SHUFFLE_BUDGET = {
     # balanced + domain-keyed window; the rollup groups on the SAME
     # key and reuses the window's hash partitioning (no 3rd exchange)
     "domain_quota_sample": 5,  # r10: bottom-k bucket agg (fused n_docs) + boundary + survivor window + rollup
+    "corpus_release_pipeline": 16,  # r10 composed DAG: gate joins + dedup cluster machinery + pruned quota window + manifest rollup
     # pure narrow generated-HOF map: balanced spread only
     "span_corruption_masks": 1,
     # r9b: boundary-pruned top-k twin of ann_brute_force_topk (7),
@@ -424,6 +425,7 @@ SHUFFLE_BUDGET = {
     # balanced + distinct (type, hash) + type-partitioned rank window
     # + exact-distinct two-phase agg; kth side broadcast into the join
     "kmv_distinct_users": 9,  # r10: bottom-k prune + pruned distinct + rank window + exact distinct
+    "kmv_sketch_merge": 20,  # r10: two pruned selections (shard + direct), bounded merge re-rank — all post-prune relations ~k rows/group
     # 3 epochs x ranged_row_number (range exchange + sizes agg +
     # bounded offsets window, the global_revenue_rank shape) + the
     # final per-epoch agg
