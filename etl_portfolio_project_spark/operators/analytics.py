@@ -861,7 +861,6 @@ def rolling_distinct_users_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
         ).agg(F.count(F.lit(1)).alias("n")),
     )
-    pairs.count()
     fan = pairs.select(
         F.expr("explode(sequence(0, 23))").alias("i"), "h", "user_id", "n"
     ).select(
@@ -1914,7 +1913,6 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_dev", F.expr("abs(value - med)")
         ),
     )
-    dev.count()
     mad = (
         grouped_ranged_row_number(
             dev.select("event_type", "event_id", "abs_dev"),
@@ -2039,7 +2037,6 @@ def events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (left lazy, the scan + per-event md5 jitter run twice —
     # CLAUDE.md claim-once rule)
     e = caches.claim("lateness_audit_events", e)
-    e.count()
     wlocal = (
         Window.partitionBy("chunk")
         .orderBy("ak", "event_id")

@@ -473,7 +473,6 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.sig").alias("sig"),
         ),
     )
-    d.count()
     cand = _banded_candidate_pairs(d)
     w1 = d.select(
         F.col("doc_id").alias("id1"),

@@ -693,7 +693,6 @@ def epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id").isNotNull())
         .select("doc_id"),
     )
-    d.count()
     per_epoch = []
     for ep in range(EPOCH_COUNT):
         h = portable_hash60(
@@ -845,14 +844,23 @@ def corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     surv = dedup_keep_best(spark, sf_dir).select("doc_id")
-    alive = gated.join(surv, "doc_id").select(
-        _domain_col().alias("domain"),
-        "doc_id",
-        "lang",
-        "source",
-        "n_chars",
-        _quota_r().alias("r"),
-        _manifest_hm().alias("hm"),
+    from .. import caches
+
+    # claim ONCE: the quota boundary prune reads `alive` twice (bucket
+    # minima + survivor filter) — left lazy, the whole gate-join +
+    # dedup-join pipeline runs twice (CLAUDE.md claim-once rule; the
+    # first consumer populates the cache, no eager count needed)
+    alive = caches.claim(
+        "release_pipeline_alive",
+        gated.join(surv, "doc_id").select(
+            _domain_col().alias("domain"),
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            _quota_r().alias("r"),
+            _manifest_hm().alias("hm"),
+        ),
     )
     pruned = grouped_bottomk_survivors(
         alive, ["domain"], "r", DOMAIN_QUOTA_CAP

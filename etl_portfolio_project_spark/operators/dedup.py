@@ -824,7 +824,6 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = caches.claim(
         "dedup_keep_best_labels", neardup_clusters(spark, sf_dir)
     )
-    labels.count()  # materialize: 3 scan sites below (CLAUDE.md rule)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").alias("quality")
     )
@@ -834,7 +833,6 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered = caches.claim(
         "dedup_keep_best_clustered", docs.join(F.broadcast(labels), "doc_id")
     )
-    clustered.count()
     qmax = (
         clustered.groupBy(F.col("cluster_id").alias("qcid"))
         .agg(F.max("quality").alias("qmax"))
@@ -1144,7 +1142,6 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = claimed_undirected_edges(
         spark, sf_dir, "neardup_triangles_edges"
     )
-    pairs.count()  # materialize before the three-way reuse
     e1 = pairs.alias("e1")
     e2 = pairs.alias("e2")
     e3 = pairs.alias("e3")
@@ -1265,7 +1262,6 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("deg")
         ),
     )
-    outdeg.count()  # materializes edges too (lineage parent)
     ranks = outdeg.select(
         "node", F.lit(PR_SCALE).cast("long").alias("rank")
     )
@@ -1471,7 +1467,6 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr(row_expr).alias("s"))
         .select("doc_id", F.col("s.items").alias("items"), F.col("s.sig").alias("sig")),
     )
-    d.count()  # materialize: 5 scan branches below (CLAUDE.md rule)
     corpus = d.where(F.col("doc_id") % INC_BATCH_MOD != 0)
     batch = d.where(F.col("doc_id") % INC_BATCH_MOD == 0)
     # <SHINGLE_N-token docs have no shingles → all-NULL signatures;
@@ -2240,7 +2235,6 @@ def cross_source_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.sig").alias("sig"),
         ),
     )
-    d.count()  # materialize: bands (×2) + verify (×2) + spine scans
     cand = _banded_candidate_pairs(d)
     w1 = d.select(
         F.col("doc_id").alias("id1"),

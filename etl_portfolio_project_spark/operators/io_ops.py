@@ -69,7 +69,6 @@ def format_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "text", "n_chars"
         ),
     )
-    d.count()
     audits: list[DataFrame] = []
     for fmt in ROUNDTRIP_FORMATS:
         path = f"{root}/{fmt}"

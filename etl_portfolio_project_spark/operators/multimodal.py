@@ -752,7 +752,6 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = caches.claim(
         "image_phash_hashes", bmps.mapInPandas(_phash_decode_stage(), PHASH_SCHEMA)
     )
-    hashes.count()
     bands = hashes.select(
         "doc_id",
         F.expr(

@@ -468,7 +468,6 @@ def embedding_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neardup_lsh_bb",
         _with_buckets(base, "vec", "vec_id", planes),
     )
-    bb.count()
     a = bb.select(
         F.col("vec_id").alias("id1"), "tbl", F.col("bucket").alias("bucket")
     )
@@ -1337,7 +1336,6 @@ def ann_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "vec_id"
         ),
     )
-    exact.count()
     approx = ann_lsh_topk(spark, sf_dir).select("query_id", "vec_id")
     n_exact = exact.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_exact")
@@ -3184,7 +3182,6 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=MARGIN_K,
         ),
     )
-    fwd.count()
     fwd_stats = fwd.groupBy("query_id").agg(
         F.expr(
             "aggregate(transform(array_sort(collect_list("
@@ -3204,7 +3201,6 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("norm").alias("qnorm"),
         ),
     )
-    cand_q.count()
     bwd = boundary_pruned_topk(
         scored(a_side, cand_q, None),
         scored(a_side, cand_q, topk_sample_pred()),
@@ -3627,7 +3623,6 @@ def maxsim_rescore_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "vec_id"
         ),
     )
-    exact.count()
     approx = ann_maxsim_rescored_topk(spark, sf_dir).select(
         "query_id", "vec_id"
     )
@@ -3813,7 +3808,6 @@ def binary_quant_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "vec_id"
         ),
     )
-    exact.count()
     approx = ann_binary_hamming_topk(spark, sf_dir).select(
         "query_id", "vec_id"
     )

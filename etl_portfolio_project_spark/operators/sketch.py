@@ -308,7 +308,15 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = portable_hash60(
         F.concat(F.lit(KMV_SALT), F.col("user_id").cast("string"))
     )
-    hashed = e.select("event_type", h.alias("h"))
+    from .. import caches
+
+    # claim ONCE: the boundary prune reads the hashed relation twice
+    # (bucket-minima pass + survivor filter) — left lazy, the events
+    # scan + per-row md5 run twice (CLAUDE.md claim-once rule; the
+    # first consumer populates the cache, no eager count needed)
+    hashed = caches.claim(
+        "kmv_hashed", e.select("event_type", h.alias("h"))
+    )
     dh = grouped_bottomk_survivors(
         hashed, ["event_type"], "h", KMV_K
     ).distinct()
@@ -404,22 +412,32 @@ def kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .ranking import grouped_bottomk_survivors
 
+    from .. import caches
+
     e = balanced(load_table(spark, sf_dir, "events")).where(
         F.col("user_id").isNotNull()
     )
-    rows = e.select(
-        "event_type",
-        (
-            portable_hash60(
-                F.concat(
-                    F.lit(KMV_SHARD_SALT), F.col("user_id").cast("string")
+    # claim ONCE: the sharded/direct prunes read this relation four
+    # times (two bucket-minima passes + two survivor filters) — left
+    # lazy, the events scan + two per-row md5s run 4× (CLAUDE.md
+    # claim-once rule; first consumer populates, no eager count)
+    rows = caches.claim(
+        "kmv_merge_rows",
+        e.select(
+            "event_type",
+            (
+                portable_hash60(
+                    F.concat(
+                        F.lit(KMV_SHARD_SALT),
+                        F.col("user_id").cast("string"),
+                    )
                 )
-            )
-            % KMV_MERGE_SHARDS
-        ).alias("shard"),
-        portable_hash60(
-            F.concat(F.lit(KMV_SALT), F.col("user_id").cast("string"))
-        ).alias("h"),
+                % KMV_MERGE_SHARDS
+            ).alias("shard"),
+            portable_hash60(
+                F.concat(F.lit(KMV_SALT), F.col("user_id").cast("string"))
+            ).alias("h"),
+        ),
     )
     # per-shard sketches: bottom-k distinct hashes per (type, shard)
     sdh = grouped_bottomk_survivors(

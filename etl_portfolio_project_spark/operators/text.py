@@ -1227,7 +1227,6 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.expr("split(trim(lower(text)), '\\\\s+')")).alias("w"),
         ),
     )
-    toks.count()
     vocab = (
         toks.groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -1262,6 +1262,95 @@ def probe_r9c(spark, sf_dir: str, label: str) -> dict:
     return r
 
 
+def probe_r10(spark, sf_dir: str, label: str) -> dict:
+    """r10 per-group-window retirement + quantized centroids +
+    composed pipeline. Claims at stake: (a) the seven former
+    per-group corpus-sized windows now have walls that track the SCAN,
+    not the largest group (grouped ranged rank/cumsum for full
+    rankings, grouped bottom-k boundary prune for selections); (b)
+    the boundary-prune survivor set is corpus-INVARIANT (~CAP·(1 +
+    CAP/B) per group at any SF — measured below for the domain quota
+    via the operator's own shared expressions); (c) the k-means
+    centroid update is now a pure mergeable aggregate (no per-group
+    collected arrays — wall tracks the posexplode scan); (d) the
+    composed release pipeline's wall tracks its dedup+gate stages and
+    `kmv_sketch_merge`'s merged == direct equality holds at every
+    SF."""
+    from etl_portfolio_project_spark import caches
+    from etl_portfolio_project_spark.operators import (
+        analytics,
+        curation,
+        similarity,
+        sketch,
+        text,
+    )
+    from etl_portfolio_project_spark.operators.ranking import (
+        grouped_bottomk_survivors,
+    )
+    from etl_portfolio_project_spark.sources.registry import (
+        balanced,
+        load_table,
+    )
+
+    r = {"sf": label}
+    r["n_docs"] = int(load_table(spark, sf_dir, "documents").count())
+
+    # (b) survivor corpus-invariance: the quota prune via the
+    # operator's own shared expressions (no re-implementation)
+    per = balanced(load_table(spark, sf_dir, "documents")).where(
+        "doc_id IS NOT NULL"
+    ).select(
+        curation._domain_col().alias("domain"),
+        "doc_id",
+        curation._quota_r().alias("r"),
+    )
+    r["quota_survivors"] = int(
+        grouped_bottomk_survivors(
+            per, ["domain"], "r", curation.DOMAIN_QUOTA_CAP
+        ).count()
+    )
+    caches.release_all()
+
+    if os.path.exists(f"{sf_dir}/events.parquet"):
+        _, r["mad_secs"] = timed(
+            lambda: analytics.events_mad_outliers(spark, sf_dir).count()
+        )
+        caches.release_all()
+        rows, r["kmv_merge_secs"] = timed(
+            lambda: sketch.kmv_sketch_merge(spark, sf_dir).collect()
+        )
+        r["kmv_merge_all_match"] = bool(all(x.merge_matches for x in rows))
+        caches.release_all()
+    r["pct_rows"], r["pct_secs"] = timed(
+        lambda: analytics.source_quality_percentile_filter(
+            spark, sf_dir
+        ).count()
+    )
+    caches.release_all()
+    _, r["pack_secs"] = timed(
+        lambda: text.sequence_packing_bins(spark, sf_dir).count()
+    )
+    caches.release_all()
+    r["capped_rows"], r["capped_secs"] = timed(
+        lambda: analytics.source_capped_docs(spark, sf_dir).count()
+    )
+    caches.release_all()
+    r["mix_rows"], r["mix_secs"] = timed(
+        lambda: analytics.corpus_temperature_mixture(spark, sf_dir).count()
+    )
+    caches.release_all()
+    if os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        _, r["kmeans_secs"] = timed(
+            lambda: similarity.kmeans_lloyd_loop(spark, sf_dir).count()
+        )
+        caches.release_all()
+    r["pipeline_rows"], r["pipeline_secs"] = timed(
+        lambda: curation.corpus_release_pipeline(spark, sf_dir).count()
+    )
+    caches.release_all()
+    return r
+
+
 def main() -> int:
     if "--skip-generate" not in sys.argv:
         need = not all(
@@ -1319,6 +1408,9 @@ def main() -> int:
         ("r9b", probe_r9b, LADDER_DIRS),
         ("r9c", probe_r9c, LADDER_DIRS),
     ]
+
+    if "--only-r10" in sys.argv:
+        return _merge_probes([("r10", probe_r10, LADDER_DIRS)])
 
     if "--only-r9b" in sys.argv:
         return _merge_probes([R9_SECTIONS[3]])
