@@ -2466,16 +2466,20 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     are accepted — the paper's pipeline tolerates the same for its
     Bloom-filter variant.
 
-    Scale shape: one narrow gram projection riding the scan, then ONE
-    shuffle — groupBy the gram hash, collecting each gram's (doc,
-    pos) occurrence list — instead of a two-sided self-join (halves
-    the shuffled volume and gives a natural skew guard: grams with
-    more than ES_HOT_CAP occurrences are DROPPED as boilerplate
-    stop-grams, the frequency cutoff the paper's pipeline applies;
-    a hot gram in k docs would otherwise fan out k² pairs). Pairs
-    explode from the bounded lists; one window over per-(pair,
-    diagonal) partitions whose size is bounded by doc length. The
-    oracle mirrors the cap with a HAVING frequency filter."""
+    Scale shape: one narrow gram projection riding the scan (claimed
+    once — two consumers), then a COUNT-FIRST hot-gram guard: a
+    map-side-combining count per gram hash selects the 2..ES_HOT_CAP
+    survivors BEFORE any list is collected, so the collect_list agg
+    state is ≤ ES_HOT_CAP structs per group at any corpus size (r10 —
+    the former collect-then-filter shape materialized a
+    corpus-proportional array for a boilerplate stop-gram before
+    dropping it, the same O(group) ceiling class as the r9 centroid
+    folds). Grams with more than ES_HOT_CAP occurrences are DROPPED
+    as boilerplate (the paper's frequency cutoff; a hot gram in k
+    docs would otherwise fan out k² pairs). Pairs explode from the
+    bounded lists; one window over per-(pair, diagonal) partitions
+    whose size is bounded by doc length. The oracle mirrors the cap
+    with a HAVING frequency filter — value-identical either shape."""
     # gram hash via the shared 60-bit recipe helper (r5 advice: an
     # inlined copy here would silently miss a future recipe change)
     from .text import portable_hash60_spark_sql as _ph60
@@ -2489,17 +2493,28 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "named_struct('pos', CAST(i AS BIGINT), 'h', "
         f"{gram_h})) END)[0]"
     )
-    g = (
+    g = caches.claim(
+        "exact_substring_grams",
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.expr(grams_expr)).alias("g"))
-        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+        .select(
+            "doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
+        ),
+    )
+    # count-first hot-gram guard (see Scale shape): only 2..CAP grams
+    # ever reach the collect, so its agg state is bounded per group
+    keep = (
+        g.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_es_n"))
+        .where(
+            (F.col("_es_n") >= 2) & (F.col("_es_n") <= ES_HOT_CAP)
+        )
+        .select("h")
     )
     occ = (
-        g.groupBy("h")
+        g.join(keep, "h")
+        .groupBy("h")
         .agg(F.collect_list(F.struct("doc_id", "pos")).alias("occ"))
-        .where(
-            (F.size("occ") >= 2) & (F.size("occ") <= ES_HOT_CAP)
-        )
     )
     pair_expr = (
         "flatten(transform(occ, o1 -> "

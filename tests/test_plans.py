@@ -680,6 +680,26 @@ def test_centroid_aggs_are_order_free(spark, name):
     )
 
 
+def test_exact_substring_collect_is_count_gated(spark):
+    """The gram-occurrence collect must sit above the count-first
+    hot-gram guard (r10): without it, a boilerplate stop-gram
+    materializes a corpus-proportional array in one agg buffer before
+    the size filter drops it — the same O(group) ceiling class as the
+    r9 centroid folds. The `_es_n` count filter in the plan IS the
+    guard."""
+    from etl_portfolio_project_spark import caches
+
+    try:
+        df = api.REGISTRY["exact_substring_spans"].builder(spark, SF_SMALL)
+        plan = explain.physical_plan(df)
+    finally:
+        caches.release_all()
+    assert "_es_n" in plan, (
+        f"count-first hot-gram guard missing — collect_list state is "
+        f"unbounded per group:\n{plan}"
+    )
+
+
 def test_tpch_q3_filters_reach_scans(spark):
     df = api.REGISTRY["tpch_q3_shipping_priority"].builder(spark, SF_SMALL)
     plan = explain.physical_plan(df)
