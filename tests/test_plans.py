@@ -329,7 +329,7 @@ SHUFFLE_BUDGET = {
     "partitioned_write_prune": 1,  # pruned scan + 12-key month agg
     # claimed edge cache scan ×3 + wedge/closing joins (broadcast at
     # harness size) — the jaccard pipeline runs ONCE inside the claim
-    "neardup_triangles": 8,
+    "neardup_triangles": 9,  # r10 +1: the claimed edge list is no longer pre-materialized at build time (count audit), so the cold render counts its subtree exchange once more; execution populates the cache once either way
     # harness size takes the counted-threshold driver finish: the
     # returned plan is a LogicalRDD (the claimed pairs cache + the 5
     # fixed-point rounds run inside the builder); the distributed
