@@ -1348,6 +1348,14 @@ def probe_r10(spark, sf_dir: str, label: str) -> dict:
         lambda: curation.corpus_release_pipeline(spark, sf_dir).count()
     )
     caches.release_all()
+    # count-first hot-gram guard: wall must track the gram scan (the
+    # collect agg state is ≤ ES_HOT_CAP structs per group by plan)
+    from etl_portfolio_project_spark.operators import dedup
+
+    r["substr_rows"], r["substr_secs"] = timed(
+        lambda: dedup.exact_substring_spans(spark, sf_dir).count()
+    )
+    caches.release_all()
     return r
 
 
