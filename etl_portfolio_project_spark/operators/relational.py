@@ -292,21 +292,25 @@ def price_quartiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (p25/p50/p75 of order price per priority)
     without interpolation ambiguity: the quantile is DEFINED as the
     value at rank ceil(q*n) (type-1/lower quantile), selected by a
-    row_number window — deterministic and bit-identical across
-    engines, unlike interpolating percentile functions whose
-    arithmetic is implementation-defined. One shuffle on the group
-    key; the per-group sort rides the same exchange."""
+    distributed per-group rank — deterministic and bit-identical
+    across engines, unlike interpolating percentile functions whose
+    arithmetic is implementation-defined.
+
+    Scale shape (r10): o_orderpriority has 5 values, so a plain
+    group-partitioned window is a corpus-sized single task per
+    priority at 100× — the same class as the r9 per-group-window
+    fixes; `ranking.grouped_ranged_row_number` supplies both the
+    per-group rank AND the exact group count from one range exchange
+    (no task ever sorts a whole priority)."""
+    from .ranking import grouped_ranged_row_number
+
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "o_totalprice", "o_orderkey"
-    )
-    ranked = o.select(
-        "o_orderpriority",
-        "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("o_orderpriority"))
-        .alias("n"),
+    ranked = grouped_ranged_row_number(
+        o.select("o_orderpriority", "o_totalprice", "o_orderkey"),
+        ["o_orderpriority"],
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        out="rn",
+        group_total="n",
     )
 
     def pick(q_num: int, q_den: int, alias: str) -> Column:

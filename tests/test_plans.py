@@ -78,7 +78,7 @@ SHUFFLE_BUDGET = {
     "order_gaps_lag_lead": 1,
     "top3_orders_per_customer": 1,
     "sessionize_events": 1,
-    "price_quartiles_by_priority": 1,
+    "price_quartiles_by_priority": 4,  # r10 grouped ranged rank: range exch + bounded sizes/offsets + final agg
     "yoy_customer_reconciliation": 2,
     "json_props_rollup": 1,
     "events_multi_granularity_rollup": 1,
@@ -538,8 +538,13 @@ def test_shuffle_budget(spark, name):
             )
 
 
-#: the ~5–20-value group keys whose partitions are corpus-proportional
-LOW_CARD_KEYS = {"source", "event_type", "domain", "lang"}
+#: the ~5–25-value group keys whose partitions are corpus-proportional
+LOW_CARD_KEYS = {
+    "source", "event_type", "domain", "lang",
+    # TPC-H low-card enums (the price_quartiles class, caught r10)
+    "o_orderpriority", "o_orderstatus", "l_returnflag", "l_linestatus",
+    "c_mktsegment", "split",
+}
 
 # Queries allowed a low-card-partitioned WindowExec because its INPUT
 # is an aggregate bounded by construction (never corpus-proportional):
