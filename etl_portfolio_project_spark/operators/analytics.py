@@ -653,11 +653,24 @@ def corpus_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"inline(array({one}))"),
         F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))).alias("fp"),
     ).where((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 500))
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    return (
-        profiled.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "source", "n_tokens", "lang_pred", "fp")
+    # keep-first per fingerprint as a STRUCT-MIN partial aggregate
+    # (r10): the former fp-partitioned row_number window buffered each
+    # exact-dup group in one task — the groups dedup exists to find
+    # are exactly the ones that get corpus-proportional. doc_id is
+    # unique and leads the struct, so lexicographic min ≡ the window's
+    # ORDER BY doc_id first row (the preference_pair_mining argmax
+    # precedent), and the whole selection map-side combines.
+    m = profiled.groupBy("fp").agg(
+        F.min(
+            F.struct("doc_id", "source", "n_tokens", "lang_pred")
+        ).alias("m")
+    )
+    return m.select(
+        F.col("m.doc_id").alias("doc_id"),
+        F.col("m.source").alias("source"),
+        F.col("m.n_tokens").alias("n_tokens"),
+        F.col("m.lang_pred").alias("lang_pred"),
+        "fp",
     )
 
 
@@ -1161,10 +1174,12 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     to sum a small known term set (double addition is not
     associative, and groupBy SUM order is partition-dependent).
 
-    Scale shape: one corpus scan feeds both the length table and the
-    term postings (the filter to SEARCH_TERMS drops ~all tokens before
-    the only wide shuffle); df comes from a window over the already-
-    aggregated tf table, never a corpus re-scan; the two corpus
+    Scale shape (r10): one corpus scan feeds both the length table
+    and the term postings (the filter to SEARCH_TERMS drops ~all
+    tokens before the only wide shuffle); df is a ≤|terms|-row
+    aggregate over the claimed tf table, BROADCAST-joined back (the
+    former word-partitioned count window buffered a hot term's whole
+    corpus-proportional posting list in one task); the two corpus
     scalars (N, avgdl) ride a 1-row broadcast. Top-k is
     TakeOrdered — no global sort shuffle."""
     d = balanced(load_table(spark, sf_dir, "documents"))
@@ -1191,15 +1206,16 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "n_docs", F.expr("tot_tokens / n_docs").alias("avgdl")
     )
-    tf = (
+    tf = caches.claim(
+        "bm25_tf",
         base.select("doc_id", F.explode("toks").alias("word"))
         .where(F.col("word").isin(terms))
         .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf")),
     )
-    tfd = tf.withColumn(
-        "df", F.count("*").over(Window.partitionBy("word"))
-    )
+    # ≤|terms| rows — broadcast back instead of a word window
+    df_counts = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    tfd = tf.join(F.broadcast(df_counts), "word")
     contrib = (
         tfd.join(lens, "doc_id")
         .crossJoin(F.broadcast(scal))

@@ -672,11 +672,13 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalizer that misses ANY dimension leaves extra distinct
     canonical URLs and diverges from the oracle.
 
-    Scale shape: the synthesis + regex canonicalization is one narrow
-    LET-bound projection riding the scan; dedup grouping is a count
-    window on the canonical key and one per-source partial-agg'd
-    rollup — 2 keyed shuffles at any SF (canonical keys are
-    syndication-bounded, no skew beyond the largest dup group)."""
+    Scale shape (r10): the synthesis + regex canonicalization is one
+    narrow LET-bound projection riding the scan (claimed once — two
+    consumers); group sizes come from a map-side-combining rollup on
+    the canonical key, joined back (AQE handles a viral-URL hot key)
+    — replacing the former canonical-key count window, whose
+    unbounded frame put the largest syndication group's whole row set
+    in one task — then one per-source partial-agg'd rollup."""
     d = balanced(load_table(spark, sf_dir, "documents"))
     from .text import bind_once_sql
 
@@ -707,17 +709,23 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    from pyspark.sql import Window
+    from .. import caches
 
-    per = d.select(
-        "source", F.expr(one).alias("canonical_url")
-    ).select(
-        "source",
-        "canonical_url",
-        F.count("*")
-        .over(Window.partitionBy("canonical_url"))
-        .alias("grp"),
+    base = caches.claim(
+        "url_canonical_base",
+        d.select("source", F.expr(one).alias("canonical_url")),
     )
+    groups = base.groupBy("canonical_url").agg(
+        F.count("*").alias("grp")
+    )
+    # NULL-SAFE join key: a NULL canonical URL (NULL-text doc) is a
+    # real group — the window this replaced partitioned NULLs
+    # together, and a plain equi-join would silently drop them
+    # (caught by the r10 drift sweep)
+    per = base.join(
+        groups.withColumnRenamed("canonical_url", "_ucd_k"),
+        F.col("canonical_url").eqNullSafe(F.col("_ucd_k")),
+    ).drop("_ucd_k")
     blocked = " OR ".join(
         f"canonical_url LIKE 'https://{h}/%'" for h in URL_BLOCKLIST
     )

@@ -468,32 +468,36 @@ def doc_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     double columns are each ONE division/multiplication chain from
     exact integers, identical text in both dialects.
 
-    Scale shape: one corpus scan; per-token counts attach via a
-    count(*) window over the exploded rows (partitioned by word — the
-    same no-rescan trick as `tfidf_top_terms`), then one per-doc
-    aggregate; the corpus-total scalar rides a 1-row broadcast. Two
-    shuffles total at any SF; skew on hot words is count-only window
-    state, not a join fan-out."""
+    Scale shape (r10): one corpus scan → a claimed (doc, word) tf
+    aggregate (map-side combined); corpus-wide word counts are a
+    vocab-sized rollup of the SAME tf table (cnt = Σ tf), joined back
+    on word (AQE handles hot-word join skew) — replacing the former
+    word-partitioned count window, whose unbounded frame put a
+    stopword's whole corpus-proportional occurrence list in one task.
+    Per-doc totals re-associate exactly (Σ over occurrences of cnt
+    ≡ Σ_word tf·cnt — integer sums); the corpus-total scalar rides a
+    1-row broadcast."""
+    from .. import caches
+
     d = balanced(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.explode(tokens_expr(F.col("text"))).alias("word")
     )
-    wcnt = toks.select(
-        "doc_id",
-        F.count("*").over(Window.partitionBy("word")).alias("cnt"),
-    )
-    from .. import caches
-
-    # per feeds TWO branches (the result projection and the corpus
-    # total) — left lazy the scan→explode→window chain re-runs for
-    # the scalar; claim-once above the size threshold, lazy below
-    per = caches.claim_if_large(
-        "doc_token_commonness_per",
-        wcnt.groupBy("doc_id").agg(
-            F.count("*").alias("n_tokens"),
-            F.sum("cnt").alias("sum_token_freq"),
+    tfw = caches.claim(
+        "doc_token_commonness_tf",
+        toks.groupBy("doc_id", "word").agg(
+            F.count("*").alias("_tf")
         ),
-        source_paths=[f"{sf_dir}/documents.parquet"],
+    )
+    counts = tfw.groupBy("word").agg(F.sum("_tf").alias("cnt"))
+    per = caches.claim(
+        "doc_token_commonness_per",
+        tfw.join(counts, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_tf").alias("n_tokens"),
+            F.sum(F.col("_tf") * F.col("cnt")).alias("sum_token_freq"),
+        ),
     )
     tot = per.agg(F.sum("n_tokens").alias("total_tokens"))
     return per.crossJoin(F.broadcast(tot)).select(
@@ -720,14 +724,17 @@ def ccnet_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     route explicitly to tier 'no_text', kept = false — never silently
     dropped (NULL-predicate routing rule).
 
-    Scale shape: one corpus bigram explode; the reference counts
-    attach via TWO count windows (partition by bigram, by w1) — the
-    `dsir`/tfidf no-rescan trick, no LM-table join and no second
-    corpus scan; V (reference vocabulary) is a 1-row broadcast. The
-    tercile rank over the per-DOC score table is DISTRIBUTED (r9):
-    `ranking.ranged_row_number` range-partitions by (score DESC,
-    doc_id) and offset-corrects parallel local ranks — no
-    single-reducer sort at any corpus size."""
+    Scale shape (r10): one corpus bigram explode; the reference
+    counts are TWO map-side-combining rollups of the same exploded
+    table (per-bigram, per-w1 — each output is vocabulary-sized),
+    joined back on their keys (AQE handles hot-bigram join skew) —
+    replacing the former bigram/w1-partitioned sum windows, whose
+    unbounded frames put a hot bigram's whole corpus-proportional
+    occurrence list in one task; V (reference vocabulary) is a 1-row
+    broadcast. The tercile rank over the per-DOC score table is
+    DISTRIBUTED (r9): `ranking.ranged_row_number` range-partitions by
+    (score DESC, doc_id) and offset-corrects parallel local ranks —
+    no single-reducer sort at any corpus size."""
     d = balanced(load_table(spark, sf_dir, "documents"))
     g2 = bind_once_sql(
         "split(trim(lower(text)), '\\\\s+')",
@@ -756,12 +763,12 @@ def ccnet_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         source_paths=[f"{sf_dir}/documents.parquet"],
     )
-    wb = Window.partitionBy("bigram")
-    ww = Window.partitionBy("w1")
-    cnts = bg.select(
-        "doc_id",
-        F.sum("is_ref").over(wb).alias("ref_bg"),
-        F.sum("is_ref").over(ww).alias("ref_w1"),
+    bgc = bg.groupBy("bigram").agg(F.sum("is_ref").alias("ref_bg"))
+    w1c = bg.groupBy("w1").agg(F.sum("is_ref").alias("ref_w1"))
+    cnts = (
+        bg.join(bgc, "bigram")
+        .join(w1c, "w1")
+        .select("doc_id", "ref_bg", "ref_w1")
     )
     per = cnts.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
@@ -956,23 +963,32 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-operation IEEE expression — bit-identical across engines,
     unlike ln() whose libm rounding differs.
 
-    Scale shape: explode → (doc, word) tf count → df as a count(*)
-    window over the already-aggregated tf table (NOT a groupBy+join —
-    that would rescan and re-explode the whole corpus for the second
-    branch) → scalar-N broadcast → per-doc top-k window. Exactly one
-    pass over the corpus; everything downstream of the tf aggregate
-    is vocabulary × docs-per-word sized."""
+    Scale shape (r10): explode → (doc, word) tf count (claimed once —
+    the df aggregate and the scoring join both read it, and a claim
+    beats the former word-partitioned count window, whose unbounded
+    frame buffered a stopword's whole corpus-proportional posting
+    list in ONE task) → df as a map-side-combining vocab-sized
+    aggregate joined back on word (AQE handles hot-word join skew) →
+    scalar-N broadcast → per-doc top-k window (doc-vocabulary
+    bounded). Exactly one pass over the corpus either way — the
+    agg+join shape removes the per-hot-word straggler."""
+    from .. import caches
+
     d = balanced(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.explode(tokens_expr(F.col("text"))).alias("word")
     )
-    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    tf = caches.claim(
+        "tfidf_tf",
+        toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf")),
+    )
+    df_counts = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = (
         load_table(spark, sf_dir, "documents")
         .agg(F.count("*").cast("double").alias("n_docs"))
     )
     scored = (
-        tf.withColumn("df", F.count("*").over(Window.partitionBy("word")))
+        tf.join(df_counts, "word")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
@@ -2128,12 +2144,15 @@ def boilerplate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact BIGINTs; `dup_frac` is ONE double division of two
     BIGINTs and the reject flag cross-multiplies in integers.
 
-    Scale shape: explode → (doc, gram) partial-agg'd count → the
-    document frequency attaches as a count(*) window over the already
-    distinct-per-doc (doc, gram) rows (the `tfidf_top_terms`
-    no-rescan trick — NOT a groupBy+join that would re-explode the
-    corpus) → one per-doc aggregate. Gram-key skew (hot boilerplate
-    grams) is count-only window state, never a join fan-out."""
+    Scale shape (r10): explode → claimed (doc, gram) partial-agg'd
+    count → the document frequency is a gram-keyed rollup of the SAME
+    distinct-per-doc table, joined back on gram (AQE handles
+    hot-gram join skew) — replacing the former gram-partitioned count
+    window, whose unbounded frame put a hot boilerplate gram's whole
+    corpus-proportional row set in one task — then one per-doc
+    aggregate."""
+    from .. import caches
+
     d = balanced(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", "source", tokens_expr(F.col("text")).alias("t")
@@ -2143,14 +2162,18 @@ def boilerplate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.expr(_ngrams_spark_sql("t", BOILER_N))).alias("gram"),
     )
-    dg = grams.groupBy("doc_id", "source", "gram").agg(
-        F.count(F.lit(1)).cast("long").alias("n_occ")
+    dg = caches.claim(
+        "boilerplate_dg",
+        grams.groupBy("doc_id", "source", "gram").agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ")
+        ),
     )
-    # rows are distinct per (doc, gram) → count(*) over gram = exact
-    # document frequency, riding the existing aggregation
-    dfd = dg.withColumn(
-        "df_docs", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    # rows are distinct per (doc, gram) → count(*) per gram = exact
+    # document frequency, from the SAME aggregated table
+    df_docs = dg.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("df_docs")
     )
+    dfd = dg.join(df_docs, "gram")
     agged = dfd.groupBy("doc_id", "source").agg(
         F.sum("n_occ").cast("long").alias("n_grams"),
         F.sum(

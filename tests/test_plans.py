@@ -536,6 +536,27 @@ def test_shuffle_budget(spark, name):
                 f"subtree — corpus-proportional single-task-per-group "
                 f"sort:\n{args}\n{plan}"
             )
+    # repo-wide HOT-DATA-KEY window ban (r10, class 2): a window
+    # partitioned by a skewed data key (word / gram / bigram / url /
+    # content fingerprint) buffers its hottest key's whole
+    # corpus-proportional partition in ONE task (a stopword's posting
+    # list, a viral URL's dup group, an exact-dup cluster) — the
+    # unbounded-frame aggregate/argmin shapes all rewrite as
+    # map-side-combining aggregate + join (AQE absorbs join skew) or
+    # struct-min. HOTKEY_WINDOW_OK lists the bounded-input exceptions
+    # with reasons.
+    if name not in HOTKEY_WINDOW_OK:
+        for wid, _sub in explain.window_nodes(plan):
+            cols = explain.window_partition_columns(plan, wid)
+            if not cols:
+                continue
+            hot = set(cols) & HOT_DATA_KEYS
+            assert not hot, (
+                f"{name}: window partitioned by skewed data key(s) "
+                f"{sorted(hot)} — hottest key's partition is "
+                f"corpus-proportional in one task; rewrite as "
+                f"aggregate + join / struct-min:\n{plan}"
+            )
 
 
 #: the ~5–25-value group keys whose partitions are corpus-proportional
@@ -544,6 +565,20 @@ LOW_CARD_KEYS = {
     # TPC-H low-card enums (the price_quartiles class, caught r10)
     "o_orderpriority", "o_orderstatus", "l_returnflag", "l_linestatus",
     "c_mktsegment", "split",
+}
+
+#: skewed data keys whose hottest value's window partition grows with
+#: the corpus (stopword postings, hot n-grams, viral URLs, exact-dup
+#: fingerprint groups) — banned as window partition keys (class 2)
+HOT_DATA_KEYS = {"word", "gram", "bigram", "w1", "fp", "canonical_url"}
+
+# Queries allowed a hot-data-key-partitioned WindowExec because its
+# input is bounded by construction:
+HOTKEY_WINDOW_OK = {
+    # the w1 window rides the per-DISTINCT-bigram counts table: a w1
+    # group is the distinct continuations of one word — VOCABULARY-
+    # bounded, not corpus-bounded
+    "bigram_conditional_topk",
 }
 
 # Queries allowed a low-card-partitioned WindowExec because its INPUT
