@@ -1356,6 +1356,20 @@ def probe_r10(spark, sf_dir: str, label: str) -> dict:
         lambda: dedup.exact_substring_spans(spark, sf_dir).count()
     )
     caches.release_all()
+    # hot-data-key window retirement (class 2): agg+join walls must
+    # track the scan — no per-hot-key single-task buffering anywhere
+    _, r["tfidf_secs"] = timed(
+        lambda: text.tfidf_top_terms(spark, sf_dir).count()
+    )
+    caches.release_all()
+    _, r["ccnet_secs"] = timed(
+        lambda: text.ccnet_perplexity_filter(spark, sf_dir).count()
+    )
+    caches.release_all()
+    _, r["commonness_secs"] = timed(
+        lambda: text.doc_token_commonness(spark, sf_dir).count()
+    )
+    caches.release_all()
     return r
 
 
