@@ -448,27 +448,39 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one band-key equi-join over the corpus-wide shingle
     index + a verify join on candidates only; rollups are partial-
     agg'd groupBys on the (tiny) leak set; the spine is 3 literal
-    rows. The signature table is claimed once (bands ×2 + verify ×2 +
-    the split-count scan would otherwise re-md5 the corpus)."""
+    rows. The signature table holds one row per DISTINCT (content,
+    split) — exact dups pre-collapsed via `dedup.collapse_exact_reps`
+    keyed by the split column (r11; membership is a pure function of
+    doc_id, so identical content CAN span splits and each side keeps
+    its own representative): an m-copy cluster contributes O(m)
+    banding work, pair weights n_dup1·n_dup2 reconstruct the
+    doc-level leak-pair count, and Σ n_dup over distinct late
+    representatives reconstructs the exposed-doc count — all
+    BIT-IDENTICAL to the uncollapsed run, so the oracle deliberately
+    stays the uncollapsed restatement (the parity test proves the
+    collapse value-preserving). The signature table is claimed once
+    (bands ×2 + verify ×2 + the split-count scan would otherwise
+    re-md5 the corpus)."""
     from .. import caches
     from .dedup import (
         JACCARD_TAU,
         _banded_candidate_pairs,
         _shingle_sig_row_expr,
+        collapse_exact_reps,
     )
 
     row_expr = _shingle_sig_row_expr()
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", split_assignment_expr().alias("split"), "text"
+    )
     d = caches.claim(
         "split_leak_sigs",
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            split_assignment_expr().alias("split"),
-            F.expr(row_expr).alias("s"),
-        )
+        collapse_exact_reps(base, key_cols=("split",))
+        .select("doc_id", "split", "n_dup", F.expr(row_expr).alias("s"))
         .select(
             "doc_id",
             "split",
+            "n_dup",
             F.col("s.items").alias("items"),
             F.col("s.sig").alias("sig"),
         ),
@@ -478,11 +490,13 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id1"),
         F.col("split").alias("sp1"),
         F.col("items").alias("w1"),
+        F.col("n_dup").alias("m1"),
     )
     w2 = d.select(
         F.col("doc_id").alias("id2"),
         F.col("split").alias("sp2"),
         F.col("items").alias("w2"),
+        F.col("n_dup").alias("m2"),
     )
     shared = F.size(F.array_intersect("w1", "w2")).cast("long")
     n1 = F.size("w1").cast("long")
@@ -509,15 +523,32 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(r1 < r2, F.col("id2")).otherwise(F.col("id1")).alias(
                 "late_doc"
             ),
+            F.when(r1 < r2, F.col("m2")).otherwise(F.col("m1")).alias(
+                "late_mult"
+            ),
+            (F.col("m1") * F.col("m2")).alias("w"),
             "jaccard",
         )
     )
+    # the verified leak set feeds TWO rollup branches (pair weights +
+    # distinct-late-rep exposure) — claim it so the banding self-join
+    # and verify joins run once (CLAUDE.md claim-once rule)
+    leaks = caches.claim("split_leak_pairs", leaks)
     rollup = leaks.groupBy("split_a", "split_b").agg(
-        F.count(F.lit(1)).cast("long").alias("n_leak_pairs"),
-        F.countDistinct("late_doc").cast("long").alias("n_docs_exposed"),
+        F.sum("w").cast("long").alias("n_leak_pairs"),
         F.max("jaccard").alias("max_jaccard"),
     )
-    counts = d.groupBy("split").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # exposed docs = Σ multiplicity over DISTINCT late representatives
+    # (a late rep pairing with several early reps counts once, exactly
+    # like the uncollapsed countDistinct(late_doc))
+    exposed = (
+        leaks.select("split_a", "split_b", "late_doc", "late_mult")
+        .distinct()
+        .groupBy("split_a", "split_b")
+        .agg(F.sum("late_mult").cast("long").alias("n_docs_exposed"))
+    )
+    rollup = rollup.join(exposed, ["split_a", "split_b"])
+    counts = d.groupBy("split").agg(F.sum("n_dup").cast("long").alias("n"))
     spine = spark.sql(
         "SELECT * FROM VALUES ('train', 'validation'), ('train', 'test'), "
         "('validation', 'test') AS t(split_a, split_b)"

@@ -61,6 +61,55 @@ def _distinct_words(text: Column) -> Column:
     return F.array_distinct(tokens_expr(text))
 
 
+def collapse_exact_reps(
+    d: DataFrame, key_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Collapse rows with IDENTICAL `text` (within a `key_cols` group)
+    to ONE representative row BEFORE any LSH banding — the exact-dup
+    pre-collapse every production near-dup pipeline applies (VERDICT
+    r10 #1): a viral page duplicated m times shares every band, so
+    banding the raw corpus emits O(m²) candidate pairs from that one
+    cluster; banding one representative per distinct content emits
+    O(m) work and the pair multiplicities reconstruct the doc-level
+    counts exactly.
+
+    Input: (doc_id, text, *key_cols). Output one row per distinct
+    (md5(text), *key_cols):
+
+      doc_id  — min doc_id of the cluster (the representative)
+      text    — the shared text (identical across members by key)
+      max_id  — max doc_id (consumers whose tie-breaks prefer the
+                HIGHEST member id, e.g. incremental dedup's best-match
+                struct, stay bit-identical to the uncollapsed run)
+      n_dup   — cluster multiplicity (BIGINT)
+
+    Grouping key is md5(text), not text itself — a 64-hex shuffle key
+    at any document size; min(struct) partial-aggregates map-side, so
+    a hot cluster collapses to one struct per input partition before
+    the exchange. Identical members have identical derived signatures
+    and word/shingle sets, so every banding consumer's weighted sums
+    over representatives reproduce the uncollapsed doc-level values
+    bit-exactly (their DuckDB oracles are deliberately left as the
+    UNCOLLAPSED restatement where the output is value-preserved — the
+    parity test then proves the optimization changes nothing)."""
+    keys = [F.col(c) for c in key_cols]
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("content_fp"), *keys)
+        .agg(
+            F.min(F.struct("doc_id", "text")).alias("s"),
+            F.max("doc_id").alias("max_id"),
+            F.count(F.lit(1)).alias("n_dup"),
+        )
+        .select(
+            F.col("s.doc_id").alias("doc_id"),
+            *key_cols,
+            F.col("s.text").alias("text"),
+            "max_id",
+            "n_dup",
+        )
+    )
+
+
 _DISTINCT_WORDS_SQL = "list_distinct(regexp_split_to_array(trim(text), '\\s+'))"
 
 
@@ -401,27 +450,47 @@ def _minhash_band_candidates(d: DataFrame) -> DataFrame:
 
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification
-    within one source block: docs sharing ANY full band of the
-    signature become candidates; candidates are verified against the
-    true word-set Jaccard. Output: verified pairs with band-collision
-    count and exact jaccard."""
+    within one source block, over DISTINCT-CONTENT representatives
+    (exact duplicates pre-collapsed via `collapse_exact_reps` — r11):
+    representatives sharing ANY full band of the signature become
+    candidates; candidates are verified against the true word-set
+    Jaccard. Output: verified representative pairs with band-collision
+    count, exact jaccard, each side's exact-dup multiplicity, and
+    pair_weight = n_dup1·n_dup2 (the number of underlying doc pairs
+    this representative pair stands for). Within-cluster identical
+    pairs (jaccard 1.0 by definition) are NOT re-expanded — they are
+    `dedup_exact`'s output, and re-emitting them is exactly the O(m²)
+    hot-cluster blowup the collapse retires."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source") == DEDUP_SOURCE_BLOCK)
+        .select("doc_id", "text")
+    )
     # eager localCheckpoint: d feeds the band candidates AND both
     # verify joins — left lazy, the tokenize + 16-hash signature
     # projection re-runs per branch (the same measured fix as
     # ngram_jaccard_neardup's shingle table)
     d = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.col("source") == DEDUP_SOURCE_BLOCK)
+        collapse_exact_reps(base)
         .select(
             "doc_id",
+            "n_dup",
             _distinct_words(F.col("text")).alias("words"),
             _minhash_signature().alias("sig"),
         )
         .localCheckpoint(eager=True)
     )
     candidates = _minhash_band_candidates(d)
-    w1 = d.select(F.col("doc_id").alias("id1"), F.col("words").alias("w1"))
-    w2 = d.select(F.col("doc_id").alias("id2"), F.col("words").alias("w2"))
+    w1 = d.select(
+        F.col("doc_id").alias("id1"),
+        F.col("words").alias("w1"),
+        F.col("n_dup").alias("n_dup1"),
+    )
+    w2 = d.select(
+        F.col("doc_id").alias("id2"),
+        F.col("words").alias("w2"),
+        F.col("n_dup").alias("n_dup2"),
+    )
     shared = F.size(F.array_intersect("w1", "w2")).cast("long")
     n1 = F.size("w1").cast("long")
     n2 = F.size("w2").cast("long")
@@ -430,9 +499,42 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(w2, "id2")
         .withColumn("jaccard", shared / (n1 + n2 - shared))
         .where(F.col("jaccard") >= JACCARD_TAU)
-        .select("id1", "id2", "n_band_hits", "jaccard")
+        .select(
+            "id1",
+            "id2",
+            "n_band_hits",
+            "jaccard",
+            "n_dup1",
+            "n_dup2",
+            (F.col("n_dup1") * F.col("n_dup2")).alias("pair_weight"),
+        )
     )
     return verified
+
+
+def _duck_collapse_reps_sql(
+    where_sql: str = "", key_cols: tuple[str, ...] = ()
+) -> str:
+    """DuckDB mirror of `collapse_exact_reps`: the exact-dup
+    pre-collapse CTE body (min-id representative + multiplicity per
+    distinct md5(text) within `key_cols`), shared by every oracle
+    that restates the collapsed pipeline. Struct-min picks the same
+    representative as Spark (lexicographic struct ordering, unique
+    doc_id first field)."""
+    keys = "".join(f", {c}" for c in key_cols)
+    key_sel = "".join(f", r.{c} AS {c}" for c in key_cols)
+    where = f" WHERE {where_sql}" if where_sql else ""
+    return f"""(
+  SELECT r.s['doc_id'] AS doc_id{key_sel}, r.s['text'] AS text,
+         r.max_id AS max_id, r.n_dup AS n_dup
+  FROM (
+    SELECT min({{'doc_id': doc_id, 'text': text}}) AS s,
+           max(doc_id) AS max_id,
+           CAST(count(*) AS BIGINT) AS n_dup{keys}
+    FROM documents{where}
+    GROUP BY md5(text){keys}
+  ) r
+)"""
 
 
 def _minhash_sig_sql() -> list[str]:
@@ -464,11 +566,13 @@ def _duck_bands_from_sql() -> str:
 def _build_minhash_sql() -> str:
     sigs = _minhash_sig_sql()
     band_structs_from = _duck_bands_from_sql()
+    reps = _duck_collapse_reps_sql(f"source = '{DEDUP_SOURCE_BLOCK}'")
     return f"""
-    WITH d AS (
-      SELECT doc_id, {_DISTINCT_WORDS_SQL} AS words,
+    WITH reps AS MATERIALIZED {reps},
+    d AS MATERIALIZED (
+      SELECT doc_id, n_dup, {_DISTINCT_WORDS_SQL} AS words,
              [{', '.join(sigs)}] AS sig
-      FROM documents WHERE source = '{DEDUP_SOURCE_BLOCK}'
+      FROM reps
     ),
     bands AS (
       SELECT doc_id, bk.band AS band, bk.band_key AS band_key
@@ -484,7 +588,9 @@ def _build_minhash_sql() -> str:
            CAST(len(list_intersect(w1.words, w2.words)) AS BIGINT)
              / (CAST(len(w1.words) AS BIGINT) + CAST(len(w2.words) AS BIGINT)
                 - CAST(len(list_intersect(w1.words, w2.words)) AS BIGINT))
-             AS jaccard
+             AS jaccard,
+           w1.n_dup AS n_dup1, w2.n_dup AS n_dup2,
+           w1.n_dup * w2.n_dup AS pair_weight
     FROM candidates
     JOIN d w1 ON w1.doc_id = id1
     JOIN d w2 ON w2.doc_id = id2
@@ -1455,20 +1561,42 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     production pipeline maintains (here rebuilt per run and claimed
     once — shingle hashes + signatures feed the band join and the
     verify join, so an unclaimed plan would re-md5 the whole corpus
-    per branch). The band join shuffles on band_key only; a new batch
-    is typically ≪ corpus, so candidates ∝ batch collisions, and the
-    verify join touches candidate corpus docs only. Nothing is ever
-    all-pairs.
+    per branch). The index holds one row per DISTINCT corpus content
+    (`collapse_exact_reps` — r11): a viral m-copy corpus page is ONE
+    band row set, not m, so a batch doc matching it generates one
+    candidate instead of m; the representative's multiplicity weights
+    the per-batch counts and its max_id carries the tie-break, so
+    every output value is BIT-IDENTICAL to the uncollapsed run (the
+    oracle deliberately stays the uncollapsed restatement — the
+    parity test proves the collapse value-preserving). The band join
+    shuffles on band_key only; a new batch is typically ≪ corpus, so
+    candidates ∝ batch collisions, and the verify join touches
+    candidate corpus representatives only. Nothing is ever all-pairs.
     """
     row_expr = _shingle_sig_row_expr()
-    d = caches.claim(
-        "inc_minhash_sigs",
-        load_table(spark, sf_dir, "documents")
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = caches.claim(
+        "inc_minhash_batch_sigs",
+        base.where(F.col("doc_id") % INC_BATCH_MOD == 0)
         .select("doc_id", F.expr(row_expr).alias("s"))
-        .select("doc_id", F.col("s.items").alias("items"), F.col("s.sig").alias("sig")),
+        .select(
+            "doc_id",
+            F.col("s.items").alias("items"),
+            F.col("s.sig").alias("sig"),
+        ),
     )
-    corpus = d.where(F.col("doc_id") % INC_BATCH_MOD != 0)
-    batch = d.where(F.col("doc_id") % INC_BATCH_MOD == 0)
+    corpus = caches.claim(
+        "inc_minhash_corpus_sigs",
+        collapse_exact_reps(base.where(F.col("doc_id") % INC_BATCH_MOD != 0))
+        .select("doc_id", "max_id", "n_dup", F.expr(row_expr).alias("s"))
+        .select(
+            "doc_id",
+            "max_id",
+            "n_dup",
+            F.col("s.items").alias("items"),
+            F.col("s.sig").alias("sig"),
+        ),
+    )
     # <SHINGLE_N-token docs have no shingles → all-NULL signatures;
     # exclude them from banding on BOTH engines (they can't near-dup)
     cand = (
@@ -1486,7 +1614,12 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_band_hits"))
     )
     wb = batch.select(F.col("doc_id").alias("batch_id"), F.col("items").alias("w1"))
-    wc = corpus.select(F.col("doc_id").alias("corpus_id"), F.col("items").alias("w2"))
+    wc = corpus.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("items").alias("w2"),
+        "max_id",
+        "n_dup",
+    )
     shared = F.size(F.array_intersect("w1", "w2")).cast("long")
     n1 = F.size("w1").cast("long")
     n2 = F.size("w2").cast("long")
@@ -1497,14 +1630,16 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dup = F.col("jaccard") >= JACCARD_TAU
     per_batch = scored.groupBy("batch_id").agg(
-        F.count(F.lit(1)).alias("n_candidates"),
-        F.count(F.when(dup, F.lit(1))).alias("n_dups"),
+        F.sum("n_dup").alias("n_candidates"),
+        F.coalesce(F.sum(F.when(dup, F.col("n_dup"))), F.lit(0)).alias(
+            "n_dups"
+        ),
         F.max(
             F.when(
                 dup,
                 F.struct(
                     F.col("jaccard").alias("j"),
-                    F.col("corpus_id").alias("cid"),
+                    F.col("max_id").alias("cid"),
                 ),
             )
         ).alias("best"),
@@ -2222,15 +2357,26 @@ def cross_source_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one band-key equi-join over the corpus-wide shingle
     index + a verify join on candidates only; the rollup is two
     partial-agg'd groupBys on the (tiny) cross-pair set; the spine
-    join broadcasts the 20-row source list."""
+    join broadcasts the 20-row source list. The index is built over
+    (content, source) exact-dup REPRESENTATIVES (`collapse_exact_reps`
+    keyed by source — r11): a page syndicated m times within one
+    source is ONE band row set, and a representative pair's
+    n_dup1·n_dup2 weight reconstructs the doc-level pair count
+    exactly — the oracle deliberately stays the uncollapsed
+    restatement, so the parity test proves the collapse
+    value-preserving."""
     row_expr = _shingle_sig_row_expr()
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
     d = caches.claim(
         "cross_source_sigs",
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "source", F.expr(row_expr).alias("s"))
+        collapse_exact_reps(base, key_cols=("source",))
+        .select("doc_id", "source", "n_dup", F.expr(row_expr).alias("s"))
         .select(
             "doc_id",
             "source",
+            "n_dup",
             F.col("s.items").alias("items"),
             F.col("s.sig").alias("sig"),
         ),
@@ -2240,11 +2386,13 @@ def cross_source_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id1"),
         F.col("source").alias("s1"),
         F.col("items").alias("w1"),
+        F.col("n_dup").alias("m1"),
     )
     w2 = d.select(
         F.col("doc_id").alias("id2"),
         F.col("source").alias("s2"),
         F.col("items").alias("w2"),
+        F.col("n_dup").alias("m2"),
     )
     shared = F.size(F.array_intersect("w1", "w2")).cast("long")
     n1 = F.size("w1").cast("long")
@@ -2256,18 +2404,20 @@ def cross_source_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(
             (F.col("jaccard") >= JACCARD_TAU) & (F.col("s1") != F.col("s2"))
         )
-        .select("s1", "s2")
+        .select("s1", "s2", (F.col("m1") * F.col("m2")).alias("w"))
     )
     per_side = cross.select(
-        F.col("s1").alias("source"), F.col("s2").alias("partner")
+        F.col("s1").alias("source"), F.col("s2").alias("partner"), "w"
     ).union(
-        cross.select(F.col("s2").alias("source"), F.col("s1").alias("partner"))
+        cross.select(
+            F.col("s2").alias("source"), F.col("s1").alias("partner"), "w"
+        )
     )
     rollup = per_side.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_cross_dup_pairs"),
+        F.sum("w").alias("n_cross_dup_pairs"),
         F.countDistinct("partner").alias("n_partner_sources"),
     )
-    spine = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    spine = d.groupBy("source").agg(F.sum("n_dup").alias("n_docs"))
     return (
         spine.join(F.broadcast(rollup), "source", "left")
         .select(
@@ -2340,23 +2490,47 @@ def minhash_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (= n_pairs / n_candidates, one double division of exact ints).
 
     Scale shape: identical candidate bound to `minhash_lsh_neardup`
-    (band equi-join, never all-pairs); the sweep itself is a 5× row
-    replication of the SCORED CANDIDATES ONLY (a few thousand rows at
-    any corpus size where banding is doing its job), then one
-    partial-agg'd groupBy on tau."""
-    d = (
+    (band equi-join over exact-dup-collapsed representatives — r11,
+    so a viral m-copy cluster contributes O(m) banding work, not
+    O(m²) candidate rows); within-cluster identical pairs re-enter
+    the counts as closed-form weights (C(n_dup, 2) per cluster,
+    jaccard 1.0 by definition), cross-cluster pairs as
+    n_dup1·n_dup2 — so every per-tau count is BIT-IDENTICAL to the
+    uncollapsed doc-level sweep, and the oracle deliberately stays
+    the UNCOLLAPSED restatement (the parity test proves the collapse
+    value-preserving). The sweep itself is a 5× row replication of
+    the scored representative pairs only, then one partial-agg'd
+    groupBy on tau."""
+    base = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("source") == DEDUP_SOURCE_BLOCK)
+        .select("doc_id", "text")
+    )
+    d = (
+        collapse_exact_reps(base)
         .select(
             "doc_id",
+            "n_dup",
+            # NULL-text members have NULL signatures → no band keys in
+            # the oracle's banding; gate their C(n_dup,2) self-weight
+            # out identically (r7 NULL-parity family)
+            F.col("text").isNotNull().alias("has_text"),
             _distinct_words(F.col("text")).alias("words"),
             _minhash_signature().alias("sig"),
         )
         .localCheckpoint(eager=True)  # bands + both verify joins
     )
     candidates = _minhash_band_candidates(d)
-    w1 = d.select(F.col("doc_id").alias("id1"), F.col("words").alias("w1"))
-    w2 = d.select(F.col("doc_id").alias("id2"), F.col("words").alias("w2"))
+    w1 = d.select(
+        F.col("doc_id").alias("id1"),
+        F.col("words").alias("w1"),
+        F.col("n_dup").alias("n_dup1"),
+    )
+    w2 = d.select(
+        F.col("doc_id").alias("id2"),
+        F.col("words").alias("w2"),
+        F.col("n_dup").alias("n_dup2"),
+    )
     shared = F.size(F.array_intersect("w1", "w2")).cast("long")
     n1 = F.size("w1").cast("long")
     n2 = F.size("w2").cast("long")
@@ -2364,19 +2538,29 @@ def minhash_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidates.join(w1, "id1")
         .join(w2, "id2")
         .withColumn("jaccard", shared / (n1 + n2 - shared))
-        .select("id1", "id2", "jaccard")
+        .select(
+            "jaccard", (F.col("n_dup1") * F.col("n_dup2")).alias("w")
+        )
+    )
+    self_pairs = d.where((F.col("n_dup") >= 2) & F.col("has_text")).select(
+        F.lit(1.0).cast("double").alias("jaccard"),
+        F.expr("(n_dup * (n_dup - 1)) DIV 2").alias("w"),
     )
     taus = ", ".join(f"CAST({t} AS DOUBLE)" for t in SWEEP_TAUS)
     return (
-        scored.select(
-            "jaccard", F.explode(F.expr(f"array({taus})")).alias("tau")
+        scored.unionByName(self_pairs)
+        .select(
+            "jaccard", "w", F.explode(F.expr(f"array({taus})")).alias("tau")
         )
         .groupBy("tau")
         .agg(
-            F.count(F.lit(1)).alias("n_candidates"),
-            F.count(F.when(F.col("jaccard") >= F.col("tau"), 1)).alias(
-                "n_pairs"
-            ),
+            F.sum("w").cast("long").alias("n_candidates"),
+            F.coalesce(
+                F.sum(F.when(F.col("jaccard") >= F.col("tau"), F.col("w"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_pairs"),
         )
         .withColumn(
             "precision",

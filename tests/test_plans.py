@@ -147,14 +147,15 @@ SHUFFLE_BUDGET = {
     # all work happens inside the builder's foreachBatch stream; the
     # returned frame is a plain read of the appended result parquet
     "stream_incremental_dedup": 0,
-    # band-key self-join + candidate distinct + cross-pair rollup
-    # (count + countDistinct two-phase) + per-source spine agg; the
-    # spine join back broadcasts
-    "cross_source_dup_audit": 5,
-    # same banding machinery keyed by split: band self-join + candidate
-    # distinct + leak rollup (count + countDistinct two-phase) +
-    # per-split count agg; spine/count joins broadcast (3-row sides)
-    "split_leakage_audit": 5,
+    # exact-dup collapse groupBy (r11) + band-key self-join +
+    # candidate distinct + cross-pair rollup (sum + countDistinct
+    # two-phase) + per-source spine agg; the spine join back broadcasts
+    "cross_source_dup_audit": 6,
+    # same banding machinery keyed by split: collapse groupBy (r11) +
+    # band self-join + candidate distinct + weighted leak rollup +
+    # distinct-late-rep exposure (distinct + agg over the claimed tiny
+    # leak set) + per-split count agg; spine joins broadcast
+    "split_leakage_audit": 7,
     # one single-row agg exchange per read-back format (4 formats);
     # the writes execute eagerly inside the builder
     "format_roundtrip_audit": 4,
@@ -288,7 +289,8 @@ SHUFFLE_BUDGET = {
     # 2 balanced spreads (gopher + c4 branches) + source agg; the
     # doc_id joins broadcast at harness size (+1 headroom for SMJ)
     "corpus_quality_funnel": 4,
-    # band self-join agg + tau groupBy; sig table is a checkpoint
+    # band self-join agg + tau groupBy over the rep-pair∪self-weight
+    # union; collapse groupBy hides behind the sig checkpoint (r11)
     "minhash_tau_sweep": 3,
     # one gram-hash groupBy (occurrence lists, hot-cap filtered) +
     # diagonal window/island agg (+1 headroom)
@@ -341,9 +343,10 @@ SHUFFLE_BUDGET = {
     # target + change-feed branches shuffle into the co-partitioned
     # full-outer + status agg
     "merge_upsert_orders": 3,
-    # band-collision join agg + candidate verify agg + batch left join
-    # over the claimed shingle-hash + signature cache
-    "incremental_minhash_dedup": 3,
+    # corpus-side exact-dup collapse groupBy (r11) + band-collision
+    # join agg + candidate verify agg + batch left join over the two
+    # claimed signature caches (batch raw, corpus collapsed reps)
+    "incremental_minhash_dedup": 4,
     # chunk-window spread + chunk-max agg + tiny carry-in window +
     # (type,bucket) agg + post-agg share window; carry-in broadcast
     "events_lateness_audit": 5,
