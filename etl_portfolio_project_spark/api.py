@@ -1209,54 +1209,26 @@ for _name, _fn, _sql, _doc in _STREAMING_MM:
 
 _WINDOW = 50
 
-# Re-confirmation picks, in priority order (used to pad the window
-# after never-graded/red queries). §2 reference surface first, then
-# the dtype-sensitive events readers (testdata drifts between rounds),
-# then prior-round fixes and one representative per big family.
+# Hand-padding picks, in priority order, applied AFTER never-graded/
+# red and REGRADE.json but BEFORE the oldest-grade-first tail (r11).
+# Keep this list SMALL: the age-ordered tail now rotates every green
+# query back through the window automatically (VERDICT r10 #4), so
+# only two classes earn a permanent slot here — (a) queries whose
+# inputs are dtype-drift-sensitive against each round's REGENERATED
+# testdata (the events readers), and (b) one §2-surface + one
+# shared-index + one stateful-streaming representative as each
+# round's canary for their whole infra family. Infra-file changes
+# (caches/session/tmpdirs/sources) may TEMPORARILY pad more entries
+# here — see tools/rotation_check.py's warning.
 _RECONFIRM = [
-    # r8: caches.shared_index gained scope eviction; r9: eviction
-    # moved after build() (infra blast radius both times) — re-confirm
-    # the shared-index consumers the git-diff regrade didn't already
-    # queue
-    "ann_ivfpq_topk",
-    "ann_pq_adc_topk",
-    "ann_ivf_topk",
-    "src_join_projection",
-    "join_left_extension",
-    "region_clean",
-    "loan_final",
-    "loan_monthly_schedule",
-    "union_all_schedules",
     "sessionize_events",
     "events_tumbling_5min",
     "stream_tumbling_5min",
-    "stream_latest_user_event",
-    "region_null_audit",
-    "sequence_packing_bins",
-    "bigram_conditional_topk",
-    "simhash_pairs",  # r4: values changed (48 live bits, was 31)
-    "minhash_lsh_neardup",
-    "neardup_clusters",
-    "text_profile",
-    "hll_distinct_users",
-    "arrow_group_median",
-    # durable re-confirmation padding (one representative per big
-    # family beyond the §2 surface above). Changed-code regrades are
-    # no longer hand-listed here — REGRADE.json (emitted by
-    # tools/rotation_check.py --emit-regrade from the git diff since
-    # the last grading) takes priority over this list in
-    # grading_window(), so every touched code path regrades
-    # automatically.
+    "src_join_projection",
+    "loan_final",
+    "loan_monthly_schedule",
+    "ann_ivfpq_topk",
     "stream_user_stats",
-    "stream_checkpoint_restart_ingest",
-    "neardup_pagerank",
-    "dedup_keep_best",
-    "incremental_minhash_dedup",
-    "decontaminate_ngrams",
-    "embedding_lsh_neardup_pairs",
-    "multimodal_bmp_decode",
-    "corpus_preparation",
-    "events_lateness_audit",
 ]
 
 
@@ -1319,6 +1291,32 @@ def _graded_verdicts() -> tuple[set[str], set[str]]:
     return green, graded
 
 
+def _latest_grade_rounds() -> dict[str, int]:
+    """name → the NEWEST round in which the driver graded it (from the
+    CORRECTNESS_r{N}.json filenames). 0 = never graded. Feeds the
+    oldest-grade-first back-fill in `grading_window` and the max-age
+    report in tools/rotation_check.py."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    latest: dict[str, int] = {}
+    for path in sorted(
+        _glob.glob(_os.path.join(_repo_root(), "CORRECTNESS_r*.json"))
+    ):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
 def _changed_path_regrades() -> list[str]:
     """Queries flagged for regrade by `tools/rotation_check.py
     --emit-regrade` (git diff since last grading → operator modules →
@@ -1341,7 +1339,11 @@ def grading_window() -> list[str]:
     """The front-`_WINDOW` ordering: never-graded + still-red first
     (registration order), then changed-code regrades (REGRADE.json,
     emitted by tools/rotation_check.py), then `_RECONFIRM` picks, then
-    the rest."""
+    an OLDEST-DRIVER-GRADE-FIRST tail (r11 — VERDICT r10 #4: the
+    static list alone left 49 greens stuck at their r1–r2 grades;
+    age-ordering bounds every query's driver-grade staleness at
+    ~⌈registry/window⌉ + regrade-pressure rounds and converges a few
+    rounds after introduction)."""
     green, graded = _graded_verdicts()
     names = list(REGISTRY)
     front = [n for n in names if n not in green]  # never graded or red
@@ -1355,6 +1357,15 @@ def grading_window() -> list[str]:
             break
         if n in REGISTRY and n not in front:
             front.append(n)
+    ages = _latest_grade_rounds()
+    order = {n: i for i, n in enumerate(names)}
+    for n in sorted(
+        (n for n in names if n not in front),
+        key=lambda n: (ages.get(n, 0), order[n]),
+    ):
+        if len(front) >= _WINDOW:
+            break
+        front.append(n)
     return front
 
 

@@ -463,9 +463,9 @@ UNPARTITIONED_WINDOW_OK = {
     "temperature_sampling_weights",
     # both rank windows sort top-SEARCH_TOP_K pruned lists (≤K rows)
     "hybrid_rrf_search",
-    # running-max carry over the per-chunk max table — the documented
-    # n/1024 parallel-prefix-scan residue (recurse at deeper scale)
-    "events_lateness_audit",
+    # events_lateness_audit left this set in r11: its carry is now the
+    # recursive chunk→superchunk scan (_prefix_max_carry — partitioned
+    # sibling windows + a ≤1024-row apex triangular join)
 }
 
 

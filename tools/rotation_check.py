@@ -501,6 +501,21 @@ def main() -> int:
     else:
         print("\nfront-50 already covers every never-graded/red query")
 
+    # driver-grade staleness (r11): the oldest-grade-first tail in
+    # grading_window() bounds every green's age; report the worst-case
+    # age as of the NEXT grading round, assuming the upcoming front-50
+    # all regrade then (the driver grades exactly that window).
+    ages = api._latest_grade_rounds()
+    cur_round = max(ages.values(), default=0)
+    outside = [n for n in names if n not in front]
+    if outside and ages:
+        oldest = min(outside, key=lambda n: ages.get(n, 0))
+        max_age = cur_round + 1 - ages.get(oldest, 0)
+        print(f"\nmax driver-grade age OUTSIDE the upcoming window: "
+              f"{max_age} rounds as of r{cur_round + 1} "
+              f"(oldest: {oldest}, last graded r{ages.get(oldest, 0)}); "
+              f"window tail regrades the {len(front)}-oldest first")
+
     regrade = os.path.join(_REPO, "REGRADE.json")
     if os.path.exists(regrade):
         with open(regrade) as f:
