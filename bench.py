@@ -267,8 +267,14 @@ def compact_line(
     # harness SFs (PERF_ANCHOR "Streaming floor decomposition") that
     # amortizes at scale — publishing the split lets the perf gate
     # read the floor-free batch total without ungating any stream.
+    # Membership comes from the registry's canonical marker, not a
+    # name-prefix match (ADVICE r10); test_bench_contract pins the
+    # marker against a docstring-stripped source scan for streaming
+    # entry points, so neither side can silently drift.
+    from etl_portfolio_project_spark.api import STREAMING_QUERIES
+
     stream_sec = round(
-        sum(t for n, t in timings.items() if n.startswith("stream_")), 3
+        sum(t for n, t in timings.items() if n in STREAMING_QUERIES), 3
     )
     return {
         "metric": "total_query_wall_seconds",

@@ -1193,6 +1193,18 @@ for _name, _fn, _sql, _doc in _STREAMING_MM:
     register(_name, _sql, _doc)(_fn)
 
 
+#: The queries that execute Structured Streaming micro-batches — the
+#: CANONICAL streaming marker (ADVICE r10): bench.py's batch/stream
+#: wall split reads THIS set, not the name prefix, and
+#: tests/test_bench_contract.py pins membership == the `stream_`
+#: prefix convention, so a future streaming query that forgets either
+#: side fails loudly instead of silently skewing the floor-free batch
+#: total the perf gate reads.
+STREAMING_QUERIES = frozenset(
+    n for n in REGISTRY if n.startswith("stream_")
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window: the correctness harness grades the FIRST 50
 # registry entries per round (CORRECTNESS_r01.json == registration

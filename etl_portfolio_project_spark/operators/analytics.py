@@ -1325,15 +1325,22 @@ def source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mega-domain no longer serializes one task). Survivor ranks equal
     full-relation ranks because the prune keeps every row at or below
     the boundary — the kept set is provably identical."""
+    from .. import caches
     from .ranking import grouped_bottomk_survivors
     from .text import portable_hash60
 
     d = load_table(spark, sf_dir, "documents")
-    per = d.select(
-        "doc_id",
-        "source",
-        "lang",
-        portable_hash60(F.col("doc_id").cast("string")).alias("_h"),
+    # claim ONCE: the helper scans its input twice (bucket-minima agg
+    # + survivor join) — unclaimed, the scan + per-row md5 run twice
+    # (ADVICE r10)
+    per = caches.claim(
+        "source_capped_hashed",
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            portable_hash60(F.col("doc_id").cast("string")).alias("_h"),
+        ),
     )
     surv = grouped_bottomk_survivors(per, ["source"], "_h", SOURCE_CAP)
     w = Window.partitionBy("source").orderBy("_h", "doc_id")
@@ -1640,15 +1647,21 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotas = counts.crossJoin(F.broadcast(nmax)).select(
         "source", "n_s", quota.alias("quota")
     )
+    from .. import caches
     from .text import portable_hash60
 
     h = portable_hash60(F.col("doc_id").cast("string"))
     wsrc = Window.partitionBy("source").orderBy(
         F.col("h").asc(), F.col("doc_id").asc()
     )
-    surv = grouped_bottomk_survivors(
-        d.select("doc_id", "source", h.alias("h")), ["source"], "h", MIX_QUOTA
+    # claim ONCE: the helper scans its input twice (bucket-minima agg
+    # + survivor join) — unclaimed, the scan + per-row md5 run twice
+    # (ADVICE r10)
+    hashed = caches.claim(
+        "temperature_mixture_hashed",
+        d.select("doc_id", "source", h.alias("h")),
     )
+    surv = grouped_bottomk_survivors(hashed, ["source"], "h", MIX_QUOTA)
     return (
         surv.withColumn("rn", F.row_number().over(wsrc))
         .join(F.broadcast(quotas), "source")

@@ -455,15 +455,22 @@ def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly two narrow scans and zero corpus-sized shuffles."""
     from pyspark.sql import Window
 
+    from .. import caches
     from .ranking import grouped_bottomk_survivors
 
     d = balanced(load_table(spark, sf_dir, "documents")).where(
         F.col("doc_id").isNotNull()
     )
-    per = d.select(
-        _domain_col().alias("domain"),
-        "doc_id",
-        _quota_r().alias("r"),
+    # claim ONCE: grouped_bottomk_survivors scans its input twice
+    # (bucket-minima agg + survivor join) — unclaimed, the documents
+    # scan + per-row md5 would run twice (ADVICE r10)
+    per = caches.claim(
+        "domain_quota_hashed",
+        d.select(
+            _domain_col().alias("domain"),
+            "doc_id",
+            _quota_r().alias("r"),
+        ),
     )
     surv = grouped_bottomk_survivors(
         per, ["domain"], "r", DOMAIN_QUOTA_CAP, group_count="n_docs"

@@ -144,7 +144,16 @@ def _null_safe_group_join(
     (never-NULL columns like the helper pid), dropping every
     right-side key column. Right-side keys are renamed before the
     join: both sides usually derive from the same checkpointed frame,
-    and name-based resolution sidesteps ambiguous-self-join traps."""
+    and name-based resolution sidesteps ambiguous-self-join traps.
+
+    PRECONDITION (ADVICE r10): `right` is UNCONDITIONALLY broadcast,
+    so it must be |groups|-bounded with LOW-CARDINALITY group keys
+    (every current caller groups on source/domain/split/priority-class
+    keys — ≤ a few thousand groups). A caller ranking on a
+    high-cardinality key (doc_id, url, word) would blow the 8 GB
+    broadcast ceiling: there, drop the hint and let a shuffled hash
+    join carry the boundary relation instead (and expect the extra
+    exchange in its plan budget)."""
     all_keys = list(keys) + list(eq_keys)
     ren = right
     for k in all_keys:
@@ -330,7 +339,14 @@ def grouped_bottomk_survivors(
     `group_count` (optional): also append each group's FULL row count
     (BIGINT) under that name — it rides the same bucket aggregate, so
     callers needing pre-prune group sizes (e.g. a retention
-    denominator) avoid a second pass over the relation."""
+    denominator) avoid a second pass over the relation.
+
+    PRECONDITIONS: (a) group keys must be LOW-CARDINALITY — the
+    per-group boundary relation is unconditionally broadcast (see
+    `_null_safe_group_join`); (b) `df` is scanned TWICE (bucket-minima
+    aggregate + survivor join) — callers whose projection is expensive
+    (per-row md5, explodes) must `caches.claim` it first (ADVICE r10;
+    all three quota/mixture consumers do)."""
     aggs = [F.min(value_col).alias("_gbk_m")]
     if group_count is not None:
         aggs.append(F.count(F.lit(1)).alias("_gbk_n"))

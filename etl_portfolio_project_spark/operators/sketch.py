@@ -449,15 +449,20 @@ def kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= KMV_K)
         .select("event_type", "shard", "h")
     )
-    # merge: union the shard sketches (hashes are disjoint across
-    # shards — the shard is a function of the user), re-rank bottom-k
+    # merge: union the shard sketches, re-rank bottom-k over DISTINCT
+    # hashes (ADVICE r10: the shard is a function of the USER, but a
+    # 60-bit h-collision between users in different shards would
+    # otherwise double-count in the small-set exact fallback and shift
+    # the merged k-th rank — dedup h exactly like the direct witness)
     agg = shard_sk.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_union"),
+        F.count_distinct("h").cast("long").alias("n_union"),
         F.count_distinct("shard").cast("long").alias("n_shards"),
     )
     wm = Window.partitionBy("event_type").orderBy("h")
     kth_m = (
-        shard_sk.withColumn("rn", F.row_number().over(wm))
+        shard_sk.select("event_type", "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wm))
         .where(F.col("rn") == KMV_K)
         .select("event_type", F.col("h").alias("kth_m"))
     )
@@ -518,7 +523,7 @@ shard_sk AS MATERIALIZED (
 ),
 agg AS (
   SELECT event_type,
-         CAST(count(*) AS BIGINT) AS n_union,
+         CAST(count(DISTINCT h) AS BIGINT) AS n_union,
          CAST(count(DISTINCT shard) AS BIGINT) AS n_shards
   FROM shard_sk GROUP BY event_type
 ),
@@ -526,7 +531,7 @@ kth_m AS (
   SELECT event_type, h AS kth_m FROM (
     SELECT event_type, h,
            row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-    FROM shard_sk
+    FROM (SELECT DISTINCT event_type, h FROM shard_sk)
   ) WHERE rn = {KMV_K}
 ),
 dh AS (

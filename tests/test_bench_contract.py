@@ -29,3 +29,67 @@ def test_compact_line_orders_by_slowest():
     t = {"a": 1.0, "b": 9.0, "c": 5.0}
     out = bench.compact_line(t, {}, 15.0, 0.01)
     assert list(out["queries"]) == ["b", "c", "a"]
+
+
+def test_streaming_marker_matches_actual_streaming_builders():
+    """api.STREAMING_QUERIES (the canonical marker bench.py's
+    batch/stream split reads — ADVICE r10) must equal the set of
+    builders that actually execute Structured Streaming micro-batches,
+    detected by a docstring-stripped source scan for streaming entry
+    points. A future streaming query that misses the `stream_` prefix
+    (or a prefixed query that never streams) fails here instead of
+    silently skewing the floor-free batch total the perf gate reads."""
+    import ast
+    import inspect
+    import re
+    import textwrap
+
+    import importlib
+
+    pat = re.compile(
+        r"readStream|writeStream|foreachBatch|_run_to_table"
+        r"|run_bounded|read_events_stream"
+    )
+
+    def stripped_src(fn) -> str:
+        try:
+            tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+        except (OSError, TypeError, SyntaxError):
+            return ""
+        for node in ast.walk(tree):
+            if isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Module)
+            ):
+                body = getattr(node, "body", [])
+                if (
+                    body
+                    and isinstance(body[0], ast.Expr)
+                    and isinstance(body[0].value, ast.Constant)
+                    and isinstance(body[0].value.value, str)
+                ):
+                    node.body = body[1:] or [ast.Pass()]
+        return ast.unparse(tree)
+
+    detected = set()
+    for name, spec in api.REGISTRY.items():
+        fn = spec.raw or spec.builder
+        src = stripped_src(fn)
+        if not src:
+            continue
+        # one-hop expansion: builders may delegate the streaming run
+        # to a same-module helper (e.g. _sid_run_stream)
+        mod = importlib.import_module(spec.module) if spec.module else None
+        for called in set(re.findall(r"\b(_?[a-z][a-z0-9_]*)\s*\(", src)):
+            helper = getattr(mod, called, None)
+            if callable(helper) and getattr(
+                helper, "__module__", ""
+            ) == spec.module:
+                src += "\n" + stripped_src(helper)
+        if pat.search(src):
+            detected.add(name)
+    assert detected == set(api.STREAMING_QUERIES)
+    # the prefix CONVENTION must also hold (grading tooling and the
+    # shuffle-budget exemption key off it)
+    assert set(api.STREAMING_QUERIES) == {
+        n for n in api.REGISTRY if n.startswith("stream_")
+    }
