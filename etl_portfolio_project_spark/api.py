@@ -458,6 +458,12 @@ _EXTENSIONS = [
      "BPE tokenizer-training statistics: adjacent symbol pairs "
      "(chars + </w>) weighted by exact word counts, top first-merge "
      "candidates; pair work runs on the vocabulary-sized word table."),
+    ("unigram_lm_piece_prune", X.unigram_lm_piece_prune,
+     X.UNIGRAM_LM_PIECE_PRUNE_SQL,
+     "Unigram-LM (SentencePiece) tokenizer step: seed substring "
+     "inventory with exact ML counts -> per-piece prune decision "
+     "(piece prob vs best binary decomposition, one exact integer "
+     "cross-multiplication) over the shared BPE vocabulary (r11)."),
     ("bpe_merge_loop", X.bpe_merge_loop, X.BPE_MERGE_LOOP_SQL,
      "BPE tokenizer TRAINING loop: first 3 merges learned end-to-end "
      "(argmax pair -> greedy rewrite -> recount on merged symbols); "
@@ -836,6 +842,12 @@ _EXTENSIONS += [
      "keep-best -> boundary-pruned domain quota -> hash split -> "
      "release manifest, every stage reusing its graded builder or "
      "shared expression (r10)."),
+    ("incremental_release_diff", CU.incremental_release_diff,
+     CU.INCREMENTAL_RELEASE_DIFF_SQL,
+     "Production re-release audit: corpus_version_diff's CDC rules "
+     "patched onto the graded release set -> id-keyed full outer "
+     "diff -> per-(split,lang,source) added/removed/changed counts, "
+     "char delta, both content fingerprints, partition status (r11)."),
 ]
 
 for _name, _fn, _sql, _doc in _EXTENSIONS:
@@ -1117,6 +1129,12 @@ _STREAMING_MM = [
      "Perceptual image near-dup: real BMP decode → exact-integer "
      "aHash/dHash → 4×16-bit Hamming banding → bit_count(xor) "
      "verification; planted one-pixel perturbations surface."),
+    ("audio_fingerprint_neardup", M.audio_fingerprint_neardup,
+     M.AUDIO_FINGERPRINT_NEARDUP_SQL,
+     "Audio near-dup: real WAV encode/decode → 64-bit integer frame-"
+     "energy delta fingerprint → 4×16-bit Hamming banding → "
+     "bit_count(xor) verification; planted one-sample perturbations "
+     "surface (r11 — multimodal dedup parity with image pHash)."),
     ("multimodal_jpeg_decode", M.multimodal_jpeg_decode,
      M.MULTIMODAL_JPEG_DECODE_SQL,
      "Baseline JPEG from ITU-T.81, no libjpeg: canonical-Huffman "

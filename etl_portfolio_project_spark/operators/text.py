@@ -2797,3 +2797,177 @@ FROM (
 
 
 HTML_TEXT_EXTRACT_SQL = _build_html_extract_sql()
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer step (r11 — VERDICT r10 #5a): the SentencePiece
+# (Kudo 2018, "Subword Regularization") sibling of the BPE family —
+# seed piece inventory + ML piece likelihoods + the prune decision.
+# ---------------------------------------------------------------------------
+
+ULM_MAXP = 4  # max seed piece length (chars)
+ULM_TOPK = 500  # pieces reported (by count desc, piece — total order)
+
+
+def unigram_lm_piece_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One unigram-LM tokenizer-training step over the corpus: seed
+    the piece inventory with every ≤ ULM_MAXP-char substring of the
+    vocabulary (corpus-weighted occurrence counts — the ML unigram
+    estimate's numerators; the shared total T is its denominator),
+    then for the ULM_TOPK most frequent pieces decide the
+    SentencePiece PRUNE question: is the piece worth a dedicated
+    inventory slot, or does its best two-piece decomposition already
+    explain it? A piece survives iff
+
+        p(piece) ≥ max_k p(piece[:k]) · p(piece[k:])
+      ⟺ c_piece · T ≥ max_k c_left · c_right        (cross-multiplied)
+
+    — ONE exact integer comparison per split (the repo's
+    cross-multiplication rule; products ride DECIMAL(38,0)/HUGEINT so
+    they can't overflow at any SF), so the whole step is float-free
+    and bit-identical in both engines. Single-char pieces are never
+    pruned (the atomic fallback alphabet, as in SentencePiece).
+
+    Owned simplification: full SentencePiece alternates Viterbi
+    E-steps (expected piece counts under the best segmentation of
+    every word) with this prune; the one-level binary-decomposition
+    test is the standard first-order approximation of the piece's
+    likelihood-loss contribution, and every quantity it compares is
+    a graded exact integer. Every substring of an inventory piece is
+    itself in the inventory by construction, so both split factors
+    always resolve.
+
+    Scale shape: the corpus reduces ONCE to the (word, count) table
+    (`_bpe_words_spark` — Heaps-law sublinear, shared with BPE so the
+    two tokenizer families provably train on the same vocabulary);
+    the inventory is a piece-keyed partial agg of a ≤ 4·len explode
+    of that small table; top-K is a TakeOrdered (never a global
+    sort); the ≤ 3·K split rows join the inventory keyed; output is
+    K-bounded."""
+    from .. import caches
+
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    words = _bpe_words_spark(d)
+    sub_expr = (
+        "flatten(transform(sequence(1, length(word)), "
+        f"i -> transform(sequence(1, least({ULM_MAXP}, "
+        "length(word) - i + 1)), l -> substring(word, i, l))))"
+    )
+    inv = caches.claim(
+        "ulm_inventory",
+        words.select(F.explode(F.expr(sub_expr)).alias("piece"), "n_w")
+        .groupBy("piece")
+        .agg(F.sum("n_w").cast("long").alias("c")),
+    )
+    total = inv.agg(F.sum("c").cast("long").alias("total"))
+    top = caches.claim(
+        "ulm_top",
+        inv.orderBy(F.col("c").desc(), "piece").limit(ULM_TOPK),
+    )
+    sp = top.where(F.length("piece") >= 2).select(
+        "piece",
+        F.explode(F.expr("sequence(1, length(piece) - 1)")).alias("k"),
+    ).select(
+        "piece",
+        "k",
+        F.expr("substring(piece, 1, k)").alias("l_piece"),
+        F.expr("substring(piece, k + 1, length(piece) - k)").alias(
+            "r_piece"
+        ),
+    )
+    il = inv.select(F.col("piece").alias("l_piece"), F.col("c").alias("cl"))
+    ir = inv.select(F.col("piece").alias("r_piece"), F.col("c").alias("cr"))
+    best = (
+        sp.join(il, "l_piece")
+        .join(ir, "r_piece")
+        .groupBy("piece")
+        .agg(
+            F.max(
+                F.struct(
+                    (
+                        F.col("cl").cast("decimal(38,0)")
+                        * F.col("cr").cast("decimal(38,0)")
+                    ).alias("prod"),
+                    (-F.col("k")).alias("nk"),
+                    F.col("l_piece").alias("l"),
+                    F.col("r_piece").alias("r"),
+                    F.col("cl").alias("wcl"),
+                    F.col("cr").alias("wcr"),
+                )
+            ).alias("s")
+        )
+    )
+    keep = F.when(F.length("piece") == 1, F.lit(True)).otherwise(
+        F.col("c").cast("decimal(38,0)") * F.col("total").cast("decimal(38,0)")
+        >= F.col("s.prod")
+    )
+    return (
+        top.join(best, "piece", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "piece",
+            F.length("piece").cast("long").alias("piece_len"),
+            F.col("c").alias("n_occ"),
+            F.col("s.l").alias("split_l"),
+            F.col("s.r").alias("split_r"),
+            F.col("s.wcl").alias("n_occ_l"),
+            F.col("s.wcr").alias("n_occ_r"),
+            keep.alias("keep"),
+        )
+    )
+
+
+def _unigram_lm_sql() -> str:
+    return f"""
+WITH words AS ({_bpe_words_sql()}),
+inv AS MATERIALIZED (
+  SELECT piece, CAST(sum(n_w) AS BIGINT) AS c
+  FROM (
+    SELECT unnest(flatten(list_transform(generate_series(1, length(word)),
+           i -> list_transform(
+                generate_series(1, least({ULM_MAXP},
+                                         length(word) - i + 1)),
+                l -> word[i:i+l-1])))) AS piece,
+           n_w
+    FROM words
+  )
+  GROUP BY piece
+),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM inv),
+top AS MATERIALIZED (
+  SELECT piece, c FROM inv ORDER BY c DESC, piece LIMIT {ULM_TOPK}
+),
+sp AS (
+  SELECT piece, k,
+         piece[1:k] AS l_piece,
+         piece[k+1:length(piece)] AS r_piece
+  FROM top, generate_series(1, {ULM_MAXP - 1}) s(k)
+  WHERE length(piece) >= 2 AND k < length(piece)
+),
+best AS (
+  SELECT sp.piece AS piece,
+         max({{'prod': CAST(il.c AS HUGEINT) * ir.c, 'nk': -k,
+              'l': l_piece, 'r': r_piece,
+              'wcl': il.c, 'wcr': ir.c}}) AS s
+  FROM sp
+  JOIN inv il ON il.piece = sp.l_piece
+  JOIN inv ir ON ir.piece = sp.r_piece
+  GROUP BY sp.piece
+)
+SELECT top.piece AS piece,
+       CAST(length(top.piece) AS BIGINT) AS piece_len,
+       top.c AS n_occ,
+       best.s['l'] AS split_l,
+       best.s['r'] AS split_r,
+       best.s['wcl'] AS n_occ_l,
+       best.s['wcr'] AS n_occ_r,
+       CASE WHEN length(top.piece) = 1 THEN true
+            ELSE CAST(top.c AS HUGEINT) * t.total >= best.s['prod']
+       END AS keep
+FROM top
+LEFT JOIN best ON best.piece = top.piece
+CROSS JOIN t
+"""
+
+
+UNIGRAM_LM_PIECE_PRUNE_SQL = _unigram_lm_sql()

@@ -116,6 +116,9 @@ SHUFFLE_BUDGET = {
     # vocab generations are claim-cached so no iteration rescans the
     # corpus (+1 headroom)
     "bpe_merge_loop": 12,
+    # balanced + word agg + piece-inventory agg + T single-row agg +
+    # TakeOrdered top-K + two inventory split joins + best-split agg
+    "unigram_lm_piece_prune": 9,
     # two narrow Arrow map stages (encode → decode), balanced spread only
     "multimodal_png_decode": 1,
     # corrupting synth → guarded decode, same two-stage Arrow shape
@@ -386,6 +389,9 @@ SHUFFLE_BUDGET = {
     # claimed hash-table build (balanced spread inside) + band self-
     # join candidate distinct; hash joins broadcast at harness size
     "image_phash_neardup": 3,
+    # same banding shape as image_phash: band equi-join + candidate
+    # distinct over the claimed fingerprint cache; Arrow stages narrow
+    "audio_fingerprint_neardup": 3,
     "multimodal_jpeg_decode": 1,  # balanced spread; codec is narrow
     # balanced spread + source agg + unpartitioned totals window
     "temperature_sampling_weights": 3,
@@ -416,6 +422,9 @@ SHUFFLE_BUDGET = {
     # key and reuses the window's hash partitioning (no 3rd exchange)
     "domain_quota_sample": 5,  # r10: bottom-k bucket agg (fused n_docs) + boundary + survivor window + rollup
     "corpus_release_pipeline": 16,  # r10 composed DAG: gate joins + dedup cluster machinery + pruned quota window + manifest rollup
+    # pipeline's 16 + the v2 patch branches over the claimed release
+    # set, the doc_id full-outer diff and the partition rollup
+    "incremental_release_diff": 21,
     # pure narrow generated-HOF map: balanced spread only
     "span_corruption_masks": 1,
     # r9b: boundary-pruned top-k twin of ann_brute_force_topk (7),

@@ -173,7 +173,9 @@ def test_stateful_operator_across_multiple_microbatches(spark, tmp_path):
     from etl_portfolio_project_spark.streaming import stateful as ST
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    # pre-split copy: 3 parquet files of raw (nanos) events
+    # DELIBERATE raw physical read (not load_table — r11 hygiene
+    # sweep): the re-split copy must preserve the file's physical ts
+    # type so read_events_stream's dtype branch is what gets exercised
     src = spark.read.parquet(f"{SF_SMALL}/events.parquet")
     split_dir = str(tmp_path / "events_split")
     src.repartition(3).write.mode("overwrite").parquet(split_dir)
@@ -284,9 +286,11 @@ def test_stream_user_extrema_tws_matches_batch(spark):
         import pytest
 
         pytest.skip("google.protobuf not installed; tws gated off")
+    from etl_portfolio_project_spark.sources.registry import load_table
+
     got = stateful.stream_user_extrema_tws(spark, SF_SMALL)
     exp = (
-        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        load_table(spark, SF_SMALL, "events")
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -307,6 +311,8 @@ def test_scd1_upsert_across_multiple_microbatches(spark, tmp_path):
     from etl_portfolio_project_spark.streaming import events as E
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # DELIBERATE raw physical read (see the split-invariance test
+    # above): preserves the physical ts type for the re-split files
     src = spark.read.parquet(f"{SF_SMALL}/events.parquet")
     split_dir = str(tmp_path / "events_split_scd1")
     src.repartition(3).write.mode("overwrite").parquet(split_dir)

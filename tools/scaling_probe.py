@@ -1373,6 +1373,192 @@ def probe_r10(spark, sf_dir: str, label: str) -> dict:
     return r
 
 
+VIRAL_DIR = os.environ.get("SPARK_GRAFT_VIRAL_DIR", "/tmp/spark_graft_viral")
+VIRAL_M = 1000  # copies of one viral page planted into sf0.1
+
+
+def synthesize_viral(out_dir: str) -> None:
+    """sf0.1 documents + VIRAL_M exact copies of one src0 document
+    under fresh doc_ids — the hottest-exact-dup-cluster stress input
+    for the r11 pre-collapse (VERDICT r10 #1 done-criterion)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    src = pq.read_table(f"{SRC_SF}/documents.parquet")
+    cols = src.column_names
+    d = src.to_pylist()
+    seed = next(r for r in d if r["source"] == "src0")
+    max_id = max(r["doc_id"] for r in d)
+    for j in range(VIRAL_M):
+        c = dict(seed)
+        c["doc_id"] = max_id + 1 + j
+        d.append(c)
+    pq.write_table(
+        pa.Table.from_pylist(d, schema=src.schema).select(cols),
+        f"{out_dir}/documents.parquet",
+    )
+    print(f"viral corpus: {len(d)} docs ({VIRAL_M} copies of doc "
+          f"{seed['doc_id']}) -> {out_dir}")
+
+
+def probe_r11_viral(spark) -> dict:
+    """The r11 pre-collapse receipt: on a corpus with a planted
+    m=1,000-copy exact-dup cluster, the UNCOLLAPSED banding baseline
+    emits O(m²) candidate pairs from that one cluster (~m²/2 ≈ 500k)
+    while the collapsed paths see O(m) rows — measured from the ops'
+    OWN helpers (collapse_exact_reps → _minhash_band_candidates), plus
+    end-to-end walls of all four rewired banding consumers on the
+    viral corpus."""
+    from pyspark.sql import functions as F
+
+    from etl_portfolio_project_spark import caches
+    from etl_portfolio_project_spark.operators import corpus, dedup
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    sf_dir = VIRAL_DIR
+    r = {"sf": f"sf0.1+viral{VIRAL_M}"}
+    docs = load_table(spark, sf_dir, "documents")
+    block = docs.where(F.col("source") == dedup.DEDUP_SOURCE_BLOCK)
+    r["n_docs"] = docs.count()
+    r["n_block"] = block.count()
+
+    # uncollapsed baseline: band candidates straight off the raw block
+    raw = block.select(
+        "doc_id",
+        dedup._distinct_words(F.col("text")).alias("words"),
+        dedup._minhash_signature().alias("sig"),
+    ).localCheckpoint(eager=True)
+    r["mh_cand_uncollapsed"], r["mh_uncollapsed_secs"] = timed(
+        lambda: dedup._minhash_band_candidates(raw).count()
+    )
+
+    # collapsed path (the shipped op's own stages)
+    reps = dedup.collapse_exact_reps(
+        block.select("doc_id", "text")
+    ).localCheckpoint(eager=True)
+    r["n_reps"] = reps.count()
+    r["max_cluster"] = reps.agg(F.max("n_dup")).collect()[0][0]
+    collapsed = reps.select(
+        "doc_id",
+        dedup._distinct_words(F.col("text")).alias("words"),
+        dedup._minhash_signature().alias("sig"),
+    ).localCheckpoint(eager=True)
+    r["mh_cand_collapsed"], r["mh_collapsed_secs"] = timed(
+        lambda: dedup._minhash_band_candidates(collapsed).count()
+    )
+
+    # end-to-end walls of the four rewired consumers on the viral dir
+    out, r["lsh_secs"] = timed(
+        lambda: dedup.minhash_lsh_neardup(spark, sf_dir)
+        .agg(
+            F.count(F.lit(1)).alias("rep_pairs"),
+            F.coalesce(F.sum("pair_weight"), F.lit(0)).alias("doc_pairs"),
+        )
+        .collect()[0]
+    )
+    r["lsh_rep_pairs"] = int(out["rep_pairs"])
+    r["lsh_doc_pairs_represented"] = int(out["doc_pairs"])
+    caches.release_all()
+    _, r["inc_secs"] = timed(
+        lambda: dedup.incremental_minhash_dedup(spark, sf_dir).count()
+    )
+    caches.release_all()
+    _, r["xs_secs"] = timed(
+        lambda: dedup.cross_source_dup_audit(spark, sf_dir).count()
+    )
+    caches.release_all()
+    _, r["leak_secs"] = timed(
+        lambda: corpus.split_leakage_audit(spark, sf_dir).count()
+    )
+    caches.release_all()
+    _, r["tau_secs"] = timed(
+        lambda: dedup.minhash_tau_sweep(spark, sf_dir).count()
+    )
+    caches.release_all()
+    return r
+
+
+def probe_r11(spark, sf_dir: str, label: str) -> dict:
+    """r11 ladder rows: (a) the rewired banding consumers' walls must
+    track the corpus (collapse adds one keyed agg, removes the
+    hot-cluster quadratic); (b) events_lateness_audit after the
+    recursive prefix-scan carry (whitelist retired) + the carry
+    microbench vs the naive global window at a chunk count that
+    forces one recursion level; (c) the three r11 ops: audio
+    fingerprint pairs must track the plant density (n/25), the
+    unigram-LM inventory is vocabulary-sized (Heaps-sublinear), the
+    release diff is |partitions|-bounded."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_portfolio_project_spark import caches
+    from etl_portfolio_project_spark.operators import (
+        analytics,
+        curation,
+        dedup,
+        multimodal,
+        text,
+    )
+    from etl_portfolio_project_spark.sources.registry import load_table
+
+    r = {"sf": label}
+    r["n_docs"] = int(load_table(spark, sf_dir, "documents").count())
+
+    for key, fn in [
+        ("lsh", dedup.minhash_lsh_neardup),
+        ("tau", dedup.minhash_tau_sweep),
+        ("inc", dedup.incremental_minhash_dedup),
+        ("xs", dedup.cross_source_dup_audit),
+    ]:
+        _, r[f"{key}_secs"] = timed(lambda fn=fn: fn(spark, sf_dir).count())
+        caches.release_all()
+
+    pairs, r["audio_fp_secs"] = timed(
+        lambda: multimodal.audio_fingerprint_neardup(spark, sf_dir).count()
+    )
+    r["audio_fp_pairs"] = int(pairs)
+    caches.release_all()
+
+    rows, r["ulm_secs"] = timed(
+        lambda: text.unigram_lm_piece_prune(spark, sf_dir).collect()
+    )
+    r["ulm_pieces_kept"] = int(sum(1 for x in rows if x.keep))
+    r["ulm_pieces_pruned"] = int(sum(1 for x in rows if not x.keep))
+    caches.release_all()
+
+    n, r["reldiff_secs"] = timed(
+        lambda: curation.incremental_release_diff(spark, sf_dir).count()
+    )
+    r["reldiff_partitions"] = int(n)
+    caches.release_all()
+
+    if os.path.exists(f"{sf_dir}/events.parquet"):
+        _, r["lateness_secs"] = timed(
+            lambda: analytics.events_lateness_audit(spark, sf_dir).count()
+        )
+        caches.release_all()
+
+    # carry microbench: one recursion level (n > 1024 chunks)
+    n_keys = 5000
+    frame = spark.range(n_keys).select(
+        F.col("id").alias("key"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(id AS STRING)),1,8),16,10)"
+            " AS BIGINT)"
+        ).alias("mx"),
+    ).localCheckpoint(eager=True)
+    _, r["carry_recursive_secs"] = timed(
+        lambda: analytics._prefix_max_carry(frame).count()
+    )
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, -1)
+    _, r["carry_naive_secs"] = timed(
+        lambda: frame.select("key", F.max("mx").over(w)).count()
+    )
+    r["carry_keys"] = n_keys
+    return r
+
+
 def main() -> int:
     if "--skip-generate" not in sys.argv:
         need = not all(
@@ -1430,6 +1616,22 @@ def main() -> int:
         ("r9b", probe_r9b, LADDER_DIRS),
         ("r9c", probe_r9c, LADDER_DIRS),
     ]
+
+    if "--only-r11" in sys.argv:
+        need = not os.path.exists(f"{VIRAL_DIR}/documents.parquet")
+        if need and "--skip-generate" not in sys.argv:
+            synthesize_viral(VIRAL_DIR)
+        rc = _merge_probes([("r11", probe_r11, LADDER_DIRS)])
+        raw_path = os.path.join(_REPO, "SCALING_RAW.json")
+        with open(raw_path) as f:
+            raw = json.load(f)
+        row = probe_r11_viral(spark)
+        print(json.dumps(row))
+        raw["r11_viral"] = [row]
+        with open(raw_path, "w") as f:
+            json.dump(raw, f, indent=1)
+        print("merged r11_viral into SCALING_RAW.json")
+        return rc
 
     if "--only-r10" in sys.argv:
         return _merge_probes([("r10", probe_r10, LADDER_DIRS)])
