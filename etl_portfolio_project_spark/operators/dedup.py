@@ -832,11 +832,63 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both paths produce the identical fixpoint (component = min doc_id)
     and are differentially tested against each other and against the
     oracle: transitive closure via a recursive CTE computing
-    min-reachable-id."""
-    labels = _cc_two_phase(
-        spark,
-        neardup_jaccard(spark, sf_dir).select("id1", "id2"),
-        "neardup_clusters",
+    min-reachable-id.
+
+    r11 — exact-dup pre-collapse INSIDE the builder (the PPJoin twin
+    of the banding collapse, VERDICT r10 #1 extended to the cluster
+    chain feeding `dedup_keep_best` / `corpus_release_pipeline`): the
+    pair graph is built over DISTINCT-CONTENT representatives
+    (`collapse_exact_reps` → `_prefix_filtered_jaccard_pairs`), so a
+    viral m-copy page contributes O(m) prefix-index work instead of
+    the O(m²) intra-clique pairs of the doc-level join; CC runs on
+    the rep graph (and the driver-finish ceiling counts rep edges);
+    doc-level labels come back by expanding each representative's
+    members through the content-fingerprint map. VALUE-IDENTICAL to
+    the doc-level computation — members of an identical group share
+    their rep's component (J=1 edges), the component minimum over
+    members equals the minimum over reps (rep = group min), and an
+    edge-less group with ≥2 members (a clique in the doc graph) comes
+    back as its own cluster — so the oracle deliberately stays the
+    doc-level recursive-CTE restatement and the driver parity proves
+    the rewrite."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source") == DEDUP_SOURCE_BLOCK)
+        .select("doc_id", "text")
+    )
+    # claimed: the rep table feeds the PPJoin (3 scans), the isolated-
+    # group branch and the fingerprint map (CLAUDE.md claim-once rule)
+    reps = caches.claim(
+        "neardup_cluster_reps",
+        collapse_exact_reps(base).select(
+            "doc_id",
+            "n_dup",
+            F.md5("text").alias("fp"),
+            F.col("text").isNotNull().alias("has_text"),
+            _distinct_words(F.col("text")).alias("items"),
+        ),
+    )
+    rep_pairs = _prefix_filtered_jaccard_pairs(
+        reps.select("doc_id", "items"), JACCARD_TAU, 9, 10
+    ).select("id1", "id2")
+    rep_labels = _cc_two_phase(spark, rep_pairs, "neardup_clusters")
+    # groups with ≥2 identical members and no cross-content edge are
+    # doc-level cliques (J=1 between members, text non-NULL — NULL
+    # words give NULL jaccard and never clustered): their rep becomes
+    # its own component, exactly the doc-level fixpoint
+    iso = (
+        reps.where((F.col("n_dup") >= 2) & F.col("has_text"))
+        .join(rep_labels, "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    rep_labels = rep_labels.unionByName(iso).select(
+        F.col("doc_id").alias("rep_id"), "cluster_id"
+    )
+    member_map = base.select("doc_id", F.md5("text").alias("fp")).join(
+        reps.select(F.col("doc_id").alias("rep_id"), "fp"), "fp"
+    )
+    labels = member_map.join(rep_labels, "rep_id").select(
+        "doc_id", "cluster_id"
     )
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")

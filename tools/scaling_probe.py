@@ -1448,6 +1448,35 @@ def probe_r11_viral(spark) -> dict:
         lambda: dedup._minhash_band_candidates(collapsed).count()
     )
 
+    # PPJoin twin (r11 clusters rewire): uncollapsed prefix-filter
+    # candidates vs the rep-level count, + the cluster chain's wall
+    raw_items = block.select(
+        "doc_id", dedup._distinct_words(F.col("text")).alias("items")
+    ).localCheckpoint(eager=True)
+    r["pf_cand_uncollapsed"], _ = timed(
+        lambda: dedup._prefix_candidates(raw_items, 9, 10).count()
+    )
+    r["pf_cand_collapsed"], _ = timed(
+        lambda: dedup._prefix_candidates(
+            collapsed.select("doc_id", F.col("words").alias("items")),
+            9,
+            10,
+        ).count()
+    )
+    out, r["cc_secs"] = timed(
+        lambda: dedup.neardup_clusters(spark, sf_dir)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.count_distinct("cluster_id").alias("clusters"),
+            F.max("cluster_size").alias("max_sz"),
+        )
+        .collect()[0]
+    )
+    r["cc_docs_clustered"] = int(out["docs"])
+    r["cc_clusters"] = int(out["clusters"])
+    r["cc_max_cluster_size"] = int(out["max_sz"] or 0)
+    caches.release_all()
+
     # end-to-end walls of the four rewired consumers on the viral dir
     out, r["lsh_secs"] = timed(
         lambda: dedup.minhash_lsh_neardup(spark, sf_dir)
@@ -1505,42 +1534,55 @@ def probe_r11(spark, sf_dir: str, label: str) -> dict:
     r = {"sf": label}
     r["n_docs"] = int(load_table(spark, sf_dir, "documents").count())
 
+    def best2(key, fn):
+        """best-of-2 walls (codegen amortized — the bench.py/
+        probe_stream_family protocol; single-shot walls were ±10×
+        noisy across probe runs while every COUNT was identical)."""
+        best = None
+        out = None
+        for _ in range(2):
+            out, secs = timed(lambda: fn())
+            caches.release_all()
+            best = secs if best is None else min(best, secs)
+        r[f"{key}_secs"] = best
+        return out
+
     for key, fn in [
         ("lsh", dedup.minhash_lsh_neardup),
         ("tau", dedup.minhash_tau_sweep),
         ("inc", dedup.incremental_minhash_dedup),
         ("xs", dedup.cross_source_dup_audit),
     ]:
-        _, r[f"{key}_secs"] = timed(lambda fn=fn: fn(spark, sf_dir).count())
-        caches.release_all()
+        best2(key, lambda fn=fn: fn(spark, sf_dir).count())
 
-    pairs, r["audio_fp_secs"] = timed(
-        lambda: multimodal.audio_fingerprint_neardup(spark, sf_dir).count()
+    pairs = best2(
+        "audio_fp",
+        lambda: multimodal.audio_fingerprint_neardup(spark, sf_dir).count(),
     )
     r["audio_fp_pairs"] = int(pairs)
-    caches.release_all()
 
-    rows, r["ulm_secs"] = timed(
-        lambda: text.unigram_lm_piece_prune(spark, sf_dir).collect()
+    rows = best2(
+        "ulm", lambda: text.unigram_lm_piece_prune(spark, sf_dir).collect()
     )
     r["ulm_pieces_kept"] = int(sum(1 for x in rows if x.keep))
     r["ulm_pieces_pruned"] = int(sum(1 for x in rows if not x.keep))
-    caches.release_all()
 
-    n, r["reldiff_secs"] = timed(
-        lambda: curation.incremental_release_diff(spark, sf_dir).count()
+    n = best2(
+        "reldiff",
+        lambda: curation.incremental_release_diff(spark, sf_dir).count(),
     )
     r["reldiff_partitions"] = int(n)
-    caches.release_all()
 
     if os.path.exists(f"{sf_dir}/events.parquet"):
-        _, r["lateness_secs"] = timed(
-            lambda: analytics.events_lateness_audit(spark, sf_dir).count()
+        best2(
+            "lateness",
+            lambda: analytics.events_lateness_audit(spark, sf_dir).count(),
         )
-        caches.release_all()
 
-    # carry microbench: one recursion level (n > 1024 chunks)
-    n_keys = 5000
+    # carry microbench, ladder-scaled like the r9 rank microbench:
+    # 200k/2M/20M keys → apex-only / 1 recursion level / 2 levels;
+    # the naive global window sorts ALL keys in one task
+    n_keys = r["n_docs"] * 400
     frame = spark.range(n_keys).select(
         F.col("id").alias("key"),
         F.expr(
