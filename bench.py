@@ -48,6 +48,21 @@ CANARY_QUERIES = [
     "loan_final",
 ]
 
+#: heavy-canary subset — FROZEN from r11; the cheap canary above is
+#: insensitive to load that smears only long multi-stage DAGs (r11
+#: observation: a 2.0× session carried an in-band cheap canary while
+#: incremental_release_diff ran 2.7× its own best). These four are
+#: the suite's stable heavy tail; their SUITE timings are reused (no
+#: extra runs), so heavy_canary_total decomposes a wall move into
+#: ambient-load-on-heavies vs real change the same way canary_total
+#: does for the cheap classes.
+HEAVY_CANARY_QUERIES = [
+    "corpus_release_pipeline",
+    "dedup_keep_best",
+    "bitext_margin_mining",
+    "stream_incremental_dedup",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -202,6 +217,9 @@ def main() -> None:
         # suite-total move
         "canary": canary,
         "canary_total": round(sum(canary.values()), 3),
+        "heavy_canary_total": round(
+            sum(timings.get(n, 0.0) for n in HEAVY_CANARY_QUERIES), 3
+        ),
     }
     # Absolute perf anchor (r4 VERDICT #5): if tools/oracle_bench.py
     # has recorded DuckDB oracle wall times at this SF, publish the

@@ -881,19 +881,25 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rep_labels, "doc_id", "left_anti")
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
     )
-    rep_labels = rep_labels.unionByName(iso).select(
-        F.col("doc_id").alias("rep_id"), "cluster_id"
-    )
-    member_map = base.select("doc_id", F.md5("text").alias("fp")).join(
-        reps.select(F.col("doc_id").alias("rep_id"), "fp"), "fp"
-    )
-    labels = member_map.join(rep_labels, "rep_id").select(
-        "doc_id", "cluster_id"
+    rep_labels = rep_labels.unionByName(iso)
+    # labeled reps = the post-detection cluster map — the SAME
+    # GB-scale-at-100TB object `dedup_keep_best` already broadcasts
+    # (and with the same above-ceiling fallback: drop the hint and
+    # let a shuffled fp join carry it); broadcasting it keeps the
+    # member expansion to ONE join over the scan instead of a
+    # corpus-wide fp shuffle
+    labeled = rep_labels.join(
+        reps.select("doc_id", "fp"), "doc_id"
+    ).select("fp", "cluster_id")
+    labels = (
+        base.select("doc_id", F.md5("text").alias("fp"))
+        .join(F.broadcast(labeled), "fp")
+        .select("doc_id", "cluster_id")
     )
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    return labels.join(sizes, "cluster_id").select(
+    return labels.join(F.broadcast(sizes), "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size"
     )
 

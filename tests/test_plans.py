@@ -357,7 +357,7 @@ SHUFFLE_BUDGET = {
     # plans print under every scan site in explain but executed once
     # at the builder's count()s) + qmax agg + argmax agg + anti-join
     # (broadcast); +2 headroom if the broadcasts fall back to SMJ
-    "dedup_keep_best": 16,  # + the r11 rep-level labels subtree (see
+    "dedup_keep_best": 11,  # + the r11 rep-level labels subtree (see
     # neardup_clusters) printing under the labels broadcast sites
     # --- r8 backfill (VERDICT r7 item 2): the r1–r3 queries that
     # predate the budget rule, pinned at their observed COLD plans ---
@@ -379,10 +379,10 @@ SHUFFLE_BUDGET = {
     "multimodal_wav_decode": 1,  # balanced spread; decode is narrow
     # r11 rep-level CC: collapse agg + PPJoin candidate machinery
     # behind the claimed reps/pairs caches (build plans print under
-    # every scan site in explain, executed once), + fp member-map
-    # join, iso anti-join and sizes join — all keyed, none corpus-
-    # sorted; harness-size CC itself is still the driver finish
-    "neardup_clusters": 12,
+    # every scan site in explain, executed once) + iso anti-join +
+    # sizes agg; the labeled-rep member expansion and sizes joins
+    # BROADCAST (the dedup_keep_best cluster-map precedent)
+    "neardup_clusters": 7,
     "pivot_status_by_priority": 2,  # pivot two-phase agg
     "repeat_customers_1995_1996": 1,  # (cust, year) agg; self-join broadcast
     "rollup_revenue_by_geo": 1,  # rollup grouping-sets single agg
@@ -427,10 +427,10 @@ SHUFFLE_BUDGET = {
     # balanced + domain-keyed window; the rollup groups on the SAME
     # key and reuses the window's hash partitioning (no 3rd exchange)
     "domain_quota_sample": 5,  # r10: bottom-k bucket agg (fused n_docs) + boundary + survivor window + rollup
-    "corpus_release_pipeline": 24,  # r10 composed DAG: gate joins + dedup cluster machinery (r11 rep-level labels subtree) + pruned quota window + manifest rollup
-    # pipeline's 24 + the v2 patch branches over the claimed release
+    "corpus_release_pipeline": 19,  # r10 composed DAG: gate joins + dedup cluster machinery (r11 rep-level labels subtree) + pruned quota window + manifest rollup
+    # pipeline's 19 + the v2 patch branches over the claimed release
     # set, the doc_id full-outer diff and the partition rollup
-    "incremental_release_diff": 27,
+    "incremental_release_diff": 21,
     # pure narrow generated-HOF map: balanced spread only
     "span_corruption_masks": 1,
     # r9b: boundary-pruned top-k twin of ann_brute_force_topk (7),
