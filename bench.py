@@ -48,19 +48,23 @@ CANARY_QUERIES = [
     "loan_final",
 ]
 
-#: heavy-canary subset — FROZEN from r11; the cheap canary above is
-#: insensitive to load that smears only long multi-stage DAGs (r11
-#: observation: a 2.0× session carried an in-band cheap canary while
-#: incremental_release_diff ran 2.7× its own best). These four are
+#: heavy-canary subset — FROZEN from r11 (+1 r12); the cheap canary
+#: above is insensitive to load that smears only long multi-stage DAGs
+#: (r11 observation: a 2.0× session carried an in-band cheap canary
+#: while incremental_release_diff ran 2.7× its own best). These are
 #: the suite's stable heavy tail; their SUITE timings are reused (no
 #: extra runs), so heavy_canary_total decomposes a wall move into
 #: ambient-load-on-heavies vs real change the same way canary_total
-#: does for the cheap classes.
+#: does for the cheap classes. r12 adds multivector_maxsim_topk
+#: (VERDICT r11 #3): its 10.57 s driver outlier was invisible to both
+#: canaries because none covered the generated-expression scoring
+#: class; as a member its own cross-session band is tracked directly.
 HEAVY_CANARY_QUERIES = [
     "corpus_release_pipeline",
     "dedup_keep_best",
     "bitext_margin_mining",
     "stream_incremental_dedup",
+    "multivector_maxsim_topk",
 ]
 
 

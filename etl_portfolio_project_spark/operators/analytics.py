@@ -2044,7 +2044,17 @@ def _prefix_max_carry(cmax: DataFrame) -> DataFrame:
     max(within-parent prev siblings, parent's carry) — associativity
     of max over order-contiguous intervals makes this provably equal
     to the global running max."""
-    cur = cmax  # (key, mx)
+    from .. import caches
+
+    # claim-once per level (ADVICE r11): every level's `cur` has FOUR
+    # consumers — the loop-condition count(), the sibling-window
+    # projection kept in `levels`, the parent groupBy, and (for the
+    # apex) both sides of the triangular self-join. Left lazy, the
+    # level-0 aggregate (a full pass over the upstream table) would
+    # re-execute ~depth+2 times; claimed, the count() that gates the
+    # loop is also the materializing action, so each level computes
+    # exactly once. Keys are per-level; re-runs retire predecessors.
+    cur = caches.claim("prefix_carry_l0", cmax)  # (key, mx)
     levels: list[DataFrame] = []
     while cur.count() > _LATENESS_CHUNK:
         cur = cur.withColumn("pkey", F.expr(f"key div {_LATENESS_CHUNK}"))
@@ -2058,19 +2068,23 @@ def _prefix_max_carry(cmax: DataFrame) -> DataFrame:
                 "key", "pkey", F.max("mx").over(w).alias("within_prev")
             )
         )
-        cur = (
+        cur = caches.claim(
+            f"prefix_carry_l{len(levels)}",
             cur.groupBy("pkey")
             .agg(F.max("mx").alias("mx"))
-            .select(F.col("pkey").alias("key"), "mx")
+            .select(F.col("pkey").alias("key"), "mx"),
         )
     # apex prefix max: ≤ _LATENESS_CHUNK rows — triangular self-join
     # (deliberate bounded BNLJ, never corpus-sized) + groupBy, so the
-    # plan contains no unpartitioned window anywhere
+    # plan contains no unpartitioned window anywhere; claimed because
+    # the downward fold re-reads it per level (and the final plan
+    # prints it under every broadcast site)
     a, b = cur.alias("a"), cur.alias("b")
-    carry = (
+    carry = caches.claim(
+        "prefix_carry_apex",
         a.join(F.broadcast(b), F.col("b.key") < F.col("a.key"), "left")
         .groupBy(F.col("a.key").alias("key"))
-        .agg(F.max(F.col("b.mx")).alias("carry"))
+        .agg(F.max(F.col("b.mx")).alias("carry")),
     )
     for lvl in reversed(levels):
         parent = carry.select(

@@ -977,6 +977,41 @@ CORPUS_RELEASE_PIPELINE_SQL = _release_pipeline_sql()
 
 # --- incremental release diff (r11 — VERDICT r10 #5c) -----------------------
 
+#: write-once v1-release artifact paths, keyed by sf_dir (process
+#: lifetime, like the shared-index memo — a re-release session builds
+#: the v1 manifest ONCE and every diff run reads the parquet back)
+_V1_RELEASE_PATHS: dict[str, str] = {}
+
+
+def persisted_v1_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v1 release manifest as a PERSISTED parquet artifact (r12 —
+    VERDICT r11 #1): `_release_final_docs` is computed ONCE per
+    (process, sf_dir) and written to a `tmpdirs.claim` directory; every
+    subsequent call reads the parquet back. This is the production
+    re-release shape — a v2 release diffs against the *stored* v1
+    manifest (the `corpus_version_diff` / `small_file_compaction`
+    write-once idiom), not an inline recompute of the whole gates→
+    keep-best→quota pipeline. The memo key embeds sf_dir so a session
+    that verifies sf0.01 then sf0.1 never reads the wrong artifact;
+    the read survives Spark-session restarts (files outlive the
+    session; `tmpdirs` removes them at interpreter exit)."""
+    import os
+
+    from .. import tmpdirs
+
+    path = _V1_RELEASE_PATHS.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        root = tmpdirs.claim(f"release_v1_manifest::{sf_dir}", "v1rel_")
+        path = os.path.join(root, "v1")
+        (
+            _release_final_docs(spark, sf_dir)
+            .select("doc_id", "split", "lang", "source", "n_chars", "hm")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _V1_RELEASE_PATHS[sf_dir] = path
+    return spark.read.parquet(path)
+
 
 def incremental_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production RE-RELEASE shape: compose `corpus_version_diff`'s
@@ -1001,8 +1036,10 @@ def incremental_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the revised text with the SAME `_manifest_hm_of` term the
     manifest grades.
 
-    Scale shape: the release set is claimed once (four consumers:
-    three v2 patch branches + the v1 join side); the diff is one
+    Scale shape: the v1 release is a PERSISTED parquet artifact
+    (`persisted_v1_release`, r12) — the diff never recomputes the
+    release pipeline; its plan is a v1 manifest scan (claimed once —
+    four consumers: three v2 patch branches + the v1 join side), one
     doc_id-keyed full outer join (co-partitioned; at 100 TB both
     sides sort-merge on bucketed doc_id) + a |partitions|-bounded
     rollup; the changed branch re-reads only text of changed release
@@ -1020,10 +1057,7 @@ def incremental_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     f1 = caches.claim(
-        "release_diff_v1",
-        _release_final_docs(spark, sf_dir).select(
-            "doc_id", "split", "lang", "source", "n_chars", "hm"
-        ),
+        "release_diff_v1", persisted_v1_release(spark, sf_dir)
     )
     did = F.col("doc_id")
     deleted = did % DIFF_DELETE_MOD == DIFF_DELETE_REM

@@ -93,3 +93,16 @@ def test_streaming_marker_matches_actual_streaming_builders():
     assert set(api.STREAMING_QUERIES) == {
         n for n in api.REGISTRY if n.startswith("stream_")
     }
+
+
+def test_canary_lists_are_registered_queries():
+    """Both canary lists must stay subsets of the live registry
+    (ADVICE r11): heavy_canary_total sums `timings.get(n, 0.0)`, so a
+    renamed/removed query would silently contribute 0.0 and deflate
+    the decomposition baseline the perf gate reads — the same drift
+    class the streaming-marker test above pins."""
+    assert set(bench.CANARY_QUERIES) <= set(api.REGISTRY)
+    assert set(bench.HEAVY_CANARY_QUERIES) <= set(api.REGISTRY)
+    # and they must stay disjoint tiers — a query in both would be
+    # double-decomposed
+    assert not set(bench.CANARY_QUERIES) & set(bench.HEAVY_CANARY_QUERIES)

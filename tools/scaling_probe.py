@@ -1579,9 +1579,13 @@ def probe_r11(spark, sf_dir: str, label: str) -> dict:
             lambda: analytics.events_lateness_audit(spark, sf_dir).count(),
         )
 
-    # carry microbench, ladder-scaled like the r9 rank microbench:
-    # 200k/2M/20M keys → apex-only / 1 recursion level / 2 levels;
-    # the naive global window sorts ALL keys in one task
+    # carry microbench, ladder-scaled like the r9 rank microbench.
+    # Depth labels (ADVICE r11 — the loop recurses while
+    # keys > _LATENESS_CHUNK=1024): 200k keys → 1 sibling level
+    # (apex sees ~196), 2M → 2 levels (level-2 apex sees ~2),
+    # 20M → 2 levels (apex sees ~19); the dedicated ≤1024-key rung
+    # below measures the apex-only case the ladder itself never hits.
+    # The naive global window sorts ALL keys in one task.
     n_keys = r["n_docs"] * 400
     frame = spark.range(n_keys).select(
         F.col("id").alias("key"),
@@ -1598,6 +1602,18 @@ def probe_r11(spark, sf_dir: str, label: str) -> dict:
         lambda: frame.select("key", F.max("mx").over(w)).count()
     )
     r["carry_keys"] = n_keys
+    # apex-only rung: 1,000 keys ≤ _LATENESS_CHUNK, so the loop never
+    # runs and the timing isolates the triangular broadcast self-join
+    apex_frame = spark.range(1000).select(
+        F.col("id").alias("key"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(id AS STRING)),1,8),16,10)"
+            " AS BIGINT)"
+        ).alias("mx"),
+    ).localCheckpoint(eager=True)
+    _, r["carry_apex_only_secs"] = timed(
+        lambda: analytics._prefix_max_carry(apex_frame).count()
+    )
     return r
 
 
