@@ -464,6 +464,12 @@ _EXTENSIONS = [
      "inventory with exact ML counts -> per-piece prune decision "
      "(piece prob vs best binary decomposition, one exact integer "
      "cross-multiplication) over the shared BPE vocabulary (r11)."),
+    ("line_dedup_rewrite", X.line_dedup_rewrite,
+     X.LINE_DEDUP_REWRITE_SQL,
+     "CCNet/RefinedWeb line dedup REWRITE: per-line corpus document "
+     "frequency -> DF-thresholded hot boilerplate set (broadcast) -> "
+     "strip hot lines and re-emit cleaned text per document, "
+     "NULL-text docs passed through explicitly (r12)."),
     ("bpe_merge_loop", X.bpe_merge_loop, X.BPE_MERGE_LOOP_SQL,
      "BPE tokenizer TRAINING loop: first 3 merges learned end-to-end "
      "(argmax pair -> greedy rewrite -> recount on merged symbols); "

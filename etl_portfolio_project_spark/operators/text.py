@@ -2971,3 +2971,172 @@ CROSS JOIN t
 
 
 UNIGRAM_LM_PIECE_PRUNE_SQL = _unigram_lm_sql()
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line dedup REWRITE (r12 — VERDICT r11 #5): the
+# CCNet / RefinedWeb step that REMOVES corpus-frequent duplicated
+# lines and re-emits the cleaned text — the repo finds hot spans
+# (`repeated_ngram_spans`, `boilerplate_ngram_fraction`); this op
+# rewrites the corpus.
+# ---------------------------------------------------------------------------
+
+#: tokens per "line" segment — the harness corpus is single-line word
+#: salad with no newline/sentence punctuation, so the line unit is a
+#: deterministic fixed-width token window (documented simulation; on
+#: a real crawl you split on '\n' and the rest of the op is unchanged)
+LINE_SEG_TOKENS = 3
+#: a segment is boilerplate when it appears in ≥ this many DISTINCT
+#: documents. Production knob: scale with the corpus (e.g. DF ≥
+#: 1e-4·n_docs) so the hot set stays boilerplate-shaped; the harness
+#: pins a constant so the oracle is one static SQL string.
+LINE_HOT_MIN_DF = 3
+
+
+def line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-line REMOVAL with text re-emission —
+    CCNet's line dedup (Wenzek et al. 2020) / RefinedWeb's line-wise
+    filter: hash every line of every document, count each line's
+    document frequency over the WHOLE corpus, and strip the lines
+    that recur in ≥ LINE_HOT_MIN_DF distinct documents (nav menus,
+    cookie banners, boilerplate); the document survives with its
+    remaining lines re-joined in order. Output per document: segment
+    counts, removed-segment count, and the CLEANED text (the rewrite
+    — what the downstream tokenizer actually consumes).
+
+    Line unit: LINE_SEG_TOKENS-token windows (see constant note —
+    the harness corpus has no newlines). NULL-text docs pass through
+    with NULL cleaned_text and zero counts (never silently dropped);
+    a fully-boilerplate doc comes back with cleaned_text = '' (both
+    engines: Spark array_join([]) = '', DuckDB string_agg of no rows
+    is NULL → COALESCE'd, per the CLAUDE.md empty-list parity rule).
+
+    Scale shape: one narrow tokenize+explode pass (claimed above the
+    size threshold — TWO consumers: the DF rollup and the rewrite
+    join); the document-frequency rollup is ONE partial-agg'd shuffle
+    on the 60-bit segment hash (never the raw string); the hot set is
+    DF-thresholded — |hot| ≤ total_segments / LINE_HOT_MIN_DF and in
+    practice vocabulary-shaped (boilerplate is by definition
+    repeated), so it broadcasts; the rewrite is a broadcast hash
+    probe + one per-doc shuffle for the ordered re-concat. No
+    corpus-proportional state in any task at any SF."""
+    from .. import caches
+
+    k = LINE_SEG_TOKENS
+    d = balanced(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    toks = "split(trim(lower(text)), '\\\\s+')"
+    segs_expr = (
+        f"transform(sequence(1, CAST(ceil(size(tk) / CAST({k} AS DOUBLE)) "
+        "AS INT)), i -> named_struct('i', CAST(i AS BIGINT), 'seg', "
+        f"concat_ws(' ', slice(tk, (i - 1) * {k} + 1, {k}))))"
+    )
+    segs = caches.claim_if_large(
+        "line_dedup_segs",
+        d.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.expr(bind_once_sql(toks, "tk", segs_expr))).alias(
+                "p"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("p.i").alias("i"),
+            F.col("p.seg").alias("seg"),
+            portable_hash60(F.col("p.seg")).alias("h"),
+        ),
+        source_paths=[f"{sf_dir}/documents.parquet"],
+    )
+    hot = (
+        segs.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= LINE_HOT_MIN_DF)
+        .select("h", F.lit(True).alias("is_hot"))
+    )
+    marked = segs.join(F.broadcast(hot), "h", "left")
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segs"),
+        F.count("is_hot").cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_hot").isNull(),
+                            F.struct(F.col("i"), F.col("seg")),
+                        )
+                    )
+                ),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    kept = per_doc.select(
+        "doc_id",
+        "n_segs",
+        "n_removed",
+        "cleaned_text",
+        F.length("cleaned_text").cast("long").alias("cleaned_chars"),
+    )
+    nulls = d.where(F.col("text").isNull()).select(
+        "doc_id",
+        F.lit(0).cast("long").alias("n_segs"),
+        F.lit(0).cast("long").alias("n_removed"),
+        F.lit(None).cast("string").alias("cleaned_text"),
+        F.lit(None).cast("long").alias("cleaned_chars"),
+    )
+    return kept.unionByName(nulls)
+
+
+LINE_DEDUP_REWRITE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE text IS NOT NULL
+),
+idx AS (
+  SELECT doc_id, tk,
+         unnest(range(1, CAST(ceil(len(tk) / CAST({LINE_SEG_TOKENS} AS
+           DOUBLE)) AS BIGINT) + 1)) AS i
+  FROM base
+),
+segs AS MATERIALIZED (
+  SELECT doc_id, i, seg,
+         {portable_hash60_sql('seg')} AS h
+  FROM (
+    SELECT doc_id, i,
+           array_to_string(list_slice(tk, (i - 1) * {LINE_SEG_TOKENS} + 1,
+                                      i * {LINE_SEG_TOKENS}), ' ') AS seg
+    FROM idx
+  )
+),
+hot AS MATERIALIZED (
+  SELECT h FROM (
+    SELECT h, count(DISTINCT doc_id) AS df FROM segs GROUP BY h
+  ) WHERE df >= {LINE_HOT_MIN_DF}
+),
+per_doc AS (
+  SELECT s.doc_id,
+         count(*) AS n_segs,
+         count(ht.h) AS n_removed,
+         COALESCE(string_agg(CASE WHEN ht.h IS NULL THEN s.seg END,
+                             ' ' ORDER BY s.i), '') AS cleaned_text
+  FROM segs s LEFT JOIN hot ht ON s.h = ht.h
+  GROUP BY s.doc_id
+)
+SELECT doc_id,
+       CAST(n_segs AS BIGINT) AS n_segs,
+       CAST(n_removed AS BIGINT) AS n_removed,
+       cleaned_text,
+       CAST(length(cleaned_text) AS BIGINT) AS cleaned_chars
+FROM per_doc
+UNION ALL
+SELECT doc_id,
+       CAST(0 AS BIGINT) AS n_segs,
+       CAST(0 AS BIGINT) AS n_removed,
+       CAST(NULL AS VARCHAR) AS cleaned_text,
+       CAST(NULL AS BIGINT) AS cleaned_chars
+FROM documents WHERE text IS NULL
+"""

@@ -440,6 +440,10 @@ SHUFFLE_BUDGET = {
     # diff + the partition rollup; the v1 pipeline build is a one-time
     # side effect (persisted_v1_release), not part of the diff plan
     "incremental_release_diff": 5,
+    # r12: balanced spreads (non-null + NULL-passthrough branches) +
+    # hash-keyed DF rollup (countDistinct = partial+final pair) +
+    # broadcast hot probe (no exchange) + per-doc re-concat agg
+    "line_dedup_rewrite": 6,
     # pure narrow generated-HOF map: balanced spread only
     "span_corruption_masks": 1,
     # r9b: boundary-pruned top-k twin of ann_brute_force_topk (7),
