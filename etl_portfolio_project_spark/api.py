@@ -470,6 +470,12 @@ _EXTENSIONS = [
      "frequency -> DF-thresholded hot boilerplate set (broadcast) -> "
      "strip hot lines and re-emit cleaned text per document, "
      "NULL-text docs passed through explicitly (r12)."),
+    ("unigram_lm_em_step", X.unigram_lm_em_step,
+     X.UNIGRAM_LM_EM_STEP_SQL,
+     "Unigram-LM EM round: segment the word vocabulary under the "
+     "pruned piece inventory (fewest-pieces / greatest-count-sum DP, "
+     "one generated fold per engine, float-free) and re-estimate "
+     "per-piece corpus-weighted counts (r12)."),
     ("bpe_merge_loop", X.bpe_merge_loop, X.BPE_MERGE_LOOP_SQL,
      "BPE tokenizer TRAINING loop: first 3 merges learned end-to-end "
      "(argmax pair -> greedy rewrite -> recount on merged symbols); "

