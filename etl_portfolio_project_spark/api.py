@@ -620,6 +620,12 @@ _EXTENSIONS = [
      "micro-batched documents deduped against a persisted kept-only "
      "LSH index maintained by foreachBatch; the sequential process "
      "unrolls into a DuckDB CTE chain and must match bit-for-bit."),
+    ("stream_embedding_index_ingest", S.stream_embedding_index_ingest,
+     S.STREAM_EMBEDDING_INDEX_INGEST_SQL,
+     "Streaming embedding-index maintenance: micro-batched vectors "
+     "probed against (and appended to) a persisted LSH index via "
+     "foreachBatch — candidate/similar counts, nearest neighbor, "
+     "novelty per vector; graded by the arrival-order oracle (r12)."),
     ("ann_brute_force_topk", S.ann_brute_force_topk, S.ANN_BRUTE_FORCE_TOPK_SQL,
      "Exact cosine top-k neighbors (broadcast query set)."),
     ("ann_lsh_topk", S.ann_lsh_topk, S.ANN_LSH_TOPK_SQL,

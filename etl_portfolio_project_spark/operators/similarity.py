@@ -3856,3 +3856,359 @@ SELECT n_exact.query_id AS query_id,
          AS recall
 FROM n_exact LEFT JOIN n_hits ON n_hits.query_id = n_exact.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming embedding-index maintenance (r12 — VERDICT r11 #7): the
+# embedding twin of `stream_incremental_dedup` — micro-batched vectors
+# probed against (and appended to) a persisted LSH index via
+# foreachBatch, restart/replay-safe through on-disk manifests.
+# ---------------------------------------------------------------------------
+
+SE_NBATCH = 4  # ingestion micro-batches (vec_id % SE_NBATCH, file per batch)
+SE_COMPACT = 3  # compact the index when this many generations are live
+
+
+def stream_embedding_index_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTINUOUS embedding-index maintenance — the vector-ingest
+    shape every production ANN service runs: embeddings arrive in
+    micro-batches (file source, one file per trigger, mtime-ordered),
+    each batch is PROBED against a persisted LSH index of every
+    previously-ingested vector (bucket-collision candidates → exact
+    cosine verification: candidate count, τ-similar count, nearest
+    neighbor, novelty flag), and then the whole batch is APPENDED to
+    the index — append-all semantics (index maintenance, vs
+    `stream_incremental_dedup`'s kept-only decision feedback), so the
+    sequential process collapses to one arrival-order oracle: a
+    vector's candidates are exactly its bucket-mates from STRICTLY
+    EARLIER batches.
+
+    Index layout and restart/replay safety mirror the dedup stream's
+    proven machinery: ONE write per epoch (the epoch artifact is
+    simultaneously the probe-decision log and the next index
+    generation — vec/norm/bucket columns read back pruned), the
+    generation list is disk-derived per epoch (`manifest_k.json`
+    written atomically at the end of epoch k-1, never driver memory),
+    superseded compacted generations survive until the checkpoint
+    commits past them, and every SE_COMPACT live generations fold
+    into one compacted dir. A checkpointed restart resumes against
+    the exact pre-epoch index — proven by
+    `test_stream_embedding_index_checkpoint_restart`.
+
+    Invalid vectors (NULL / ragged / NULL-component) are routed
+    explicitly — decision row with is_valid = false, zero counts,
+    is_novel = false — and never enter the index (NULL-predicate
+    routing rule; booleans stay non-null).
+
+    Scale shape: per-batch work is batch-buckets × index-buckets on a
+    short (tbl, bucket) key — candidates ∝ bucket collisions, never
+    batch × corpus; exact cosines touch candidates only; the index
+    grows append-only and at production scale is a bucketed table on
+    (tbl, bucket) with periodic compaction (here a parquet generation
+    per epoch)."""
+    import os
+
+    from .. import tmpdirs
+
+    root = tmpdirs.claim("stream_emb_index", "stream_emb_idx_")
+    in_dir = os.path.join(root, "in")
+    res_dir = os.path.join(root, "res")
+    idx_root = os.path.join(root, "idx")
+    os.makedirs(in_dir)
+    _sei_write_batches(sf_dir, in_dir, range(SE_NBATCH))
+    _sei_run_stream(spark, in_dir, res_dir, idx_root)
+    return spark.read.parquet(os.path.join(res_dir, "epoch_*")).select(
+        "vec_id",
+        "batch_id",
+        "n_candidates",
+        "n_sim",
+        "nearest_id",
+        "nearest_cos",
+        "is_novel",
+        "is_valid",
+    )
+
+
+def _sei_write_batches(sf_dir: str, in_dir: str, batches) -> None:
+    """vec_id % SE_NBATCH input splits with strictly increasing
+    mtimes = arrival order (the `_sid_write_batches` recipe, embedding
+    table). Callable incrementally for the restart test."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    existing = [
+        os.stat(os.path.join(in_dir, f)).st_mtime
+        for f in os.listdir(in_dir)
+        if f.endswith("_vecs.parquet")
+    ]
+    base = max(existing) if existing else None
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = tbl["vec_id"].to_numpy()
+    for j, k in enumerate(batches):
+        path = os.path.join(in_dir, f"{k}_vecs.parquet")
+        pq.write_table(tbl.filter(pa.array(ids % SE_NBATCH == k)), path)
+        if base is None:
+            base = os.stat(path).st_mtime
+        os.utime(path, (base + 2 * (j + 1), base + 2 * (j + 1)))
+
+
+def _sei_tb_array_sql() -> str:
+    """The per-vector LSH bucket array as one Spark SQL string:
+    array<struct<tbl, bucket>> over column `vec` — the stored-index
+    form of `_with_buckets` (the index persists its buckets instead
+    of recomputing the hyperplane folds on every generation read)."""
+    entries = ", ".join(
+        f"named_struct('tbl', {t}, "
+        f"'bucket', {_table_bucket_spark_sql('vec', t)})"
+        for t in range(LSH_TABLES)
+    )
+    return f"array({entries})"
+
+
+def _sei_run_stream(
+    spark: SparkSession,
+    in_dir: str,
+    res_dir: str,
+    idx_root: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Run the embedding-ingest stream over `in_dir` to completion;
+    with `checkpoint_dir`, a second call RESUMES and must recover the
+    index membership from the on-disk manifests."""
+    import json
+    import os
+
+    first = sorted(
+        f for f in os.listdir(in_dir) if f.endswith("_vecs.parquet")
+    )[0]
+    schema = spark.read.parquet(os.path.join(in_dir, first)).schema
+    src = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("path", in_dir)
+        .option("pathGlobFilter", "*_vecs.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load()
+    )
+
+    def manifest_path(epoch_id: int) -> str:
+        return os.path.join(res_dir, f"manifest_{epoch_id}.json")
+
+    def load_gens(epoch_id: int) -> list[str]:
+        mp = manifest_path(epoch_id)
+        if os.path.exists(mp):
+            with open(mp) as f:
+                return json.load(f)
+        if epoch_id == 0:
+            return []
+        raise RuntimeError(
+            f"epoch {epoch_id} has no manifest — predecessor epoch "
+            "incomplete (gap in the decision log)"
+        )
+
+    def save_gens(epoch_id: int, gens: list[str]) -> None:
+        mp = manifest_path(epoch_id)
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(gens, f)
+        os.replace(tmp, mp)
+
+    # whole per-epoch probe as ONE generated SQL string over two temp
+    # views (the stream_incremental_dedup py4j rationale)
+    epoch_sql = f"""
+WITH bb AS (
+  SELECT vec_id, t.tbl AS tbl, t.bucket AS bucket
+  FROM sei_vecs LATERAL VIEW explode(tb) x AS t
+),
+cb AS (
+  SELECT vec_id, t.tbl AS tbl, t.bucket AS bucket
+  FROM sei_idx LATERAL VIEW explode(tb) x AS t
+),
+cand AS (
+  SELECT bb.vec_id AS did, cb.vec_id AS cid
+  FROM bb JOIN cb ON bb.tbl = cb.tbl AND bb.bucket = cb.bucket
+  GROUP BY bb.vec_id, cb.vec_id
+),
+scored AS (
+  SELECT cand.did, cand.cid,
+         {_dot_spark_sql("a.vec", "b.vec")} / (a.norm * b.norm) AS cosine
+  FROM cand
+  JOIN sei_vecs a ON cand.did = a.vec_id
+  JOIN sei_idx b ON cand.cid = b.vec_id
+),
+agg AS (
+  SELECT did, COUNT(1) AS n_candidates,
+         COUNT(CASE WHEN cosine >= {NEARDUP_TAU} THEN 1 END) AS n_sim,
+         max(named_struct('c', cosine, 'nid', -cid)) AS s
+  FROM scored GROUP BY did
+)
+SELECT v.vec_id,
+       CAST(v.vec_id % {SE_NBATCH} AS INT) AS batch_id,
+       CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(a.n_sim, 0) AS BIGINT) AS n_sim,
+       CAST(-a.s.nid AS BIGINT) AS nearest_id,
+       a.s.c AS nearest_cos,
+       COALESCE(a.n_sim, 0) = 0 AS is_novel,
+       true AS is_valid,
+       v.vec AS vec, v.norm AS norm, v.tb AS tb
+FROM sei_vecs v LEFT JOIN agg a ON v.vec_id = a.did
+"""
+    first_sql = f"""
+SELECT vec_id, CAST(vec_id % {SE_NBATCH} AS INT) AS batch_id,
+       CAST(0 AS BIGINT) AS n_candidates, CAST(0 AS BIGINT) AS n_sim,
+       CAST(NULL AS BIGINT) AS nearest_id,
+       CAST(NULL AS DOUBLE) AS nearest_cos,
+       true AS is_novel, true AS is_valid,
+       vec, norm, tb
+FROM sei_vecs
+"""
+    idx_cols = ["vec_id", "vec", "norm", "tb"]
+
+    def read_gen(s: SparkSession, path: str) -> DataFrame:
+        g = s.read.parquet(path)
+        if "is_valid" in g.columns and "n_candidates" in g.columns:
+            g = g.where(F.col("is_valid")).select(*idx_cols)
+        return g
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        gens = load_gens(epoch_id)
+        par = s.sparkContext.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < min(8, par):
+            batch_df = batch_df.repartition(min(8, par))
+        ok = F.expr(valid_vec_pred_spark())
+        vecs = (
+            batch_df.where(ok)
+            .select("vec_id", _dvec("embedding").alias("vec"))
+            .withColumn("norm", norm_expr("vec"))
+            .withColumn("tb", F.expr(_sei_tb_array_sql()))
+        )
+        if gens:
+            # 3 plan references (bucket explode, verify join, the
+            # full-batch left-join spine): hash the hyperplane/norm
+            # chain once
+            vecs = vecs.localCheckpoint(eager=True)
+        vecs.createOrReplaceTempView("sei_vecs")
+        if gens:
+            parts = [read_gen(s, g) for g in gens]
+            idx = parts[0]
+            for p in parts[1:]:
+                idx = idx.unionByName(p)
+            idx.createOrReplaceTempView("sei_idx")
+            per = s.sql(epoch_sql)
+        else:
+            per = s.sql(first_sql)
+        invalid = batch_df.where(~ok).select(
+            "vec_id",
+            F.expr(f"CAST(vec_id % {SE_NBATCH} AS INT)").alias("batch_id"),
+            F.lit(0).cast("long").alias("n_candidates"),
+            F.lit(0).cast("long").alias("n_sim"),
+            F.lit(None).cast("long").alias("nearest_id"),
+            F.lit(None).cast("double").alias("nearest_cos"),
+            F.lit(False).alias("is_novel"),
+            F.lit(False).alias("is_valid"),
+            F.lit(None).cast("array<double>").alias("vec"),
+            F.lit(None).cast("double").alias("norm"),
+            F.lit(None).cast(
+                "array<struct<tbl: int, bucket: bigint>>"
+            ).alias("tb"),
+        )
+        per = per.unionByName(invalid)
+        epoch_path = os.path.join(res_dir, f"epoch_{epoch_id}")
+        per.write.mode("overwrite").parquet(epoch_path)
+        gens = gens + [epoch_path]
+        if len(gens) >= SE_COMPACT:
+            compact_path = os.path.join(idx_root, f"gen_{epoch_id}_c")
+            cparts = [read_gen(s, g) for g in gens]
+            cu = cparts[0]
+            for p in cparts[1:]:
+                cu = cu.unionByName(p)
+            cu.write.mode("overwrite").parquet(compact_path)
+            gens = [compact_path]
+        save_gens(epoch_id + 1, gens)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(4, int(prev_parts)))
+    )
+    try:
+        from ..streaming.events import LAST_RUN_STATS, record_stream_stats
+
+        LAST_RUN_STATS.pop("stream_embedding_index_ingest", None)
+        writer = src.writeStream.foreachBatch(process)
+        if checkpoint_dir is not None:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        q = writer.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            record_stream_stats("stream_embedding_index_ingest", q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _build_stream_embedding_index_sql() -> str:
+    """Arrival-order oracle: append-all index ⇒ a vector's candidate
+    set is exactly its LSH bucket-mates from strictly earlier
+    batches — one join with b.batch_id < a.batch_id, no per-epoch
+    unroll needed (the index never depends on probe decisions)."""
+    entries = ", ".join(
+        f"{{'tbl': {t}, 'bucket': {_table_bucket_sql('vec', t)}}}"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+WITH val AS (
+  SELECT vec_id, CAST(vec_id % {SE_NBATCH} AS INT) AS batch_id,
+         embedding,
+         {valid_vec_pred_sql("embedding")} AS is_valid
+  FROM embeddings
+),
+vecs AS MATERIALIZED (
+  SELECT vec_id, batch_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+         {norm_sql("embedding")} AS norm
+  FROM val WHERE is_valid
+),
+bkt AS MATERIALIZED (
+  SELECT vec_id, batch_id, u['tbl'] AS tbl, u['bucket'] AS bucket
+  FROM (SELECT vec_id, batch_id, unnest([{entries}]) AS u FROM vecs)
+),
+cand AS (
+  SELECT a.vec_id AS did, b.vec_id AS cid
+  FROM bkt a JOIN bkt b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket
+   AND b.batch_id < a.batch_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT cand.did, cand.cid,
+         {dot_sql("a.vec", "b.vec")} / (a.norm * b.norm) AS cosine
+  FROM cand
+  JOIN vecs a ON cand.did = a.vec_id
+  JOIN vecs b ON cand.cid = b.vec_id
+),
+agg AS (
+  SELECT did, CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(count(CASE WHEN cosine >= {NEARDUP_TAU} THEN 1 END)
+              AS BIGINT) AS n_sim,
+         max({{'c': cosine, 'nid': -cid}}) AS s
+  FROM scored GROUP BY did
+)
+SELECT v.vec_id AS vec_id,
+       v.batch_id AS batch_id,
+       CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(a.n_sim, 0) AS BIGINT) AS n_sim,
+       CAST(-(a.s['nid']) AS BIGINT) AS nearest_id,
+       a.s['c'] AS nearest_cos,
+       COALESCE(a.n_sim, 0) = 0 AND v.is_valid AS is_novel,
+       v.is_valid AS is_valid
+FROM val v LEFT JOIN agg a ON v.vec_id = a.did
+"""
+
+
+STREAM_EMBEDDING_INDEX_INGEST_SQL = _build_stream_embedding_index_sql()

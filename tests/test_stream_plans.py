@@ -54,6 +54,10 @@ STREAM_CONTRACT = {
         "stream_checkpoint_restart_ingest", 2, 0, 0, 0),
     # SD_NBATCH pre-split batches through the banded index
     "stream_incremental_dedup": ("stream_incremental_dedup", 4, 0, 0, 0),
+    # SE_NBATCH pre-split batches through the persisted LSH index
+    # (foreachBatch: state lives in parquet generations + manifests)
+    "stream_embedding_index_ingest": (
+        "stream_embedding_index_ingest", 4, 0, 0, 0),
     # 3 synthetic epochs from the Python DataSource reader
     "stream_python_datasource_ingest": (
         "stream_python_datasource_ingest", 3, 0, 0, 0),

@@ -882,3 +882,80 @@ def test_worker_closures_pickle_self_contained(tmp_path):
     assert r.returncode == 0, (
         f"worker closures not self-contained:\n{r.stdout}\n{r.stderr}"
     )
+
+
+def test_stream_embedding_index_checkpoint_restart(spark, tmp_path):
+    """Restart-under-checkpoint proof for the embedding-index stream
+    (the `test_stream_inc_dedup_checkpoint_restart` shape): run
+    batches 0-1 checkpointed, stop, add batches 2-3, resume with the
+    SAME checkpoint in a fresh query. The resume must (a) produce each
+    vector's probe decision exactly once, and (b) probe post-restart
+    batches against the manifest-recovered PRE-restart index — vector
+    C (batch 2) is near-identical to phase-1's A and must report it
+    similar; a reset index would call C novel. Epoch 2 also compacts
+    across the restart boundary (SE_COMPACT=3)."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_portfolio_project_spark.operators import similarity as S
+
+    dim = S.DIM
+    a = [1.0] * dim                      # vec 0 → batch 0
+    b = [1.0] * (dim - 1) + [1.01]      # vec 1 → batch 1: ~A
+    c = [1.0] * (dim - 1) + [0.99]      # vec 2 → batch 2: ~A (post-restart)
+    d = [(-1.0) ** i * 1.0 for i in range(dim)]  # vec 3: alternating, ⊥ A
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    vecs = [a, b, c, d]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "embedding": pa.array(
+                    vecs, pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * 4, pa.int32()),
+            }
+        ),
+        str(corpus / "embeddings.parquet"),
+    )
+
+    run = tmp_path / "run"
+    in_dir, res_dir = run / "in", run / "res"
+    idx_root, ck = run / "idx", run / "ck"
+    in_dir.mkdir(parents=True)
+
+    S._sei_write_batches(str(corpus), str(in_dir), [0, 1])
+    S._sei_run_stream(
+        spark, str(in_dir), str(res_dir), str(idx_root), str(ck)
+    )
+    phase1 = spark.read.parquet(str(res_dir / "epoch_*")).collect()
+    assert sorted(r.vec_id for r in phase1) == [0, 1]
+
+    S._sei_write_batches(str(corpus), str(in_dir), [2, 3])
+    S._sei_run_stream(
+        spark, str(in_dir), str(res_dir), str(idx_root), str(ck)
+    )
+    rows = spark.read.parquet(str(res_dir / "epoch_*")).select(
+        "vec_id", "n_candidates", "n_sim", "nearest_id", "is_novel"
+    ).collect()
+    # (a) exactly one decision per vector across the restart
+    assert sorted(r.vec_id for r in rows) == [0, 1, 2, 3]
+    out = {r.vec_id: r for r in rows}
+    assert out[0].is_novel and out[0].n_candidates == 0  # empty index
+    assert out[1].n_sim >= 1 and not out[1].is_novel     # B ~ A
+    assert out[1].nearest_id == 0
+    # (b) no index reset: C sees phase-1's A through the recovered
+    # manifests; a reset index would report zero candidates
+    assert out[2].n_sim >= 1 and not out[2].is_novel
+    assert out[2].nearest_id in (0, 1)
+    # D is orthogonal to everything: whatever buckets it shares, no
+    # cosine reaches the τ threshold
+    assert out[3].n_sim == 0 and out[3].is_novel
+    # epoch 2 compacted generations 0-2 across the restart: the live
+    # manifest points INTO idx_root
+    with open(str(res_dir / "manifest_3.json")) as f:
+        gens = _json.load(f)
+    assert gens == [str(idx_root / "gen_2_c")]
