@@ -59,13 +59,42 @@ CANARY_QUERIES = [
 #: (VERDICT r11 #3): its 10.57 s driver outlier was invisible to both
 #: canaries because none covered the generated-expression scoring
 #: class; as a member its own cross-session band is tracked directly.
+#: r13 adds stream_embedding_index_ingest (VERDICT r12 #1): at 9.5 s
+#: driver / 6.0 s builder it became the suite's most expensive query
+#: while sitting in NEITHER canary — the exact blind-spot class that
+#: hid multivector_maxsim_topk in r11.
 HEAVY_CANARY_QUERIES = [
     "corpus_release_pipeline",
     "dedup_keep_best",
     "bitext_margin_mining",
     "stream_incremental_dedup",
     "multivector_maxsim_topk",
+    "stream_embedding_index_ingest",
 ]
+
+
+def _load_receipt() -> dict:
+    """Machine-load snapshot (VERDICT r12 #3): /proc/loadavg plus this
+    process's cumulative CPU seconds, so a later reader can decompose
+    a wall-clock smear into ambient co-tenant load vs real change
+    mechanically instead of via hand-written prose in PERF_ANCHOR.md
+    (load_1m far above our own CPU-rate between snapshots ⇒ external
+    co-tenant load)."""
+    rec: dict = {"unix_ts": int(time.time())}
+    try:
+        with open("/proc/loadavg") as f:
+            parts = f.read().split()
+        rec["load_1m"] = float(parts[0])
+        rec["load_5m"] = float(parts[1])
+        rec["load_15m"] = float(parts[2])
+    except (OSError, ValueError, IndexError):
+        pass
+    try:
+        t = os.times()
+        rec["proc_cpu_sec"] = round(t.user + t.system, 2)
+    except OSError:
+        pass
+    return rec
 
 
 def main() -> None:
@@ -77,7 +106,20 @@ def main() -> None:
     from etl_portfolio_project_spark import api, caches
     from etl_portfolio_project_spark.session import get_spark
 
+    load_before = _load_receipt()
     spark = get_spark(app_name="bench", cpus=cpus)
+
+    def _jvm_cpu_sec() -> float | None:
+        # the bench's real CPU burn lives in the JVM child, which
+        # os.times() can't see while it's still running — ask the
+        # OperatingSystemMXBean directly
+        try:
+            mf = spark._jvm.java.lang.management.ManagementFactory
+            return round(
+                mf.getOperatingSystemMXBean().getProcessCpuTime() / 1e9, 2
+            )
+        except Exception:
+            return None
     # warm the JVM/session (codegen, parquet footer caches) so the
     # alphabetically-first query doesn't absorb cold-start cost
     spark.read.parquet(f"{sf_dir}/orders.parquet").count()
@@ -125,6 +167,10 @@ def main() -> None:
     timeout_s = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "300"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # per-query ambient-load sample (taken right after each query's
+    # timed runs): lets a reader attribute a single-query smear to a
+    # load spike without cross-referencing external monitoring
+    query_load_1m: dict[str, float] = {}
 
     # Watchdog cancels ONLY the timed query's job group, and only if
     # that query is still the current generation — a Timer that fires
@@ -183,6 +229,11 @@ def main() -> None:
             timings[name] = round(best, 3)
         else:
             errors[name] = err or "unknown"
+        try:
+            with open("/proc/loadavg") as f:
+                query_load_1m[name] = float(f.read().split()[0])
+        except (OSError, ValueError, IndexError):
+            pass
         # Isolate queries from each other: drop this query's claimed
         # caches before the next one starts (outside the timed window).
         # NOTE: run 2's re-claim already unpersisted run 1's generation
@@ -224,6 +275,13 @@ def main() -> None:
         "heavy_canary_total": round(
             sum(timings.get(n, 0.0) for n in HEAVY_CANARY_QUERIES), 3
         ),
+        # mechanized ambient-load receipt (VERDICT r12 #3): loadavg +
+        # cumulative CPU before/after the run, and a per-query load_1m
+        # sample — (load_1m - bench's own CPU rate) >> 0 reads as
+        # co-tenant load, decomposable without prose
+        "load_before": load_before,
+        "load_after": {**_load_receipt(), "jvm_cpu_sec": _jvm_cpu_sec()},
+        "query_load_1m": query_load_1m,
     }
     # Absolute perf anchor (r4 VERDICT #5): if tools/oracle_bench.py
     # has recorded DuckDB oracle wall times at this SF, publish the

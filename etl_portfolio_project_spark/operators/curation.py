@@ -977,10 +977,34 @@ CORPUS_RELEASE_PIPELINE_SQL = _release_pipeline_sql()
 
 # --- incremental release diff (r11 — VERDICT r10 #5c) -----------------------
 
-#: write-once v1-release artifact paths, keyed by sf_dir (process
-#: lifetime, like the shared-index memo — a re-release session builds
-#: the v1 manifest ONCE and every diff run reads the parquet back)
+#: write-once v1-release artifact paths, keyed by (sf_dir + source
+#: fingerprint) — process lifetime, like the shared-index memo: a
+#: re-release session builds the v1 manifest ONCE and every diff run
+#: reads the parquet back. The fingerprint (mtime/size of the source
+#: parquet, ADVICE r12) invalidates the memo if testdata under sf_dir
+#: regenerates mid-process — without it the Spark side would silently
+#: reuse the stale artifact while the DuckDB oracle recomputes inline.
 _V1_RELEASE_PATHS: dict[str, str] = {}
+
+
+def _source_fingerprint(sf_dir: str) -> str:
+    """mtime+size fingerprint of the release pipeline's source table
+    (documents.parquet — file or directory of part files)."""
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    try:
+        if os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                st = os.stat(os.path.join(p, f))
+                parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+        else:
+            st = os.stat(p)
+            parts.append(f"{st.st_mtime_ns}:{st.st_size}")
+    except OSError:
+        parts.append("missing")
+    return ";".join(parts)
 
 
 def persisted_v1_release(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -999,7 +1023,8 @@ def persisted_v1_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .. import tmpdirs
 
-    path = _V1_RELEASE_PATHS.get(sf_dir)
+    memo_key = f"{sf_dir}::{_source_fingerprint(sf_dir)}"
+    path = _V1_RELEASE_PATHS.get(memo_key)
     if path is None or not os.path.isdir(path):
         root = tmpdirs.claim(f"release_v1_manifest::{sf_dir}", "v1rel_")
         path = os.path.join(root, "v1")
@@ -1009,7 +1034,7 @@ def persisted_v1_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(path)
         )
-        _V1_RELEASE_PATHS[sf_dir] = path
+        _V1_RELEASE_PATHS[memo_key] = path
     return spark.read.parquet(path)
 
 

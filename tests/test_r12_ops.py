@@ -44,7 +44,6 @@ def test_line_dedup_rewrite_structural_invariants(spark):
         segs = [
             " ".join(toks[i * k : (i + 1) * k]) for i in range(n_segs)
         ]
-        kept = r.cleaned_text.split(" ") if r.cleaned_text else []
         # reconstructable: kept tokens regrouped must match some
         # subset of segs in order
         joined = r.cleaned_text
@@ -86,10 +85,8 @@ def test_unigram_em_matches_python_reference(spark):
     for p, r in prune.items():
         if r.keep and len(p) >= 2:
             vocab[p] = r.n_occ
-    for w, n in words.items():
-        for ch in w:
-            vocab[ch] = vocab.get(ch, 0) + 0  # key presence
-    # independent char counts
+    # independent char counts (every char of every word is a vocab
+    # key; the loop below inserts them all with their true counts)
     chars: dict[str, int] = {}
     for w, n in words.items():
         for ch in w:

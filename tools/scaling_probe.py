@@ -1463,9 +1463,13 @@ def probe_r12(spark, sf_dir: str, label: str) -> dict:
             )
         ).alias("seg"),
     )
-    agg = segs.groupBy("seg").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    # receipt on the SAME 60-bit hash the operator thresholds on
+    # (ADVICE r12): DF over portable_hash60(seg), not the raw string,
+    # so n_hot is exactly the operator's hot-set cardinality even
+    # under hash collisions at the large ladder rungs
+    agg = segs.groupBy(
+        text.portable_hash60(F.col("seg")).alias("h")
+    ).agg(F.countDistinct("doc_id").alias("df"))
     row = agg.agg(
         F.count(F.lit(1)).alias("n_distinct"),
         F.sum(
