@@ -504,6 +504,11 @@ _EXTENSIONS = [
      D.EXACT_SUBSTRING_SPANS_SQL,
      "Maximal shared exact token runs between docs (Lee et al. "
      "exact-substring dedup shape) via k-gram diagonal islands (r5)."),
+    ("exact_substring_rewrite", D.exact_substring_rewrite,
+     D.EXACT_SUBSTRING_REWRITE_SQL,
+     "Lee et al. exact-substring dedup COMPLETION: keep-first span "
+     "deletion (id2-side interval union -> per-token mask) with the "
+     "cleaned text re-emitted (r13)."),
     ("embedding_pq_codes", S.embedding_pq_codes, S.EMBEDDING_PQ_CODES_SQL,
      "Product quantization: 4x16-dim codebook assignment + per-vector "
      "reconstruction error, codebook as broadcast literals (r5)."),
@@ -866,6 +871,11 @@ _EXTENSIONS += [
      "patched onto the graded release set -> id-keyed full outer "
      "diff -> per-(split,lang,source) added/removed/changed counts, "
      "char delta, both content fingerprints, partition status (r11)."),
+    ("corpus_release_pipeline_v2", CU.corpus_release_pipeline_v2,
+     CU.CORPUS_RELEASE_PIPELINE_V2_SQL,
+     "v2 release over line_dedup_rewrite's cleaned text: v1 selection "
+     "policy from the persisted manifest, payload chars/fingerprints "
+     "recomputed over the cleaned corpus, per-partition delta (r13)."),
 ]
 
 for _name, _fn, _sql, _doc in _EXTENSIONS:

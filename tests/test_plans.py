@@ -449,6 +449,14 @@ SHUFFLE_BUDGET = {
     # hash-keyed DF rollup (countDistinct = partial+final pair) +
     # broadcast hot probe (no exchange) + per-doc re-concat agg
     "line_dedup_rewrite": 6,
+    # r13: spans subtree (gram rollup + island window, 3) + id2-keyed
+    # interval agg + the doc_id left join's balanced doc spread; the
+    # rewrite HOF itself is narrow
+    "exact_substring_rewrite": 4,
+    # r13: persisted-manifest parquet scan + line_dedup_rewrite
+    # subtree (6) + the doc_id inner join's exchange pair offset by
+    # the manifest side riding its scan partitioning — observed 7
+    "corpus_release_pipeline_v2": 7,
     # pure narrow generated-HOF map: balanced spread only
     "span_corruption_masks": 1,
     # r9b: boundary-pruned top-k twin of ann_brute_force_topk (7),
