@@ -1489,6 +1489,60 @@ def probe_r12(spark, sf_dir: str, label: str) -> dict:
     return r
 
 
+def probe_r13(spark, sf_dir: str, label: str) -> dict:
+    """r13 ladder rows: (a) exact_substring_rewrite — the claim is
+    that the deletion state is bounded by the SPAN INDEX (the spans
+    builder's output, ∝ shared k-grams under the ES_HOT_CAP guard),
+    never the corpus: receipts are the span count, the docs-with-
+    intervals count, and the max per-doc interval count (the size of
+    the largest HOF mask any single row evaluates); the wall tracks
+    the corpus scan + the span-keyed join. (b)
+    corpus_release_pipeline_v2 — warm wall over the persisted v1
+    manifest + the rewrite subtree; the rollup is |release
+    partitions|-bounded."""
+    from pyspark.sql import functions as F
+
+    from etl_portfolio_project_spark import caches
+    from etl_portfolio_project_spark.operators import curation, dedup
+
+    r: dict = {"label": label}
+    r["n_docs"] = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        out = fn()
+        return out, round(time.perf_counter() - t0, 3)
+
+    # (a) span-rewrite: wall + span-index receipts
+    _, r["esr_secs"] = timed(
+        lambda: dedup.exact_substring_rewrite(spark, sf_dir).count()
+    )
+    caches.release_all()
+    spans = dedup.exact_substring_spans(spark, sf_dir)
+    per_doc = spans.groupBy("id2").agg(F.count(F.lit(1)).alias("n_iv"))
+    row = per_doc.agg(
+        F.count(F.lit(1)).alias("docs_with_iv"),
+        F.coalesce(F.max("n_iv"), F.lit(0)).alias("max_iv_per_doc"),
+        F.coalesce(F.sum("n_iv"), F.lit(0)).alias("n_spans"),
+    ).collect()[0]
+    r["esr_n_spans"] = int(row.n_spans)
+    r["esr_docs_with_intervals"] = int(row.docs_with_iv)
+    r["esr_max_intervals_per_doc"] = int(row.max_iv_per_doc)
+    caches.release_all()
+
+    # (b) release v2: artifact warm (the memo holds from (a)'s session
+    # unless this is the first touch — pay the build outside the timed
+    # region the way the diff probe does)
+    curation.persisted_v1_release(spark, sf_dir).count()
+    caches.release_all()
+    n, r["relv2_secs"] = timed(
+        lambda: curation.corpus_release_pipeline_v2(spark, sf_dir).count()
+    )
+    r["relv2_partitions"] = int(n)
+    caches.release_all()
+    return r
+
+
 def probe_r11_viral(spark) -> dict:
     """The r11 pre-collapse receipt: on a corpus with a planted
     m=1,000-copy exact-dup cluster, the UNCOLLAPSED banding baseline
@@ -1777,6 +1831,9 @@ def main() -> int:
             json.dump(raw, f, indent=1)
         print("merged r11_viral into SCALING_RAW.json")
         return rc
+
+    if "--only-r13" in sys.argv:
+        return _merge_probes([("r13", probe_r13, LADDER_DIRS)])
 
     if "--only-r12" in sys.argv:
         return _merge_probes([("r12", probe_r12, LADDER_DIRS)])
