@@ -111,14 +111,32 @@ def main() -> None:
 
     def _jvm_cpu_sec() -> float | None:
         # the bench's real CPU burn lives in the JVM child, which
-        # os.times() can't see while it's still running — ask the
-        # OperatingSystemMXBean directly
+        # os.times() can't see while it's still running. py4j can't
+        # reach com.sun.management's getProcessCpuTime (it reflects on
+        # the public interface only), so read the child's utime+stime
+        # straight from /proc/<pid>/stat (fields 14-15, clock ticks).
         try:
-            mf = spark._jvm.java.lang.management.ManagementFactory
-            return round(
-                mf.getOperatingSystemMXBean().getProcessCpuTime() / 1e9, 2
-            )
-        except Exception:
+            me = os.getpid()
+            hz = os.sysconf("SC_CLK_TCK")
+            total = 0.0
+            for pid in os.listdir("/proc"):
+                if not pid.isdigit():
+                    continue
+                try:
+                    with open(f"/proc/{pid}/stat") as f:
+                        parts = f.read().rsplit(")", 1)[1].split()
+                    # after comm: field 1 = state, 2 = ppid,
+                    # 12/13 = utime/stime (0-indexed post-comm)
+                    if int(parts[1]) != me:
+                        continue
+                    with open(f"/proc/{pid}/comm") as f:
+                        if f.read().strip() != "java":
+                            continue
+                    total += (int(parts[11]) + int(parts[12])) / hz
+                except (OSError, ValueError, IndexError):
+                    continue
+            return round(total, 2) if total > 0 else None
+        except (OSError, ValueError):
             return None
     # warm the JVM/session (codegen, parquet footer caches) so the
     # alphabetically-first query doesn't absorb cold-start cost
