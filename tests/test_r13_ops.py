@@ -81,6 +81,60 @@ def test_exact_substring_rewrite_keep_first_policy(spark):
         assert r.n_removed == len(id2_removed.get(did, set())), (did, r)
 
 
+def test_line_dedup_rewrite_shuffle_fallback_matches_broadcast(
+    spark, monkeypatch
+):
+    """The ADVICE r12 size gate's FALLBACK path (hot set above
+    LINE_HOT_BROADCAST_MAX → plain shuffle hash join) must be
+    value-identical to the graded broadcast path — exercised here by
+    forcing the ceiling to 0, since harness corpora never trip it."""
+    base = sorted(
+        T.line_dedup_rewrite(spark, SF_SMALL).collect(),
+        key=lambda r: r.doc_id,
+    )
+    monkeypatch.setattr(T, "LINE_HOT_BROADCAST_MAX", 0)
+    fb = sorted(
+        T.line_dedup_rewrite(spark, SF_SMALL).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert fb == base
+
+
+def test_persisted_v1_release_memo_invalidates_on_source_change(
+    spark, tmp_path, monkeypatch
+):
+    """The ADVICE r12 fingerprint: regenerating testdata under sf_dir
+    mid-process must invalidate the persisted v1 artifact (a stale
+    reuse would silently diverge from the inline-recomputing oracle).
+    Simulated on a private copy of sf0.001 by bumping the source
+    parquet's mtime."""
+    import os
+    import shutil
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for t in ("documents",):
+        shutil.copyfile(
+            f"{SF_SMALL}/{t}.parquet", sf / f"{t}.parquet"
+        )
+    CU.persisted_v1_release(spark, str(sf)).count()
+    key1 = [k for k in CU._V1_RELEASE_PATHS if k.startswith(str(sf))]
+    assert len(key1) == 1
+    path1 = CU._V1_RELEASE_PATHS[key1[0]]
+    # unchanged source → same artifact (memo hit)
+    CU.persisted_v1_release(spark, str(sf)).count()
+    assert CU._V1_RELEASE_PATHS[key1[0]] == path1
+    # bump the source mtime → new memo key, artifact rebuilt
+    p = sf / "documents.parquet"
+    st = os.stat(p)
+    os.utime(p, (st.st_atime + 5, st.st_mtime + 5))
+    CU.persisted_v1_release(spark, str(sf)).count()
+    key2 = [k for k in CU._V1_RELEASE_PATHS if k.startswith(str(sf))]
+    assert sorted(key2) != sorted(key1) or CU._V1_RELEASE_PATHS[
+        key2[0]
+    ] != path1
+
+
 def test_release_pipeline_v2_matches_python_rollup(spark):
     """Recompute the v2 release table in Python from its two graded
     inputs and require exact equality — partition counts, char
