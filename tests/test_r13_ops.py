@@ -81,6 +81,50 @@ def test_exact_substring_rewrite_keep_first_policy(spark):
         assert r.n_removed == len(id2_removed.get(did, set())), (did, r)
 
 
+def test_exact_substring_rewrite_planted_duplicate(spark, tmp_path):
+    """End-to-end on a synthetic corpus with a PLANTED shared run:
+    doc 1 and doc 2 share an exact 12-token run (≥ ES_K +
+    ES_MIN_GRAMS − 1 = 10 tokens, so the span machinery must find
+    it); doc 3 is unrelated. Keep-first: doc 1 (lower id) keeps its
+    copy verbatim, doc 2 loses exactly the planted tokens, doc 3 is
+    untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shared = " ".join(f"dup{i}" for i in range(12))
+    docs = {
+        1: f"alpha beta {shared} gamma",
+        2: f"omega {shared} psi chi",
+        3: "unrelated words only here " * 3,
+    }
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), pa.int64()),
+                "text": pa.array(list(docs.values()), pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(["src0"] * 3, pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for t in docs.values()], pa.int64()
+                ),
+            }
+        ),
+        sf / "documents.parquet",
+    )
+    out = {
+        r.doc_id: r
+        for r in D.exact_substring_rewrite(spark, str(sf)).collect()
+    }
+    assert out[1].n_removed == 0
+    assert out[1].cleaned_text == docs[1].lower()
+    assert out[2].n_removed == 12
+    assert out[2].cleaned_text == "omega psi chi"
+    assert out[3].n_removed == 0
+    assert out[3].cleaned_text == docs[3].strip().lower()
+
+
 def test_line_dedup_rewrite_shuffle_fallback_matches_broadcast(
     spark, monkeypatch
 ):
