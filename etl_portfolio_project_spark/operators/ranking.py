@@ -59,13 +59,21 @@ def ranged_row_number(
     row_number nondeterministic in the plain window too — same
     contract as the oracle side).
 
-    The ranged relation is eagerly localCheckpoint-ed: it feeds BOTH
-    the local-rank branch and the partition-size branch, and
-    checkpointing (a) runs the upstream plan + range exchange once and
-    (b) FREEZES the nondeterministic pid assignment so both branches
-    provably see the same partitioning (a lazy cache could be evicted
-    and recomputed with different range bounds between branches;
-    checkpointed partitions cannot).
+    The ranged relation is localCheckpoint-ed: it feeds BOTH the
+    local-rank branch and the partition-size branch, and checkpointing
+    (a) runs the upstream plan + range exchange once and (b) FREEZES
+    the nondeterministic pid assignment so both branches provably see
+    the same partitioning (a lazy cache could be evicted and
+    recomputed with different range bounds between branches;
+    checkpointed partitions cannot). LAZY (eager=False, r13 opt): both
+    variants wrap the SAME checkpoint-marked RDD instance — one
+    shuffle dependency, one boundary sampling, partitions stored at
+    first compute — so the freeze guarantee is identical, but the
+    materialization rides inside the first consuming job instead of
+    paying a separate eager job per helper call (measured ~0.4-0.5 s
+    per call at sf0.1; the offsets broadcast build reads every
+    partition, so the checkpoint is always fully stored before the
+    rank branch runs).
 
     Scale shape: one range exchange, per-partition window sorts in
     parallel, one pid-grouped count (≤`ranges` rows) windowed and
@@ -75,7 +83,7 @@ def ranged_row_number(
     ranged = (
         df.repartitionByRange(ranges, *order_cols)
         .withColumn(PID, F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     wlocal = Window.partitionBy(PID).orderBy(*order_cols)
     local = ranged.withColumn("_rrn_lr", F.row_number().over(wlocal))
@@ -192,14 +200,15 @@ def grouped_ranged_row_number(
     local window, and a per-(pid, group) size aggregate (bounded:
     range contiguity means the relation has at most ranges + |groups|
     rows) whose per-group running sum re-serializes the local ranks.
-    The eager localCheckpoint freezes the nondeterministic pid
-    assignment so the rank branch and the size branch provably see the
-    same partitioning (same reasoning as `ranged_row_number`)."""
+    The (lazy — see `ranged_row_number`) localCheckpoint freezes the
+    nondeterministic pid assignment so the rank branch and the size
+    branch provably see the same partitioning (same reasoning as
+    `ranged_row_number`)."""
     gcols = [F.col(g) for g in group_cols]
     ranged = (
         df.repartitionByRange(ranges, *gcols, *order_cols)
         .withColumn(PID, F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     wlocal = Window.partitionBy(PID, *group_cols).orderBy(*order_cols)
     local = ranged.withColumn("_grn_lr", F.row_number().over(wlocal))
@@ -257,12 +266,12 @@ def grouped_ranged_cumsum(
     a float running sum is order-dependent in the last ulp; BIGINT
     partial sums re-associate exactly). Same ranged-offsets shape as
     `grouped_ranged_row_number`, with per-(pid, group) SUMs instead of
-    counts."""
+    counts (checkpoint lazy — see `ranged_row_number`)."""
     gcols = [F.col(g) for g in group_cols]
     ranged = (
         df.repartitionByRange(ranges, *gcols, *order_cols)
         .withColumn(PID, F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     wlocal = (
         Window.partitionBy(PID, *group_cols)

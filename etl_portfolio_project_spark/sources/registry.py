@@ -28,6 +28,19 @@ TABLES = [
 ]
 
 
+def _scan_split_estimate(src_bytes: int, par: int) -> int:
+    """Estimate how many splits a parquet scan of `src_bytes` packs,
+    mirroring Spark's FilePartition math at its DEFAULT knobs
+    (maxPartitionBytes 128 MB, openCostInBytes 4 MB): maxSplitBytes =
+    min(maxPartitionBytes, max(openCost, bytes/parallelism)). The
+    estimate only steers the repartition DECISION below (values are
+    unaffected either way), so default-knob drift merely moves the
+    cutover point — at 100 TB bytes/par ≫ 128 MB and the answer is
+    always "already parallel", exactly like the exact probe."""
+    target = min(128 * 1024 * 1024, max(4 * 1024 * 1024, src_bytes // max(par, 1)))
+    return max(1, -(-src_bytes // target))
+
+
 def balanced(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's default parallelism —
     ONLY if the plan currently has fewer partitions (parquet scans
@@ -37,9 +50,21 @@ def balanced(df: DataFrame) -> DataFrame:
     a structural no-op; on under-split sources it trades one exchange
     of the slim pre-expansion rows for full-cluster parallelism in
     everything downstream. Use on narrow pipelines whose per-row work
-    (explode fan-out, regex profiling) dwarfs a slim-row shuffle."""
+    (explode fan-out, regex profiling) dwarfs a slim-row shuffle.
+
+    Partition probe (r13 opt): when `df` came straight from
+    `load_table` it carries the source file size, and the split count
+    is ESTIMATED from it (`_scan_split_estimate`) instead of paying
+    `df.rdd.getNumPartitions()` — a full physical-planning py4j round
+    trip, measured ~90 ms per call × ~70 call sites. Transformed
+    frames (no attribute) keep the exact probe."""
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
+    src_bytes = getattr(df, "_graft_src_bytes", None)
+    if src_bytes is not None:
+        if _scan_split_estimate(src_bytes, par) < par:
+            return df.repartition(par)
+        return df
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df
@@ -64,6 +89,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
+
+    def _tag(df: DataFrame) -> DataFrame:
+        # source size for balanced()'s split estimate; best-effort
+        # (a remote/posix-less path just loses the fast path)
+        try:
+            import os
+
+            df._graft_src_bytes = os.path.getsize(path)
+        except OSError:
+            pass
+        return df
+
     if name == "events":
         from pyspark.sql import functions as F
 
@@ -74,9 +111,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            return _tag(
+                df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            )
         if ts_type != "timestamp":
             # timestamp_ntz (Spark 4.1+ native TIMESTAMP(NANOS) read)
-            return df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(path)
+            return _tag(df.withColumn("ts", F.col("ts").cast("timestamp")))
+        return _tag(df)
+    return _tag(spark.read.parquet(path))

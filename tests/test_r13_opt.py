@@ -1,0 +1,104 @@
+"""Focused tests for the r13 OPTIMIZATION round's operator-internal
+changes (OPTIMIZATION_r13.md). Each change must keep values
+bit-identical — these tests pin the specific internals that changed.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_portfolio_project_spark.sources.registry import (
+    _scan_split_estimate,
+    balanced,
+    load_table,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_scan_split_estimate_matches_spark_decision(spark):
+    """The file-size estimate must agree with the exact
+    `df.rdd.getNumPartitions()` probe on the repartition DECISION for
+    every harness table (both read "under-split" at harness SFs)."""
+    par = spark.sparkContext.defaultParallelism
+    for t in ["orders", "documents", "events", "lineitem"]:
+        df = load_table(spark, SF_DIR, t)
+        exact = df.rdd.getNumPartitions() < par
+        est = _scan_split_estimate(df._graft_src_bytes, par) < par
+        assert est == exact, t
+
+
+def test_scan_split_estimate_scale_cutover():
+    """At cluster scale the estimate says "already parallel" (the
+    repartition must be a structural no-op at 100 TB)."""
+    par = 32
+    # single small file -> under-split
+    assert _scan_split_estimate(10 * 1024 * 1024, par) < par
+    # 100 TB -> thousands of 128 MB splits, never repartitioned
+    assert _scan_split_estimate(100 * 1024**4, par) >= par
+
+
+def test_balanced_fast_path_repartitions_harness_tables(spark):
+    """load_table output carries the size tag and balanced() must
+    still deliver full parallelism on an under-split scan."""
+    df = load_table(spark, SF_DIR, "documents")
+    assert getattr(df, "_graft_src_bytes", None)
+    out = balanced(df)
+    par = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() == par
+
+
+def test_balanced_untagged_frame_falls_back(spark):
+    """A transformed frame (no size tag) keeps the exact probe."""
+    df = load_table(spark, SF_DIR, "documents").where(F.col("doc_id") >= 0)
+    assert getattr(df, "_graft_src_bytes", None) is None
+    out = balanced(df)
+    par = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() == par
+
+
+def test_lazy_ranged_checkpoint_branch_consistency(spark):
+    """grouped_ranged_row_number with the lazy localCheckpoint must
+    still hand BOTH branches (rank window + size aggregate) the same
+    pid assignment: per-group rank sequences must be a dense 1..n with
+    the correct group totals (an offset/rank mismatch from divergent
+    pids would break density)."""
+    from etl_portfolio_project_spark.operators.ranking import (
+        grouped_ranged_row_number,
+    )
+
+    df = (
+        spark.range(0, 5000)
+        .selectExpr("id", "id % 7 AS g", "CAST(id * 37 % 4999 AS DOUBLE) v")
+    )
+    got = grouped_ranged_row_number(
+        df, ["g"], [F.col("v"), F.col("id")], out="rn", group_total="n"
+    )
+    rows = got.groupBy("g", "n").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("rn").alias("mn"),
+        F.max("rn").alias("mx"),
+        F.count_distinct("rn").alias("d"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.mn == 1 and r.mx == r.cnt == r.d == r.n
+
+
+@pytest.mark.parametrize("eager_consumers", [2])
+def test_lazy_ranged_checkpoint_repeated_actions(spark, eager_consumers):
+    """Two separate ACTIONS on one helper result must agree (the lazy
+    checkpoint materializes once; later actions reuse it)."""
+    from etl_portfolio_project_spark.operators.ranking import (
+        ranged_row_number,
+    )
+
+    df = spark.range(0, 2000).selectExpr(
+        "id", "CAST(pmod(id * 131, 1999) AS DOUBLE) v"
+    )
+    got = ranged_row_number(df, [F.col("v"), F.col("id")], out="rn")
+    first = {r.id: r.rn for r in got.collect()}
+    for _ in range(eager_consumers):
+        again = {r.id: r.rn for r in got.collect()}
+        assert again == first
