@@ -846,36 +846,26 @@ def _release_final_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .corpus import split_assignment_expr
     from .dedup import dedup_keep_best
     from .ranking import grouped_bottomk_survivors
-    from .text import c4_quality_flags, gopher_quality_flags, langid_expr
+    from .text import (
+        c4_hygiene_gate_sql,
+        gopher_structural_gate_sql,
+        langid_expr,
+    )
 
-    g = gopher_quality_flags(spark, sf_dir).select(
-        "doc_id",
-        (
-            F.col("word_count_ok")
-            & F.col("mean_word_len_ok")
-            & F.col("symbol_ratio_ok")
-            & F.col("alpha_word_ratio_ok")
-        ).alias("pass_gopher"),
-    )
-    c = c4_quality_flags(spark, sf_dir).select(
-        "doc_id",
-        (
-            F.col("no_lorem_ipsum")
-            & F.col("no_brace")
-            & F.col("no_javascript_word")
-        ).alias("pass_c4"),
-    )
     d = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id").isNotNull()
     )
-    gated = (
-        d.join(g, "doc_id")
-        .join(c, "doc_id")
-        .where(
-            F.col("pass_gopher")
-            & F.col("pass_c4")
-            & (langid_expr(F.col("text")) == F.col("lang"))
-        )
+    # gates INLINE on the one documents scan (r13 opt, guide §2.4):
+    # the flag values are row-local, so joining the graded flag
+    # builders back on doc_id carried two extra corpus scans + four
+    # exchanges purely to transport booleans. The gate expressions are
+    # the builders' own factored fragments (text.py), so the composed
+    # policy still cannot drift from the graded flags; NULL-text rows
+    # drop under the filter exactly as the NULL joined flags did.
+    gated = d.where(
+        F.expr(gopher_structural_gate_sql())
+        & F.expr(c4_hygiene_gate_sql())
+        & (langid_expr(F.col("text")) == F.col("lang"))
     )
     surv = dedup_keep_best(spark, sf_dir).select("doc_id")
     from .. import caches

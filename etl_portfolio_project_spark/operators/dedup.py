@@ -169,12 +169,22 @@ GROUP BY prefix_fp HAVING count(*) >= 2
 # --- exact n-gram / word-set Jaccard --------------------------------------
 
 
-def _prefix_candidates(d: DataFrame, tau_num: int, tau_den: int) -> DataFrame:
+def _prefix_candidates(
+    d: DataFrame, tau_num: int, tau_den: int, claim_key: str | None = None
+) -> DataFrame:
     """Candidate-pair stage of the prefix-filtered SSJoin (exposed so
     tools/scaling_probe.py can measure candidate growth separately
     from verification): distinct (id1<id2) pairs sharing a prefix item
     — the prefix being each doc's (n − ⌈τ·n⌉ + 1) globally-rarest
-    items. See `_prefix_filtered_jaccard_pairs` for theory/citations."""
+    items. See `_prefix_filtered_jaccard_pairs` for theory/citations.
+
+    `claim_key` (r13 opt): the prefix index feeds BOTH sides of the
+    self-join — left lazy, the explode + df join + two windows behind
+    it run twice (and under AQE the two sides can race-compute the
+    same partitions concurrently). Callers that own a stable key pass
+    one; the index is then claimed AND eagerly materialized (count)
+    so both sides read the cache (CLAUDE.md claim-once rule; measured
+    1.16 → 0.89 s on the neardup_jaccard pair stage at sf0.1)."""
     tok = d.select("doc_id", F.explode("items").alias("item"))
     dfreq = tok.groupBy("item").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "item")
@@ -190,6 +200,11 @@ def _prefix_candidates(d: DataFrame, tau_num: int, tau_den: int) -> DataFrame:
         )
         .select("doc_id", "item")
     )
+    if claim_key is not None:
+        from .. import caches
+
+        pref = caches.claim(f"{claim_key}_pref", pref)
+        pref.count()  # eager: both self-join sides must read the cache
     a, b = pref.alias("a"), pref.alias("b")
     return (
         a.join(
@@ -205,7 +220,11 @@ def _prefix_candidates(d: DataFrame, tau_num: int, tau_den: int) -> DataFrame:
 
 
 def _prefix_filtered_jaccard_pairs(
-    d: DataFrame, tau: float, tau_num: int, tau_den: int
+    d: DataFrame,
+    tau: float,
+    tau_num: int,
+    tau_den: int,
+    claim_key: str | None = None,
 ) -> DataFrame:
     """Exact set-Jaccard pairs (J ≥ τ) via PREFIX-FILTERED
     inverted-index self-join (SSJoin/PPJoin-style, Chaudhuri et al.
@@ -230,7 +249,7 @@ def _prefix_filtered_jaccard_pairs(
     items never enter the index unless a doc consists of nothing else.
     ⌈τ·n⌉ is exact integer arithmetic ((num·n + num) div den), not a
     double multiplication."""
-    cand = _prefix_candidates(d, tau_num, tau_den)
+    cand = _prefix_candidates(d, tau_num, tau_den, claim_key=claim_key)
     w1 = d.select(F.col("doc_id").alias("id1"), F.col("items").alias("items1"))
     w2 = d.select(F.col("doc_id").alias("id2"), F.col("items").alias("items2"))
     shared = F.size(F.array_intersect("items1", "items2")).cast("long")
@@ -263,7 +282,9 @@ def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("source") == DEDUP_SOURCE_BLOCK)
         .select("doc_id", _distinct_words(F.col("text")).alias("items"))
     )
-    return _prefix_filtered_jaccard_pairs(d, JACCARD_TAU, 9, 10)
+    return _prefix_filtered_jaccard_pairs(
+        d, JACCARD_TAU, 9, 10, claim_key="neardup_jaccard"
+    )
 
 
 NEARDUP_JACCARD_SQL = f"""
@@ -869,7 +890,11 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     rep_pairs = _prefix_filtered_jaccard_pairs(
-        reps.select("doc_id", "items"), JACCARD_TAU, 9, 10
+        reps.select("doc_id", "items"),
+        JACCARD_TAU,
+        9,
+        10,
+        claim_key="neardup_clusters_pp",
     ).select("id1", "id2")
     rep_labels = _cc_two_phase(spark, rep_pairs, "neardup_clusters")
     # groups with ≥2 identical members and no cross-content edge are
@@ -889,18 +914,25 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # member expansion to ONE join over the scan instead of a
     # corpus-wide fp shuffle
     labeled = rep_labels.join(
-        reps.select("doc_id", "fp"), "doc_id"
-    ).select("fp", "cluster_id")
-    labels = (
+        reps.select("doc_id", "fp", "n_dup"), "doc_id"
+    ).select("fp", "cluster_id", "n_dup")
+    # cluster sizes from the REP-level multiplicities (r13 opt): a
+    # cluster's member count is exactly Σ n_dup over its member
+    # fingerprints (identical members share their rep's component), so
+    # the size aggregate runs on the tiny labeled-rep relation instead
+    # of groupBy-ing the expanded doc-level labels — one less
+    # corpus-sized exchange (guide §2.4); the doc expansion stays a
+    # single scan + ONE broadcast join carrying (cluster_id, size).
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.sum("n_dup").cast("long").alias("cluster_size")
+    )
+    labeled_sz = labeled.join(F.broadcast(sizes), "cluster_id").select(
+        "fp", "cluster_id", "cluster_size"
+    )
+    return (
         base.select("doc_id", F.md5("text").alias("fp"))
-        .join(F.broadcast(labeled), "fp")
-        .select("doc_id", "cluster_id")
-    )
-    sizes = labels.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return labels.join(F.broadcast(sizes), "cluster_id").select(
-        "doc_id", "cluster_id", "cluster_size"
+        .join(F.broadcast(labeled_sz), "fp")
+        .select("doc_id", "cluster_id", "cluster_size")
     )
 
 

@@ -1291,6 +1291,66 @@ GROUP BY doc_id
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+#: Gopher count fields over the `tk` token binding and raw `text` —
+#: the ONE definition both the graded flag builder and the release
+#: gate evaluate (fragment-shared so the composed pipeline cannot
+#: drift from the standalone flags; r13 opt gate fusion).
+_GOPHER_COUNT_FIELDS_SQL = (
+    "CAST(size(tk) AS BIGINT) AS n, "
+    "aggregate(tk, CAST(0 AS BIGINT), (acc, t) -> acc + length(t)) "
+    "AS sumlen, "
+    "CAST(size(regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)) "
+    "AS BIGINT) AS nsym, "
+    "CAST(size(filter(tk, t -> t rlike '[A-Za-z]')) AS BIGINT) "
+    "AS nalpha"
+)
+
+#: conjunction of the four STRUCTURAL Gopher rules over the `m`
+#: binding — exactly the flag sub-expressions of `passes_all` minus
+#: the stopword rule (the corpus_release_pipeline gate policy).
+_GOPHER_STRUCTURAL_GATE_SQL = (
+    "((m.n >= 50 AND m.n <= 100000) "
+    "AND (3 * m.n <= m.sumlen AND m.sumlen <= 10 * m.n) "
+    "AND (10 * m.nsym <= m.n) "
+    "AND (5 * m.nalpha >= 4 * m.n))"
+)
+
+
+def gopher_structural_gate_sql() -> str:
+    """Boolean Spark-SQL expression over a `text` column: the
+    conjunction of the four structural Gopher flags
+    (word_count/mean_word_len/symbol_ratio/alpha_word_ratio),
+    sub-expression-identical to `gopher_quality_flags`' fields — so
+    `corpus_release_pipeline` can evaluate its gate INLINE on the
+    documents scan (one map stage) instead of joining the flag
+    builder's output back on doc_id (guide §2.4: the join carried two
+    extra scans + exchanges purely to transport row-local booleans).
+    NULL text yields NULL exactly like the joined flags did (dropped
+    by the gate filter either way)."""
+    return bind_once_sql(
+        "split(trim(text), '\\\\s+')",
+        "tk",
+        bind_once_sql(
+            "struct(" + _GOPHER_COUNT_FIELDS_SQL + ")",
+            "m",
+            _GOPHER_STRUCTURAL_GATE_SQL,
+        ),
+    )
+
+
+def c4_hygiene_gate_sql() -> str:
+    """Boolean Spark-SQL expression over `text`: the C4 hygiene gate
+    (no_lorem_ipsum AND no_brace AND no_javascript_word),
+    sub-expression-identical to `c4_quality_flags`' fields (fragment
+    constants below); same inline-gate rationale as
+    `gopher_structural_gate_sql`."""
+    return (
+        f"((NOT {_C4_HAS_LOREM_SQL}) "
+        f"AND (NOT {_C4_HAS_BRACE_SQL}) "
+        f"AND (NOT {_C4_HAS_JS_SQL}))"
+    )
+
+
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Gopher pretraining-quality rule outcomes (Rae et
     al. 2021 "Scaling Language Models: ... Gopher", Table A1 — the
@@ -1326,14 +1386,9 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in GOPHER_STOPWORDS
     )
     m_struct = (
-        "struct(CAST(size(tk) AS BIGINT) AS n, "
-        "aggregate(tk, CAST(0 AS BIGINT), (acc, t) -> acc + length(t)) "
-        "AS sumlen, "
-        "CAST(size(regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)) "
-        "AS BIGINT) AS nsym, "
-        "CAST(size(filter(tk, t -> t rlike '[A-Za-z]')) AS BIGINT) "
-        "AS nalpha, "
-        f"CAST({stop_hits} AS BIGINT) AS nstop)"
+        "struct("
+        + _GOPHER_COUNT_FIELDS_SQL
+        + f", CAST({stop_hits} AS BIGINT) AS nstop)"
     )
     final_struct = (
         "struct("
@@ -1344,10 +1399,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(10 * m.nsym <= m.n) AS symbol_ratio_ok, "
         "(5 * m.nalpha >= 4 * m.n) AS alpha_word_ratio_ok, "
         "(m.nstop >= 2) AS stopword_ok, "
-        "((m.n >= 50 AND m.n <= 100000) "
-        "AND (3 * m.n <= m.sumlen AND m.sumlen <= 10 * m.n) "
-        "AND (10 * m.nsym <= m.n) "
-        "AND (5 * m.nalpha >= 4 * m.n) "
+        f"({_GOPHER_STRUCTURAL_GATE_SQL} "
         "AND (m.nstop >= 2)) AS passes_all)"
     )
     one = bind_once_sql(
@@ -1418,6 +1470,16 @@ C4_MIN_SENTENCES = 3
 C4_MIN_SENTENCE_WORDS = 5
 
 
+#: C4 hygiene sub-expressions over raw `text` — the ONE definition
+#: both the graded flag builder and the release gate evaluate.
+_C4_HAS_LOREM_SQL = "(lower(text) LIKE '%lorem ipsum%')"
+_C4_HAS_BRACE_SQL = "(instr(text, '{') > 0)"
+_C4_HAS_JS_SQL = (
+    "array_contains(transform(split(trim(lower(text)), '\\\\s+'), "
+    "t -> t), 'javascript')"
+)
+
+
 def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document C4 cleaning-rule outcomes — the second published
     pretraining filter family alongside `gopher_quality_flags`:
@@ -1445,10 +1507,9 @@ def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(trim(text) rlike '[.!?\"]$') AS ends_term, "
         f"size(filter(sn, s -> size(split(trim(s), '\\\\s+')) < "
         f"{C4_MIN_SENTENCE_WORDS})) AS n_short_sent, "
-        "(lower(text) LIKE '%lorem ipsum%') AS has_lorem, "
-        "(instr(text, '{') > 0) AS has_brace, "
-        "array_contains(transform(split(trim(lower(text)), '\\\\s+'), "
-        "t -> t), 'javascript') AS has_js)"
+        f"{_C4_HAS_LOREM_SQL} AS has_lorem, "
+        f"{_C4_HAS_BRACE_SQL} AS has_brace, "
+        f"{_C4_HAS_JS_SQL} AS has_js)"
     )
     final_struct = (
         "struct("

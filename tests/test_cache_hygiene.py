@@ -34,12 +34,13 @@ def test_repeated_runs_do_not_accumulate_persisted_rdds(spark):
         dedup.neardup_clusters(spark, SF_SMALL).count()
         similarity.ann_lsh_topk(spark, SF_SMALL).count()
         similarity.ann_ivf_topk(spark, SF_SMALL).count()
-    # neardup claims its rep table + pair table (r11 pre-collapse:
-    # 2 keys, 1 generation each); the LSH bucket index and the IVF
-    # quantized index moved to the session-lifetime shared tier (r7)
-    # — memoized, one entry each, NOT rebuilt on the second loop
-    # iteration.
-    assert caches.live_count() == 2  # one generation per claimed key
+    # neardup claims its rep table + pair table + the PPJoin prefix
+    # index (r13 opt: the index feeds both self-join sides — claimed
+    # + eagerly materialized under `neardup_clusters_pp_pref`, still
+    # 1 generation); the LSH bucket index and the IVF quantized index
+    # moved to the session-lifetime shared tier (r7) — memoized, one
+    # entry each, NOT rebuilt on the second loop iteration.
+    assert caches.live_count() == 3  # one generation per claimed key
     assert caches.shared_live_count() == 2  # lsh bb + ivf quantized
 
     # JVM-side: the only persistent RDDs beyond the claimed generations
