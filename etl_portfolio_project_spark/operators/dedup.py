@@ -2767,9 +2767,13 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "named_struct('pos', CAST(i AS BIGINT), 'h', "
         f"{gram_h})) END)[0]"
     )
+    # balanced(): the per-token md5 gram hashing dwarfs a slim-row
+    # shuffle — without the spread the whole projection rides the 1-3
+    # scan tasks of the single-file harness table (r13 opt; observed
+    # single-task stages in the before-plan probe)
     g = caches.claim(
         "exact_substring_grams",
-        load_table(spark, sf_dir, "documents")
+        balanced(load_table(spark, sf_dir, "documents"))
         .select("doc_id", F.explode(F.expr(grams_expr)).alias("g"))
         .select(
             "doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")

@@ -38,6 +38,15 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
     )
+    # scale-dependent overrides without code edits (r13 opt): a JSON
+    # object of conf key/values, e.g. production advisory partition
+    # sizing — local defaults above stay the bench-comparable baseline
+    env_conf = os.environ.get("SPARK_GRAFT_CONF_JSON")
+    if env_conf:
+        import json
+
+        for k, v in json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
