@@ -296,8 +296,10 @@ SHUFFLE_BUDGET = {
     # union; collapse groupBy hides behind the sig checkpoint (r11)
     "minhash_tau_sweep": 3,
     # one gram-hash groupBy (occurrence lists, hot-cap filtered) +
-    # diagonal window/island agg (+1 headroom)
-    "exact_substring_spans": 3,
+    # diagonal window/island agg (+1 headroom). r14: +1 — the shared
+    # gram projection's balanced() spread (see exact_substring_rewrite
+    # note; same claimed relation, A/B-confirmed win)
+    "exact_substring_spans": 4,
     "embedding_pq_codes": 1,  # narrow codebook map; balanced spread
     # balanced spread + (query,same)-keyed window + final query agg;
     # anchor join broadcasts
@@ -451,8 +453,12 @@ SHUFFLE_BUDGET = {
     "line_dedup_rewrite": 6,
     # r13: spans subtree (gram rollup + island window, 3) + id2-keyed
     # interval agg + the doc_id left join's balanced doc spread; the
-    # rewrite HOF itself is narrow
-    "exact_substring_rewrite": 4,
+    # rewrite HOF itself is narrow. r14: +1 — the shared gram
+    # projection's balanced() spread (dedup.py exact_substring_grams
+    # claim) is an INTENDED slim-row exchange that moves the per-token
+    # md5 hashing off the 1-3 single-file scan tasks; A/B at sf0.1:
+    # 2.33 s with vs 3.51 s without (best-of-3 noop sink).
+    "exact_substring_rewrite": 5,
     # r13: persisted-manifest parquet scan + line_dedup_rewrite
     # subtree (6) + the doc_id inner join's exchange pair offset by
     # the manifest side riding its scan partitioning — observed 7
