@@ -1428,6 +1428,13 @@ def grading_window() -> list[str]:
     ):
         if len(front) >= _WINDOW:
             break
+        # rows-only-by-design specs (oracle=None) never earn more than
+        # the rows_only grade they already hold — re-rotating one burns
+        # a hash-graded slot and drags the driver's n_correct below the
+        # window size every time (VERDICT r13 #3). They still enter via
+        # the non-green front until graded once.
+        if REGISTRY[n].oracle is None:
+            continue
         front.append(n)
     return front
 

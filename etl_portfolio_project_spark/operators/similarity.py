@@ -262,8 +262,13 @@ def _bf_scored(spark: SparkSession, sf_dir: str, pred: str | None) -> DataFrame:
         .select("vec_id", _dvec("embedding").alias("vec"), "label")
         .withColumn("norm", norm_expr("vec"))
     )
+    # the ≤ QUERY_CAP-row broadcast side rides the raw scan: a
+    # balanced() spread of 80 rows is a pure extra exchange + stage at
+    # EVERY scale (r14 opt, guide §2.4)
     q = (
-        base.where(F.expr(query_subset_pred()))
+        e.where(F.expr(query_subset_pred()))
+        .select("vec_id", _dvec("embedding").alias("vec"))
+        .withColumn("norm", norm_expr("vec"))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("vec").alias("qvec"),
@@ -3012,10 +3017,21 @@ def _maxsim_scored(
         for m in range(MAXSIM_M)
     ]
     base = base.select("vec_id", "vec", *norm_cols)
-    q = base.where(F.expr(query_subset_pred())).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        *[F.col(f"n{m + 1}").alias(f"qn{m + 1}") for m in range(MAXSIM_M)],
+    # the ≤ QUERY_CAP-row broadcast side rides the raw scan: a
+    # balanced() spread of 80 rows is a pure extra exchange + stage at
+    # EVERY scale (r14 opt, guide §2.4)
+    q = (
+        e.where(F.expr(query_subset_pred()))
+        .select(*base_cols)
+        .select("vec_id", "vec", *norm_cols)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            *[
+                F.col(f"n{m + 1}").alias(f"qn{m + 1}")
+                for m in range(MAXSIM_M)
+            ],
+        )
     )
     # one generated scoring expression: sum_m greatest_k(subcos(m, k))
     per_m = []
@@ -3153,10 +3169,18 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a_side = base.where(F.expr("label % 2 = 0"))
     b_side = base.where(F.expr("label % 2 = 1"))
-    q = a_side.where(F.expr(query_subset_pred())).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("norm").alias("qnorm"),
+    # ≤ QUERY_CAP-row broadcast side rides the raw scan (guide §2.4;
+    # see _bf_scored)
+    q = (
+        e.where(F.expr("label % 2 = 0"))
+        .where(F.expr(query_subset_pred()))
+        .select("vec_id", _dvec("embedding").alias("vec"))
+        .withColumn("norm", norm_expr("vec"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("norm").alias("qnorm"),
+        )
     )
     cos = cosine_expr("qvec", "vec", "qnorm", "norm")
 
@@ -3718,9 +3742,16 @@ def _bq_scored(spark: SparkSession, sf_dir: str, pred: str | None) -> DataFrame:
         for w in range(BQ_WORDS)
     ]
     base = balanced(e).select("vec_id", *packs)
-    q = base.where(F.expr(query_subset_pred())).select(
+    # ≤ QUERY_CAP-row broadcast side rides the raw scan (guide §2.4;
+    # see _bf_scored)
+    q = e.where(F.expr(query_subset_pred())).select(
         F.col("vec_id").alias("query_id"),
-        *[F.col(f"w{w}").alias(f"q{w}") for w in range(BQ_WORDS)],
+        *[
+            F.expr(_bq_pack_sql("embedding", w, one_based=False)).alias(
+                f"q{w}"
+            )
+            for w in range(BQ_WORDS)
+        ],
     )
     cand = base.where(F.expr(pred)) if pred else base
     joined = cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))

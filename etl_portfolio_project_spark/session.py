@@ -38,18 +38,45 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     # scale-dependent overrides without code edits (r13 opt): a JSON
     # object of conf key/values, e.g. production advisory partition
-    # sizing — local defaults above stay the bench-comparable baseline
+    # sizing — local defaults above stay the bench-comparable baseline.
+    # Applied AFTER extra_conf (ADVICE r13: the operator's env intent
+    # wins over code-level defaults), with a named error on bad JSON.
     env_conf = os.environ.get("SPARK_GRAFT_CONF_JSON")
     if env_conf:
         import json
 
-        for k, v in json.loads(env_conf).items():
+        try:
+            overrides = json.loads(env_conf)
+        except ValueError as e:
+            raise ValueError(
+                f"SPARK_GRAFT_CONF_JSON is not valid JSON: {e}"
+            ) from e
+        for k, v in overrides.items():
             builder = builder.config(k, str(v))
-    for k, v in (extra_conf or {}).items():
-        builder = builder.config(k, v)
+    pre = SparkSession.getActiveSession()
     spark = builder.getOrCreate()
+    # when a session already exists, getOrCreate() applies only
+    # RUNTIME SQL confs (static ones — driver memory, master — are
+    # ignored; Spark merely logs a JVM-side warning). Surface that on
+    # the Python side so a production operator setting scale overrides
+    # gets a signal instead of silence (ADVICE r13). Per-key detection
+    # is impossible here: Spark 4 copies every builder option into the
+    # reused session's conf map, so conf.get() reflects the override
+    # even when it had no effect.
+    if env_conf and pre is not None and spark is pre:
+        import warnings
+
+        warnings.warn(
+            "SPARK_GRAFT_CONF_JSON: pre-existing SparkSession reused — "
+            "only runtime SQL confs took effect; static confs were "
+            "ignored",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

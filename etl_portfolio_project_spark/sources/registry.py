@@ -28,17 +28,49 @@ TABLES = [
 ]
 
 
-def _scan_split_estimate(src_bytes: int, par: int) -> int:
-    """Estimate how many splits a parquet scan of `src_bytes` packs,
-    mirroring Spark's FilePartition math at its DEFAULT knobs
-    (maxPartitionBytes 128 MB, openCostInBytes 4 MB): maxSplitBytes =
-    min(maxPartitionBytes, max(openCost, bytes/parallelism)). The
-    estimate only steers the repartition DECISION below (values are
-    unaffected either way), so default-knob drift merely moves the
-    cutover point — at 100 TB bytes/par ≫ 128 MB and the answer is
-    always "already parallel", exactly like the exact probe."""
-    target = min(128 * 1024 * 1024, max(4 * 1024 * 1024, src_bytes // max(par, 1)))
-    return max(1, -(-src_bytes // target))
+_SIZE_SUFFIX = {
+    "b": 1,
+    "k": 1024,
+    "kb": 1024,
+    "m": 1024**2,
+    "mb": 1024**2,
+    "g": 1024**3,
+    "gb": 1024**3,
+    "t": 1024**4,
+    "tb": 1024**4,
+    "p": 1024**5,
+    "pb": 1024**5,
+}
+
+
+def _size_bytes(value: str, default: int) -> int:
+    """Spark byte-string conf ('128m', '4MB', plain digits = bytes) →
+    bytes; mirrors JavaUtils.byteStringAsBytes without a py4j trip."""
+    s = str(value).strip().lower()
+    num = s.rstrip("kmgtpb")
+    suffix = s[len(num):]
+    try:
+        return int(num) * _SIZE_SUFFIX.get(suffix, 1)
+    except ValueError:
+        return default
+
+
+def _scan_split_estimate(
+    src_bytes: int, n_files: int, par: int, max_pb: int, open_cost: int
+) -> int:
+    """Estimate how many splits a parquet scan of `src_bytes` across
+    `n_files` files packs, mirroring Spark's FilePartition math at the
+    SESSION's knobs (ADVICE r13: hardcoded defaults could disagree with
+    an env-tuned session): totalBytes charges openCost per file,
+    maxSplitBytes = min(maxPartitionBytes, max(openCost, total/par)).
+    The estimate only steers the repartition DECISION below (values are
+    unaffected either way), so residual packing-order drift merely
+    moves the cutover point — at 100 TB bytes/par ≫ maxPartitionBytes
+    and the answer is always "already parallel", exactly like the
+    exact probe."""
+    total = src_bytes + n_files * open_cost
+    target = min(max_pb, max(open_cost, total // max(par, 1)))
+    return max(1, -(-total // target))
 
 
 def balanced(df: DataFrame) -> DataFrame:
@@ -53,16 +85,28 @@ def balanced(df: DataFrame) -> DataFrame:
     (explode fan-out, regex profiling) dwarfs a slim-row shuffle.
 
     Partition probe (r13 opt): when `df` came straight from
-    `load_table` it carries the source file size, and the split count
-    is ESTIMATED from it (`_scan_split_estimate`) instead of paying
-    `df.rdd.getNumPartitions()` — a full physical-planning py4j round
-    trip, measured ~90 ms per call × ~70 call sites. Transformed
-    frames (no attribute) keep the exact probe."""
+    `load_table` it carries the source (bytes, file count), and the
+    split count is ESTIMATED from it (`_scan_split_estimate`) instead
+    of paying `df.rdd.getNumPartitions()` — a full physical-planning
+    py4j round trip, measured ~90 ms per call × ~70 call sites.
+    Transformed frames (no attribute) keep the exact probe. The split
+    knobs come from the live session conf (ADVICE r13), so an
+    env-tuned production session steers the same decision the exact
+    probe would make."""
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
-    src_bytes = getattr(df, "_graft_src_bytes", None)
-    if src_bytes is not None:
-        if _scan_split_estimate(src_bytes, par) < par:
+    src = getattr(df, "_graft_src_probe", None)
+    if src is not None:
+        src_bytes, n_files = src
+        max_pb = _size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"),
+            128 * 1024 * 1024,
+        )
+        open_cost = _size_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4m"),
+            4 * 1024 * 1024,
+        )
+        if _scan_split_estimate(src_bytes, n_files, par, max_pb, open_cost) < par:
             return df.repartition(par)
         return df
     if df.rdd.getNumPartitions() < par:
@@ -91,12 +135,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
 
     def _tag(df: DataFrame) -> DataFrame:
-        # source size for balanced()'s split estimate; best-effort
-        # (a remote/posix-less path just loses the fast path)
+        # source (bytes, file count) for balanced()'s split estimate;
+        # best-effort (a remote/posix-less path just loses the fast
+        # path). Directory-backed datasets sum their part files
+        # (ADVICE r13: os.path.getsize on a DIRECTORY returns the
+        # ~4 KB dirent size without raising, which would estimate 1
+        # split and force a repartition on an arbitrarily large
+        # dataset — the exact 100 TB anti-pattern).
         try:
             import os
 
-            df._graft_src_bytes = os.path.getsize(path)
+            if os.path.isfile(path):
+                df._graft_src_probe = (os.path.getsize(path), 1)
+            elif os.path.isdir(path):
+                total, n = 0, 0
+                for root, _dirs, files in os.walk(path):
+                    for f in files:
+                        if f.startswith(("_", ".")):
+                            continue  # commit markers, not data splits
+                        total += os.path.getsize(os.path.join(root, f))
+                        n += 1
+                if n:
+                    df._graft_src_probe = (total, n)
         except OSError:
             pass
         return df

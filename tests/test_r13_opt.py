@@ -17,6 +17,10 @@ from etl_portfolio_project_spark.sources.registry import (
 SF_DIR = "/root/testdata/sf0.01"
 
 
+_MB = 1024 * 1024
+_DEFAULT_KNOBS = dict(max_pb=128 * _MB, open_cost=4 * _MB)
+
+
 def test_scan_split_estimate_matches_spark_decision(spark):
     """The file-size estimate must agree with the exact
     `df.rdd.getNumPartitions()` probe on the repartition DECISION for
@@ -25,7 +29,10 @@ def test_scan_split_estimate_matches_spark_decision(spark):
     for t in ["orders", "documents", "events", "lineitem"]:
         df = load_table(spark, SF_DIR, t)
         exact = df.rdd.getNumPartitions() < par
-        est = _scan_split_estimate(df._graft_src_bytes, par) < par
+        nbytes, nfiles = df._graft_src_probe
+        est = _scan_split_estimate(
+            nbytes, nfiles, par, **_DEFAULT_KNOBS
+        ) < par
         assert est == exact, t
 
 
@@ -34,16 +41,86 @@ def test_scan_split_estimate_scale_cutover():
     repartition must be a structural no-op at 100 TB)."""
     par = 32
     # single small file -> under-split
-    assert _scan_split_estimate(10 * 1024 * 1024, par) < par
+    assert _scan_split_estimate(10 * _MB, 1, par, **_DEFAULT_KNOBS) < par
     # 100 TB -> thousands of 128 MB splits, never repartitioned
-    assert _scan_split_estimate(100 * 1024**4, par) >= par
+    assert (
+        _scan_split_estimate(100 * 1024**4, 1000, par, **_DEFAULT_KNOBS)
+        >= par
+    )
+
+
+def test_scan_split_estimate_directory_dataset(spark, tmp_path):
+    """ADVICE r13 (medium): a DIRECTORY-backed parquet dataset must be
+    probed by its part-file sum, not os.path.getsize(dir) (~4 KB dirent
+    size -> 1-split estimate -> forced repartition at any scale). The
+    tag must carry (sum_bytes, n_files) and the decision must agree
+    with the exact probe."""
+    import shutil
+
+    from etl_portfolio_project_spark.sources import registry
+
+    src = f"{SF_DIR}/orders.parquet"
+    ddir = tmp_path / "orders.parquet"
+    ddir.mkdir()
+    shutil.copy(src, ddir / "part-00000.parquet")
+    shutil.copy(src, ddir / "part-00001.parquet")
+    (ddir / "_SUCCESS").write_text("")  # commit marker: not a split
+    old = registry.TABLES
+    registry.TABLES = old + ["__dirtab__"]
+    try:
+        import os
+
+        os.symlink(ddir, tmp_path / "__dirtab__.parquet")
+        df = load_table(spark, str(tmp_path), "__dirtab__")
+    finally:
+        registry.TABLES = old
+    nbytes, nfiles = df._graft_src_probe
+    assert nfiles == 2
+    assert nbytes == 2 * os.path.getsize(src)  # dirent size would be ~4KB
+
+
+def test_size_bytes_parses_spark_conf_strings():
+    from etl_portfolio_project_spark.sources.registry import _size_bytes
+
+    assert _size_bytes("134217728", 0) == 128 * _MB
+    assert _size_bytes("128m", 0) == 128 * _MB
+    assert _size_bytes("128MB", 0) == 128 * _MB
+    assert _size_bytes("4m", 0) == 4 * _MB
+    assert _size_bytes("1g", 0) == 1024 * _MB
+    assert _size_bytes("garbage", 7) == 7
+
+
+def test_balanced_reads_session_split_knobs(spark):
+    """ADVICE r13 (low): balanced() must read maxPartitionBytes /
+    openCostInBytes from the live session conf, so an env-tuned
+    session steers the same decision the exact probe would make. With
+    maxPartitionBytes shrunk below the file size, a harness table
+    estimates as already-parallel and must NOT be repartitioned."""
+    df = load_table(spark, SF_DIR, "lineitem")
+    nbytes, _ = df._graft_src_probe
+    prev_pb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes",
+            str(max(1, nbytes // 64)),
+        )
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        out = balanced(load_table(spark, SF_DIR, "lineitem"))
+        # the estimate said already-parallel -> no Repartition node
+        # (and the REAL scan honors the same conf, so exact agrees)
+        plan = out._jdf.queryExecution().logical().toString()
+        assert "Repartition" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_pb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
 
 
 def test_balanced_fast_path_repartitions_harness_tables(spark):
     """load_table output carries the size tag and balanced() must
     still deliver full parallelism on an under-split scan."""
     df = load_table(spark, SF_DIR, "documents")
-    assert getattr(df, "_graft_src_bytes", None)
+    assert getattr(df, "_graft_src_probe", None)
     out = balanced(df)
     par = spark.sparkContext.defaultParallelism
     assert out.rdd.getNumPartitions() == par
@@ -52,7 +129,7 @@ def test_balanced_fast_path_repartitions_harness_tables(spark):
 def test_balanced_untagged_frame_falls_back(spark):
     """A transformed frame (no size tag) keeps the exact probe."""
     df = load_table(spark, SF_DIR, "documents").where(F.col("doc_id") >= 0)
-    assert getattr(df, "_graft_src_bytes", None) is None
+    assert getattr(df, "_graft_src_probe", None) is None
     out = balanced(df)
     par = spark.sparkContext.defaultParallelism
     assert out.rdd.getNumPartitions() == par
