@@ -2202,44 +2202,58 @@ def kmeans_lloyd_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     stats = []
+    # ONE generated agg expression per iteration: the per-component
+    # quantized BIGINT sums (order-free, identical values to the
+    # former posexplode + (cur, dim) agg) assembled straight into the
+    # centroid array — replaces a DIM× row explosion feeding TWO
+    # exchanges (partial agg + collect_list re-agg) with ONE map-side-
+    # combining groupBy over un-exploded rows (r14 opt, guide §2.3/
+    # §2.4). count(1) per cur ≡ count(*) per (cur, dim): valid vectors
+    # are exactly DIM long.
+    cvec_sql = "array(" + ", ".join(
+        f"CAST({_CENT_QSUM_SQL.format(v=f'vec[{d}]')} AS DOUBLE)"
+        f" / CAST({CENTROID_Q} AS DOUBLE)"
+        f" / CAST(count(*) AS DOUBLE)"
+        for d in range(DIM)
+    ) + ")"
+    # argmin over the k-centroid array folded into ONE expression —
+    # the former crossJoin(cent) + min(struct) groupBy materialized
+    # n·k rows and paid a corpus-wide vec_id exchange per iteration;
+    # the fold visits centroids in clabel order, so strict `<` keeps
+    # the earliest clabel on ties ≡ min(struct(d2, clabel)) ≡ the
+    # oracle's row_number ORDER BY (d2, clabel). d2 is the SAME
+    # zip_with/aggregate left fold as before, evaluated once per
+    # centroid via transform.
+    best_sql = (
+        "aggregate("
+        "transform(cents, c -> named_struct("
+        f"'d2', {_sqdist_spark_sql('vec', 'c.cvec')}, "
+        "'clabel', c.clabel)), "
+        "CAST(NULL AS struct<d2: double, clabel: bigint>), "
+        "(acc, x) -> CASE WHEN acc IS NULL OR x.d2 < acc.d2 "
+        "THEN x ELSE acc END)"
+    )
     for it in range(1, KM_ITERS + 1):
-        pe = cur.select(
-            "vec_id", "cur", F.posexplode("vec").alias("dim", "v")
-        )
-        quant_mean = F.expr(
-            f"CAST({_CENT_QSUM_SQL.format(v='v')} AS DOUBLE) "
-            f"/ CAST({CENTROID_Q} AS DOUBLE) "
-            f"/ CAST(count(*) AS DOUBLE)"
-        )
-        cent = (
-            pe.groupBy("cur", "dim")
-            .agg(quant_mean.alias("mc"))
-            .groupBy(F.col("cur").alias("clabel"))
+        cents = (
+            cur.groupBy(F.col("cur").alias("clabel"))
+            .agg(F.expr(cvec_sql).alias("cvec"))
+            .groupBy()
             .agg(
                 F.expr(
-                    "transform(array_sort(collect_list(struct(dim, mc))), "
-                    "s -> s.mc)"
-                ).alias("cvec")
+                    "array_sort(collect_list(struct(clabel, cvec)))"
+                ).alias("cents")
             )
         )
-        scored = cur.crossJoin(F.broadcast(cent)).withColumn(
-            "d2", F.expr(_sqdist_spark_sql("vec", "cvec"))
-        )
-        m = F.min(
-            F.struct(
-                F.col("d2"), F.col("clabel"), F.col("cur"), F.col("vec")
-            )
-        ).alias("m")
         nxt = caches.claim(
             f"km_loop_{it}",
-            scored.groupBy("vec_id")
-            .agg(m)
+            cur.crossJoin(F.broadcast(cents))
+            .withColumn("b", F.expr(best_sql))
             .select(
                 "vec_id",
-                F.col("m.vec").alias("vec"),
-                F.col("m.clabel").alias("cur"),
-                F.col("m.cur").alias("prev"),
-                F.col("m.d2").alias("d2"),
+                "vec",
+                F.col("b.clabel").alias("cur"),
+                F.col("cur").alias("prev"),
+                F.col("b.d2").alias("d2"),
             ),
         )
         stats.append(
