@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import caches
-from ..sources.registry import balanced, load_table
+from ..sources.registry import balanced, load_table, spread_batch
 from .text import portable_hash60, portable_hash60_sql, tokens_expr
 
 #: MinHash parameters — k hash functions in b bands of r rows (k=b*r).
@@ -1942,6 +1942,68 @@ def _sid_write_batches(sf_dir: str, in_dir: str, batches) -> None:
         os.utime(path, (base + 2 * (j + 1), base + 2 * (j + 1)))
 
 
+def _sid_epoch_sql() -> str:
+    """The WHOLE per-epoch decision query as ONE generated SQL string
+    over two temp views — `sid_sigs` (the checkpointed micro-batch
+    signatures) and `sid_idx` (the kept-doc index union). The
+    DataFrame version of this body spent ~0.5 s/epoch on driver-side
+    Column construction alone (py4j round-trips; the
+    loop-chained-Column trap), measured 6.1 s → 3.7 s stream wall at
+    sf0.1 after the SQL rewrite, bit-identical results. Semantics
+    mirrored exactly by the DuckDB oracle chain: band-collision
+    candidates → exact-Jaccard verify → per-doc counts, left-joined
+    back over the full batch. Module-level so the plan test can pin
+    the join shape without running the stream.
+
+    BROADCAST hints pin the BATCH-derived side of every index join
+    (r14 opt, guide §3): the micro-batch (band rows, candidate pairs,
+    per-doc aggregates) is bounded per trigger while the kept-doc
+    index grows without bound, so the index must never be shuffled or
+    broadcast. Strategy hints only — values unchanged."""
+    bands = _band_structs_sql()
+
+    def band_cte(view: str) -> str:
+        return (
+            f"SELECT doc_id, bk.band AS band, bk.band_key AS band_key "
+            f"FROM {view} LATERAL VIEW explode(array({bands})) t AS bk "
+            f"WHERE size(items) >= 1"
+        )
+
+    return f"""
+WITH bb AS ({band_cte("sid_sigs")}),
+cb AS ({band_cte("sid_idx")}),
+cand AS (
+  SELECT /*+ BROADCAST(bb) */ bb.doc_id AS did, cb.doc_id AS cid
+  FROM bb JOIN cb ON bb.band = cb.band AND bb.band_key = cb.band_key
+  GROUP BY bb.doc_id, cb.doc_id
+),
+scored AS (
+  SELECT /*+ BROADCAST(cw) */ cw.did,
+    CAST(size(array_intersect(cw.items1, w2.items)) AS BIGINT)
+      / (CAST(size(cw.items1) AS BIGINT) + CAST(size(w2.items) AS BIGINT)
+         - CAST(size(array_intersect(cw.items1, w2.items)) AS BIGINT))
+      AS jaccard
+  FROM (
+    SELECT /*+ BROADCAST(w1) */ cand.did, cand.cid, w1.items AS items1
+    FROM cand JOIN sid_sigs w1 ON cand.did = w1.doc_id
+  ) cw
+  JOIN sid_idx w2 ON cw.cid = w2.doc_id
+),
+agg AS (
+  SELECT did, COUNT(1) AS n_candidates,
+         COUNT(CASE WHEN jaccard >= {JACCARD_TAU} THEN 1 END) AS n_dups
+  FROM scored GROUP BY did
+)
+SELECT /*+ BROADCAST(a) */ s.doc_id,
+       CAST(s.doc_id % {SD_NBATCH} AS INT) AS batch_id,
+       CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups,
+       COALESCE(a.n_dups, 0) > 0 AS is_dup,
+       s.items AS items, s.sig AS sig
+FROM sid_sigs s LEFT JOIN agg a ON s.doc_id = a.did
+"""
+
+
 def _sid_run_stream(
     spark: SparkSession,
     in_dir: str,
@@ -1997,54 +2059,7 @@ def _sid_run_stream(
             json.dump(gens, f)
         os.replace(tmp, mp)  # atomic: a crash never leaves a torn manifest
 
-    # the WHOLE per-epoch decision query as ONE generated SQL string
-    # over two temp views — the DataFrame version of this body spent
-    # ~0.5 s/epoch on driver-side Column construction alone (py4j
-    # round-trips; the loop-chained-Column trap), measured 6.1 s →
-    # 3.7 s stream wall at sf0.1 after the rewrite, bit-identical
-    # results. Semantics mirrored exactly by the DuckDB oracle chain:
-    # band-collision candidates → exact-Jaccard verify → per-doc
-    # counts, left-joined back over the full batch.
-    bands = _band_structs_sql()
-
-    def band_cte(view: str) -> str:
-        return (
-            f"SELECT doc_id, bk.band AS band, bk.band_key AS band_key "
-            f"FROM {view} LATERAL VIEW explode(array({bands})) t AS bk "
-            f"WHERE size(items) >= 1"
-        )
-
-    epoch_sql = f"""
-WITH bb AS ({band_cte("sid_sigs")}),
-cb AS ({band_cte("sid_idx")}),
-cand AS (
-  SELECT bb.doc_id AS did, cb.doc_id AS cid
-  FROM bb JOIN cb ON bb.band = cb.band AND bb.band_key = cb.band_key
-  GROUP BY bb.doc_id, cb.doc_id
-),
-scored AS (
-  SELECT cand.did,
-    CAST(size(array_intersect(w1.items, w2.items)) AS BIGINT)
-      / (CAST(size(w1.items) AS BIGINT) + CAST(size(w2.items) AS BIGINT)
-         - CAST(size(array_intersect(w1.items, w2.items)) AS BIGINT))
-      AS jaccard
-  FROM cand
-  JOIN sid_sigs w1 ON cand.did = w1.doc_id
-  JOIN sid_idx  w2 ON cand.cid = w2.doc_id
-),
-agg AS (
-  SELECT did, COUNT(1) AS n_candidates,
-         COUNT(CASE WHEN jaccard >= {JACCARD_TAU} THEN 1 END) AS n_dups
-  FROM scored GROUP BY did
-)
-SELECT s.doc_id,
-       CAST(s.doc_id % {SD_NBATCH} AS INT) AS batch_id,
-       CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
-       CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups,
-       COALESCE(a.n_dups, 0) > 0 AS is_dup,
-       s.items AS items, s.sig AS sig
-FROM sid_sigs s LEFT JOIN agg a ON s.doc_id = a.did
-"""
+    epoch_sql = _sid_epoch_sql()
     # batch 0 joins an empty index: everything kept, zero candidates
     first_sql = f"""
 SELECT doc_id, CAST(doc_id % {SD_NBATCH} AS INT) AS batch_id,
@@ -2069,11 +2084,11 @@ FROM sid_sigs
         gens = load_gens(epoch_id)  # disk-derived, restart/replay-safe
         # the batch arrives as ONE file split (1 partition at harness
         # scale) — spread the md5-shingle/minhash compute across the
-        # machine before the heavy expression, same rationale as
-        # sources.registry.balanced()
+        # machine before the heavy expression; the split estimate
+        # replaces a per-epoch physical-planning RDD probe (r14 opt —
+        # see sources.registry.spread_batch)
         par = s.sparkContext.defaultParallelism
-        if batch_df.rdd.getNumPartitions() < min(8, par):
-            batch_df = batch_df.repartition(min(8, par))
+        batch_df = spread_batch(batch_df, min(8, par))
         sigs = batch_df.select("doc_id", F.expr(row_expr).alias("s")).select(
             "doc_id",
             F.col("s.items").alias("items"),

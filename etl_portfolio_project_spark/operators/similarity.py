@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import caches
-from ..sources.registry import balanced, load_table
+from ..sources.registry import balanced, load_table, spread_batch
 
 DIM = 64
 TOP_K = 10
@@ -4014,6 +4014,64 @@ def _sei_tb_array_sql() -> str:
     return f"array({entries})"
 
 
+def _sei_epoch_sql() -> str:
+    """The whole per-epoch probe as ONE generated SQL string over two
+    temp views — `sei_vecs` (the checkpointed micro-batch) and
+    `sei_idx` (the union of index generations); one SQL string keeps
+    driver-side Column construction off the per-epoch path (the
+    stream_incremental_dedup py4j rationale). Module-level so the plan
+    test can pin the join shape without running the stream.
+
+    BROADCAST hints pin the BATCH-derived side of every index join
+    (r14 opt, guide §3): the micro-batch (and everything derived from
+    it — bucket rows, candidate pairs, per-doc aggregates) is bounded
+    per trigger while the index grows without bound, so the index must
+    never be shuffled or broadcast. Strategy hints only — values
+    unchanged; the remaining exchanges are candidate-sized GROUP BYs."""
+    return f"""
+WITH bb AS (
+  SELECT vec_id, t.tbl AS tbl, t.bucket AS bucket
+  FROM sei_vecs LATERAL VIEW explode(tb) x AS t
+),
+cb AS (
+  SELECT vec_id, t.tbl AS tbl, t.bucket AS bucket
+  FROM sei_idx LATERAL VIEW explode(tb) x AS t
+),
+cand AS (
+  SELECT /*+ BROADCAST(bb) */ bb.vec_id AS did, cb.vec_id AS cid
+  FROM bb JOIN cb ON bb.tbl = cb.tbl AND bb.bucket = cb.bucket
+  GROUP BY bb.vec_id, cb.vec_id
+),
+scored AS (
+  SELECT /*+ BROADCAST(ca) */ ca.did, ca.cid,
+         {_dot_spark_sql("ca.avec", "b.vec")} / (ca.anorm * b.norm)
+           AS cosine
+  FROM (
+    SELECT /*+ BROADCAST(a) */ cand.did, cand.cid,
+           a.vec AS avec, a.norm AS anorm
+    FROM cand JOIN sei_vecs a ON cand.did = a.vec_id
+  ) ca
+  JOIN sei_idx b ON ca.cid = b.vec_id
+),
+agg AS (
+  SELECT did, COUNT(1) AS n_candidates,
+         COUNT(CASE WHEN cosine >= {NEARDUP_TAU} THEN 1 END) AS n_sim,
+         max(named_struct('c', cosine, 'nid', -cid)) AS s
+  FROM scored GROUP BY did
+)
+SELECT /*+ BROADCAST(a) */ v.vec_id,
+       CAST(v.vec_id % {SE_NBATCH} AS INT) AS batch_id,
+       CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(a.n_sim, 0) AS BIGINT) AS n_sim,
+       CAST(-a.s.nid AS BIGINT) AS nearest_id,
+       a.s.c AS nearest_cos,
+       COALESCE(a.n_sim, 0) = 0 AS is_novel,
+       true AS is_valid,
+       v.vec AS vec, v.norm AS norm, v.tb AS tb
+FROM sei_vecs v LEFT JOIN agg a ON v.vec_id = a.did
+"""
+
+
 def _sei_run_stream(
     spark: SparkSession,
     in_dir: str,
@@ -4062,46 +4120,7 @@ def _sei_run_stream(
             json.dump(gens, f)
         os.replace(tmp, mp)
 
-    # whole per-epoch probe as ONE generated SQL string over two temp
-    # views (the stream_incremental_dedup py4j rationale)
-    epoch_sql = f"""
-WITH bb AS (
-  SELECT vec_id, t.tbl AS tbl, t.bucket AS bucket
-  FROM sei_vecs LATERAL VIEW explode(tb) x AS t
-),
-cb AS (
-  SELECT vec_id, t.tbl AS tbl, t.bucket AS bucket
-  FROM sei_idx LATERAL VIEW explode(tb) x AS t
-),
-cand AS (
-  SELECT bb.vec_id AS did, cb.vec_id AS cid
-  FROM bb JOIN cb ON bb.tbl = cb.tbl AND bb.bucket = cb.bucket
-  GROUP BY bb.vec_id, cb.vec_id
-),
-scored AS (
-  SELECT cand.did, cand.cid,
-         {_dot_spark_sql("a.vec", "b.vec")} / (a.norm * b.norm) AS cosine
-  FROM cand
-  JOIN sei_vecs a ON cand.did = a.vec_id
-  JOIN sei_idx b ON cand.cid = b.vec_id
-),
-agg AS (
-  SELECT did, COUNT(1) AS n_candidates,
-         COUNT(CASE WHEN cosine >= {NEARDUP_TAU} THEN 1 END) AS n_sim,
-         max(named_struct('c', cosine, 'nid', -cid)) AS s
-  FROM scored GROUP BY did
-)
-SELECT v.vec_id,
-       CAST(v.vec_id % {SE_NBATCH} AS INT) AS batch_id,
-       CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
-       CAST(COALESCE(a.n_sim, 0) AS BIGINT) AS n_sim,
-       CAST(-a.s.nid AS BIGINT) AS nearest_id,
-       a.s.c AS nearest_cos,
-       COALESCE(a.n_sim, 0) = 0 AS is_novel,
-       true AS is_valid,
-       v.vec AS vec, v.norm AS norm, v.tb AS tb
-FROM sei_vecs v LEFT JOIN agg a ON v.vec_id = a.did
-"""
+    epoch_sql = _sei_epoch_sql()
     first_sql = f"""
 SELECT vec_id, CAST(vec_id % {SE_NBATCH} AS INT) AS batch_id,
        CAST(0 AS BIGINT) AS n_candidates, CAST(0 AS BIGINT) AS n_sim,
@@ -4122,9 +4141,11 @@ FROM sei_vecs
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         s = batch_df.sparkSession
         gens = load_gens(epoch_id)
+        # spread the per-row LSH-fold work off the 1-3 file splits;
+        # the split estimate replaces a per-epoch physical-planning
+        # RDD probe (r14 opt — see sources.registry.spread_batch)
         par = s.sparkContext.defaultParallelism
-        if batch_df.rdd.getNumPartitions() < min(8, par):
-            batch_df = batch_df.repartition(min(8, par))
+        batch_df = spread_batch(batch_df, min(8, par))
         ok = F.expr(valid_vec_pred_spark())
         vecs = (
             batch_df.where(ok)

@@ -114,6 +114,49 @@ def balanced(df: DataFrame) -> DataFrame:
     return df
 
 
+def spread_batch(df: DataFrame, target: int) -> DataFrame:
+    """Micro-batch twin of `balanced()` for foreachBatch bodies:
+    round-robin to `target` partitions ONLY if the batch's file splits
+    are fewer (a file-source trigger typically delivers ONE file read
+    as 1-3 splits, which would pin the heavy per-row work — md5
+    shingles, LSH folds — to as many tasks). The split count is
+    estimated from the batch's input files (same FilePartition math as
+    `balanced`), replacing the former per-epoch
+    `df.rdd.getNumPartitions()` physical-planning round trip; an
+    unlistable file (remote scheme) falls back to the exact probe. A
+    production-size batch with ≥ `target` splits passes through
+    untouched — the repartition never LOWERS parallelism."""
+    import os
+
+    spark = df.sparkSession
+    try:
+        files = df.inputFiles()
+        total, n = 0, 0
+        for f in files:
+            p = f[7:] if f.startswith("file://") else f
+            total += os.path.getsize(p)  # OSError -> exact fallback
+            n += 1
+        if n == 0:
+            return df  # empty batch: nothing to spread
+        max_pb = _size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"),
+            128 * 1024 * 1024,
+        )
+        open_cost = _size_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4m"),
+            4 * 1024 * 1024,
+        )
+        par = spark.sparkContext.defaultParallelism
+        est = _scan_split_estimate(total, n, par, max_pb, open_cost)
+        if est < target:
+            return df.repartition(target)
+        return df
+    except Exception:
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+        return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one harness table as a lazy DataFrame.
 
