@@ -2155,18 +2155,32 @@ AF_FP_SCHEMA = T.StructType(
 )
 
 
-def _af_synth_stage():
-    """WAV encode with planted near-duplicates: docs with
-    doc_id % AF_PLANT_MOD == 1 re-render the PREVIOUS doc's waveform
-    with a one-sample +1 perturbation (inside the modular formula, so
-    the sample stays in PCM16 range and the oracle mirrors it as pure
-    arithmetic). md5-keyed offset + LARGE slope per doc: the ramp
-    wraps many times per energy frame, so frame energies — and hence
-    the delta bits — decorrelate across non-planted docs (the
-    BMP-slope lesson). Nested for by-value pickling (worker-closure
-    rule)."""
+def _af_synth_fp_stage():
+    """ONE Arrow stage: WAV encode (planted near-duplicates) + real
+    WAV decode + 64-bit energy-delta fingerprint.
 
-    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    Encode: docs with doc_id % AF_PLANT_MOD == 1 re-render the
+    PREVIOUS doc's waveform with a one-sample +1 perturbation (inside
+    the modular formula, so the sample stays in PCM16 range and the
+    oracle mirrors it as pure arithmetic). md5-keyed offset + LARGE
+    slope per doc: the ramp wraps many times per energy frame, so
+    frame energies — and hence the delta bits — decorrelate across
+    non-planted docs (the BMP-slope lesson).
+
+    Decode + fingerprint: the REAL WAV container round-trips through
+    stdlib `wave` (header fields and PCM frames come from the encoded
+    bytes, nothing is faked), then frame f = (i · AF_FRAMES) div n,
+    E_f = Σ s², bit t = E_{t+1} > E_t — exact int64 throughout
+    (≤ ~8 samples · 32768² per frame ≪ 2⁶³).
+
+    r14 opt (guide §4): formerly TWO mapInPandas stages — the WAV
+    payload (the row's only heavy column) crossed Python→JVM→Python
+    between them for no reason. Fused, the bytes never leave the
+    worker; one Arrow boundary carries 3 integers per clip. Same
+    encode→decode path, bit-identical output. Nested for by-value
+    pickling (worker-closure rule)."""
+
+    def synth_fp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
         import io as _io
         import wave as _wave
@@ -2200,32 +2214,6 @@ def _af_synth_stage():
             w.close()
             return buf.getvalue()
 
-        for pdf in it:
-            yield _pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": pdf["doc_id"].map(make_wav),
-                }
-            )
-
-    return synth
-
-
-def _af_fingerprint_stage():
-    """Decode the REAL WAV bytes (stdlib `wave` — header fields and
-    PCM frames come from the container, nothing is faked) and compute
-    the 64-bit energy-delta fingerprint with exact integer arithmetic:
-    frame f = (i · AF_FRAMES) div n (assignment form — the mapping the
-    relational oracle groups by), E_f = Σ s², bit t = E_{t+1} > E_t.
-    int64 throughout (≤ ~8 samples · 32768² per frame ≪ 2⁶³)."""
-
-    def fp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io as _io
-        import wave as _wave
-
-        import numpy as _np
-        import pandas as _pd
-
         def bits_of(payload: bytes):
             w = _wave.open(_io.BytesIO(bytes(payload)), "rb")
             nframes = w.getnframes()
@@ -2244,12 +2232,12 @@ def _af_fingerprint_stage():
 
         for pdf in it:
             rows = [
-                (int(doc_id),) + bits_of(p)
-                for doc_id, p in zip(pdf["doc_id"], pdf["payload"])
+                (int(doc_id),) + bits_of(make_wav(int(doc_id)))
+                for doc_id in pdf["doc_id"]
             ]
             yield _pd.DataFrame(rows, columns=["doc_id", "f_hi", "f_lo"])
 
-    return fp
+    return synth_fp
 
 
 def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2260,8 +2248,11 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's audio) must surface; all other pairs must verify away —
     multimodal dedup parity with `image_phash_neardup`.
 
-    Scale shape: two narrow Arrow map stages produce a 3-integer row
-    per clip (claimed once — three downstream consumers); candidates
+    Scale shape: ONE narrow Arrow map stage produces a 3-integer row
+    per clip (r14 opt: the former encode/decode stage split shipped
+    the WAV payload Python→JVM→Python between them — fused, the bytes
+    never leave the worker; claimed once — three downstream
+    consumers); candidates
     come from ONE equi-join on the 16-bit (band, value) key (pairs ∝
     Σ|bucket|², never all-pairs); verification is bit_count(xor) on
     the candidate set only. The oracle regenerates the waveform
@@ -2270,9 +2261,9 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import caches
 
     d = balanced_docs(spark, sf_dir)
-    wavs = d.mapInPandas(_af_synth_stage(), WAV_SCHEMA)
     fps = caches.claim(
-        "audio_fp_hashes", wavs.mapInPandas(_af_fingerprint_stage(), AF_FP_SCHEMA)
+        "audio_fp_hashes",
+        d.mapInPandas(_af_synth_fp_stage(), AF_FP_SCHEMA),
     )
     bands = fps.select(
         "doc_id",
