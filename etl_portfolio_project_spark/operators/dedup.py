@@ -807,7 +807,17 @@ def _cc_label_propagation(
                     ).alias("changed"),
                 )
             )
-            updated = updated.persist()
+            # one eager localCheckpoint per round replaces the bare
+            # persist + every-5-rounds checkpoint (r14 opt, guide
+            # §7.3): `labels` is referenced 3× per round, so five
+            # un-truncated rounds nested up to 3⁵ copies of the pair-
+            # pipeline subtree into the logical plan — and AQE renders
+            # the explain string on EVERY plan update, observed OOMing
+            # a long session's heap from string concat alone. The
+            # checkpoint is the same single materialization job the
+            # persist's convergence count used to pay; plans now stay
+            # O(1) rounds deep at any diameter.
+            updated = updated.localCheckpoint(eager=True)
             n_changed = updated.where(F.col("changed")).count()
             if prev is not None:
                 prev.unpersist()
@@ -815,10 +825,6 @@ def _cc_label_propagation(
             labels = updated.select("doc_id", "cluster_id")
             if n_changed == 0:
                 break
-            if it % 5 == 0:
-                labels = labels.localCheckpoint()
-                prev.unpersist()
-                prev = None
         # pin + MATERIALIZE the fixpoint (from the still-cached last
         # generation) before the finally releases the loop caches —
         # otherwise the caller's terminal action would recompute the
