@@ -145,7 +145,7 @@ SHUFFLE_BUDGET = {
     "embedding_covariance_stats": 2,
     "embedding_matryoshka_recall": 3,
     "ann_ivfpq_topk": 5,
-    "kmeans_lloyd_loop": 11,
+    "kmeans_lloyd_loop": 10,  # r14: argmin-in-expression loop (obs 9 +1)
     "entity_resolution_parts": 3,
     # all work happens inside the builder's foreachBatch stream; the
     # returned frame is a plain read of the appended result parquet
@@ -166,7 +166,7 @@ SHUFFLE_BUDGET = {
     # brute-force (7) + LSH bucket join/distinct/window) + 2 tiny
     # per-query aggs + a 200-row audit join; every exchange moves the
     # sampled query set
-    "ann_lsh_recall_audit": 18,
+    "ann_lsh_recall_audit": 15,  # r14: q-side off the spread (obs 14 +1)
     # cold = IVF index build (balanced + centroid 1-row stat) + the
     # candidate equi-join and per-query top-k window; warm sessions
     # reuse the shared index
@@ -245,8 +245,8 @@ SHUFFLE_BUDGET = {
     # (ann_brute_force_topk twin; 7 = 4 balanced branches (full +
     # boundary-sample scored relations × cand/query) + bucket-max agg
     # + boundary agg + survivor window — the r8 boundary-pruned shape)
-    "multivector_maxsim_topk": 7,
-    "ann_brute_force_topk": 7,  # same boundary-pruned shape
+    "multivector_maxsim_topk": 6,  # r14: q-side off the spread (obs 5 +1)
+    "ann_brute_force_topk": 6,  # same boundary-pruned shape; r14 q-side (obs 5 +1)
     # balanced + vocab word agg + 3 training pair aggs + the corpus
     # explode joins the BROADCAST encoded vocab + final per-doc agg
     # (+1 headroom, the bpe_merge_loop convention)
@@ -416,7 +416,7 @@ SHUFFLE_BUDGET = {
     # two boundary-pruned legs (forward |Q|·n, backward |C|·n) + the
     # claimed fwd/cand_q caches whose build plans print under every
     # scan site in explain (executed once at the builder's count()s)
-    "bitext_margin_mining": 22,
+    "bitext_margin_mining": 15,  # r14: q-side off the spread (obs 14 +1)
     # the boundary-pruned ranking leg (7, valid-vec-gated) + per-query
     # metric agg + the label-side keyed attachment (the ranked |Q|·k
     # rows broadcast; the corpus label projections never do)
@@ -467,11 +467,11 @@ SHUFFLE_BUDGET = {
     "span_corruption_masks": 1,
     # r9b: boundary-pruned top-k twin of ann_brute_force_topk (7),
     # all-integer scoring
-    "ann_binary_hamming_topk": 7,
+    "ann_binary_hamming_topk": 6,  # r14: q-side off the spread (obs 5 +1)
     # composition: boundary-pruned brute force (7) + hamming top-k (7)
     # + 2 tiny per-query aggs + the ≤|Q|-row audit joins (the
     # lsh-audit shape; both legs pay their own balanced spreads cold)
-    "binary_quant_recall_audit": 20,
+    "binary_quant_recall_audit": 15,  # r14: q-side off the spread (obs 14 +1)
     # balanced + distinct (type, hash) + type-partitioned rank window
     # + exact-distinct two-phase agg; kth side broadcast into the join
     "kmv_distinct_users": 9,  # r10: bottom-k prune + pruned distinct + rank window + exact distinct

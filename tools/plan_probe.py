@@ -63,6 +63,7 @@ def main() -> None:
         if args.shared_cold:
             caches.release_shared_all()
         spark.sparkContext.setJobDescription(f"probe: {name}")
+        caches.release_all()  # fresh-claims build: cold plan shape
         df = spec.builder(spark, sf_dir)
         if args.plans_dir:
             plan = df._sc._jvm.PythonSQLUtils.explainString(
@@ -71,8 +72,21 @@ def main() -> None:
             path = os.path.join(
                 _REPO, args.plans_dir, f"{name}_{args.suffix}.txt"
             )
+            # ADVICE r13: builders run eager claim jobs at BUILD time,
+            # so claimed relations print as InMemoryTableScan subtrees
+            # here (their build cost is charged when the builder runs,
+            # not inside this captured plan) — same convention
+            # test_plans.py pins (fresh claims, cold shared tier only
+            # under --shared-cold).
+            header = (
+                "-- plan_probe capture: fresh-claims build "
+                "(caches.release_all() before builder). Claimed "
+                "relations appear as InMemoryTableScan; their build "
+                "cost is paid at claim time inside the builder, "
+                "outside this plan.\n"
+            )
             with open(path, "w") as f:
-                f.write(plan)
+                f.write(header + plan)
             n_ex = plan.count("Exchange")
             n_py = plan.count("EvalPython") + plan.count("MapInPandas") \
                 + plan.count("MapInArrow") + plan.count("FlatMapGroupsInPandas")
