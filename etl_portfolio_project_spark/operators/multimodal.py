@@ -340,14 +340,34 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    wavs = d.mapInPandas(synth, WAV_SCHEMA)
-    return wavs.mapInPandas(decode, WAV_FEATURES_SCHEMA)
+    return d.mapInPandas(_fuse_stages(synth, decode), WAV_FEATURES_SCHEMA)
 
 
 def balanced_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.registry import balanced
 
     return balanced(load_table(spark, sf_dir, "documents")).select("doc_id")
+
+
+def _fuse_stages(*stages):
+    """Compose mapInPandas stage closures into ONE Arrow stage (r14
+    opt, guide §4): each stage already takes and yields an iterator of
+    pandas frames, so fusion is plain generator composition — zero
+    logic duplication, and the intermediate media payloads (WAV/BMP/
+    PNG/JPEG bytes, the row's only heavy column) stay pandas inside
+    the worker instead of crossing Python→JVM→Python between stages.
+    The encode→decode round trip itself is unchanged (the decode still
+    consumes the REAL container bytes the encode produced), so the
+    differential codec proof against the relational oracle is intact.
+    The returned closure captures only the stage closures (shipped by
+    value — worker-closure rule)."""
+
+    def fused(it):
+        for s in stages:
+            it = s(it)
+        return it
+
+    return fused
 
 
 #: Oracle: regenerate the integer waveform relationally. The WAV
@@ -529,8 +549,7 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    bmps = d.mapInPandas(synth, BMP_SCHEMA)
-    return bmps.mapInPandas(decode, BMP_FEATURES_SCHEMA)
+    return d.mapInPandas(_fuse_stages(synth, decode), BMP_FEATURES_SCHEMA)
 
 
 MULTIMODAL_BMP_DECODE_SQL = f"""
@@ -748,9 +767,12 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import caches
 
     d = balanced_docs(spark, sf_dir)
-    bmps = d.mapInPandas(_bmp_phash_synth_stage(), BMP_SCHEMA)
     hashes = caches.claim(
-        "image_phash_hashes", bmps.mapInPandas(_phash_decode_stage(), PHASH_SCHEMA)
+        "image_phash_hashes",
+        d.mapInPandas(
+            _fuse_stages(_bmp_phash_synth_stage(), _phash_decode_stage()),
+            PHASH_SCHEMA,
+        ),
     )
     bands = hashes.select(
         "doc_id",
@@ -1141,8 +1163,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    pngs = d.mapInPandas(synth, PNG_SCHEMA)
-    return pngs.mapInPandas(decode, PNG_FEATURES_SCHEMA)
+    return d.mapInPandas(_fuse_stages(synth, decode), PNG_FEATURES_SCHEMA)
 
 
 MULTIMODAL_PNG_DECODE_SQL = f"""
@@ -1608,8 +1629,10 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow map stages, binary payloads streaming through record
     batches, zero shuffles."""
     d = balanced_docs(spark, sf_dir)
-    jpegs = d.mapInPandas(_jpeg_synth_stage(), BMP_SCHEMA)
-    return jpegs.mapInPandas(_jpeg_decode_stage(), JPEG_FEATURES_SCHEMA)
+    return d.mapInPandas(
+        _fuse_stages(_jpeg_synth_stage(), _jpeg_decode_stage()),
+        JPEG_FEATURES_SCHEMA,
+    )
 
 
 def _jpeg_sql() -> str:
@@ -1774,8 +1797,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    bmps = d.mapInPandas(synth, BMP_SCHEMA)
-    return bmps.mapInPandas(decode_resize, RESIZE_SCHEMA)
+    return d.mapInPandas(_fuse_stages(synth, decode_resize), RESIZE_SCHEMA)
 
 
 #: Oracle: regenerate the SAMPLED pixels relationally at the same
@@ -1956,8 +1978,7 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    wavs = d.mapInPandas(synth, WAV_SCHEMA)
-    return wavs.mapInPandas(resample, RESAMPLE_SCHEMA)
+    return d.mapInPandas(_fuse_stages(synth, resample), RESAMPLE_SCHEMA)
 
 
 #: Oracle: regenerate the DECIMATED samples relationally (j-th output

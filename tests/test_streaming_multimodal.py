@@ -79,8 +79,18 @@ def _png_stages(spark):
 
     with mock.patch.object(M, "balanced_docs", return_value=_Probe()):
         M.multimodal_png_decode(spark, SF_SMALL)
-    assert len(fns) == 2
-    return fns[0], fns[1]
+    # r14: synth+decode ship as ONE fused stage (_fuse_stages) — one
+    # mapInPandas call whose closure captures the original (synth,
+    # decode) pair; unpack them so the CRC test still drives the
+    # decode stage in isolation
+    assert len(fns) == 1
+    cells = [
+        c.cell_contents
+        for c in (fns[0].__closure__ or ())
+        if isinstance(c.cell_contents, tuple)
+    ]
+    assert cells and len(cells[0]) == 2, "fused stage shape changed"
+    return cells[0][0], cells[0][1]
 
 
 def test_png_decoder_verifies_crc(spark):
