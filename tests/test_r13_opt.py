@@ -1,6 +1,11 @@
 """Focused tests for the r13 OPTIMIZATION round's operator-internal
-changes (OPTIMIZATION_r13.md). Each change must keep values
-bit-identical — these tests pin the specific internals that changed.
+changes (the r13 account lives in the commit messages of
+fda1fc4/1f51cdf/57f3876 and PERF_ANCHOR.md — no OPTIMIZATION_r13.md
+was written; VERDICT r13 #5 notes the gap, closed r14). Each change
+must keep values bit-identical — these tests pin the specific
+internals that changed. The r14 round extended the split-estimate
+surface (directory probes, conf-driven knobs) — those tests live
+here beside the r13 originals they harden.
 """
 
 from __future__ import annotations
